@@ -1,0 +1,336 @@
+"""The ingestion pipeline operators (SURVEY.md §2.2-2.4, §3.1).
+
+Reproduces, as pure DataFrame transforms, the data path of
+``Services/OpcSubscribeService.cs:522-598`` (SubscribedItemChange):
+
+    notification -> staleness filter (F3) -> self-measure exclusion (F5)
+    -> quality split (F4) -> numeric cast (X4) -> scaling (X1-X3)
+    -> last-write-wins upsert keyed by (device, measure) (A2/S9)
+
+plus the plan-building joins of ``OpcuaSubscribeStart`` (:107-280):
+
+    devices (F1 monitored+OPCUA) x templates (J1) x connections (J2)
+
+Scale design: `opc_updates` is the big fact stream; all three config joins
+broadcast (the catalogs are O(devices) rows — SURVEY.md §2.3). The only
+shuffle in the whole flagship plan is the final latest-per-key aggregation,
+hash-partitioned on (daq_name, measure_name). At 100 TB that shuffle is
+minimized by map-side partial aggregation: `max_by` is an ordinary
+declarative aggregate, so Spark runs partial_max_by per input partition
+before exchanging only one row per key per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scaling import apply_scaling
+from ..functions.timefmt import format_modvalues_ts
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+def monitored_devices(devices: DataFrame) -> DataFrame:
+    """F1 — `device.Monitored && Protocol == "OPCUA"`
+    (OpcSubscribeService.cs:197)."""
+    return devices.filter(F.col("monitored") & (F.col("protocol") == "OPCUA"))
+
+
+def staleness_filter(updates: DataFrame, connections: DataFrame) -> DataFrame:
+    """F3 + J3 — drop updates where |received - source| > per-connection
+    TimeoutMs (OpcSubscribeService.cs:558-559; default Models/OpcDevice.cs:64).
+
+    The connection config is a tiny dimension — broadcast join, no shuffle
+    of the update stream.
+    """
+    conns = F.broadcast(connections.select("conn_id", "timeout_ms"))
+    age_ms = F.abs(
+        F.unix_micros(F.col("received_ts")) - F.unix_micros(F.col("source_ts"))
+    ) / F.lit(1000)
+    return (
+        updates.join(conns, "conn_id", "inner")
+        .filter(age_ms <= F.col("timeout_ms"))
+        .drop("timeout_ms")
+    )
+
+
+def exclude_self_measure(updates: DataFrame) -> DataFrame:
+    """F5 — the liveness pseudo-measure is never subscribed/written directly
+    (OpcSubscribeService.cs:216,558)."""
+    return updates.filter(F.col("measure_name") != "myPV_online")
+
+
+def good_quality(updates: DataFrame) -> DataFrame:
+    """F4 good branch — StatusCode.IsGood (OpcSubscribeService.cs:563).
+    Good = severity bits clear (sim: status_code == 0)."""
+    return updates.filter(F.col("status_code") == 0)
+
+
+def bad_quality(updates: DataFrame) -> DataFrame:
+    """F4 bad branch — writes online=0 only (OpcSubscribeService.cs:582-589)."""
+    return updates.filter(F.col("status_code") != 0)
+
+
+def change_only(updates: DataFrame, deadband: float = 0.0) -> DataFrame:
+    """F2 — change-only transport (DataChangeFilter, Trigger=StatusValue
+    Timestamp, OpcSubscribeService.cs:219-223): keep an update only when value
+    or status differs from the previous update of the same point; optional
+    absolute deadband. First update of a point always passes.
+
+    Batch analogue of the server-side push filter: lag() over the per-point
+    event-time order. One shuffle on node_id (same key as the downstream
+    latest-per-key agg, so the exchange is reusable).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("node_id").orderBy("source_ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_s = F.lag("status_code").over(w)
+    changed = (
+        prev_v.isNull()
+        | (F.abs(F.col("value") - prev_v) > F.lit(deadband))
+        | (F.col("status_code") != prev_s)
+    )
+    return updates.withColumn("_changed", changed).filter("_changed").drop("_changed")
+
+
+# ---------------------------------------------------------------------------
+# Plan-building joins (catalog side)
+# ---------------------------------------------------------------------------
+
+def device_points(devices: DataFrame, templates: DataFrame) -> DataFrame:
+    """J1 — device x template inner join exploding each device into its
+    configured points (OpcSubscribeService.cs:201,212; KeyNotFound devices
+    drop out via inner semantics, :249-253). Broadcast: templates are tiny."""
+    return devices.join(
+        F.broadcast(templates),
+        (devices.device_type == templates.device_type)
+        & (devices.daq_template == templates.template_name),
+        "inner",
+    ).drop(templates.device_type)
+
+
+def device_server_urls(devices: DataFrame, connections: DataFrame) -> DataFrame:
+    """J2 — device -> server URL via connection name
+    (OpcSubscribeService.cs:171-187,224)."""
+    return devices.join(
+        F.broadcast(connections.withColumnRenamed("connection_name", "server")),
+        "server",
+        "inner",
+    )
+
+
+def subscription_plan(devices: DataFrame, templates: DataFrame, connections: DataFrame) -> DataFrame:
+    """The reference's "physical plan" (_connectionInfo,
+    OpcSubscribeService.cs:100-105,244): monitored OPCUA devices joined to
+    their template points and server URL, one row per MonitoredItem, with the
+    X6 node-id concat (:232)."""
+    d = monitored_devices(devices)
+    pts = device_points(d, templates)
+    pts = device_server_urls(pts, connections)
+    return pts.withColumn(
+        "node_id",
+        F.concat(F.col("point_node"), F.lit("/"), F.col("prefix"), F.col("tag_name")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scaling + latest-per-key
+# ---------------------------------------------------------------------------
+
+def scale_updates(updates: DataFrame, templates: DataFrame, devices: DataFrame) -> DataFrame:
+    """Join the good update stream to its device + point config (J1/J2
+    broadcast) and apply the X3 scaling dispatch in exact DECIMAL arithmetic.
+
+    `value` is cast to DECIMAL(18,6) before the multiply so results are
+    bit-identical to the DuckDB oracle (SURVEY.md §7 risk: double rounding).
+    """
+    dev = F.broadcast(
+        monitored_devices(devices).select("daq_name", "device_type", "daq_template")
+    )
+    tpl = F.broadcast(
+        templates.select(
+            F.col("device_type").alias("t_device_type"),
+            "template_name",
+            "measure_name",
+            "unit",
+            "scale_mode",
+            "slope",
+            "offset",
+            "factor",
+            "target_min",
+        )
+    )
+    joined = (
+        updates.join(dev, "daq_name", "inner")
+        .join(
+            tpl,
+            (F.col("device_type") == F.col("t_device_type"))
+            & (F.col("daq_template") == F.col("template_name"))
+            & (updates.measure_name == tpl.measure_name),
+            "inner",
+        )
+        .drop("t_device_type", "template_name")
+        .drop(tpl.measure_name)
+    )
+    scaled = apply_scaling(
+        F.col("value").cast("decimal(18,6)"),
+        F.col("scale_mode"),
+        F.col("slope"),
+        F.col("offset"),
+        F.col("factor"),
+        F.col("target_min"),
+    )
+    return joined.withColumn("scaled_value", scaled).drop(
+        "scale_mode", "slope", "offset", "factor", "target_min"
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "received_ts",
+    tiebreak_col: str = "event_id",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """A2 — last-write-wins current value per (device, measure)
+    (the upsert semantics of OpcSubscribeService.cs:600-654 fed by :578-580).
+
+    Implemented as `max_by(struct(payload), struct(ts, tiebreak))`: a single
+    hash aggregation with map-side partial combine — at 100 TB this exchanges
+    one row per key per input partition instead of sorting the whole stream
+    (vs the window/row_number formulation, which must full-sort every
+    partition). Tie-break (ts, event_id) makes replays deterministic
+    (SURVEY.md §7 risk 2).
+    """
+    keys = keys or ["daq_name", "measure_name"]
+    payload = payload or [c for c in df.columns if c not in keys]
+    ordkey = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    agg = F.max_by(F.struct(*[F.col(c).alias(c) for c in payload]), ordkey).alias("_latest")
+    out = df.groupBy(*keys).agg(agg)
+    return out.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in payload])
+
+
+# ---------------------------------------------------------------------------
+# Liveness (A3, batch analogue)
+# ---------------------------------------------------------------------------
+
+def device_liveness(
+    good_updates: DataFrame,
+    devices: DataFrame,
+    now: Column | None = None,
+    window_s: int = 60,
+) -> DataFrame:
+    """A3 — myPV_online per device: 1.0 iff the device produced a good update
+    within the last `window_s` seconds (OpcSubscribeService.cs:45-58,578-585).
+
+    Batch analogue: "now" defaults to the global max received_ts of the
+    input (a deterministic logical clock — operators never read wall clock,
+    SURVEY.md §7 risk 1). Devices with no good updates at all get 0.0
+    (the startup reset T8, :715-739).
+    """
+    per_dev = good_updates.groupBy("daq_name").agg(
+        F.max("received_ts").alias("last_good_ts")
+    )
+    if now is None:
+        now_df = good_updates.agg(F.max("received_ts").alias("_now"))
+        per_dev = per_dev.crossJoin(F.broadcast(now_df))
+        now = F.col("_now")
+    all_dev = devices.select("daq_name", "device_type").distinct()
+    joined = all_dev.join(per_dev, "daq_name", "left")
+    online = F.when(
+        F.col("last_good_ts").isNotNull()
+        & (F.unix_micros(now) - F.unix_micros(F.col("last_good_ts")) <= window_s * 1_000_000),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "daq_name",
+        "device_type",
+        online.alias("online"),
+        F.col("last_good_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship pipeline — modvalues current-state snapshot
+# ---------------------------------------------------------------------------
+
+MODVALUES_COLUMNS = [
+    "device",
+    "device_type",
+    "tag_name",
+    "tag_value",
+    "measure_name",
+    "measure_value",
+    "source_unit",
+    "destination_unit",
+    "last_updated",
+    "logging",
+]
+
+
+def modvalues_snapshot(
+    updates: DataFrame,
+    devices: DataFrame,
+    templates: DataFrame,
+    connections: DataFrame,
+    liveness_window_s: int = 60,
+) -> DataFrame:
+    """The flagship query (SURVEY.md §7 Phase 1): the batch answer to the one
+    question the reference perpetually answers — *"what is the latest scaled
+    value and liveness of every configured point right now?"*
+
+    Pipeline: F5 -> J3+F3 staleness -> F4 good -> J1/J2 + X1-X3 scaling ->
+    A2 latest-per-key -> union A3 liveness rows -> modvalues shape
+    (DDL OpcSubscribeService.cs:140-152; insert defaults :687-705;
+    tag_value == measure_value :636-637; logging='instant' :702;
+    X5 text timestamps :555).
+    """
+    stream = exclude_self_measure(updates)
+    stream = staleness_filter(stream, connections)
+    good = good_quality(stream)
+    scaled = scale_updates(good, templates, devices)
+
+    latest = latest_per_key(
+        scaled,
+        keys=["daq_name", "measure_name"],
+        payload=["device_type", "tag_name", "scaled_value", "unit", "received_ts", "event_id"],
+    )
+    value_rows = latest.select(
+        F.col("daq_name").alias("device"),
+        "device_type",
+        "tag_name",
+        F.col("scaled_value").alias("tag_value"),
+        "measure_name",
+        F.col("scaled_value").alias("measure_value"),
+        F.col("unit").alias("source_unit"),
+        F.col("unit").alias("destination_unit"),
+        format_modvalues_ts("received_ts").alias("last_updated"),
+        F.lit("instant").alias("logging"),
+    )
+
+    # Liveness pseudo-measure rows — unit 'bool' (OpcSubscribeService.cs:55),
+    # value 1.0/0.0, stamped with the device's last good update time (or the
+    # epoch default for never-seen devices, mirroring the seed rows :687-705).
+    live = device_liveness(
+        scaled, monitored_devices(devices), window_s=liveness_window_s
+    )
+    online_rows = live.select(
+        F.col("daq_name").alias("device"),
+        "device_type",
+        F.lit("myPV_online").alias("tag_name"),
+        F.col("online").alias("tag_value"),
+        F.lit("myPV_online").alias("measure_name"),
+        F.col("online").alias("measure_value"),
+        F.lit("bool").alias("source_unit"),
+        F.lit("bool").alias("destination_unit"),
+        F.coalesce(
+            format_modvalues_ts("last_good_ts"),
+            F.lit("1970-01-01T00:00:00.000000"),
+        ).alias("last_updated"),
+        F.lit("instant").alias("logging"),
+    )
+    return value_rows.unionByName(online_rows)
