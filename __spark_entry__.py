@@ -22,8 +22,12 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     # events.parquet stores TIMESTAMP(NANOS); see catalog.load_table.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    except Exception as exc:  # immutable at runtime on some builds
+        print(
+            "WARNING: could not set spark.sql.legacy.parquet.nanosAsLong "
+            f"({exc}); events.parquet TIMESTAMP(NANOS) reads may fail",
+            file=sys.stderr,
+        )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -19,8 +19,7 @@ This package re-expresses those semantics Spark-first:
                    B1-B4, reconcile J5, and the [EXT] scale operators:
                    dedup, similarity search, text analysis, multimodal).
 - ``streaming``  — Structured Streaming composition of the same operators
-                   (foreachBatch merge sink, stateful liveness, heartbeat).
-- ``sources``    — the events-replay source and OPC-UA simulator DataSource.
+                   (events replayer, foreachBatch merge sink, liveness).
 
 Design stance (SURVEY.md §7): batch-first DataFrame library + thin streaming
 layer; every operator is a pure function testable against DuckDB; streaming

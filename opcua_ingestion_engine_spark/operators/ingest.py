@@ -13,11 +13,13 @@ plus the plan-building joins of ``OpcuaSubscribeStart`` (:107-280):
 
 Scale design: `opc_updates` is the big fact stream; all three config joins
 broadcast (the catalogs are O(devices) rows — SURVEY.md §2.3). The only
-shuffle in the whole flagship plan is the final latest-per-key aggregation,
-hash-partitioned on (daq_name, measure_name). At 100 TB that shuffle is
-minimized by map-side partial aggregation: `max_by` is an ordinary
-declarative aggregate, so Spark runs partial_max_by per input partition
-before exchanging only one row per key per partition.
+wide shuffle in the whole flagship plan is the per-point latest-value
+aggregation, partitioned on (daq_name, measure_name). `max_by` runs with
+map-side partial aggregation, so the exchange moves at most one row per key
+per input partition. (Because the ordering key is a struct, Spark picks
+SortAggregate rather than HashAggregate — partial combine still applies;
+the per-partition sort on the grouping key is the CPU price of a composite
+deterministic tie-break.)
 """
 
 from __future__ import annotations
@@ -200,11 +202,12 @@ def latest_per_key(
     (the upsert semantics of OpcSubscribeService.cs:600-654 fed by :578-580).
 
     Implemented as `max_by(struct(payload), struct(ts, tiebreak))`: a single
-    hash aggregation with map-side partial combine — at 100 TB this exchanges
-    one row per key per input partition instead of sorting the whole stream
-    (vs the window/row_number formulation, which must full-sort every
-    partition). Tie-break (ts, event_id) makes replays deterministic
-    (SURVEY.md §7 risk 2).
+    aggregation with map-side partial combine — at 100 TB this exchanges one
+    row per key per input partition instead of sorting the whole stream (vs
+    the window/row_number formulation, which must full-sort every partition;
+    the struct ordering key does force SortAggregate over HashAggregate, but
+    the partial-combine shuffle shape is unchanged). Tie-break (ts, event_id)
+    makes replays deterministic (SURVEY.md §7 risk 2).
     """
     keys = keys or ["daq_name", "measure_name"]
     payload = payload or [c for c in df.columns if c not in keys]
@@ -272,6 +275,9 @@ MODVALUES_COLUMNS = [
 ]
 
 
+EPOCH_TS_TEXT = "1970-01-01T00:00:00.000000"
+
+
 def modvalues_snapshot(
     updates: DataFrame,
     devices: DataFrame,
@@ -283,54 +289,181 @@ def modvalues_snapshot(
     question the reference perpetually answers — *"what is the latest scaled
     value and liveness of every configured point right now?"*
 
-    Pipeline: F5 -> J3+F3 staleness -> F4 good -> J1/J2 + X1-X3 scaling ->
-    A2 latest-per-key -> union A3 liveness rows -> modvalues shape
+    Pipeline: F5 -> J3+F3 staleness -> J1/J2 config join (before the quality
+    split, so bad-status notifications of subscribed points still feed
+    liveness) -> X1-X3 scaling -> ONE fused per-point aggregation computing
+    both the A2 latest-good payload (value path) and the latest any-status
+    event (liveness path) -> value rows + S10 seed rows + A3 liveness rows
     (DDL OpcSubscribeService.cs:140-152; insert defaults :687-705;
     tag_value == measure_value :636-637; logging='instant' :702;
     X5 text timestamps :555).
+
+    Semantics vs round 1 (per reference behavior):
+    - F4 bad branch: a device whose LAST event is bad-status reads online=0
+      (last-write-wins, OpcSubscribeService.cs:582-589), even if a good
+      update landed moments earlier.
+    - S10 seeding: every configured (device, measure) with no good update
+      appears as a 0.0 row stamped with the epoch (CheckAndAddMeasure
+      :680-705 inserts zero rows for all configured points at startup).
+
+    Scale design: events is scanned ONCE for the stream; the single wide
+    shuffle is the per-point hash aggregation (map-side partial combine).
+    Everything downstream of `perpoint` is O(configured points) — it is
+    persisted so the three output branches don't recompute the stream
+    aggregate, and all small-side joins are explicit broadcasts. The device
+    catalog is persisted too (it is derived from the fact table only in this
+    fixture setup; in production it is a config file).
     """
+    # Eager localCheckpoint (NOT persist): materializes the tiny catalog once
+    # and truncates lineage. persist() would register in the session
+    # CacheManager, where repeated snapshot builds accumulate entries and
+    # every new plan pays an O(cached-plans) sameResult scan — measured as a
+    # 4x slowdown by the third call at sf0.1.
+    mon = (
+        monitored_devices(devices)
+        .select("daq_name", "device_type", "daq_template")
+        .localCheckpoint(eager=True)
+    )
+    tpl = templates.select(
+        F.col("device_type").alias("t_device_type"),
+        "template_name",
+        F.col("measure_name").alias("t_measure_name"),
+        F.col("tag_name").alias("cfg_tag_name"),
+        "unit",
+        "scale_mode",
+        "slope",
+        "offset",
+        "factor",
+        "target_min",
+    )
+
     stream = exclude_self_measure(updates)
     stream = staleness_filter(stream, connections)
-    good = good_quality(stream)
-    scaled = scale_updates(good, templates, devices)
-
-    latest = latest_per_key(
-        scaled,
-        keys=["daq_name", "measure_name"],
-        payload=["device_type", "tag_name", "scaled_value", "unit", "received_ts", "event_id"],
+    joined = (
+        stream.join(F.broadcast(mon), "daq_name", "inner")
+        .join(
+            F.broadcast(tpl),
+            (F.col("device_type") == F.col("t_device_type"))
+            & (F.col("daq_template") == F.col("template_name"))
+            & (F.col("measure_name") == F.col("t_measure_name")),
+            "inner",
+        )
+        .drop("t_device_type", "template_name", "t_measure_name", "daq_template")
     )
-    value_rows = latest.select(
+
+    good = F.col("status_code") == 0
+    # Scaling applied pre-aggregation (codegen'd, no extra pass); value stays
+    # DECIMAL(18,6) through the multiply for bit-identical oracle results
+    # (testdata value domain is O(1e3) — far below the 1e12 decimal bound).
+    scaled_value = apply_scaling(
+        F.col("value").cast("decimal(18,6)"),
+        F.col("scale_mode"),
+        F.col("slope"),
+        F.col("offset"),
+        F.col("factor"),
+        F.col("target_min"),
+    )
+
+    # The fused per-point aggregate. max_by ignores NULL ordering keys, so
+    # gating the key on `good` yields the latest GOOD payload; max(struct)
+    # over (ts, event_id, status) is the latest ANY-status event for the
+    # last-write-wins liveness rule. Tie-break (received_ts, event_id) keeps
+    # replays deterministic (SURVEY.md §7 risk 2).
+    perpoint = (
+        joined.withColumn("scaled_value", F.when(good, scaled_value))
+        .groupBy("daq_name", "measure_name", "device_type", "tag_name", "unit")
+        .agg(
+            F.max_by(
+                F.struct("scaled_value", "received_ts"),
+                F.when(good, F.struct("received_ts", "event_id")),
+            ).alias("good_latest"),
+            F.max(
+                F.struct(
+                    F.col("received_ts").alias("ts"),
+                    F.col("event_id").alias("eid"),
+                    F.col("status_code").alias("status"),
+                )
+            ).alias("last_any"),
+        )
+        # Eager materialization of the O(points) aggregate: the three output
+        # branches each sit behind a broadcast exchange, and broadcast builds
+        # run concurrently — left lazy, each would recompute the full stream
+        # aggregation. One checkpoint = one scan of the fact stream, total.
+        .localCheckpoint(eager=True)
+    )
+
+    value_rows = perpoint.filter(F.col("good_latest").isNotNull()).select(
         F.col("daq_name").alias("device"),
         "device_type",
         "tag_name",
-        F.col("scaled_value").alias("tag_value"),
+        F.col("good_latest.scaled_value").alias("tag_value"),
         "measure_name",
-        F.col("scaled_value").alias("measure_value"),
+        F.col("good_latest.scaled_value").alias("measure_value"),
         F.col("unit").alias("source_unit"),
         F.col("unit").alias("destination_unit"),
-        format_modvalues_ts("received_ts").alias("last_updated"),
+        format_modvalues_ts("good_latest.received_ts").alias("last_updated"),
         F.lit("instant").alias("logging"),
     )
 
-    # Liveness pseudo-measure rows — unit 'bool' (OpcSubscribeService.cs:55),
-    # value 1.0/0.0, stamped with the device's last good update time (or the
-    # epoch default for never-seen devices, mirroring the seed rows :687-705).
-    live = device_liveness(
-        scaled, monitored_devices(devices), window_s=liveness_window_s
+    # S10 — configured points with no good update: zero rows, epoch stamp.
+    plan_points = mon.join(
+        F.broadcast(tpl.select("t_device_type", "template_name", "t_measure_name", "cfg_tag_name", "unit")),
+        (F.col("device_type") == F.col("t_device_type"))
+        & (F.col("daq_template") == F.col("template_name")),
+        "inner",
     )
+    observed_keys = perpoint.filter(F.col("good_latest").isNotNull()).select(
+        F.col("daq_name").alias("obs_daq_name"),
+        F.col("measure_name").alias("obs_measure_name"),
+    )
+    seed_rows = plan_points.join(
+        F.broadcast(observed_keys),
+        (F.col("daq_name") == F.col("obs_daq_name"))
+        & (F.col("t_measure_name") == F.col("obs_measure_name")),
+        "left_anti",
+    ).select(
+        F.col("daq_name").alias("device"),
+        "device_type",
+        F.col("cfg_tag_name").alias("tag_name"),
+        F.lit(0.0).alias("tag_value"),
+        F.col("t_measure_name").alias("measure_name"),
+        F.lit(0.0).alias("measure_value"),
+        F.col("unit").alias("source_unit"),
+        F.col("unit").alias("destination_unit"),
+        F.lit(EPOCH_TS_TEXT).alias("last_updated"),
+        F.lit("instant").alias("logging"),
+    )
+
+    # A3 — liveness rows, last-write-wins over the per-point aggregates
+    # (O(points) input; a second tiny shuffle, not a second stream pass).
+    device_last = perpoint.groupBy("daq_name").agg(F.max("last_any").alias("last_any"))
+    now_df = perpoint.agg(F.max("last_any.ts").alias("_now"))
+    live = (
+        mon.select("daq_name", "device_type")
+        .join(F.broadcast(device_last), "daq_name", "left")
+        .crossJoin(F.broadcast(now_df))
+    )
+    online = F.when(
+        F.col("last_any").isNotNull()
+        & (F.col("last_any.status") == 0)
+        & (
+            F.unix_micros(F.col("_now")) - F.unix_micros(F.col("last_any.ts"))
+            <= liveness_window_s * 1_000_000
+        ),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
     online_rows = live.select(
         F.col("daq_name").alias("device"),
         "device_type",
         F.lit("myPV_online").alias("tag_name"),
-        F.col("online").alias("tag_value"),
+        online.alias("tag_value"),
         F.lit("myPV_online").alias("measure_name"),
-        F.col("online").alias("measure_value"),
+        online.alias("measure_value"),
         F.lit("bool").alias("source_unit"),
         F.lit("bool").alias("destination_unit"),
         F.coalesce(
-            format_modvalues_ts("last_good_ts"),
-            F.lit("1970-01-01T00:00:00.000000"),
+            format_modvalues_ts("last_any.ts"), F.lit(EPOCH_TS_TEXT)
         ).alias("last_updated"),
         F.lit("instant").alias("logging"),
     )
-    return value_rows.unionByName(online_rows)
+    return value_rows.unionByName(seed_rows).unionByName(online_rows)

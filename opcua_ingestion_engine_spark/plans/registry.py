@@ -61,36 +61,25 @@ def _fixtures(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _FLAGSHIP_ORACLE = C.with_fixture_ctes("""
-    , good AS (
-        SELECT u.*
-        FROM opc_updates u JOIN opc_connections c USING (conn_id)
-        WHERE u.measure_name <> 'myPV_online'
-          AND abs(epoch_us(u.received_ts) - epoch_us(u.source_ts)) / 1000.0 <= c.timeout_ms
-          AND u.status_code = 0
-    ),
-    scaled AS (
-        SELECT g.daq_name, g.measure_name, d.device_type, t.tag_name, t.unit,
-               g.received_ts, g.event_id,
-               CAST(CASE t.scale_mode
-                    WHEN 'slope_intercept'
-                        THEN round(CAST(g.value AS DECIMAL(18,6)) * t.slope + t."offset", 3)
-                    WHEN 'point_slope'
-                        THEN round(CAST(g.value AS DECIMAL(18,6)) * t.factor + t.target_min, 3)
-                    ELSE CAST(g.value AS DECIMAL(18,6))
-               END AS DOUBLE) AS scaled_value
-        FROM good g
+    , joined AS (
+        SELECT u.*, d.device_type, t.unit, t.scale_mode, t.slope, t."offset",
+               t.factor, t.target_min
+        FROM opc_updates u
+        JOIN opc_connections c USING (conn_id)
         JOIN site_devices d
-          ON g.daq_name = d.daq_name AND d.monitored AND d.protocol = 'OPCUA'
+          ON u.daq_name = d.daq_name AND d.monitored AND d.protocol = 'OPCUA'
         JOIN sos_templates t
           ON t.device_type = d.device_type AND t.template_name = d.daq_template
-         AND t.measure_name = g.measure_name
+         AND t.measure_name = u.measure_name
+        WHERE u.measure_name <> 'myPV_online'
+          AND abs(epoch_us(u.received_ts) - epoch_us(u.source_ts)) / 1000.0 <= c.timeout_ms
     ),
-    latest AS (
+    latest_good AS (
         SELECT * FROM (
-            SELECT s.*, row_number() OVER (
+            SELECT j.*, row_number() OVER (
                 PARTITION BY daq_name, measure_name
                 ORDER BY received_ts DESC, event_id DESC) AS rn
-            FROM scaled s)
+            FROM joined j WHERE status_code = 0)
         WHERE rn = 1
     ),
     value_rows AS (
@@ -100,30 +89,66 @@ _FLAGSHIP_ORACLE = C.with_fixture_ctes("""
                unit AS source_unit, unit AS destination_unit,
                strftime(received_ts, '%Y-%m-%dT%H:%M:%S.%f') AS last_updated,
                'instant' AS logging
-        FROM latest
+        FROM (
+            SELECT l.*,
+                   CAST(CASE l.scale_mode
+                        WHEN 'slope_intercept'
+                            THEN round(CAST(l.value AS DECIMAL(18,6)) * l.slope + l."offset", 3)
+                        WHEN 'point_slope'
+                            THEN round(CAST(l.value AS DECIMAL(18,6)) * l.factor + l.target_min, 3)
+                        ELSE CAST(l.value AS DECIMAL(18,6))
+                   END AS DOUBLE) AS scaled_value
+            FROM latest_good l)
+    ),
+    plan_points AS (
+        SELECT d.daq_name, d.device_type, t.tag_name, t.measure_name, t.unit
+        FROM site_devices d
+        JOIN sos_templates t
+          ON t.device_type = d.device_type AND t.template_name = d.daq_template
+        WHERE d.monitored AND d.protocol = 'OPCUA'
+    ),
+    seed_rows AS (
+        SELECT p.daq_name AS device, p.device_type, p.tag_name,
+               0.0 AS tag_value, p.measure_name, 0.0 AS measure_value,
+               p.unit AS source_unit, p.unit AS destination_unit,
+               '1970-01-01T00:00:00.000000' AS last_updated,
+               'instant' AS logging
+        FROM plan_points p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM latest_good l
+            WHERE l.daq_name = p.daq_name AND l.measure_name = p.measure_name)
+    ),
+    last_event AS (
+        SELECT * FROM (
+            SELECT daq_name, status_code, received_ts, row_number() OVER (
+                PARTITION BY daq_name
+                ORDER BY received_ts DESC, event_id DESC) AS rn
+            FROM joined)
+        WHERE rn = 1
     ),
     live AS (
-        SELECT d.daq_name, d.device_type, pd.last_good_ts,
-               CAST(CASE WHEN pd.last_good_ts IS NOT NULL
-                         AND epoch_us((SELECT max(received_ts) FROM scaled))
-                             - epoch_us(pd.last_good_ts) <= 60 * 1000000
+        SELECT d.daq_name, d.device_type, le.received_ts AS last_ts,
+               CAST(CASE WHEN le.status_code = 0
+                         AND epoch_us((SELECT max(received_ts) FROM joined))
+                             - epoch_us(le.received_ts) <= 60 * 1000000
                     THEN 1.0 ELSE 0.0 END AS DOUBLE) AS online
-        FROM (SELECT DISTINCT daq_name, device_type FROM site_devices
+        FROM (SELECT daq_name, device_type FROM site_devices
               WHERE monitored AND protocol = 'OPCUA') d
-        LEFT JOIN (SELECT daq_name, max(received_ts) AS last_good_ts
-                   FROM scaled GROUP BY 1) pd USING (daq_name)
+        LEFT JOIN last_event le USING (daq_name)
     ),
     online_rows AS (
         SELECT daq_name AS device, device_type,
                'myPV_online' AS tag_name, online AS tag_value,
                'myPV_online' AS measure_name, online AS measure_value,
                'bool' AS source_unit, 'bool' AS destination_unit,
-               coalesce(strftime(last_good_ts, '%Y-%m-%dT%H:%M:%S.%f'),
+               coalesce(strftime(last_ts, '%Y-%m-%dT%H:%M:%S.%f'),
                         '1970-01-01T00:00:00.000000') AS last_updated,
                'instant' AS logging
         FROM live
     )
-    SELECT * FROM value_rows UNION ALL SELECT * FROM online_rows
+    SELECT * FROM value_rows
+    UNION ALL SELECT * FROM seed_rows
+    UNION ALL SELECT * FROM online_rows
 """)
 
 
