@@ -31,12 +31,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q_flagship_modvalues",
     "q_agg_groupby_lineitem",
-    "q_w_sum_over",
-    "q_join_inner_orders_customer",
+    "q_w_running_sum",
+    "q_join_three_way",
     "q_f2_change_only",
     "q_e2_minhash_neardup",
     "q_e3_ann_cosine_topk",
     "q_e4_text_stats",
+    "q_e6_timeseries_similarity",
+    "q_b1_browse_tree",
 ]
 
 

@@ -258,10 +258,10 @@ SQL_SOS_TEMPLATES = f"""
 # ---------------------------------------------------------------------------
 
 _CONNECTIONS = [
-    # conn_id, connection_name, url,                          max_search, timeout_ms
-    (0, "conn-0", "opc.tcp://10.10.100.1:62541", 600, 30000),
-    (1, "conn-1", "opc.tcp://10.10.100.2:62541", 600, 60000),
-    (2, "conn-2", "opc.tcp://10.10.100.3:62541", 600, 120000),
+    # conn_id, connection_name, url,                  max_search, timeout_ms, username, password
+    (0, "conn-0", "opc.tcp://10.10.100.1:62541", 600, 30000, " svc-opc ", "s3cret-alpha"),
+    (1, "conn-1", "opc.tcp://10.10.100.2:62541", 600, 60000, "svc-opc", "s3cret-bravo"),
+    (2, "conn-2", "opc.tcp://10.10.100.3:62541", 600, 120000, "Svc-OPC", "s3cret-charlie"),
 ]
 
 
@@ -269,29 +269,151 @@ def opc_client_connections(spark: SparkSession) -> DataFrame:
     """Connection config (Models/OpcClientConfig.cs:5-46). Defaults mirror the
     injected "Ignition" row: MaxSearch=600, TimeoutMs=60000
     (Services/OpcuaHelperService.cs:74-86); timeouts varied per FIXTURES.md b4
-    to exercise the per-connection staleness cutoff F3."""
+    to exercise the per-connection staleness cutoff F3. username carries
+    deliberate whitespace/case noise for X13 trim / X7 lower coverage;
+    password is the X8 AES roundtrip subject."""
     return spark.createDataFrame(
         _CONNECTIONS,
-        "conn_id int, connection_name string, url string, max_search int, timeout_ms int",
+        "conn_id int, connection_name string, url string, max_search int, "
+        "timeout_ms int, username string, password string",
     )
 
 
 SQL_CONNECTIONS = """
     SELECT * FROM (VALUES
-        (CAST(0 AS INT), 'conn-0', 'opc.tcp://10.10.100.1:62541', 600, 30000),
-        (CAST(1 AS INT), 'conn-1', 'opc.tcp://10.10.100.2:62541', 600, 60000),
-        (CAST(2 AS INT), 'conn-2', 'opc.tcp://10.10.100.3:62541', 600, 120000)
-    ) AS t(conn_id, connection_name, url, max_search, timeout_ms)
+        (CAST(0 AS INT), 'conn-0', 'opc.tcp://10.10.100.1:62541', 600, 30000, ' svc-opc ', 's3cret-alpha'),
+        (CAST(1 AS INT), 'conn-1', 'opc.tcp://10.10.100.2:62541', 600, 60000, 'svc-opc', 's3cret-bravo'),
+        (CAST(2 AS INT), 'conn-2', 'opc.tcp://10.10.100.3:62541', 600, 120000, 'Svc-OPC', 's3cret-charlie')
+    ) AS t(conn_id, connection_name, url, max_search, timeout_ms, username, password)
 """
 
 
-def with_fixture_ctes(body_sql: str) -> str:
+# ---------------------------------------------------------------------------
+# browse_exclusion_folders — J4/F6 (Models/OpcClientConfig.cs:26-36)
+# ---------------------------------------------------------------------------
+
+_EXCLUSION_FOLDERS = [
+    # conn_id, folder display name (reference prunes subtrees whose
+    # DisplayName matches — Helpers/OpcuaBrowse.cs:80-87)
+    (0, "Diagnostics"),
+    (0, "Server"),
+    (1, "Server"),
+]
+
+
+def browse_exclusion_folders(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _EXCLUSION_FOLDERS, "conn_id int, folder string"
+    )
+
+
+SQL_EXCLUSION_FOLDERS = """
+    SELECT * FROM (VALUES
+        (CAST(0 AS INT), 'Diagnostics'),
+        (CAST(0 AS INT), 'Server'),
+        (CAST(1 AS INT), 'Server')
+    ) AS t(conn_id, folder)
+"""
+
+
+# ---------------------------------------------------------------------------
+# browse_nodes — the OPC UA address space as an edge list (SURVEY.md §1.1,
+# Models/JsTreeExport.cs:36-46). Derived from the device/template catalogs:
+# per connection a root Objects folder; per device an Object folder holding
+# its template-point Variables plus a Diagnostics Object subfolder (browse
+# exclusion target) with one Status Variable.
+# ---------------------------------------------------------------------------
+
+def browse_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dev = site_devices(spark, sf_dir)
+    tpl = sos_templates(spark)
+    root = (
+        dev.select("conn_id").distinct()
+        .select(
+            "conn_id",
+            F.lit(None).cast("string").alias("parent_id"),
+            F.lit("i=85").alias("node_id"),
+            F.lit("Objects").alias("display_name"),
+            F.lit("Object").alias("node_class"),
+        )
+    )
+    dev_nodes = dev.select(
+        "conn_id",
+        F.lit("i=85").alias("parent_id"),
+        F.col("point_node").alias("node_id"),
+        F.col("daq_name").alias("display_name"),
+        F.lit("Object").alias("node_class"),
+    )
+    diag = dev.select(
+        "conn_id",
+        F.col("point_node").alias("parent_id"),
+        F.concat("point_node", F.lit("/Diagnostics")).alias("node_id"),
+        F.lit("Diagnostics").alias("display_name"),
+        F.lit("Object").alias("node_class"),
+    )
+    diag_var = dev.select(
+        "conn_id",
+        F.concat("point_node", F.lit("/Diagnostics")).alias("parent_id"),
+        F.concat("point_node", F.lit("/Diagnostics/Status")).alias("node_id"),
+        F.lit("Status").alias("display_name"),
+        F.lit("Variable").alias("node_class"),
+    )
+    variables = (
+        dev.join(
+            F.broadcast(tpl),
+            (dev.device_type == tpl.device_type)
+            & (dev.daq_template == tpl.template_name),
+            "inner",
+        )
+        .select(
+            "conn_id",
+            F.col("point_node").alias("parent_id"),
+            F.concat("point_node", F.lit("/"), "prefix", "tag_name").alias("node_id"),
+            F.col("tag_name").alias("display_name"),
+            F.lit("Variable").alias("node_class"),
+        )
+    )
+    return (
+        root.unionByName(dev_nodes)
+        .unionByName(diag)
+        .unionByName(diag_var)
+        .unionByName(variables)
+    )
+
+
+SQL_BROWSE_NODES = """
+    SELECT DISTINCT conn_id, CAST(NULL AS VARCHAR) AS parent_id,
+           'i=85' AS node_id, 'Objects' AS display_name, 'Object' AS node_class
+    FROM site_devices
+    UNION ALL
+    SELECT conn_id, 'i=85', point_node, daq_name, 'Object' FROM site_devices
+    UNION ALL
+    SELECT conn_id, point_node, point_node || '/Diagnostics', 'Diagnostics', 'Object'
+    FROM site_devices
+    UNION ALL
+    SELECT conn_id, point_node || '/Diagnostics',
+           point_node || '/Diagnostics/Status', 'Status', 'Variable'
+    FROM site_devices
+    UNION ALL
+    SELECT d.conn_id, d.point_node, d.point_node || '/' || d.prefix || t.tag_name,
+           t.tag_name, 'Variable'
+    FROM site_devices d
+    JOIN sos_templates t
+      ON t.device_type = d.device_type AND t.template_name = d.daq_template
+"""
+
+
+def with_fixture_ctes(body_sql: str, recursive: bool = False) -> str:
     """Wrap an oracle SELECT with the shared fixture CTEs so each oracle query
-    sees the same derived tables the Spark side builds."""
+    sees the same derived tables the Spark side builds. ``recursive=True``
+    emits WITH RECURSIVE (needed when the body adds a recursive CTE, e.g.
+    the B1 browse walk)."""
     return f"""
-    WITH opc_updates AS ({SQL_OPC_UPDATES}),
+    WITH {"RECURSIVE " if recursive else ""}opc_updates AS ({SQL_OPC_UPDATES}),
          site_devices AS ({SQL_SITE_DEVICES}),
          sos_templates AS ({SQL_SOS_TEMPLATES}),
-         opc_connections AS ({SQL_CONNECTIONS})
+         opc_connections AS ({SQL_CONNECTIONS}),
+         exclusion_folders AS ({SQL_EXCLUSION_FOLDERS}),
+         browse_nodes AS ({SQL_BROWSE_NODES})
     {body_sql}
     """

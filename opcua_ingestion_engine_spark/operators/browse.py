@@ -1,0 +1,111 @@
+"""Browse / tree operators (SURVEY.md §2.9 B1-B4, §2.2 F6/F7, §2.1 S12).
+
+The reference DFS-walks the OPC UA address space from the ObjectsFolder
+root (``Helpers/OpcuaBrowse.cs:20-144``, root at ``:191-254``), pruning any
+subtree whose DisplayName is in the connection's BrowseExclusionFolders
+(``:80-87,216-223`` — F6), requesting only Object|Variable node classes
+(``:33-41,196-204`` — F7), labeling each node with its class (``:56`` —
+B4) and collapsing the UI display below depth 3 (``:49-53`` — B3), then
+serializes a jsTree JSON file (``:256-264`` — S12).
+
+Spark-first: the address space is an edge-list DataFrame; the walk is a
+frontier BFS by iterated self-join. Each level is ONE join of the frontier
+against the (broadcast) edge list with a left_anti against the exclusion
+names — level count is tree depth, not node count, so a 100 TB edge list
+costs depth × (one co-partitioned hash join). The frontier is
+localCheckpoint'ed per level to keep plans linear (iterative self-joins
+otherwise double the plan tree each round — the classic Spark iterative-
+algorithm trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_BROWSE_DEPTH = 32  # safety bound; reference trees are ~3-5 deep
+
+
+def browse_tree(
+    nodes: DataFrame,
+    exclusions: DataFrame,
+    max_depth: int = MAX_BROWSE_DEPTH,
+    opened_depth: int = 3,
+) -> DataFrame:
+    """B1 — expand the hierarchy from each connection's root, one BFS level
+    per iteration, applying the F6 exclusion prune per frontier (so an
+    excluded folder's whole subtree is never visited) and the F7 node-class
+    predicate.
+
+    ``nodes``: (conn_id, parent_id, node_id, display_name, node_class)
+    edge list, roots having parent_id NULL.
+    ``exclusions``: (conn_id, folder) display names to prune.
+
+    Returns (conn_id, parent_id, node_id, display_name, node_class, depth,
+    opened) — ``opened`` is the B3 depth flag (JsTree ``state.opened``).
+    """
+    edges = nodes.filter(F.col("node_class").isin("Object", "Variable"))
+    excl = exclusions.select(
+        "conn_id", F.col("folder").alias("display_name")
+    ).distinct()
+
+    frontier = (
+        edges.filter(F.col("parent_id").isNull())
+        .select("conn_id", "parent_id", "node_id", "display_name", "node_class")
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    result = frontier
+    for _ in range(max_depth):
+        children = (
+            frontier.select(
+                "conn_id", F.col("node_id").alias("parent_id"), "depth"
+            )
+            .join(edges, ["conn_id", "parent_id"], "inner")
+            .join(excl, ["conn_id", "display_name"], "left_anti")
+            .select(
+                "conn_id",
+                "parent_id",
+                "node_id",
+                "display_name",
+                "node_class",
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if children.isEmpty():
+            break
+        result = result.unionByName(children)
+        frontier = children
+    return result.withColumn("opened", F.col("depth") <= opened_depth)
+
+
+def jstree_export(tree: DataFrame, conn_id: int) -> list[dict]:
+    """S12 — assemble the jsTree-format nested structure for one connection
+    (Models/JsTreeExport.cs:36-46; lowercase property naming policy
+    Helpers/OpcuaHelperFunctions.cs:13-20).
+
+    Tree assembly is inherently a driver-side O(nodes-of-one-connection)
+    step — the reference writes one JSON file per connection; the
+    collected slice is the already-pruned browse output, not the raw
+    address space.
+    """
+    rows = (
+        tree.filter(F.col("conn_id") == conn_id)
+        .select("node_id", "display_name", "node_class", "depth", "opened", "parent_id")
+        .collect()
+    )
+    by_id: dict[str, dict] = {}
+    roots: list[dict] = []
+    for r in sorted(rows, key=lambda r: (r["depth"], r["node_id"])):
+        node = {
+            "id": r["node_id"],
+            "text": r["display_name"],
+            "state": {"opened": bool(r["opened"])},
+            "data": {"type": r["node_class"]},
+            "children": [],
+        }
+        by_id[r["node_id"]] = node
+        parent = by_id.get(r["parent_id"]) if r["parent_id"] else None
+        (parent["children"] if parent else roots).append(node)
+    return roots

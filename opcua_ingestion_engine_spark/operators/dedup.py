@@ -1,0 +1,261 @@
+"""[EXT] E1/E2 — deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.11; BASELINE.json north star).
+
+Scale doctrine (SURVEY.md §7 risk 7, VERDICT r1): near-dup detection at
+100 TB must NEVER be an all-pairs crossJoin. The shape here is the
+standard three-stage LSH pipeline:
+
+    shingle -> minhash signature -> band buckets -> JOIN ON bucket
+    -> exact-Jaccard verify on candidate pairs only
+
+Every stage is a per-row projection except the bucket self-join, which
+shuffles on (band, bucket-hash) — candidate volume is controlled by the
+band/row geometry, not the corpus size. The exact-Jaccard verifier is
+reused standalone (blocked all-pairs) as the DuckDB-checkable oracle path
+at test scale.
+
+Hashing: xxhash64 (JVM built-in) for minhash permutations — fast but
+engine-specific, hence the LSH path gets rows-only driver checks plus a
+pytest recall harness against the exact path; md5 (portable) where the
+oracle must reproduce hashes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_ngrams
+
+# Universal-hash modulus for minhash permutations. MUST be on the order of
+# the reduced hash domain (31 bits): with x < 2^31, (a*x+b) mod p only
+# permutes properly when a*x wraps p many times — a larger p (e.g. 2^61-1)
+# leaves the map monotonic-in-x per wrap segment and minhash agreement
+# collapses (caught by the recall harness: 4/96 agreement on a 0.89-jaccard
+# pair).
+MERSENNE_31 = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E1 — exact duplicate removal, deterministic representative.
+
+    Groups on sha256(text) — not the text itself — so at scale the shuffle
+    key is 32 bytes instead of whole documents; keeps the lowest doc_id of
+    each group (dropDuplicates picks an arbitrary row; argmin is
+    replay-stable). Returns (doc_id, n_copies).
+    """
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingle set per document."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """E2 (exact verify path) — blocked all-pairs word-n-gram Jaccard.
+
+    Pairs are generated WITHIN a blocking key only (here: language;
+    ``block_col=None`` degrades to true all-pairs for small-corpus ground
+    truth) — this is the verification/oracle form, quadratic per block,
+    valid at test scale and as the stage-3 verifier behind LSH candidates.
+    NOTE blocking trades recall for cost: cross-block near-dups are
+    invisible to it, which is exactly why the LSH path doesn't block. The
+    intersection count uses a higher-order filter over distinct shingle
+    arrays; jaccard = |A∩B| / (|A|+|B|-|A∩B|) with the division in double
+    over exact ints (engine-identical).
+    """
+    block = F.col(block_col) if block_col is not None else F.lit(1)
+    s = docs.select(
+        F.col("doc_id"),
+        block.alias("_block"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_block"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_block"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, "_block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # the block key has very few distinct values (languages), which
+        # would serialize the quadratic pair work into a handful of tasks —
+        # rebalance the exploded pairs across the cluster before computing
+        .repartition(F.col("doc_a"))
+    )
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard(sh_a, sh_b):
+    """|A∩B| / |A∪B| over distinct shingle arrays. array_intersect is the
+    hash-based O(|A|+|B|) built-in — NOT a nested contains-filter, which is
+    O(|A|x|B|) per pair and measured 10x+ slower at sf0.01."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 96, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per document: for permutation i,
+    sig[i] = min over shingles of h_i(shingle), with
+    h_i(x) = (a_i * (xxhash64(x) >>> 33) + b_i) mod 2^31-1.
+
+    One projection — num_hashes mins computed per row via higher-order
+    transform/aggregate; no shuffle, no UDF.
+    """
+    def perm_hash(a: int, b: int):
+        # factory (not default-arg lambda): PySpark infers higher-order
+        # lambda arity from the Python signature. 31-bit a/b against a
+        # 31-bit reduced hash keeps a*h+b under 2^63 (ANSI overflow-safe)
+        # while the 31-bit modulus wraps it ~2^31 times (true permutation).
+        return lambda x: (
+            F.lit(a) * F.shiftrightunsigned(F.xxhash64(x), 33) + F.lit(b)
+        ) % F.lit(MERSENNE_31)
+
+    sigs = []
+    rnd = _lcg(seed)
+    mask31 = (1 << 31) - 1
+    for i in range(num_hashes):
+        a = (next(rnd) & mask31) | 1  # odd multiplier
+        b = next(rnd) & mask31
+        sigs.append(
+            F.array_min(F.transform(F.col("shingles"), perm_hash(a, b))).alias(f"mh_{i}")
+        )
+    return shingled.select("doc_id", "shingles", F.array(*sigs).alias("signature"))
+
+
+def _lcg(seed: int):
+    """Deterministic 63-bit LCG for permutation parameters (no RNG import —
+    replay-stable)."""
+    state = seed & ((1 << 63) - 1)
+    while True:
+        state = (6364136223846793005 * state + 1442695040888963407) & ((1 << 63) - 1)
+        yield state >> 2
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 3
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash): documents
+    agreeing on ALL rows of any band become a candidate pair.
+
+    This is THE scale operator: explode to `bands` rows per doc (bounded
+    fan-out), shuffle on the band bucket, join within buckets. Bucket
+    sizes are data-dependent but collisions require exact agreement of
+    rows_per_band 61-bit minhashes — adversarial skew is absorbed by AQE
+    skew-join splitting.
+    """
+    n = bands * rows_per_band
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[
+                        F.col("signature").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    assert n == bands * rows_per_band
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 32,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """E2 — full MinHash-LSH near-dup pipeline: shingle -> signature ->
+    banded candidates -> exact-Jaccard verification >= threshold.
+
+    Output is verified pairs only (no false positives; recall governed by
+    the band geometry: P[detect | s] = 1-(1-s^rows)^bands — ~0.99 at
+    s=0.5 and ~1-1e-10 at s=0.8 with the 32x3 default). See tests/test_llm_ops.py for the recall harness.
+    """
+    sh = shingle_sets(docs, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig.select("doc_id", "signature"), bands, rows_per_band)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(a, "doc_a").join(b, "doc_b")
+    return (
+        verified.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E2 variant — 64-bit SimHash over word tokens: per bit, sum +1/-1
+    weighted by token-hash bit, sign of the sum becomes the bit.
+
+    Pure bit arithmetic over a higher-order aggregate; near-dups then
+    reduce to hamming-distance joins on bit-prefix buckets (not
+    registered as a driver query — engine-specific hash — but unit
+    tested for the invariance properties).
+    """
+    def bit_vote(b: int):
+        return lambda acc, w: acc + F.when(
+            F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    ws = F.split(F.col(text_col), " ")
+    sim = F.lit(0).cast("long")
+    for bit in range(64):
+        vote = F.aggregate(ws, F.lit(0).cast("long"), bit_vote(bit))
+        # shiftleft + bitwiseOR on the JVM side so bit 63 lands in the sign
+        # bit without Python-int overflow ('|' on Columns is boolean OR)
+        sim = sim.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return docs.select("doc_id", sim.alias("simhash"))

@@ -278,47 +278,23 @@ MODVALUES_COLUMNS = [
 EPOCH_TS_TEXT = "1970-01-01T00:00:00.000000"
 
 
-def modvalues_snapshot(
+def prepare_stream(
     updates: DataFrame,
     devices: DataFrame,
     templates: DataFrame,
     connections: DataFrame,
-    liveness_window_s: int = 60,
-) -> DataFrame:
-    """The flagship query (SURVEY.md §7 Phase 1): the batch answer to the one
-    question the reference perpetually answers — *"what is the latest scaled
-    value and liveness of every configured point right now?"*
+):
+    """Shared front half of the ingestion pipeline: F5 -> J3+F3 -> config
+    join (J1/J2) BEFORE the quality split, so bad-status notifications of
+    subscribed points still feed liveness. Returns (joined, mon, tpl) —
+    the enriched stream plus the materialized catalog frames.
 
-    Pipeline: F5 -> J3+F3 staleness -> J1/J2 config join (before the quality
-    split, so bad-status notifications of subscribed points still feed
-    liveness) -> X1-X3 scaling -> ONE fused per-point aggregation computing
-    both the A2 latest-good payload (value path) and the latest any-status
-    event (liveness path) -> value rows + S10 seed rows + A3 liveness rows
-    (DDL OpcSubscribeService.cs:140-152; insert defaults :687-705;
-    tag_value == measure_value :636-637; logging='instant' :702;
-    X5 text timestamps :555).
-
-    Semantics vs round 1 (per reference behavior):
-    - F4 bad branch: a device whose LAST event is bad-status reads online=0
-      (last-write-wins, OpcSubscribeService.cs:582-589), even if a good
-      update landed moments earlier.
-    - S10 seeding: every configured (device, measure) with no good update
-      appears as a 0.0 row stamped with the epoch (CheckAndAddMeasure
-      :680-705 inserts zero rows for all configured points at startup).
-
-    Scale design: events is scanned ONCE for the stream; the single wide
-    shuffle is the per-point hash aggregation (map-side partial combine).
-    Everything downstream of `perpoint` is O(configured points) — it is
-    persisted so the three output branches don't recompute the stream
-    aggregate, and all small-side joins are explicit broadcasts. The device
-    catalog is persisted too (it is derived from the fact table only in this
-    fixture setup; in production it is a config file).
+    ``mon`` is eagerly localCheckpoint'ed (NOT persisted): it is consumed
+    three times, and persist() would register in the session CacheManager
+    where repeated snapshot builds accumulate entries and every new plan
+    pays an O(cached-plans) sameResult scan — measured as a 4x slowdown by
+    the third call at sf0.1.
     """
-    # Eager localCheckpoint (NOT persist): materializes the tiny catalog once
-    # and truncates lineage. persist() would register in the session
-    # CacheManager, where repeated snapshot builds accumulate entries and
-    # every new plan pays an O(cached-plans) sameResult scan — measured as a
-    # 4x slowdown by the third call at sf0.1.
     mon = (
         monitored_devices(devices)
         .select("daq_name", "device_type", "daq_template")
@@ -336,7 +312,6 @@ def modvalues_snapshot(
         "factor",
         "target_min",
     )
-
     stream = exclude_self_measure(updates)
     stream = staleness_filter(stream, connections)
     joined = (
@@ -350,11 +325,29 @@ def modvalues_snapshot(
         )
         .drop("t_device_type", "template_name", "t_measure_name", "daq_template")
     )
+    return joined, mon, tpl
 
+
+def perpoint_state(joined: DataFrame) -> DataFrame:
+    """The fused per-point aggregate — the engine's entire mutable state,
+    one row per configured (device, measure) that has seen any update:
+
+    - ``good_latest``: struct(received_ts, event_id, scaled_value) of the
+      latest GOOD update (A2/S9 value path). Ordering-prefixed fields make
+      ``max(struct)`` the last-write-wins reducer, so states merge
+      associatively/commutatively — micro-batch order cannot change the
+      result (T9 idempotence; SURVEY.md §7 risk 2).
+    - ``last_any``: struct(ts, eid, status) of the latest ANY-status event
+      (F4 bad branch feeds the liveness rule).
+
+    max ignores NULLs, so gating on `good` yields latest-good. One wide
+    shuffle with map-side partial aggregation; at 100 TB the exchange
+    moves at most one row per key per input partition.
+    """
     good = F.col("status_code") == 0
-    # Scaling applied pre-aggregation (codegen'd, no extra pass); value stays
-    # DECIMAL(18,6) through the multiply for bit-identical oracle results
-    # (testdata value domain is O(1e3) — far below the 1e12 decimal bound).
+    # Scaling applied pre-aggregation (codegen'd, no extra pass); value
+    # stays DECIMAL(18,6) through the multiply for bit-identical oracle
+    # results (testdata value domain is O(1e3), far below the 1e12 bound).
     scaled_value = apply_scaling(
         F.col("value").cast("decimal(18,6)"),
         F.col("scale_mode"),
@@ -363,19 +356,19 @@ def modvalues_snapshot(
         F.col("factor"),
         F.col("target_min"),
     )
-
-    # The fused per-point aggregate. max_by ignores NULL ordering keys, so
-    # gating the key on `good` yields the latest GOOD payload; max(struct)
-    # over (ts, event_id, status) is the latest ANY-status event for the
-    # last-write-wins liveness rule. Tie-break (received_ts, event_id) keeps
-    # replays deterministic (SURVEY.md §7 risk 2).
-    perpoint = (
+    return (
         joined.withColumn("scaled_value", F.when(good, scaled_value))
         .groupBy("daq_name", "measure_name", "device_type", "tag_name", "unit")
         .agg(
-            F.max_by(
-                F.struct("scaled_value", "received_ts"),
-                F.when(good, F.struct("received_ts", "event_id")),
+            F.max(
+                F.when(
+                    good,
+                    F.struct(
+                        "received_ts",
+                        "event_id",
+                        "scaled_value",
+                    ),
+                )
             ).alias("good_latest"),
             F.max(
                 F.struct(
@@ -385,13 +378,36 @@ def modvalues_snapshot(
                 )
             ).alias("last_any"),
         )
-        # Eager materialization of the O(points) aggregate: the three output
-        # branches each sit behind a broadcast exchange, and broadcast builds
-        # run concurrently — left lazy, each would recompute the full stream
-        # aggregation. One checkpoint = one scan of the fact stream, total.
-        .localCheckpoint(eager=True)
     )
 
+
+def merge_perpoint_states(current: DataFrame | None, incoming: DataFrame) -> DataFrame:
+    """T9 — last-write-wins merge of two per-point states (the Delta MERGE
+    analogue inside foreachBatch). Because both structs are
+    ordering-prefixed, the merge is max/max over the union — associative,
+    commutative, idempotent: replaying batches in any order or twice
+    yields the same state."""
+    if current is None:
+        return incoming
+    return (
+        current.unionByName(incoming)
+        .groupBy("daq_name", "measure_name", "device_type", "tag_name", "unit")
+        .agg(
+            F.max("good_latest").alias("good_latest"),
+            F.max("last_any").alias("last_any"),
+        )
+    )
+
+
+def snapshot_from_state(
+    perpoint: DataFrame,
+    mon: DataFrame,
+    tpl: DataFrame,
+    liveness_window_s: int = 60,
+) -> DataFrame:
+    """Back half of the flagship: per-point state -> modvalues-shaped rows
+    (value rows + S10 seed rows + A3 liveness rows). O(points) input; all
+    small-side joins broadcast."""
     value_rows = perpoint.filter(F.col("good_latest").isNotNull()).select(
         F.col("daq_name").alias("device"),
         "device_type",
@@ -467,3 +483,39 @@ def modvalues_snapshot(
         F.lit("instant").alias("logging"),
     )
     return value_rows.unionByName(seed_rows).unionByName(online_rows)
+
+
+def modvalues_snapshot(
+    updates: DataFrame,
+    devices: DataFrame,
+    templates: DataFrame,
+    connections: DataFrame,
+    liveness_window_s: int = 60,
+) -> DataFrame:
+    """The flagship query (SURVEY.md §7 Phase 1): the batch answer to the one
+    question the reference perpetually answers — *"what is the latest scaled
+    value and liveness of every configured point right now?"*
+
+    Pipeline: prepare_stream (F5/F3/J1/J2/J3) -> perpoint_state (X1-X3 +
+    the fused A2+liveness aggregation) -> snapshot_from_state (value rows
+    + S10 seed rows + A3 liveness rows). Streaming composes the SAME three
+    functions with merge_perpoint_states inside foreachBatch
+    (streaming/replay.py), so batch and replayed results are provably the
+    same computation.
+
+    Reference anchors: DDL OpcSubscribeService.cs:140-152; insert defaults
+    :687-705; tag_value == measure_value :636-637; logging='instant' :702;
+    X5 text timestamps :555; bad-status -> online=0 :582-589 (a device
+    whose LAST event is bad reads 0 even if a good update landed moments
+    earlier); S10 zero rows for silent configured points :680-705.
+
+    Scale design: events is scanned ONCE; the single wide shuffle is the
+    per-point aggregation (map-side partial combine). Everything downstream
+    of ``perpoint`` is O(configured points) — it is eagerly
+    localCheckpoint'ed so the three output branches (each behind a
+    broadcast exchange whose build runs concurrently) don't recompute the
+    stream aggregate.
+    """
+    joined, mon, tpl = prepare_stream(updates, devices, templates, connections)
+    perpoint = perpoint_state(joined).localCheckpoint(eager=True)
+    return snapshot_from_state(perpoint, mon, tpl, liveness_window_s)

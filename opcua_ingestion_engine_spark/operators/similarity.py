@@ -1,0 +1,236 @@
+"""[EXT] E3/E6 — similarity-search operators (SURVEY.md §2.11).
+
+E3: nearest-neighbor search over an embedding column (array<float>).
+Two paths, mirroring production ANN architecture:
+
+- ``brute_force_topk`` — exact cosine top-k. The dot product is a
+  higher-order zip_with/aggregate over the arrays (JVM, codegen) in
+  strict index order, so Spark and DuckDB agree bit-for-bit on doubles.
+  Query set x corpus is a broadcast nested-loop by construction — correct
+  as the rerank stage over a candidate set, quadratic if abused as the
+  full search at scale.
+- ``lsh_bucket_topk`` — random-hyperplane (sign) LSH: bucket on the
+  sign-bit signature, generate candidates per bucket, exact-rerank.
+  The hyperplanes are derived from a hash-seeded deterministic stream
+  (replay-stable, no RNG state to ship). This is the 100 TB path: one
+  bounded-fan-out explode + one shuffle on (table, signature).
+
+E6: time-series similarity over the events stream — per-entity hourly
+profiles compared with Manhattan distance computed entirely in DECIMAL
+(exact, order-independent) so the oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+DEC = "decimal(38,6)"
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float> columns, evaluated in strict
+    index order (deterministic across engines)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 exact path — top-k cosine neighbors of each query vector.
+
+    Returns (query_id, neighbor_id, rank, cos_sim). Ranks break ties on
+    neighbor id, so the result set is deterministic. ``queries`` is
+    expected to be small (it is broadcast); the corpus side streams.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int):
+    """Deterministic pseudo-random hyperplane as an array<double> of plain
+    literals: component d = md5-derived value in [-1, 1). Computed driver-
+    side (no RNG state, no expression blow-up — a 64-float literal array
+    instead of 64 hash expressions per plane)."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane-{plane_idx}-dim-{d}".encode()).digest()
+        v = int.from_bytes(h[:8], "big", signed=True) / float(1 << 63)
+        comps.append(F.lit(v))
+    return F.array(*comps)
+
+
+def lsh_signature(vec, planes: list) -> list:
+    """Sign bit per hyperplane."""
+    return [
+        F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in planes
+    ]
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 scale path — multi-table random-hyperplane LSH + exact rerank.
+
+    Standard L-tables-of-k-bits geometry: a corpus vector is a candidate
+    for a query if they share the full k-bit sign signature in ANY of the
+    L tables (P[candidate | angle θ] = 1-(1-(1-θ/π)^k)^L — more tables
+    raise recall, more bits cut bucket sizes). Each side explodes to L
+    rows (bounded fan-out), the join key is (table, bucket); exact cosine
+    reranks the deduped candidates. One shuffle over L x corpus rows —
+    still linear in corpus size, vs the brute-force crossJoin.
+    """
+    tables = [
+        [_hyperplane(t * bits_per_table + i, dim) for i in range(bits_per_table)]
+        for t in range(num_tables)
+    ]
+
+    def buckets(col):
+        entries = []
+        for t, planes in enumerate(tables):
+            bits = lsh_signature(col, planes)
+            s = F.lit(0)
+            for i, b in enumerate(bits):
+                s = s + b * F.lit(1 << i)
+            entries.append(F.struct(F.lit(t).alias("tbl"), s.alias("bucket")))
+        return F.array(*entries)
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(buckets(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(buckets(F.col(vec_col))).alias("tb"),
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    cand = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hourly_profiles(events: DataFrame) -> DataFrame:
+    """E6 stage 1 — per-user hourly activity profile: exact DECIMAL sums
+    of `value` per (user_id, hour bucket). One shuffle, partial-agg
+    combined map-side."""
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return events.groupBy(
+        F.col("user_id"), bucket.alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("hour_sum"))
+
+
+def timeseries_similarity_topk(
+    events: DataFrame,
+    k: int = 3,
+    max_users: int = 40,
+) -> DataFrame:
+    """E6 — nearest time-series per user: Manhattan distance between
+    hourly-sum profiles, computed on the INNER join of the two users'
+    buckets (hours where both are active — keeps distance exact-decimal
+    and avoids densifying sparse profiles).
+
+    Output (user_a, user_b, rank) for the k nearest neighbors of each
+    user, ties broken by user_b. ``max_users`` bounds the pair blow-up at
+    test scale; the 100 TB form replaces the user x user join with an
+    LSH/segment-signature candidate stage exactly like E3.
+    """
+    prof = hourly_profiles(
+        events.filter(F.col("user_id") < max_users)
+    )
+    a = prof.select(
+        F.col("user_id").alias("user_a"),
+        F.col("bucket"),
+        F.col("hour_sum").alias("sum_a"),
+    )
+    b = prof.select(
+        F.col("user_id").alias("user_b"),
+        F.col("bucket"),
+        F.col("hour_sum").alias("sum_b"),
+    )
+    dist = (
+        a.join(b, "bucket")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(F.abs(F.col("sum_a") - F.col("sum_b"))).alias("dist"),
+            F.count("*").alias("n_common"),
+        )
+        .filter(F.col("n_common") >= 3)
+    )
+    sym = dist.select("user_a", "user_b", "dist").unionByName(
+        dist.select(
+            F.col("user_b").alias("user_a"),
+            F.col("user_a").alias("user_b"),
+            "dist",
+        )
+    )
+    w = W.partitionBy("user_a").orderBy(F.col("dist").asc(), F.col("user_b").asc())
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_a", "user_b", "rank", F.col("dist").cast("double").alias("dist"))
+    )

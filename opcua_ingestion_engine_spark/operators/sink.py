@@ -1,0 +1,111 @@
+"""MERGE-shaped batch sinks (SURVEY.md §2.1 S9/S10/S11, §2.3 J6).
+
+The reference's only write path is three row-level SQL patterns against the
+``modvalues`` current-state table:
+
+- S9 ``ModifyMeasure``: keyed UPDATE of (tag_value, measure_value,
+  last_updated) WHERE device AND measure_name match
+  (``Services/OpcSubscribeService.cs:600-654``; the key equi-join J6 at
+  ``:608-612,624-630``). Unmatched incoming rows are NOT inserted.
+- S10 ``CheckAndAddMeasure``: INSERT a zero row if the key is absent
+  (``:656-713``); existing rows are left untouched.
+- S11 ``SetAllMyPVOnlineFalse``: one bulk conditional UPDATE of every
+  ``myPV_online`` row to 0 at startup (``:715-739``).
+
+Spark-first: each is a pure ``DataFrame -> DataFrame`` transform producing
+the post-merge table, so they compose in batch and inside ``foreachBatch``
+(where a Delta ``MERGE INTO`` would replace the final materialization —
+T9). Scale notes per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timefmt import format_modvalues_ts
+
+
+def upsert_matched(
+    current: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    set_cols: list[str],
+) -> DataFrame:
+    """S9/J6 — MERGE ... WHEN MATCHED THEN UPDATE (no insert branch).
+
+    ``incoming`` must be key-unique (pre-reduce with latest-per-key A2,
+    as the serialized reference upserts do implicitly). Implemented as a
+    left join of current onto incoming + per-column coalesce — one shuffle
+    co-partitioned on the key (or a broadcast when the incoming batch is
+    small, which is the streaming micro-batch case: let AQE decide).
+    """
+    inc = incoming.select(
+        *keys, *[F.col(c).alias(f"_new_{c}") for c in set_cols]
+    )
+    out = current.join(inc, keys, "left")
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"_new_{c}"), F.col(c)))
+    return out.drop(*[f"_new_{c}" for c in set_cols])
+
+
+def insert_if_missing(current: DataFrame, seeds: DataFrame, keys: list[str]) -> DataFrame:
+    """S10 — MERGE ... WHEN NOT MATCHED THEN INSERT.
+
+    ``seeds`` rows whose key already exists in ``current`` are dropped
+    (left_anti); the rest are appended. Anti join shuffles on the key;
+    when ``current`` is the small side (startup seeding of a fresh table)
+    AQE turns it into a broadcast anti join.
+    """
+    missing = seeds.join(current.select(*keys), keys, "left_anti")
+    return current.unionByName(missing)
+
+
+def bulk_reset_online(current: DataFrame, reset_ts_text: str) -> DataFrame:
+    """S11/T8 — the startup bulk UPDATE: every ``myPV_online`` row gets
+    value 0.0 and a fresh timestamp, all other rows pass through.
+
+    A single conditional projection — no shuffle at any scale (the
+    reference comments this exact set-based-beats-row-loop point,
+    OpcSubscribeService.cs:715-716).
+    """
+    is_online_row = F.col("tag_name") == "myPV_online"
+    return (
+        current.withColumn(
+            "tag_value", F.when(is_online_row, F.lit(0.0)).otherwise(F.col("tag_value"))
+        )
+        .withColumn(
+            "measure_value",
+            F.when(is_online_row, F.lit(0.0)).otherwise(F.col("measure_value")),
+        )
+        .withColumn(
+            "last_updated",
+            F.when(is_online_row, F.lit(reset_ts_text)).otherwise(F.col("last_updated")),
+        )
+    )
+
+
+def upsert_values(
+    current: DataFrame,
+    latest_updates: DataFrame,
+) -> DataFrame:
+    """The composed reference write path for one batch of updates against a
+    modvalues-shaped table: S9 matched-update of the value columns.
+
+    ``latest_updates`` columns: device, measure_name, scaled_value,
+    received_ts (key-unique). Values land in tag_value AND measure_value
+    (OpcSubscribeService.cs:636-637); last_updated gets the X5 text stamp.
+    """
+    inc = latest_updates.select(
+        "device",
+        "measure_name",
+        F.col("scaled_value").alias("_v"),
+        format_modvalues_ts("received_ts").alias("_ts"),
+    )
+    out = current.join(inc, ["device", "measure_name"], "left")
+    return (
+        out.withColumn("tag_value", F.coalesce("_v", "tag_value"))
+        .withColumn("measure_value", F.coalesce("_v", "measure_value"))
+        .withColumn("last_updated", F.coalesce("_ts", "last_updated"))
+        .drop("_v", "_ts")
+    )

@@ -1,0 +1,135 @@
+"""[EXT] E4 — text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2.11; north-star requirement in BASELINE.json).
+
+All pure Column expressions — JVM-side, codegen'd, no Python in the hot
+path. At 100 TB these run as a single parquet scan with column pruning
+(only ``text`` + ids read) and no shuffle: per-document metrics are
+embarrassingly parallel projections.
+
+Conventions: documents are whitespace-tokenized (the fixture corpus is
+single-space separated); metrics that divide counts do the division in
+double AFTER exact integer counting, keeping Spark/DuckDB results
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/lexicon lang-id
+# heuristic. Deliberately minimal — the operator's shape (per-language hit
+# counting + argmax) is what scales, not the lexicon.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "is", "and", "of"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "es": ["el", "la", "y", "es", "un"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on single spaces, fixture convention)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Count of tokens in ``words`` — a higher-order filter, no UDF."""
+    return F.size(F.filter(tokens(text), lambda w: w.isin(*words))).cast("long")
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: length, token count, mean word length,
+    stopword ratio, punctuation ratio, uppercase ratio.
+
+    The standard cheap heuristics used to filter web corpora before
+    training (C4/Gopher-style rules); each is a pure projection.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    # single-space corpus: chars = sum(word lens) + (tokens - 1)
+    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    ).cast("long")
+    n_upper = (
+        n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_upper.cast("double") / n_chars.cast("double")).alias("upper_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-lexicon language ID: per-language hit count, argmax wins;
+    ties and zero-hit documents fall back to 'und' (undetermined).
+
+    Deterministic argmax: higher count wins, then lexicographically
+    smaller language code (so the oracle can reproduce the tie-break).
+    """
+    t = F.col(text_col)
+    hit_cols = [
+        stopword_hits(t, words).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *hit_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    # first (lexicographically) language achieving the max wins; build the
+    # chain in reverse so earlier langs take precedence
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return scored.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        *[F.col(f"hits_{lang}") for lang in langs],
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — the E2 dedup unit.
+
+    Built from sequence+transform (JVM higher-order functions, no UDF).
+    Documents shorter than n words yield a single shingle = whole text,
+    so no document silently disappears from dedup.
+    """
+    ws = tokens(text)
+    k = F.size(ws)
+    ngram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + j) for j in range(n)]
+    )
+    return F.when(
+        k >= n,
+        F.transform(F.sequence(F.lit(1), k - (n - 1)), ngram_at),
+    ).otherwise(F.array(text))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprinting: md5 whole-text digest plus a min-hash-style
+    shingle fingerprint (lexicographic min over md5(word-3-gram)) — the
+    1-permutation MinHash special case, stable across engines.
+    """
+    t = F.col(text_col)
+    grams = word_ngrams(t, n)
+    min_gram_md5 = F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    return docs.select(
+        "doc_id",
+        F.md5(t).alias("md5_digest"),
+        min_gram_md5.alias("shingle_fingerprint"),
+    )

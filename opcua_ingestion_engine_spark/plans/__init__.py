@@ -1,3 +1,8 @@
 from .registry import QUERIES, oracle_sql, queries
 
+# Importing these modules registers their queries as a side effect.
+from . import reference_ops  # noqa: E402,F401
+from . import relational_ext  # noqa: E402,F401
+from . import llm_ops  # noqa: E402,F401
+
 __all__ = ["QUERIES", "queries", "oracle_sql"]

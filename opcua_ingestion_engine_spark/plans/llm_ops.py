@@ -1,0 +1,325 @@
+"""[EXT] E1-E6 registry entries — the LLM-training-data-pipeline operators
+(SURVEY.md §2.11; BASELINE.json north star) on the documents / embeddings /
+events fixtures.
+
+Oracle notes:
+- LSH paths (minhash bands, hyperplane buckets) use engine-native hashing,
+  so they get rows-only driver checks; their recall vs the exact paths is
+  pinned by tests/test_llm_ops.py instead.
+- ANN results compare (query, neighbor, rank) — ranks are integer-stable
+  under the ~1e-15 float noise between engines; similarity values are not.
+- Everything else is exact: dedup digests via sha256/md5 (identical hex in
+  both engines), Jaccard as double division of exact ints, E6 distances in
+  DECIMAL end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog as C
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.load_table(spark, sf_dir, "embeddings")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.load_table(spark, sf_dir, "events")
+
+
+# SQL fragment: distinct word-3-gram shingle set (mirrors text.word_ngrams +
+# array_distinct). `{t}` is the text expression.
+def _sql_shingles(t: str = "text") -> str:
+    w = f"string_split({t}, ' ')"
+    return f"""list_distinct(CASE WHEN len({w}) >= 3
+        THEN list_transform(range(1, len({w}) - 1),
+             i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])
+        ELSE [{t}] END)"""
+
+
+# ---------------------------------------------------------------------------
+# E1 — exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_e1_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    "E1 — exact dedup grouped on sha256(text) (32-byte shuffle key, not "
+    "whole documents), deterministic min-doc_id representative",
+)
+def q_e1(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# E2 — near-duplicate text dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_e2_jaccard_neardup",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang, {_sql_shingles()} AS sh FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(a.sh) AS na, len(b.sh) AS nb
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+    """,
+    "E2 (exact verify path) — language-blocked word-3-gram Jaccard pairs "
+    ">= 0.2. Quadratic within block: valid as the verification stage / "
+    "test-scale oracle; candidate generation at 100 TB is the LSH entry.",
+)
+def q_e2_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+@register(
+    "q_e2_minhash_neardup",
+    None,  # engine-native hashing — rows-only; recall pinned in pytest
+    "E2 (scale path) — MinHash-LSH: shingle -> 64-hash signature -> 16x4 "
+    "banded buckets -> candidate join -> exact-Jaccard verify >= 0.2. "
+    "No all-pairs crossJoin at any stage.",
+)
+def q_e2_minhash(spark, sf_dir):
+    return D.minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+@register(
+    "q_e2_simhash",
+    None,  # xxhash64-based — engine-specific by construction
+    "E2 variant — 64-bit SimHash per document (near-dup = small hamming "
+    "distance on bit-prefix buckets)",
+)
+def q_e2_simhash(spark, sf_dir):
+    return D.simhash64(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# E3 — vector similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_e3_ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qv, cv) AS cos_sim
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS nn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM ranked WHERE nn_rank <= 5
+    """,
+    "E3 (exact baseline) — brute-force cosine top-5 for 10 query vectors; "
+    "rank-only compare (integer-stable under cross-engine float noise). "
+    "Dot products run as zip_with/aggregate in strict index order.",
+)
+def q_e3_brute(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
+@register(
+    "q_e3_lsh_ann",
+    None,  # hyperplanes from xxhash64 — rows-only; recall pinned in pytest
+    "E3 (scale path) — random-hyperplane LSH bucketing (8 sign bits) + "
+    "exact rerank within buckets; shuffle on signature, no crossJoin",
+)
+def q_e3_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
+# ---------------------------------------------------------------------------
+# E4 — text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_e4_text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                AS DOUBLE) / length(text) AS upper_ratio
+    FROM documents
+    """,
+    "E4 — per-document quality metrics (C4/Gopher-style filters): length, "
+    "tokens, mean word length, stopword/punct/upper ratios. Pure "
+    "projection — no shuffle at any scale.",
+)
+def q_e4_stats(spark, sf_dir):
+    return T.quality_metrics(_docs(spark, sf_dir))
+
+
+_LANGS = sorted(T.LANG_STOPWORDS)
+_HITS_SQL = ",\n           ".join(
+    f"""CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ({', '.join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])})))
+           AS BIGINT) AS hits_{lang}"""
+    for lang in _LANGS
+)
+_GUESS_SQL = "CASE " + " ".join(
+    f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'" for lang in _LANGS
+) + " ELSE 'und' END"
+
+@register(
+    "q_e4_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {_HITS_SQL}
+        FROM documents
+    ),
+    best AS (
+        SELECT *, greatest({', '.join('hits_' + lang for lang in _LANGS)}) AS best
+        FROM scored
+    )
+    SELECT doc_id, lang, {_GUESS_SQL} AS lang_guess,
+           {', '.join('hits_' + lang for lang in _LANGS)}
+    FROM best
+    """,
+    "E4 — stopword-lexicon language ID with deterministic argmax "
+    "(max hits, lexicographic tie-break, 'und' on zero hits)",
+)
+def q_e4_lang(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "q_e4_fingerprint",
+    f"""
+    SELECT doc_id, md5(text) AS md5_digest,
+           list_min(list_transform({_sql_shingles()}, g -> md5(g)))
+               AS shingle_fingerprint
+    FROM documents
+    """,
+    "E4 — document fingerprinting: md5 digest + 1-permutation MinHash "
+    "(min md5 over word-3-gram shingles); portable hex hashes",
+)
+def q_e4_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# E5 — multimodal columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_e5_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((doc_id * 7) % 640 + 16 AS INT) AS width,
+           CAST((doc_id * 13) % 480 + 16 AS INT) AS height,
+           3 AS channels,
+           'fake8' AS fmt
+    FROM documents
+    """,
+    "E5 — multimodal column convention: binary payload + typed metadata "
+    "struct (flattened for the oracle); payload size via octet_length",
+)
+def q_e5_meta(spark, sf_dir):
+    mm = M.attach_payload(_docs(spark, sf_dir))
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.fmt").alias("fmt"),
+    )
+
+
+@register(
+    "q_e5_decode_features",
+    None,  # decode is Python-side (Arrow mapInPandas) — rows-only; the
+    # deterministic byte_sum is asserted in tests/test_llm_ops.py
+    "E5 — stubbed decode via Arrow-batched mapInPandas: payload bytes -> "
+    "(n_bytes, byte_sum) features + passthrough metadata. Real codecs slot "
+    "into decode_image() without touching the Spark plumbing.",
+)
+def q_e5_decode(spark, sf_dir):
+    return M.multimodal_features(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# E6 — time-series similarity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_e6_timeseries_similarity",
+    """
+    WITH prof AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               sum(CAST(value AS DECIMAL(38,6))) AS hour_sum
+        FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               sum(abs(a.hour_sum - b.hour_sum)) AS dist,
+               count(*) AS n_common
+        FROM prof a JOIN prof b USING (bucket)
+        WHERE a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    sym AS (
+        SELECT user_a, user_b, dist FROM d
+        UNION ALL
+        SELECT user_b AS user_a, user_a AS user_b, dist FROM d
+    ),
+    ranked AS (
+        SELECT user_a, user_b, CAST(dist AS DOUBLE) AS dist,
+               row_number() OVER (PARTITION BY user_a
+                                  ORDER BY dist ASC, user_b ASC) AS nn_rank
+        FROM sym
+    )
+    SELECT user_a, user_b, nn_rank, dist FROM ranked WHERE nn_rank <= 3
+    """,
+    "E6 — time-series similarity: per-user hourly DECIMAL profiles, "
+    "Manhattan distance on co-active hours, top-3 nearest per user. "
+    "Exact decimal end-to-end (order-independent sums).",
+)
+def q_e6(spark, sf_dir):
+    out = S.timeseries_similarity_topk(_events(spark, sf_dir), k=3, max_users=40)
+    return out.withColumnRenamed("rank", "nn_rank").select(
+        "user_a", "user_b", "nn_rank", "dist"
+    )

@@ -1,0 +1,155 @@
+"""Events replayer + foreachBatch merge sink (SURVEY.md §2.1 S1/S2,
+§2.8 T7/T9; reference data path ``Services/OpcSubscribeService.cs:522-598``).
+
+The reference's source is an OPC UA subscription pushing notifications;
+its sink is a per-update Postgres upsert. The Spark-first equivalents:
+
+- **Source (S1/S2)**: the ``opc_updates`` stream replayed as a REAL
+  Structured Streaming file source — micro-batch files written in
+  received_ts order, read back with ``maxFilesPerTrigger=1`` so each file
+  is one micro-batch (S2's queue drain). Arrival order therefore follows
+  processing time, like the reference's notification callbacks.
+- **Sink (S9/S10/T9)**: ``foreachBatch`` folding each micro-batch into the
+  per-point state with ``merge_perpoint_states`` — the Delta ``MERGE INTO``
+  analogue. The state reducer is max/max over ordering-prefixed structs,
+  so it is associative/commutative/idempotent: batch boundaries, replays
+  and retries cannot change the final state (exactly-once-equivalent
+  semantics without row locks).
+- **Backpressure (T7)**: optional queue-10 drop-oldest per point per
+  micro-batch, mirroring the MonitoredItem bounded queue
+  (``OpcSubscribeService.cs:236-237``). With LWW state this is pure load
+  shedding — it never changes the final snapshot (pinned by test).
+
+Determinism: everything is keyed on the fixture's ``received_ts`` logical
+clock (SURVEY.md §7 risk 1 — operators never read the wall clock), so
+``tests/test_streaming.py`` can assert replayed-final-state == batch
+flagship output bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators import ingest
+
+
+def write_replay_batches(
+    updates: DataFrame, out_dir: str, num_batches: int = 8
+) -> list[str]:
+    """Split the update stream into ``num_batches`` files by received_ts
+    order (ntile), one parquet file per micro-batch. Returns file paths."""
+    w = W.orderBy("received_ts", "event_id")
+    batched = updates.withColumn("_b", F.ntile(num_batches).over(w))
+    paths = []
+    for b in range(1, num_batches + 1):
+        path = os.path.join(out_dir, f"batch_{b:04d}")
+        (
+            batched.filter(F.col("_b") == b)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        paths.append(path)
+    return paths
+
+
+def shed_to_queue_bound(batch: DataFrame, queue_size: int = 10) -> DataFrame:
+    """T7 — per-point bounded queue, drop-oldest: within one micro-batch
+    keep only the newest ``queue_size`` updates of each node
+    (MonitoredItem QueueSize=10, DiscardOldest — OpcSubscribeService.cs:236-237)."""
+    w = W.partitionBy("node_id").orderBy(
+        F.col("received_ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= queue_size)
+        .drop("_rn")
+    )
+
+
+class ModvaluesMergeSink:
+    """foreachBatch sink: folds micro-batches into the per-point state.
+
+    State lives as an eagerly localCheckpoint'ed DataFrame (micro-batch
+    state is O(configured points); in production this materialization is a
+    Delta MERGE INTO a keyed table partitioned by hash(device)).
+    """
+
+    def __init__(
+        self,
+        devices: DataFrame,
+        templates: DataFrame,
+        connections: DataFrame,
+        queue_size: int | None = None,
+    ):
+        self.devices = devices
+        self.templates = templates
+        self.connections = connections
+        self.queue_size = queue_size
+        self.state: DataFrame | None = None
+        self.mon = None
+        self.tpl = None
+        self.batches_seen = 0
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.queue_size is not None:
+            batch = shed_to_queue_bound(batch, self.queue_size)
+        joined, mon, tpl = ingest.prepare_stream(
+            batch, self.devices, self.templates, self.connections
+        )
+        if self.mon is None:
+            self.mon, self.tpl = mon, tpl
+        incoming = ingest.perpoint_state(joined)
+        merged = ingest.merge_perpoint_states(self.state, incoming)
+        # pin each state version: truncates lineage so state cost stays
+        # O(points), not O(batches x plan-depth)
+        self.state = merged.localCheckpoint(eager=True)
+        self.batches_seen += 1
+
+    def snapshot(self, liveness_window_s: int = 60) -> DataFrame:
+        """The current modvalues view — same back half as the batch
+        flagship."""
+        if self.state is None:
+            raise RuntimeError("no batches processed yet")
+        return ingest.snapshot_from_state(
+            self.state, self.mon, self.tpl, liveness_window_s
+        )
+
+
+def replay_modvalues(
+    spark: SparkSession,
+    updates: DataFrame,
+    devices: DataFrame,
+    templates: DataFrame,
+    connections: DataFrame,
+    work_dir: str,
+    num_batches: int = 8,
+    queue_size: int | None = None,
+) -> ModvaluesMergeSink:
+    """End-to-end replay: write micro-batch files, run a real Structured
+    Streaming query (file source, maxFilesPerTrigger=1, availableNow)
+    through the merge sink, and return the sink holding the final state."""
+    src_dir = os.path.join(work_dir, "stream_src")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    write_replay_batches(updates, src_dir, num_batches)
+    schema = updates.schema
+
+    sink = ModvaluesMergeSink(devices, templates, connections, queue_size)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "batch_*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sink

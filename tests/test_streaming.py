@@ -1,0 +1,212 @@
+"""Phase 3 parity: replaying the events stream through a REAL Structured
+Streaming query (file source, foreachBatch merge sink) must produce the
+exact batch flagship output (VERDICT r1 item 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    from opcua_ingestion_engine_spark import catalog as C
+
+    return dict(
+        updates=C.opc_updates(spark, SF_SMOKE),
+        devices=C.site_devices(spark, SF_SMOKE),
+        templates=C.sos_templates(spark),
+        connections=C.opc_client_connections(spark),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_replay_matches_batch_flagship(spark, fixtures, tmp_path):
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.streaming import replay
+
+    batch = ingest.modvalues_snapshot(
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    )
+    sink = replay.replay_modvalues(
+        spark,
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+        str(tmp_path),
+        num_batches=5,
+    )
+    assert sink.batches_seen == 5  # maxFilesPerTrigger=1 => one per file
+    assert _rows(sink.snapshot()) == _rows(batch)
+
+
+def test_replay_with_load_shedding_same_final_state(spark, fixtures, tmp_path):
+    """T7 queue-10 drop-oldest is pure load shedding under LWW state:
+    the final snapshot is unchanged."""
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.streaming import replay
+
+    batch = ingest.modvalues_snapshot(
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    )
+    sink = replay.replay_modvalues(
+        spark,
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+        str(tmp_path),
+        num_batches=3,
+        queue_size=10,
+    )
+    assert _rows(sink.snapshot()) == _rows(batch)
+
+
+def test_merge_is_order_insensitive_and_idempotent(spark, fixtures):
+    """T9: the state reducer must tolerate batch reorder and replay."""
+    from opcua_ingestion_engine_spark.operators import ingest
+
+    joined, mon, tpl = ingest.prepare_stream(
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    )
+    odd = ingest.perpoint_state(joined.filter(F.col("event_id") % 2 == 1))
+    even = ingest.perpoint_state(joined.filter(F.col("event_id") % 2 == 0))
+    full = ingest.perpoint_state(joined)
+
+    ab = ingest.merge_perpoint_states(odd, even)
+    ba = ingest.merge_perpoint_states(even, odd)
+    twice = ingest.merge_perpoint_states(ab, even)  # replayed batch
+
+    assert _rows(ab) == _rows(full)
+    assert _rows(ba) == _rows(full)
+    assert _rows(twice) == _rows(full)
+
+
+def test_stateful_liveness_stream(spark, fixtures, tmp_path):
+    """T4 applyInPandasWithState: (1) after draining the 2-batch replay,
+    every device's latest emitted state matches the batch last-event rule;
+    (2) once the (shortened) watchdog timeout elapses with no data, every
+    device emits the one-shot offline mark."""
+    import time
+
+    from opcua_ingestion_engine_spark.streaming import replay, state as ST
+
+    src = str(tmp_path / "src")
+    replay.write_replay_batches(fixtures["updates"], src, 2)
+    stream = (
+        spark.readStream.schema(fixtures["updates"].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    live = ST.liveness_stream(stream, timeout_ms=2000)
+    collected: list = []
+    q = (
+        live.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    expected = (
+        fixtures["updates"]
+        .groupBy("daq_name")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("received_ts"), F.col("event_id"), F.col("status_code")
+                )
+            ).alias("m")
+        )
+        .select(
+            "daq_name",
+            F.unix_micros("m.received_ts").alias("ts_us"),
+            F.col("m.status_code").alias("status"),
+        )
+        .collect()
+    )
+    devices = {r["daq_name"] for r in expected}
+
+    # NOTE: with ProcessingTimeTimeout neither availableNow termination nor
+    # processAllAvailable() quiescence ever happens (the engine always
+    # schedules another cleanup batch) — poll the sink, then stop().
+    try:
+        def final_updates():
+            out = {}
+            for r in collected:
+                if r["reason"] != "update":
+                    continue
+                cur = out.get(r["daq_name"])
+                if cur is None or r["last_ts_us"] >= cur["last_ts_us"]:
+                    out[r["daq_name"]] = r
+            return out
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            f = final_updates()
+            if devices <= set(f) and all(
+                f[r["daq_name"]]["last_ts_us"] == r["ts_us"] for r in expected
+            ):
+                break
+            time.sleep(1)
+
+        f = final_updates()
+        assert devices <= set(f), devices - set(f)
+        for r in expected:
+            got = f[r["daq_name"]]
+            assert got["last_ts_us"] == r["ts_us"], r["daq_name"]
+            assert got["online"] == (1.0 if r["status"] == 0 else 0.0)
+
+        # watchdog: with no further data, the 2s processing-time timeout
+        # fires in a cleanup batch and marks every device offline once
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            timed_out = {
+                r["daq_name"] for r in collected if r["reason"] == "timeout"
+            }
+            if devices <= timed_out:
+                break
+            time.sleep(1)
+        timed_out = {r["daq_name"] for r in collected if r["reason"] == "timeout"}
+        assert devices <= timed_out, devices - timed_out
+        assert all(
+            r["online"] == 0.0 for r in collected if r["reason"] == "timeout"
+        )
+    finally:
+        q.stop()
+
+
+def test_heartbeat_refresh_bulk_update(spark, fixtures):
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.streaming import state as ST
+
+    snap = ingest.modvalues_snapshot(
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    ).localCheckpoint(eager=True)
+    online = snap.filter(
+        (F.col("measure_name") == "myPV_online") & (F.col("measure_value") == 1.0)
+    ).select("device")
+    n_online_rows = snap.join(online, "device", "left_semi").count()
+    out = ST.heartbeat_refresh(snap, online, "2099-01-01T00:00:00.000000")
+    assert out.filter(F.col("last_updated") == "2099-01-01T00:00:00.000000").count() == n_online_rows
+    # offline devices untouched
+    offline_before = snap.join(online, "device", "left_anti").select("device", "measure_name", "last_updated")
+    offline_after = out.join(online, "device", "left_anti").select("device", "measure_name", "last_updated")
+    assert _rows(offline_before) == _rows(offline_after)

@@ -1,0 +1,223 @@
+"""Unit tests for operator edge semantics (VERDICT r1 item 8): scaling
+defaults and dispatch, staleness boundary, tie-break determinism, venn
+partition, merge sinks, browse pruning, jsTree shape."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s).replace(tzinfo=None)
+
+
+# ---------------------------------------------------------------------------
+# X1-X3 scaling
+# ---------------------------------------------------------------------------
+
+def _scale(spark, mode, value, slope=None, offset=None, factor=None, tmin=None):
+    from opcua_ingestion_engine_spark.functions.scaling import apply_scaling
+
+    df = spark.createDataFrame(
+        [(str(value), mode, slope, offset, factor, tmin)],
+        "v string, mode string, slope string, offset string, "
+        "factor string, tmin string",
+    )
+    out = df.select(
+        apply_scaling(
+            F.col("v").cast("decimal(18,6)"),
+            F.col("mode"),
+            F.col("slope").cast("decimal(10,4)"),
+            F.col("offset").cast("decimal(10,4)"),
+            F.col("factor").cast("decimal(10,4)"),
+            F.col("tmin").cast("decimal(10,4)"),
+        ).alias("r")
+    )
+    return out.collect()[0]["r"]
+
+
+def test_slope_intercept_defaults(spark):
+    # defaults slope=1, offset=0 (Models/OpcTemplates.cs:42-45) => round(v,3)
+    assert _scale(spark, "slope_intercept", 12.3456, "1", "0") == 12.346
+
+
+def test_slope_intercept_scaling(spark):
+    assert _scale(spark, "slope_intercept", 10, "2.5", "1.0") == 26.0
+
+
+def test_point_slope_scaling(spark):
+    assert _scale(spark, "point_slope", 50, factor="0.2", tmin="0.0") == 10.0
+
+
+def test_unknown_mode_passthrough(spark):
+    # C# switch default: identity (OpcSubscribeService.cs:568-576)
+    assert _scale(spark, "banana", 7.125) == 7.125
+    assert _scale(spark, None, 7.125) == 7.125
+
+
+def test_round_half_behavior(spark):
+    # Spark round() on DECIMAL is HALF_UP — pin it so oracle drift is loud
+    assert _scale(spark, "slope_intercept", 1.0005, "1", "0") == 1.001
+    assert _scale(spark, "slope_intercept", -1.0005, "1", "0") == -1.001
+
+
+# ---------------------------------------------------------------------------
+# F3 staleness boundary
+# ---------------------------------------------------------------------------
+
+def test_staleness_boundary_exact_timeout_passes(spark):
+    from opcua_ingestion_engine_spark.operators.ingest import staleness_filter
+
+    conns = spark.createDataFrame([(0, 30000)], "conn_id int, timeout_ms int")
+    rows = [
+        (1, 0, ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:30")),  # == 30000ms
+        (2, 0, ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:30.000001")),
+    ]
+    u = spark.createDataFrame(
+        rows, "event_id long, conn_id int, source_ts timestamp, received_ts timestamp"
+    )
+    kept = [r["event_id"] for r in staleness_filter(u, conns).collect()]
+    assert kept == [1]  # <= passes, strictly-greater dropped
+
+
+# ---------------------------------------------------------------------------
+# A2 tie-break determinism
+# ---------------------------------------------------------------------------
+
+def test_latest_per_key_tiebreak_on_event_id(spark):
+    from opcua_ingestion_engine_spark.operators.ingest import latest_per_key
+
+    t = ts("2024-01-01T00:00:00")
+    u = spark.createDataFrame(
+        [("d", "m", 1.0, t, 5), ("d", "m", 2.0, t, 9), ("d", "m", 3.0, t, 7)],
+        "daq_name string, measure_name string, value double, "
+        "received_ts timestamp, event_id long",
+    )
+    out = latest_per_key(u, payload=["value", "received_ts", "event_id"]).collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0  # highest event_id wins
+
+
+# ---------------------------------------------------------------------------
+# J5 venn partition
+# ---------------------------------------------------------------------------
+
+def test_venn_partition_sides(spark):
+    from opcua_ingestion_engine_spark.operators.reconcile import venn_partition
+
+    left = spark.createDataFrame([("a",), ("b",), ("b",)], "k string")
+    right = spark.createDataFrame([("b",), ("c",)], "k string")
+    out = {r["k"]: r["venn_side"] for r in venn_partition(left, right, ["k"]).collect()}
+    assert out == {"a": "left_only", "b": "both", "c": "right_only"}
+
+
+# ---------------------------------------------------------------------------
+# S9/S10/S11 sinks
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def current_tbl(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", "click", 1.0, 1.0, "t0"),
+            ("d1", "myPV_online", 1.0, 1.0, "t0"),
+            ("d2", "click", 2.0, 2.0, "t0"),
+        ],
+        "device string, measure_name string, tag_value double, "
+        "measure_value double, last_updated string",
+    ).withColumn("tag_name", F.when(
+        F.col("measure_name") == "myPV_online", F.lit("myPV_online")
+    ).otherwise(F.concat(F.col("measure_name"), F.lit("_raw"))))
+
+
+def test_upsert_matched_updates_only_matches(spark, current_tbl):
+    from opcua_ingestion_engine_spark.operators.sink import upsert_values
+
+    inc = spark.createDataFrame(
+        [("d1", "click", 9.0, ts("2024-01-01T00:00:01")),
+         ("d9", "click", 8.0, ts("2024-01-01T00:00:01"))],  # no such row: ignored
+        "device string, measure_name string, scaled_value double, "
+        "received_ts timestamp",
+    )
+    out = {(r["device"], r["measure_name"]): r for r in upsert_values(current_tbl, inc).collect()}
+    assert len(out) == 3  # S9 never inserts
+    assert out[("d1", "click")]["tag_value"] == 9.0
+    assert out[("d1", "click")]["measure_value"] == 9.0
+    assert out[("d2", "click")]["tag_value"] == 2.0  # untouched
+    assert out[("d1", "click")]["last_updated"].startswith("2024-01-01T00:00:01")
+
+
+def test_insert_if_missing_keeps_existing(spark, current_tbl):
+    from opcua_ingestion_engine_spark.operators.sink import insert_if_missing
+
+    seeds = spark.createDataFrame(
+        [("d1", "click", 0.0, 0.0, "seed", "click_raw"),
+         ("d3", "view", 0.0, 0.0, "seed", "view_raw")],
+        "device string, measure_name string, tag_value double, "
+        "measure_value double, last_updated string, tag_name string",
+    )
+    out = insert_if_missing(current_tbl, seeds, ["device", "measure_name"])
+    rows = {(r["device"], r["measure_name"]): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[("d1", "click")]["tag_value"] == 1.0  # existing kept, not zeroed
+    assert rows[("d3", "view")]["last_updated"] == "seed"
+
+
+def test_bulk_reset_only_touches_online_rows(spark, current_tbl):
+    from opcua_ingestion_engine_spark.operators.sink import bulk_reset_online
+
+    out = {(r["device"], r["measure_name"]): r
+           for r in bulk_reset_online(current_tbl, "RESET").collect()}
+    assert out[("d1", "myPV_online")]["tag_value"] == 0.0
+    assert out[("d1", "myPV_online")]["last_updated"] == "RESET"
+    assert out[("d1", "click")]["tag_value"] == 1.0
+    assert out[("d1", "click")]["last_updated"] == "t0"
+
+
+# ---------------------------------------------------------------------------
+# B1 browse: exclusion prunes whole subtree
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def tiny_tree(spark):
+    rows = [
+        (0, None, "root", "Objects", "Object"),
+        (0, "root", "a", "DeviceA", "Object"),
+        (0, "root", "b", "Diagnostics", "Object"),
+        (0, "a", "a1", "Temp", "Variable"),
+        (0, "b", "b1", "Hidden", "Variable"),   # pruned with parent
+        (0, "a", "a2", "Server", "Method"),     # F7: class filtered
+        (1, None, "root1", "Objects", "Object"),
+        (1, "root1", "c", "Diagnostics", "Object"),  # conn 1 has no exclusions
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conn_id int, parent_id string, node_id string, display_name string, "
+        "node_class string",
+    )
+
+
+def test_browse_tree_prunes_excluded_subtrees(spark, tiny_tree):
+    from opcua_ingestion_engine_spark.operators.browse import browse_tree
+
+    excl = spark.createDataFrame([(0, "Diagnostics")], "conn_id int, folder string")
+    out = browse_tree(tiny_tree, excl)
+    ids = {(r["conn_id"], r["node_id"]): r for r in out.collect()}
+    assert (0, "b") not in ids and (0, "b1") not in ids  # subtree pruned
+    assert (0, "a2") not in ids  # Method class filtered (F7)
+    assert (1, "c") in ids  # same name, other connection: kept
+    assert ids[(0, "a1")]["depth"] == 2 and ids[(0, "a1")]["opened"]
+
+
+def test_jstree_export_shape(spark, tiny_tree):
+    from opcua_ingestion_engine_spark.operators.browse import browse_tree, jstree_export
+
+    excl = spark.createDataFrame([(0, "Diagnostics")], "conn_id int, folder string")
+    roots = jstree_export(browse_tree(tiny_tree, excl), conn_id=0)
+    assert len(roots) == 1
+    root = roots[0]
+    assert root["text"] == "Objects" and root["state"]["opened"] is True
+    assert [c["text"] for c in root["children"]] == ["DeviceA"]
+    assert root["children"][0]["children"][0]["data"]["type"] == "Variable"
