@@ -325,7 +325,10 @@ SQL_EXCLUSION_FOLDERS = """
 # ---------------------------------------------------------------------------
 
 def browse_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dev = site_devices(spark, sf_dir)
+    # The five union branches below each reference `dev`; materialize the
+    # tiny dimension once so the fixture derivation (events scan +
+    # distinct) doesn't run once per branch.
+    dev = site_devices(spark, sf_dir).localCheckpoint(eager=True)
     tpl = sos_templates(spark)
     root = (
         dev.select("conn_id").distinct()

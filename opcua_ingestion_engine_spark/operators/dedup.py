@@ -69,44 +69,68 @@ def jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
 ) -> DataFrame:
-    """E2 (exact verify path) — blocked all-pairs word-n-gram Jaccard.
+    """E2 (exact verify path) — blocked word-n-gram Jaccard via an
+    inverted shingle index.
 
-    Pairs are generated WITHIN a blocking key only (here: language;
-    ``block_col=None`` degrades to true all-pairs for small-corpus ground
-    truth) — this is the verification/oracle form, quadratic per block,
-    valid at test scale and as the stage-3 verifier behind LSH candidates.
-    NOTE blocking trades recall for cost: cross-block near-dups are
-    invisible to it, which is exactly why the LSH path doesn't block. The
-    intersection count uses a higher-order filter over distinct shingle
-    arrays; jaccard = |A∩B| / (|A|+|B|-|A∩B|) with the division in double
-    over exact ints (engine-identical).
+    Pairs are scored WITHIN a blocking key only (here: language;
+    ``block_col=None`` degrades to un-blocked ground truth). NOTE blocking
+    trades recall for cost: cross-block near-dups are invisible to it,
+    which is exactly why the LSH path doesn't block.
+
+    Shape: explode each doc's distinct shingles into postings, self-join
+    the posting lists on (block, shingle), and COUNT shared shingles per
+    pair — |A∩B| emerges from a groupBy, no shingle array ever rides
+    through a pair row. jaccard = c / (|A|+|B|-c) with the division in
+    double over exact ints (engine-identical). Requires threshold > 0:
+    pairs sharing no shingle never surface (their jaccard is 0).
+
+    Scale: the shuffle key is the SHINGLE (high cardinality, skew only for
+    stopword-like shingles — AQE skew-split absorbs moderate cases; at
+    extreme scale cap posting lists by document frequency, which only
+    drops shingles whose pairs are far below any useful threshold). The
+    alternatives are strictly worse: an array-carrying pair join moves
+    O(pairs) shingle arrays through an exchange and evaluates an
+    O(|A|+|B|) intersect per pair — measured 65-100s at sf0.1 vs 4.6s for
+    this form (14-22x), and a per-pair size-ratio prefilter made it
+    SLOWER (the predicate lands in the join condition, evaluated per
+    buffered pair in the merge loop, outside whole-stage codegen).
     """
+    assert threshold > 0, "inverted-index jaccard requires threshold > 0"
     block = F.col(block_col) if block_col is not None else F.lit(1)
+    # Materialize the shingled input once — consumed by both join sides
+    # and the size dimension; left lazy the shingle projection is
+    # re-derived per consumer.
     s = docs.select(
         F.col("doc_id"),
         block.alias("_block"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
-    )
-    a = s.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("_block"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = s.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("_block"),
-        F.col("shingles").alias("sh_b"),
-    )
-    pairs = (
-        a.join(b, "_block")
+    ).localCheckpoint(eager=True)
+    post = s.select("_block", "doc_id", F.explode("shingles").alias("sh"))
+    pa = post.select(F.col("doc_id").alias("doc_a"), "_block", "sh")
+    pb = post.select(F.col("doc_id").alias("doc_b"), "_block", "sh")
+    inter = (
+        pa.join(pb, ["_block", "sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # the block key has very few distinct values (languages), which
-        # would serialize the quadratic pair work into a handful of tasks —
-        # rebalance the exploded pairs across the cluster before computing
-        .repartition(F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
     )
+    # Per-doc size dimension: O(corpus) rows, so no forced broadcast —
+    # AQE broadcasts it at test scale and shuffle-joins at 100 TB.
+    sizes = s.select("doc_id", F.size("shingles").alias("n"))
     return (
-        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -128,28 +152,44 @@ def minhash_signatures(
     sig[i] = min over shingles of h_i(shingle), with
     h_i(x) = (a_i * (xxhash64(x) >>> 33) + b_i) mod 2^31-1.
 
-    One projection — num_hashes mins computed per row via higher-order
-    transform/aggregate; no shuffle, no UDF.
-    """
-    def perm_hash(a: int, b: int):
-        # factory (not default-arg lambda): PySpark infers higher-order
-        # lambda arity from the Python signature. 31-bit a/b against a
-        # 31-bit reduced hash keeps a*h+b under 2^63 (ANSI overflow-safe)
-        # while the 31-bit modulus wraps it ~2^31 times (true permutation).
-        return lambda x: (
-            F.lit(a) * F.shiftrightunsigned(F.xxhash64(x), 33) + F.lit(b)
-        ) % F.lit(MERSENNE_31)
+    One fused higher-order aggregate per row; no shuffle, no UDF. The base
+    xxhash64 of each shingle is the aggregate's INPUT expression, so it is
+    evaluated once per shingle regardless of num_hashes. (The naive form —
+    num_hashes separate ``array_min(transform(...))`` column expressions —
+    gets the hashed array inlined into every one of them by Catalyst's
+    projection collapse, re-hashing each shingle num_hashes times: measured
+    ~3x wall on the whole pipeline at sf0.1.)
 
-    sigs = []
+    Per element the accumulator update is zip_with over a literal
+    (a_i, b_i) parameter array: acc[i] = least(acc[i], (a_i*h + b_i) mod p).
+    31-bit a/b against a 31-bit reduced hash keeps a*h+b under 2^63 (ANSI
+    overflow-safe) while the 31-bit modulus wraps ~2^31 times (true
+    permutation).
+    """
     rnd = _lcg(seed)
     mask31 = (1 << 31) - 1
-    for i in range(num_hashes):
+    params = []
+    for _ in range(num_hashes):
         a = (next(rnd) & mask31) | 1  # odd multiplier
         b = next(rnd) & mask31
-        sigs.append(
-            F.array_min(F.transform(F.col("shingles"), perm_hash(a, b))).alias(f"mh_{i}")
+        params.append(
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
         )
-    return shingled.select("doc_id", "shingles", F.array(*sigs).alias("signature"))
+    perms = F.array(*params)
+    hashed = F.transform(
+        F.col("shingles"), lambda x: F.shiftrightunsigned(F.xxhash64(x), 33)
+    )
+    init = F.array_repeat(F.lit(MERSENNE_31).cast("long"), num_hashes)
+    signature = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, perms, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE_31))
+        ),
+    )
+    return shingled.select("doc_id", "shingles", signature.alias("signature"))
 
 
 def _lcg(seed: int):
@@ -220,7 +260,12 @@ def minhash_neardup_pairs(
     the band geometry: P[detect | s] = 1-(1-s^rows)^bands — ~0.99 at
     s=0.5 and ~1-1e-10 at s=0.8 with the 32x3 default). See tests/test_llm_ops.py for the recall harness.
     """
-    sh = shingle_sets(docs, text_col, n)
+    # Shingling (regex tokenize + n-gram + distinct) is the most expensive
+    # per-row stage and is consumed three times (signature build + both
+    # sides of the verify join) — materialize it once. localCheckpoint, not
+    # persist: no CacheManager entry, no O(cached-plans) sameResult scans
+    # on later queries (same rationale as ingest.prepare_stream).
+    sh = shingle_sets(docs, text_col, n).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig.select("doc_id", "signature"), bands, rows_per_band)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -4,5 +4,6 @@ from .registry import QUERIES, oracle_sql, queries
 from . import reference_ops  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import config_ops  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql"]

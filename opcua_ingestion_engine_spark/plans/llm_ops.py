@@ -97,7 +97,7 @@ def q_e2_jaccard(spark, sf_dir):
 @register(
     "q_e2_minhash_neardup",
     None,  # engine-native hashing — rows-only; recall pinned in pytest
-    "E2 (scale path) — MinHash-LSH: shingle -> 64-hash signature -> 16x4 "
+    "E2 (scale path) — MinHash-LSH: shingle -> 96-hash signature -> 32x3 "
     "banded buckets -> candidate join -> exact-Jaccard verify >= 0.2. "
     "No all-pairs crossJoin at any stage.",
 )
