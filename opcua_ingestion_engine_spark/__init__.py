@@ -18,8 +18,13 @@ This package re-expresses those semantics Spark-first:
                    J1-J7, aggregations A1-A4, merge/upsert S9-S11, browse
                    B1-B4, reconcile J5, and the [EXT] scale operators:
                    dedup, similarity search, text analysis, multimodal).
+- ``sources``    — file-backed config loaders (S3/S4 nested-JSON catalogs
+                   via from_json + map explode, S5 connection config; S6
+                   hot reload falls out of re-reading per call).
 - ``streaming``  — Structured Streaming composition of the same operators
                    (events replayer, foreachBatch merge sink, liveness).
+- ``plans``      — the query registry: one ``queries()`` +
+                   ``oracle_sql()`` entry per SURVEY.md §2 operator ID.
 
 Design stance (SURVEY.md §7): batch-first DataFrame library + thin streaming
 layer; every operator is a pure function testable against DuckDB; streaming

@@ -109,3 +109,32 @@ def upsert_values(
         .withColumn("last_updated", F.coalesce("_ts", "last_updated"))
         .drop("_v", "_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 — ensure-table DDL
+# ---------------------------------------------------------------------------
+
+MODVALUES_DDL = (
+    "device string, device_type string, tag_name string, tag_value double, "
+    "measure_name string, measure_value double, source_unit string, "
+    "destination_unit string, last_updated string, logging string"
+)
+
+
+def ensure_table(spark, path: str, schema: str = MODVALUES_DDL) -> bool:
+    """S7 — CREATE TABLE IF NOT EXISTS for a parquet-backed table
+    (OpcSubscribeService.cs:116-159 probes information_schema.tables and
+    issues the modvalues DDL when absent).
+
+    Writes an empty frame with the declared schema iff the table does not
+    already exist (``mode('ignore')`` is Spark's write-if-missing).
+    Returns True when this call created the table. The existence probe is
+    a filesystem check here (local parquet); against a real catalog the
+    same contract is ``spark.catalog.tableExists`` + saveAsTable.
+    """
+    import os
+
+    existed = os.path.isdir(path)
+    spark.createDataFrame([], schema).write.mode("ignore").parquet(path)
+    return not existed
