@@ -116,3 +116,90 @@ def jstree_export(tree: DataFrame, conn_id: int) -> list[dict]:
         parent = by_id.get(r["parent_id"]) if r["parent_id"] else None
         (parent["children"] if parent else roots).append(node)
     return roots
+
+
+def jstree_write(tree: DataFrame, conn_id: int, out_dir: str, name: str | None = None) -> str | None:
+    """S12 — serialize one connection's assembled jsTree to
+    ``<out_dir>/<name>.json`` (Helpers/OpcuaBrowse.cs:156-182,256-264).
+
+    Mirrors the reference's conventions: lowercase property naming
+    (OpcuaHelperFunctions.cs:13-20 — jstree_export already emits lowercase
+    keys), indented JSON, and the temp-file guard against concurrent jobs
+    (:160-171): the writer claims ``<name>.json.tmp`` exclusively, writes,
+    then atomically renames. Returns the final path, or None when another
+    job holds the temp file.
+    """
+    import json
+    import os
+
+    name = name or f"connection-{conn_id}"
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"{name}.json.tmp")
+    final = os.path.join(out_dir, f"{name}.json")
+    try:
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return None  # concurrent browse job in flight — reference skips
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(jstree_export(tree, conn_id), f, indent=2)
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return final
+
+
+class BrowseJobRegistry:
+    """B5 — driver-side async browse-job bookkeeping
+    (Services/BrowseService.cs:14,25-41: ``Task.Run`` per connection +
+    ``ConcurrentDictionary<connection, bool>`` job status).
+
+    Jobs are one-per-connection: ``start`` refuses while a job for that
+    connection is running (the reference's status flag gate). Driver-side
+    by design — job orchestration is control plane, not data plane.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._jobs: dict[int, dict] = {}
+
+    def start(self, conn_id: int, fn) -> bool:
+        """Launch ``fn()`` for ``conn_id`` on a worker thread. Returns
+        False when a job for this connection is already running."""
+        import threading
+
+        with self._lock:
+            job = self._jobs.get(conn_id)
+            if job and job["status"] == "running":
+                return False
+            self._jobs[conn_id] = {"status": "running", "result": None}
+
+        def run():
+            try:
+                res = fn()
+                with self._lock:
+                    self._jobs[conn_id] = {"status": "done", "result": res}
+            except Exception as e:  # noqa: BLE001 — status surface, not handling
+                with self._lock:
+                    self._jobs[conn_id] = {"status": "failed", "result": repr(e)}
+
+        t = threading.Thread(target=run, daemon=True)
+        with self._lock:
+            self._jobs[conn_id]["thread"] = t
+        t.start()
+        return True
+
+    def status(self, conn_id: int) -> str:
+        with self._lock:
+            job = self._jobs.get(conn_id)
+            return job["status"] if job else "unknown"
+
+    def join(self, conn_id: int, timeout: float = 60.0) -> str:
+        with self._lock:
+            t = self._jobs.get(conn_id, {}).get("thread")
+        if t is not None:
+            t.join(timeout)
+        return self.status(conn_id)

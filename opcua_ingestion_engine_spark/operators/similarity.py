@@ -22,6 +22,8 @@ profiles compared with Manhattan distance computed entirely in DECIMAL
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -88,19 +90,22 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane_idx: int, dim: int):
-    """Deterministic pseudo-random hyperplane as an array<double> of plain
-    literals: component d = md5-derived value in [-1, 1). Computed driver-
-    side (no RNG state, no expression blow-up — a 64-float literal array
-    instead of 64 hash expressions per plane)."""
+def _hyperplane_values(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d = md5-derived
+    value in [-1, 1). Computed driver-side (no RNG state to ship)."""
     import hashlib
 
     comps = []
     for d in range(dim):
         h = hashlib.md5(f"plane-{plane_idx}-dim-{d}".encode()).digest()
-        v = int.from_bytes(h[:8], "big", signed=True) / float(1 << 63)
-        comps.append(F.lit(v))
-    return F.array(*comps)
+        comps.append(int.from_bytes(h[:8], "big", signed=True) / float(1 << 63))
+    return comps
+
+
+def _hyperplane(plane_idx: int, dim: int):
+    """The same hyperplane as an array<double> literal column (used by the
+    expression-side signature in lsh_signature)."""
+    return F.array(*[F.lit(v) for v in _hyperplane_values(plane_idx, dim)])
 
 
 def lsh_signature(vec, planes: list) -> list:
@@ -129,32 +134,41 @@ def lsh_bucket_topk(
     rows (bounded fan-out), the join key is (table, bucket); exact cosine
     reranks the deduped candidates. One shuffle over L x corpus rows —
     still linear in corpus size, vs the brute-force crossJoin.
+
+    The signature stage is an Arrow-vectorized Pandas UDF: all L*k plane
+    dot products per vector are ONE numpy matmul per batch — the
+    documented fast path for dense linear algebra (per-plane
+    zip_with/aggregate expressions measured 8.7s vs ~1.5s at sf0.1 for
+    the same 64-plane geometry). The rerank stays in exact JVM-side
+    zip_with cosine, so candidate scoring is engine-deterministic.
     """
-    tables = [
-        [_hyperplane(t * bits_per_table + i, dim) for i in range(bits_per_table)]
-        for t in range(num_tables)
-    ]
+    from pyspark.sql.functions import pandas_udf
 
-    def buckets(col):
-        entries = []
-        for t, planes in enumerate(tables):
-            bits = lsh_signature(col, planes)
-            s = F.lit(0)
-            for i, b in enumerate(bits):
-                s = s + b * F.lit(1 << i)
-            entries.append(F.struct(F.lit(t).alias("tbl"), s.alias("bucket")))
-        return F.array(*entries)
+    planes = np.array(
+        [
+            _hyperplane_values(t * bits_per_table + i, dim)
+            for t in range(num_tables)
+            for i in range(bits_per_table)
+        ]
+    )  # (L*k, dim)
+    weights = 1 << np.arange(bits_per_table)  # bucket = sum(bit_i << i)
 
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(buckets(F.col(vec_col))).alias("tb"),
-    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(buckets(F.col(vec_col))).alias("tb"),
-    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    @pandas_udf("array<long>")
+    def table_buckets(vecs: pd.Series) -> pd.Series:
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (v @ planes.T) >= 0  # (n, L*k) sign bits
+        b = bits.reshape(len(v), num_tables, bits_per_table) @ weights  # (n, L)
+        return pd.Series(list(b))
+
+    def exploded(df, id_alias):
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(id_alias[0] + "_vec"),
+            F.posexplode(table_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+
+    c = exploded(embeddings, "neighbor_id").withColumnRenamed("n_vec", "c_vec")
+    q = exploded(queries, "query_id")
     cand = (
         F.broadcast(q)
         .join(c, ["tbl", "bucket"])

@@ -1,0 +1,155 @@
+"""S1 — custom PySpark streaming DataSource simulating an OPC UA
+subscription (SURVEY.md §2.1 S1/S2; north-star "Structured Streaming with
+custom OPC UA source connector").
+
+The reference holds one OPC UA ``Subscription`` per server, each pushing
+``MonitoredItem`` notifications (``Services/OpcSubscribeService.cs:227-244,
+751-759``). This connector reproduces that topology in the Python
+DataSource API (``pyspark.sql.datasource``):
+
+- **One input partition per connection** (``partitions()``): exactly the
+  reference's subscription-per-server sharding — each partition reads only
+  its server's notifications, so a 1000-server estate fans out to 1000
+  parallel readers with no shuffle at the source.
+- **Time-based offsets**: the offset is a ``received_ts`` watermark; each
+  ``latestOffset()`` call advances it one publishing interval (S2's
+  micro-batch drain of queued notifications). Offsets are data-independent,
+  so exactly-once recovery replays the same window per batch id.
+- **Notification synthesis**: rows are derived from the ``events`` fixture
+  with the same arithmetic as ``catalog.opc_updates`` (device/node-id
+  concat X6, bad-status marker, received_ts = source_ts + jitter), emitted
+  as the raw notification schema the ingest pipeline consumes.
+
+A real deployment swaps ``_load_notifications`` for an OPC UA client
+session per partition (subscription churn T5/T6 lives in that client);
+everything downstream — ``foreachBatch`` merge sink, liveness state,
+snapshot — is shared with the replay path untouched.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+SCHEMA = (
+    "event_id bigint, server_url string, conn_id int, node_id string, "
+    "daq_name string, measure_name string, tag_name string, value double, "
+    "source_ts timestamp, status_code bigint, received_ts timestamp"
+)
+
+BAD_STATUS = 2147483648
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _load_notifications(path: str):
+    """Read the events fixture into notification-shaped numpy columns.
+    Runs inside a partition read (executor) or at planning time (driver) —
+    plain pyarrow, no SparkSession."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["event_id", "user_id", "event_type", "value", "ts"])
+    ev = t.to_pandas()
+    ts = ev["ts"]
+    # TIMESTAMP(NANOS) arrives as datetime64[ns] (or int64 ns) — reduce to µs
+    if str(ts.dtype).startswith("datetime64"):
+        ts_us = ts.astype("int64") // 1000
+    else:
+        ts_us = ts.astype("int64") // 1000
+    ev = ev.assign(
+        source_us=ts_us,
+        received_us=ts_us + (ev["event_id"] % 150) * 1_000_000,
+        # identical arithmetic to catalog.opc_updates / SQL_OPC_UPDATES
+        conn_id=(ev["user_id"] % 3).astype("int64"),
+    )
+    return ev
+
+
+def _us_to_dt(us: int) -> datetime:
+    return _EPOCH + timedelta(microseconds=int(us))
+
+
+class _ConnWindowPartition(InputPartition):
+    def __init__(self, path: str, conn_id: int, start_us: int, end_us: int):
+        self.path = path
+        self.conn_id = conn_id
+        self.start_us = start_us
+        self.end_us = end_us
+
+
+class OpcUaSimStreamReader(DataSourceStreamReader):
+    """Watermark offsets + per-connection partitions (see module doc)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opcua_sim requires .option('path', <events.parquet>)")
+        self.num_batches = int(options.get("num_batches", "8"))
+        ev = _load_notifications(self.path)
+        self._min_us = int(ev["received_us"].min())
+        self._max_us = int(ev["received_us"].max())
+        span = max(1, self._max_us - self._min_us)
+        self._step_us = -(-span // self.num_batches)  # ceil
+        self._conns = sorted(int(c) for c in ev["conn_id"].unique())
+
+    def initialOffset(self) -> dict:
+        return {"ts_us": self._min_us - 1}
+
+    def latestOffset(self) -> dict:
+        # Advance one publishing interval per trigger (S2 drain); clamp at
+        # the fixture's end. A live connector would report the newest
+        # queued notification timestamp instead.
+        cur = getattr(self, "_cur_us", self._min_us - 1)
+        nxt = min(cur + self._step_us, self._max_us)
+        self._cur_us = nxt
+        return {"ts_us": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _ConnWindowPartition(self.path, c, start["ts_us"], end["ts_us"])
+            for c in self._conns
+        ]
+
+    def read(self, partition: _ConnWindowPartition):
+        ev = _load_notifications(partition.path)
+        m = (
+            (ev["conn_id"] == partition.conn_id)
+            & (ev["received_us"] > partition.start_us)
+            & (ev["received_us"] <= partition.end_us)
+        )
+        for row in ev[m].itertuples(index=False):
+            dev_idx = int(row.user_id) % 100
+            dev = f"DEV-{dev_idx:03d}"
+            tag = f"{row.event_type}_raw"
+            yield (
+                int(row.event_id),
+                f"opc.tcp://10.10.100.{int(row.conn_id) + 1}:62541",
+                int(row.conn_id),
+                f"ns=2;s={dev}/{tag}",
+                dev,
+                str(row.event_type),
+                tag,
+                float(row.value),
+                _us_to_dt(row.source_us),
+                BAD_STATUS if int(row.event_id) % 50 == 0 else 0,
+                _us_to_dt(row.received_us),
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class OpcUaSimDataSource(DataSource):
+    """``spark.readStream.format("opcua_sim").option("path", ...)`` after
+    ``spark.dataSource.register(OpcUaSimDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "opcua_sim"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def streamReader(self, schema) -> OpcUaSimStreamReader:
+        return OpcUaSimStreamReader(self.options)

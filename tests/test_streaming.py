@@ -210,3 +210,63 @@ def test_heartbeat_refresh_bulk_update(spark, fixtures):
     offline_before = snap.join(online, "device", "left_anti").select("device", "measure_name", "last_updated")
     offline_after = out.join(online, "device", "left_anti").select("device", "measure_name", "last_updated")
     assert _rows(offline_before) == _rows(offline_after)
+
+
+def test_custom_opcua_source_matches_batch_flagship(spark, fixtures, tmp_path):
+    """S1 — the custom Python streaming DataSource (per-connection
+    partitions, watermark offsets) drained through the foreachBatch merge
+    sink must produce the exact batch flagship output, like the file
+    replay does."""
+    import time
+
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.streaming.opcua_source import OpcUaSimDataSource
+    from opcua_ingestion_engine_spark.streaming.replay import ModvaluesMergeSink
+
+    batch = ingest.modvalues_snapshot(
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    )
+    expected_rows = fixtures["updates"].count()
+
+    spark.dataSource.register(OpcUaSimDataSource)
+    sink = ModvaluesMergeSink(
+        fixtures["devices"], fixtures["templates"], fixtures["connections"]
+    )
+    rows_seen = [0]
+
+    def process(df, batch_id):
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        if n == 0:
+            return
+        sink.process_batch(df, batch_id)
+        # increment only AFTER the merge lands: the poll loop stops the
+        # query when the count completes, and stopping mid-merge would
+        # leave the final window out of the state
+        rows_seen[0] += n
+
+    stream = (
+        spark.readStream.format("opcua_sim")
+        .option("path", f"{SF_SMOKE}/events.parquet")
+        .option("num_batches", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and rows_seen[0] < expected_rows:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows_seen[0] == expected_rows
+    # one watermark step per trigger; some windows can be row-empty
+    assert sink.batches_seen >= 2
+    assert _rows(sink.snapshot()) == _rows(batch)

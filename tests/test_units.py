@@ -221,3 +221,44 @@ def test_jstree_export_shape(spark, tiny_tree):
     assert root["text"] == "Objects" and root["state"]["opened"] is True
     assert [c["text"] for c in root["children"]] == ["DeviceA"]
     assert root["children"][0]["children"][0]["data"]["type"] == "Variable"
+
+
+def test_jstree_write_and_tempfile_guard(spark, tiny_tree, tmp_path):
+    """S12 — JSON file sink: writes <name>.json (indented, lowercase keys)
+    and skips when another job holds the temp file."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators.browse import browse_tree, jstree_write
+
+    excl = spark.createDataFrame([(0, "Diagnostics")], "conn_id int, folder string")
+    tree = browse_tree(tiny_tree, excl)
+    out = jstree_write(tree, 0, str(tmp_path))
+    assert out == str(tmp_path / "connection-0.json")
+    doc = json.loads((tmp_path / "connection-0.json").read_text())
+    assert doc[0]["text"] == "Objects"
+    assert set(doc[0]) == {"id", "text", "state", "data", "children"}  # lowercase
+    # temp-file guard: a concurrent job's tmp file blocks the write
+    (tmp_path / "connection-0.json.tmp").write_text("")
+    assert jstree_write(tree, 0, str(tmp_path)) is None
+    os.unlink(tmp_path / "connection-0.json.tmp")
+    assert jstree_write(tree, 0, str(tmp_path)) == str(tmp_path / "connection-0.json")
+
+
+def test_browse_job_registry_gates_and_reports(spark):
+    """B5 — async job registry: one job per connection, status visible."""
+    import threading
+
+    from opcua_ingestion_engine_spark.operators.browse import BrowseJobRegistry
+
+    reg = BrowseJobRegistry()
+    gate = threading.Event()
+
+    assert reg.status(0) == "unknown"
+    assert reg.start(0, gate.wait) is True
+    assert reg.status(0) == "running"
+    assert reg.start(0, gate.wait) is False  # one job per connection
+    gate.set()
+    assert reg.join(0) == "done"
+    assert reg.start(0, lambda: 1 / 0) is True  # finished job can restart
+    assert reg.join(0) == "failed"
