@@ -248,3 +248,33 @@ def timeseries_similarity_topk(
         .filter(F.col("rank") <= k)
         .select("user_a", "user_b", "rank", F.col("dist").cast("double").alias("dist"))
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    max_vecs: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E2 variant — embedding-cosine near-duplicate pairs: (vec_a, vec_b)
+    with cosine(a, b) >= threshold.
+
+    This is the EXACT verify form (broadcast nested-loop over a capped
+    slice, quadratic — valid at test scale and as the verifier behind LSH
+    candidates); the 100 TB candidate generator is ``lsh_bucket_topk``'s
+    hyperplane bucketing with this cosine filter as the rerank predicate.
+    Output is id pairs only: ints are selection-stable across engines as
+    long as no pair's cosine sits within float noise of the threshold
+    (the fixture's closest gap is ~5e-4 vs ~1e-7 cross-engine noise).
+    """
+    e = embeddings.filter(F.col(id_col) < max_vecs)
+    a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"))
+    b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
+        .select("vec_a", "vec_b")
+    )

@@ -139,3 +139,29 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
         F.md5(t).alias("md5_digest"),
         min_gram_md5.alias("shingle_fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs. Identical match semantics in Spark (Java regex) and
+# DuckDB (RE2) for this pattern — pinned by the q_e4_token_count oracle.
+BPE_ISH_PATTERN = r"'([a-z]+)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization (the LLM-pipeline token-count unit —
+    word-level pretokens, not byte merges)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E4 — per-document token counting: whitespace tokens vs BPE-ish
+    regex pretokens plus the distinct-pretoken count. One projection, no
+    shuffle at any scale."""
+    t = F.col(text_col)
+    bpe = bpe_ish_tokens(t)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(t)).cast("long").alias("n_tokens_ws"),
+        F.size(bpe).cast("long").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_unique_bpe"),
+    )

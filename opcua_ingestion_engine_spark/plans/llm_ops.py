@@ -106,6 +106,24 @@ def q_e2_minhash(spark, sf_dir):
 
 
 @register(
+    "q_e2_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+    "E2 variant — embedding-cosine near-dup pairs >= 0.45 (exact verify "
+    "form over a capped slice; id-only output is selection-stable — the "
+    "fixture's closest cosine-to-threshold gap is ~5e-4 vs ~1e-7 "
+    "cross-engine float noise). Scale path: hyperplane-LSH candidates + "
+    "this cosine predicate as the rerank filter.",
+)
+def q_e2_embedding(spark, sf_dir):
+    return S.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+@register(
     "q_e2_simhash",
     None,  # xxhash64-based — engine-specific by construction
     "E2 variant — 64-bit SimHash per document (near-dup = small hamming "
@@ -221,6 +239,27 @@ _GUESS_SQL = "CASE " + " ".join(
 )
 def q_e4_lang(spark, sf_dir):
     return T.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "q_e4_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text,
+                '''([a-z]+)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                AS BIGINT) AS n_tokens_bpe,
+           CAST(len(list_distinct(regexp_extract_all(text,
+                '''([a-z]+)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))
+                AS BIGINT) AS n_unique_bpe
+    FROM documents
+    """,
+    "E4 — token counting: whitespace tokens vs BPE-ish regex pretokens "
+    "(GPT-2-style contraction/letter/digit/punct runs) + distinct-pretoken "
+    "count; pure projection, no shuffle",
+)
+def q_e4_tokens(spark, sf_dir):
+    return T.token_counts(_docs(spark, sf_dir))
 
 
 @register(
