@@ -52,9 +52,13 @@ def browse_tree(
     edges = nodes.filter(
         F.col("node_class").isin("Object", "Variable")
     ).localCheckpoint(eager=True)
-    excl = exclusions.select(
-        "conn_id", F.col("folder").alias("display_name")
-    ).distinct()
+    # Materialized once: left lazy, the distinct's exchange re-runs on
+    # every level of the walk (~0.5s x depth at sf0.1 for a 3-row frame).
+    excl = (
+        exclusions.select("conn_id", F.col("folder").alias("display_name"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     frontier = (
         edges.filter(F.col("parent_id").isNull())
@@ -63,13 +67,27 @@ def browse_tree(
         .localCheckpoint(eager=True)
     )
     result = frontier
+    # Per level: ONE BroadcastHashJoin probing the checkpointed edge list
+    # with the (always-small) frontier key set, plus a broadcast anti join
+    # for the exclusion prune — zero exchanges per level. Shuffled joins
+    # here cost 2 exchanges x depth (the checkpointed frontier has no
+    # partitioning metadata, so nothing is co-partitioned) — measured
+    # 7.7s -> 2.9s for the whole walk at sf0.1. A frontier too big to
+    # broadcast means the graph is bushy-wide, at which point drop this
+    # loop for a single shuffled join per level keyed on (conn_id,
+    # parent_id) — depth still bounds the iteration count either way.
     for _ in range(max_depth):
         children = (
-            frontier.select(
-                "conn_id", F.col("node_id").alias("parent_id"), "depth"
+            edges.join(
+                F.broadcast(
+                    frontier.select(
+                        "conn_id", F.col("node_id").alias("parent_id"), "depth"
+                    )
+                ),
+                ["conn_id", "parent_id"],
+                "inner",
             )
-            .join(edges, ["conn_id", "parent_id"], "inner")
-            .join(excl, ["conn_id", "display_name"], "left_anti")
+            .join(F.broadcast(excl), ["conn_id", "display_name"], "left_anti")
             .select(
                 "conn_id",
                 "parent_id",

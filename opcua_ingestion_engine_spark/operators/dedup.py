@@ -145,6 +145,16 @@ def _jaccard(sh_a, sh_b):
     return inter.cast("double") / union.cast("double")
 
 
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """(a, b) pairs for the universal-hash permutations h_i(x) = (a*x+b) mod
+    2^31-1. 31-bit a/b against a 31-bit reduced hash keeps a*x+b under 2^63
+    (ANSI overflow-safe) while the 31-bit modulus wraps ~2^31 times (true
+    permutation)."""
+    rnd = _lcg(seed)
+    mask31 = (1 << 31) - 1
+    return [(((next(rnd) & mask31) | 1), next(rnd) & mask31) for _ in range(num_hashes)]
+
+
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 96, seed: int = 42
 ) -> DataFrame:
@@ -152,44 +162,39 @@ def minhash_signatures(
     sig[i] = min over shingles of h_i(shingle), with
     h_i(x) = (a_i * (xxhash64(x) >>> 33) + b_i) mod 2^31-1.
 
-    One fused higher-order aggregate per row; no shuffle, no UDF. The base
-    xxhash64 of each shingle is the aggregate's INPUT expression, so it is
-    evaluated once per shingle regardless of num_hashes. (The naive form —
-    num_hashes separate ``array_min(transform(...))`` column expressions —
-    gets the hashed array inlined into every one of them by Catalyst's
-    projection collapse, re-hashing each shingle num_hashes times: measured
-    ~3x wall on the whole pipeline at sf0.1.)
+    Shape: explode shingles to (doc_id, h) postings — each shingle hashed
+    exactly once — then ONE hash aggregate with num_hashes plain `min`
+    lanes, re-assembled into an array. Everything stays inside whole-stage
+    codegen. The alternative (a fused `aggregate`/`zip_with` higher-order
+    expression, no explode) avoids the exchange but evaluates the lambda
+    interpreted, O(num_hashes x shingles) Catalyst-eval calls per doc —
+    measured 4.2s vs 2.3s at sf0.1, and the gap widens linearly with data
+    (the codegen'd form's fixed ~1.5s Janino compile amortizes away).
 
-    Per element the accumulator update is zip_with over a literal
-    (a_i, b_i) parameter array: acc[i] = least(acc[i], (a_i*h + b_i) mod p).
-    31-bit a/b against a 31-bit reduced hash keeps a*h+b under 2^63 (ANSI
-    overflow-safe) while the 31-bit modulus wraps ~2^31 times (true
-    permutation).
+    The exchange is NOT a scale hazard: a doc's postings are co-partitioned
+    with the doc row that produced them, so map-side partial aggregation
+    collapses them to one 96-lane row per doc before the shuffle — the
+    exchange moves exactly the signatures themselves.
+
+    Docs whose shingle array is empty vanish at the explode; word_ngrams
+    guarantees >= 1 shingle per non-null text, so nothing is lost upstream
+    of a null-text filter.
     """
-    rnd = _lcg(seed)
-    mask31 = (1 << 31) - 1
-    params = []
-    for _ in range(num_hashes):
-        a = (next(rnd) & mask31) | 1  # odd multiplier
-        b = next(rnd) & mask31
-        params.append(
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
+    lanes = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"_s{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    post = shingled.select("doc_id", F.explode("shingles").alias("_sh")).select(
+        "doc_id", F.shiftrightunsigned(F.xxhash64("_sh"), 33).alias("h")
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(*lanes)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("signature"),
         )
-    perms = F.array(*params)
-    hashed = F.transform(
-        F.col("shingles"), lambda x: F.shiftrightunsigned(F.xxhash64(x), 33)
     )
-    init = F.array_repeat(F.lit(MERSENNE_31).cast("long"), num_hashes)
-    signature = F.aggregate(
-        hashed,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, perms, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE_31))
-        ),
-    )
-    return shingled.select("doc_id", "shingles", signature.alias("signature"))
 
 
 def _lcg(seed: int):
@@ -258,18 +263,39 @@ def minhash_neardup_pairs(
 
     Output is verified pairs only (no false positives; recall governed by
     the band geometry: P[detect | s] = 1-(1-s^rows)^bands — ~0.99 at
-    s=0.5 and ~1-1e-10 at s=0.8 with the 32x3 default). See tests/test_llm_ops.py for the recall harness.
+    s=0.5 and ~1-1e-10 at s=0.8 with the 32x3 default). See
+    tests/test_llm_ops.py for the recall harness.
+
+    Materialization strategy (measured 12.0s -> 8.5s one-shot at sf0.1):
+
+    - The SIGNATURE frame is localCheckpoint'ed, not the shingle arrays:
+      it is ~800 bytes/doc vs multi-KB shingle arrays, and it is what the
+      band self-join consumes twice (left + right lineage — without the
+      checkpoint the whole corpus pass runs two times).
+    - Candidate pairs (tiny) are checkpointed before the verify stage so
+      the `needed`-docs prune and the pair join don't re-run the LSH join.
+    - The verify stage re-tokenizes ONLY candidate docs: a broadcast
+      semi-join prunes the corpus scan to docs that appear in some pair,
+      then exact Jaccard runs on those shingle sets. Corpus passes total:
+      signature build + pruned verify = 2, with nothing wide ever
+      checkpointed. (localCheckpoint, not persist: no CacheManager entry,
+      no O(cached-plans) sameResult scans on later queries — same
+      rationale as ingest.prepare_stream.)
     """
-    # Shingling (regex tokenize + n-gram + distinct) is the most expensive
-    # per-row stage and is consumed three times (signature build + both
-    # sides of the verify join) — materialize it once. localCheckpoint, not
-    # persist: no CacheManager entry, no O(cached-plans) sameResult scans
-    # on later queries (same rationale as ingest.prepare_stream).
-    sh = shingle_sets(docs, text_col, n).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig.select("doc_id", "signature"), bands, rows_per_band)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    shingle_expr = F.array_distinct(word_ngrams(F.col(text_col), n))
+    sh = docs.select("doc_id", shingle_expr.alias("shingles"))
+    sig = minhash_signatures(sh, num_hashes).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band).localCheckpoint(eager=True)
+    needed = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_needed = docs.join(F.broadcast(needed), "doc_id", "left_semi").select(
+        "doc_id", shingle_expr.alias("shingles")
+    )
+    a = sh_needed.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh_needed.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = cand.join(a, "doc_a").join(b, "doc_b")
     return (
         verified.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
