@@ -77,10 +77,15 @@ def bad_quality(updates: DataFrame) -> DataFrame:
 
 
 def change_only(updates: DataFrame, deadband: float = 0.0) -> DataFrame:
-    """F2 — change-only transport (DataChangeFilter, Trigger=StatusValue
-    Timestamp, OpcSubscribeService.cs:219-223): keep an update only when value
-    or status differs from the previous update of the same point; optional
-    absolute deadband. First update of a point always passes.
+    """F2 — change-only transport filter. INTENTIONALLY STRICTER than the
+    reference: its DataChangeFilter uses Trigger=StatusValueTimestamp
+    (OpcSubscribeService.cs:219-223), which also reports timestamp-only
+    changes — i.e. every fresh sample passes and deadband is the only
+    suppressor. A batch/lakehouse dedup pass gains nothing from that
+    trigger, so this operator implements the useful analogue — keep an
+    update only when value or status differs from the previous update of
+    the same point (optional absolute deadband); first update of a point
+    always passes. The semantics are pinned by q_f2_change_only's oracle.
 
     Batch analogue of the server-side push filter: lag() over the per-point
     event-time order. One shuffle on node_id (same key as the downstream

@@ -201,6 +201,123 @@ def lsh_bucket_topk(
     )
 
 
+def _centroid_matrix(embeddings: DataFrame, n_cells: int, lloyd_iters: int,
+                     id_col: str, vec_col: str) -> np.ndarray:
+    """IVF coarse quantizer training — deterministic distributed k-means.
+
+    Init: the n_cells corpus vectors with the smallest xxhash64(id) (a
+    replay-stable pseudo-random sample; one top-k, no RNG state). Lloyd
+    rounds run fully distributed: assignment is a vectorized numpy argmax
+    against the broadcast centroid matrix (one matmul per Arrow batch),
+    the mean-update is posexplode -> groupBy(cell, dim).avg — elementwise
+    means as plain codegen'd aggregates. Only the k x dim centroid matrix
+    ever reaches the driver (true-config-sized, per SURVEY §7 risk 7).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    unit = embeddings.select(
+        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("u")
+    )
+    seeds = (
+        unit.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n_cells)
+        .select("u")
+        .collect()
+    )
+    cent = np.array([r["u"] for r in seeds], dtype=np.float64)  # (k, dim)
+
+    for _ in range(lloyd_iters):
+        planes = cent  # capture for the UDF closure
+
+        @pandas_udf("int")
+        def nearest_cell(vecs: pd.Series) -> pd.Series:
+            v = np.vstack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(np.argmax(v @ planes.T, axis=1).astype(np.int32))
+
+        assigned = unit.select(nearest_cell(F.col("u")).alias("cell"), "u")
+        means = (
+            assigned.select("cell", F.posexplode("u").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.col("dm.m").alias("mean_vec"))
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            m = np.array(r["mean_vec"], dtype=np.float64)
+            norm = np.linalg.norm(m)
+            if norm > 0:
+                cent[r["cell"]] = m / norm
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 scale path (IVF variant) — inverted-file ANN: train a coarse
+    quantizer (deterministic k-means, `_centroid_matrix`), assign each
+    corpus vector to its nearest centroid cell, probe the ``nprobe``
+    closest cells per query, exact-rerank within the probed cells.
+
+    Complements ``lsh_bucket_topk``: IVF adapts its partitions to the data
+    distribution (better recall per candidate at a fixed budget), at the
+    cost of a training pass; LSH is data-independent and purely streaming.
+    Candidate volume ~= corpus x nprobe/n_cells — linear scan avoided, no
+    crossJoin anywhere. The cell id is the shuffle key; cells are
+    mildly skewed by construction (that is what makes IVF effective), and
+    AQE skew-join splitting bounds the damage at scale.
+
+    Returns (query_id, neighbor_id, rank) like the other E3 entries;
+    recall vs brute force is pinned in tests/test_llm_ops.py.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(v @ cent.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        order = np.argsort(-(v @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("cell", nearest_cell(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("q_vec"),
+    ).select("query_id", "q_vec", F.explode(probe_cells(F.col("q_vec"))).alias("cell"))
+
+    cand = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", _dot(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def hourly_profiles(events: DataFrame) -> DataFrame:
     """E6 stage 1 — per-user hourly activity profile: exact DECIMAL sums
     of `value` per (user_id, hour bucket). One shuffle, partial-agg

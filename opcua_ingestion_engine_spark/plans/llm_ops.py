@@ -178,6 +178,19 @@ def q_e3_lsh(spark, sf_dir):
     return out.withColumnRenamed("rank", "nn_rank")
 
 
+@register(
+    "q_e3_ivf_ann",
+    None,  # data-dependent quantizer — rows-only; recall pinned in pytest
+    "E3 (scale path, IVF variant) — deterministic k-means coarse "
+    "quantizer, nprobe-cell candidate generation, exact rerank within "
+    "probed cells; candidates ~ corpus x nprobe/n_cells, no crossJoin",
+)
+def q_e3_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
 # ---------------------------------------------------------------------------
 # E4 — text analysis
 # ---------------------------------------------------------------------------

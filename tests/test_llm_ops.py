@@ -108,6 +108,31 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"ANN recall {recall:.2f} below 0.6"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, q, k=5).collect()
+    }
+    assert len(brute) == 50
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below 0.6"
+    # determinism: a second run (fresh training pass) yields identical results
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, q, k=5).collect()
+    }
+    assert ivf == ivf2
+
+
 def test_multimodal_decode_stub(spark, docs):
     from opcua_ingestion_engine_spark.operators import multimodal as M
 
