@@ -343,9 +343,13 @@ def timeseries_similarity_topk(
     test scale; the 100 TB form replaces the user x user join with an
     LSH/segment-signature candidate stage exactly like E3.
     """
+    # O(users x hours) rows — materialized so the two join sides and the
+    # symmetrization don't each re-aggregate the events stream (left lazy
+    # the plan scans events FOUR times: prof x2 via dist, dist x2 via the
+    # union; checkpointed it scans once).
     prof = hourly_profiles(
         events.filter(F.col("user_id") < max_users)
-    )
+    ).localCheckpoint(eager=True)
     a = prof.select(
         F.col("user_id").alias("user_a"),
         F.col("bucket"),
@@ -365,7 +369,7 @@ def timeseries_similarity_topk(
             F.count("*").alias("n_common"),
         )
         .filter(F.col("n_common") >= 3)
-    )
+    ).localCheckpoint(eager=True)  # tiny; consumed twice by the union below
     sym = dist.select("user_a", "user_b", "dist").unionByName(
         dist.select(
             F.col("user_b").alias("user_a"),

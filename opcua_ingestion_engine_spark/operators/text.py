@@ -141,6 +141,29 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_mean_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.005,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """E4 — the composed C4/Gopher-style KEEP filter: documents passing all
+    cheap quality gates (length, word-length sanity, stopword floor,
+    punctuation ceiling). This is the operator an LLM-data pipeline
+    actually runs — metrics exist to be thresholded. Pure projection +
+    filter over one scan; the predicate pushes to the parquet reader's
+    row-group stats where the corpus is length-sorted."""
+    m = quality_metrics(docs, text_col)
+    return m.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    ).select("doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio")
+
+
 # GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
 # punctuation runs. Identical match semantics in Spark (Java regex) and
 # DuckDB (RE2) for this pattern — pinned by the q_e4_token_count oracle.

@@ -147,21 +147,41 @@ def q_s8(spark, sf_dir):
     "online set are each one aggregation over the same stream.",
 )
 def q_t3(spark, sf_dir):
+    # ONE fact scan: a fused per-point aggregate (groupBy over all statuses,
+    # conditional max for the good timestamp — same shape as
+    # ingest.perpoint_state) yields BOTH the (device, measure) key set and,
+    # via a second O(points) rollup, the per-device last-good / global-now
+    # the online set needs. The naive form (liveness agg + latest agg +
+    # now agg) scans the stream three times.
     u = _upd(spark, sf_dir)
-    good = ingest.good_quality(u)
-    live = ingest.device_liveness(
-        good, ingest.monitored_devices(C.site_devices(spark, sf_dir))
+    pp = (
+        u.groupBy("daq_name", "measure_name")
+        .agg(
+            F.max(
+                F.when(F.col("status_code") == 0, F.col("received_ts"))
+            ).alias("lg")
+        )
+        .localCheckpoint(eager=True)
     )
-    online = live.filter(F.col("online") == 1.0).select("daq_name")
-    latest = ingest.latest_per_key(
-        u,
-        keys=["daq_name", "measure_name"],
-        payload=["value", "received_ts", "event_id"],
-    ).select("daq_name", "measure_name")
-    now_ts = good.agg(F.max("received_ts").alias("now_ts"))
+    per_dev = pp.groupBy("daq_name").agg(F.max("lg").alias("last_good_ts"))
+    now_df = per_dev.agg(F.max("last_good_ts").alias("now_ts"))
+    mon = ingest.monitored_devices(C.site_devices(spark, sf_dir)).select("daq_name")
+    online = (
+        per_dev.join(F.broadcast(mon), "daq_name", "left_semi")
+        .crossJoin(F.broadcast(now_df))
+        .filter(
+            F.col("last_good_ts").isNotNull()
+            & (
+                F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("last_good_ts"))
+                <= C.LIVENESS_WINDOW_S * 1_000_000
+            )
+        )
+        .select("daq_name")
+    )
     return (
-        latest.join(F.broadcast(online), "daq_name", "left_semi")
-        .crossJoin(F.broadcast(now_ts))
+        pp.select("daq_name", "measure_name")
+        .join(F.broadcast(online), "daq_name", "left_semi")
+        .crossJoin(F.broadcast(now_df))
         .select(
             F.col("daq_name").alias("device"),
             "measure_name",

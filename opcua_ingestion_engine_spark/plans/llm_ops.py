@@ -255,6 +255,34 @@ def q_e4_lang(spark, sf_dir):
 
 
 @register(
+    "q_e4_quality_filter",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS DOUBLE) / length(text) AS punct_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio
+    FROM m
+    WHERE n_tokens >= 20 AND mean_word_len <= 12.0
+      AND stopword_ratio >= 0.005 AND punct_ratio <= 0.2
+    """,
+    "E4 — composed C4/Gopher-style KEEP filter: the thresholded form of "
+    "the quality metrics (what a training-data pipeline actually runs); "
+    "one scan, pure predicate, no shuffle",
+)
+def q_e4_filter(spark, sf_dir):
+    return T.quality_filter(_docs(spark, sf_dir))
+
+
+@register(
     "q_e4_token_count",
     r"""
     SELECT doc_id,

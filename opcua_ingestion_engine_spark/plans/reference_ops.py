@@ -101,11 +101,20 @@ def q_f3(spark, sf_dir):
     "good branch writes value+online=1, bad branch online=0 only",
 )
 def q_f4(spark, sf_dir):
+    # Single-scan routing: the good/bad split is a conditional projection,
+    # not a union of two filtered re-scans of the fact stream (the
+    # reference routes per notification, not per pass —
+    # OpcSubscribeService.cs:563). good_quality/bad_quality keep the
+    # branch-predicate operators for pipelines that genuinely fork
+    # (flagship liveness; their predicates are what this CASE fuses).
     u = _upd(spark, sf_dir)
-    good = ingest.good_quality(u).withColumn("quality", F.lit("good"))
-    bad = ingest.bad_quality(u).withColumn("quality", F.lit("bad"))
-    return good.unionByName(bad).select(
-        "event_id", "daq_name", "measure_name", "quality"
+    return u.select(
+        "event_id",
+        "daq_name",
+        "measure_name",
+        F.when(F.col("status_code") == 0, F.lit("good"))
+        .otherwise(F.lit("bad"))
+        .alias("quality"),
     )
 
 
@@ -501,6 +510,9 @@ def _sink_inputs(spark, sf_dir):
         F.lit(ingest.EPOCH_TS_TEXT).alias("last_updated"),
         F.lit("instant").alias("logging"),
     )
+    # O(points) — materialized because the MERGE-shaped consumers reference
+    # it twice (rows + key set for the anti join); lazy it costs a second
+    # full fact scan (plan audit: q_s10 showed 2 events scans without it).
     latest = ingest.latest_per_key(
         ingest.good_quality(_upd(spark, sf_dir)),
         keys=["daq_name", "measure_name"],
@@ -511,7 +523,7 @@ def _sink_inputs(spark, sf_dir):
         "tag_name",
         F.col("value").alias("scaled_value"),
         "received_ts",
-    )
+    ).localCheckpoint(eager=True)
     return current, latest
 
 
