@@ -73,6 +73,24 @@ def q_join_left(spark, sf_dir):
 
 
 @register(
+    "q_join_right_orders_customer",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "[EXT] right outer join — the build side is the preserved side, so "
+    "Spark plans it as BroadcastHashJoin RightOuter with the stream-side "
+    "fact probing a broadcast customer dim",
+)
+def q_join_right(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
     "q_join_full_nation_supplier",
     """
     SELECT n.n_nationkey, n.n_name, s.s_suppkey
