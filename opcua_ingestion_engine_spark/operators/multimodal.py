@@ -93,3 +93,87 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
         F.col("meta.fmt").alias("fmt"),
     )
     return flat.mapInPandas(extract_features, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, channels int, "
+    "fmt string"
+)
+
+
+def resize_payload(mm: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """E5 — image resize plumbing: payload -> payload at (target_w,
+    target_h), meta updated. Same mapInPandas batch shape a Pillow
+    ``Image.resize`` would use; the ``fake8`` "codec" resizes by cyclic
+    byte tiling (numpy ``resize`` — deterministic from the input bytes
+    alone), real formats raise like :func:`decode_image`. Output payload
+    size is exactly ``target_w * target_h * channels``."""
+    import numpy as np
+
+    def do_resize(frames):
+        for pdf in frames:
+            out = []
+            for p, f, ch in zip(pdf["payload"], pdf["fmt"], pdf["channels"]):
+                if f != FAKE_FORMAT:
+                    raise NotImplementedError(
+                        f"resize for format {f!r} requires an image codec; "
+                        "only the deterministic 'fake8' stub is available"
+                    )
+                arr = np.frombuffer(p, dtype=np.uint8)
+                out.append(np.resize(arr, target_w * target_h * int(ch)).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                    "channels": pdf["channels"].astype("int32"),
+                    "fmt": pdf["fmt"],
+                }
+            )
+
+    flat = mm.select(
+        "doc_id",
+        "payload",
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.fmt").alias("fmt"),
+    )
+    return flat.mapInPandas(do_resize, RESIZE_SCHEMA).select(
+        "doc_id",
+        "payload",
+        F.struct("width", "height", "channels", "fmt").alias("meta"),
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(
+    docs: DataFrame, frame_size: int = 256, stride: int = 4
+) -> DataFrame:
+    """E5 — video frame sampling plumbing: treat the payload as a sequence
+    of fixed-size encoded frames and emit every ``stride``-th one. The
+    fan-out mapInPandas shape (one input row -> many frame rows) is what a
+    real ffmpeg-backed sampler produces; frames here are deterministic
+    byte slices, so the result is DuckDB-checkable (q_e5_frame_sample
+    compares md5 per emitted frame). The trailing partial frame is kept —
+    real decoders also emit a final short GOP."""
+
+    def do_sample(frames):
+        for pdf in frames:
+            ids, idxs, chunks = [], [], []
+            for did, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                for i in range(0, -(-len(p) // frame_size), stride):
+                    ids.append(did)
+                    idxs.append(i)
+                    chunks.append(p[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": chunks,
+                }
+            )
+
+    flat = attach_payload(docs).select("doc_id", "payload")
+    return flat.mapInPandas(do_sample, FRAME_SCHEMA)

@@ -360,6 +360,39 @@ def q_e5_decode(spark, sf_dir):
     return M.multimodal_features(_docs(spark, sf_dir))
 
 
+@register(
+    "q_e5_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, text AS payload, length(text) AS n
+               FROM documents),
+    f AS (
+        SELECT doc_id, payload,
+               unnest(range(0, CAST(ceil(n/256.0) AS BIGINT))) AS i
+        FROM b
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substring(payload, CAST(i*256+1 AS BIGINT), 256)) AS frame_md5,
+           CAST(length(substring(payload, CAST(i*256+1 AS BIGINT), 256))
+                AS BIGINT) AS frame_bytes
+    FROM f
+    WHERE i % 4 = 0
+    """,
+    "E5 — video-style frame sampling: payload as fixed-256-byte frames, "
+    "every 4th emitted (fan-out mapInPandas, one row -> many frames); "
+    "frames compared by md5. Oracle slices VARCHAR because DuckDB can't "
+    "slice BLOBs — byte-exact here (fixture corpus is pure ASCII; the "
+    "Spark side is byte-true regardless).",
+)
+def q_e5_frames(spark, sf_dir):
+    out = M.sample_frames(_docs(spark, sf_dir), frame_size=256, stride=4)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # E6 — time-series similarity
 # ---------------------------------------------------------------------------

@@ -149,6 +149,35 @@ def test_multimodal_decode_stub(spark, docs):
         M.decode_image(b"\x89PNG...", "png")
 
 
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    sample = docs.limit(5)
+    mm = M.attach_payload(sample)
+    resized = {r["doc_id"]: r for r in M.resize_payload(mm, 32, 16).collect()}
+    for r in sample.collect():
+        raw = r["text"].encode("utf-8")
+        out = resized[r["doc_id"]]
+        assert len(out["payload"]) == 32 * 16 * 3
+        assert out["meta"]["width"] == 32 and out["meta"]["height"] == 16
+        expect = np.resize(np.frombuffer(raw, dtype=np.uint8), 32 * 16 * 3).tobytes()
+        assert bytes(out["payload"]) == expect
+
+    frames = M.sample_frames(sample, frame_size=64, stride=2).collect()
+    by_doc = {}
+    for fr in frames:
+        by_doc.setdefault(fr["doc_id"], []).append(fr)
+    for r in sample.collect():
+        raw = r["text"].encode("utf-8")
+        got = sorted(by_doc[r["doc_id"]], key=lambda fr: fr["frame_idx"])
+        n_frames = -(-len(raw) // 64)
+        assert [fr["frame_idx"] for fr in got] == list(range(0, n_frames, 2))
+        for fr in got:
+            assert bytes(fr["frame"]) == raw[fr["frame_idx"] * 64 : (fr["frame_idx"] + 1) * 64]
+
+
 def test_timeseries_similarity_symmetric_ranks(spark):
     from opcua_ingestion_engine_spark import catalog as C
     from opcua_ingestion_engine_spark.operators import similarity as S
