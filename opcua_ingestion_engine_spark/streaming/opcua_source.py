@@ -63,11 +63,19 @@ def _load_notifications(path: str):
 
 
 class _ConnWindowPartition(InputPartition):
-    def __init__(self, path: str, conn_id: int, start_us: int, end_us: int):
+    def __init__(
+        self,
+        path: str,
+        conn_id: int,
+        start_us: int,
+        end_us: int,
+        outage: tuple[int, int] | None = None,
+    ):
         self.path = path
         self.conn_id = conn_id
         self.start_us = start_us
         self.end_us = end_us
+        self.outage = outage
 
 
 class OpcUaSimStreamReader(DataSourceStreamReader):
@@ -78,6 +86,18 @@ class OpcUaSimStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("opcua_sim requires .option('path', <events.parquet>)")
         self.num_batches = int(options.get("num_batches", "8"))
+        # T5/T6 — simulated server outage: notifications of outage_conn
+        # with received_us in [outage_start_us, outage_end_us) are LOST,
+        # exactly the reference's reconnect semantics (subscription dies
+        # with the TCP session; the backoff loop re-subscribes and resumes
+        # from LIVE data, it does not backfill —
+        # OpcSubscribeService.cs:873-957). Downstream the LWW state heals
+        # to the post-reconnect snapshot with no special-casing.
+        self.outage_conn = (
+            int(options["outage_conn"]) if "outage_conn" in options else None
+        )
+        self.outage_start_us = int(options.get("outage_start_us", "0"))
+        self.outage_end_us = int(options.get("outage_end_us", "0"))
         ev = _load_notifications(self.path)
         self._min_us = int(ev["received_us"].min())
         self._max_us = int(ev["received_us"].max())
@@ -99,7 +119,17 @@ class OpcUaSimStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return [
-            _ConnWindowPartition(self.path, c, start["ts_us"], end["ts_us"])
+            _ConnWindowPartition(
+                self.path,
+                c,
+                start["ts_us"],
+                end["ts_us"],
+                outage=(
+                    (self.outage_start_us, self.outage_end_us)
+                    if c == self.outage_conn
+                    else None
+                ),
+            )
             for c in self._conns
         ]
 
@@ -117,6 +147,9 @@ class OpcUaSimStreamReader(DataSourceStreamReader):
             & (ev["received_us"] > partition.start_us)
             & (ev["received_us"] <= partition.end_us)
         )
+        if partition.outage is not None:
+            o_start, o_end = partition.outage
+            m &= ~((ev["received_us"] >= o_start) & (ev["received_us"] < o_end))
         sel = ev[m]
         if len(sel) == 0:
             return

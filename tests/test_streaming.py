@@ -212,6 +212,81 @@ def test_heartbeat_refresh_bulk_update(spark, fixtures):
     assert _rows(offline_before) == _rows(offline_after)
 
 
+def test_custom_source_outage_reconnect_parity(spark, fixtures, tmp_path):
+    """T5/T6 — a simulated server outage (one connection silent for the
+    middle of the replay) loses exactly that window's notifications, like
+    the reference's reconnect loop (no backfill, resume from live data —
+    OpcSubscribeService.cs:873-957). The streamed final state must equal
+    the batch flagship over the outage-filtered stream: the LWW state
+    heals with no special-casing."""
+    import time
+
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.streaming.opcua_source import OpcUaSimDataSource
+    from opcua_ingestion_engine_spark.streaming.replay import ModvaluesMergeSink
+
+    u = fixtures["updates"]
+    bounds = u.agg(
+        F.min(F.unix_micros("received_ts")).alias("lo"),
+        F.max(F.unix_micros("received_ts")).alias("hi"),
+    ).collect()[0]
+    o_start = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 3
+    o_end = bounds["lo"] + 2 * (bounds["hi"] - bounds["lo"]) // 3
+    lost = (
+        (F.col("conn_id") == 1)
+        & (F.unix_micros("received_ts") >= o_start)
+        & (F.unix_micros("received_ts") < o_end)
+    )
+    surviving = u.filter(~lost)
+    expected_rows = surviving.count()
+    assert expected_rows < u.count(), "outage window must drop something"
+
+    batch = ingest.modvalues_snapshot(
+        surviving,
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    )
+
+    spark.dataSource.register(OpcUaSimDataSource)
+    sink = ModvaluesMergeSink(
+        fixtures["devices"], fixtures["templates"], fixtures["connections"]
+    )
+    rows_seen = [0]
+
+    def process(df, batch_id):
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        if n == 0:
+            return
+        sink.process_batch(df, batch_id)
+        rows_seen[0] += n
+
+    stream = (
+        spark.readStream.format("opcua_sim")
+        .option("path", f"{SF_SMOKE}/events.parquet")
+        .option("num_batches", "4")
+        .option("outage_conn", "1")
+        .option("outage_start_us", str(o_start))
+        .option("outage_end_us", str(o_end))
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_outage"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and rows_seen[0] < expected_rows:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows_seen[0] == expected_rows
+    assert _rows(sink.snapshot()) == _rows(batch)
+
+
 def test_custom_opcua_source_matches_batch_flagship(spark, fixtures, tmp_path):
     """S1 — the custom Python streaming DataSource (per-connection
     partitions, watermark offsets) drained through the foreachBatch merge
