@@ -1,0 +1,138 @@
+"""Property-based pins (hypothesis): the scaling scalar functions against
+an independent Python-decimal model of the reference arithmetic
+(Services/OpcSubscribeService.cs:565-576 — round-half-up to 3), and the
+LWW per-point merge algebra against brute-force max over all permutations.
+
+Batched strategy: each hypothesis example is a LIST of cases evaluated in
+ONE DataFrame action, so the suite stays a handful of Spark jobs, not
+hundreds."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from opcua_ingestion_engine_spark.functions.scaling import apply_scaling
+
+DEC6 = st.decimals(
+    min_value=Decimal("-999999"),
+    max_value=Decimal("999999"),
+    places=6,
+    allow_nan=False,
+    allow_infinity=False,
+)
+DEC4 = st.decimals(
+    min_value=Decimal("-999.9"),
+    max_value=Decimal("999.9"),
+    places=4,
+    allow_nan=False,
+    allow_infinity=False,
+)
+MODES = st.sampled_from(["slope_intercept", "point_slope", "none", "weird", ""])
+
+CASE = st.tuples(DEC6, MODES, DEC4, DEC4, DEC4, DEC4)
+
+
+def _model(value, mode, slope, offset, factor, tmin) -> float:
+    """Reference model in exact decimal, round-half-up to 3 like C#
+    Math.Round(..., MidpointRounding default for decimal SQL path)."""
+    if mode == "slope_intercept":
+        r = value * slope + offset
+    elif mode == "point_slope":
+        r = value * factor + tmin
+    else:
+        return float(value)
+    return float(r.quantize(Decimal("0.001"), rounding=ROUND_HALF_UP))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(CASE, min_size=1, max_size=60))
+def test_scaling_matches_decimal_model(spark, cases):
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(cases)],
+        "i int, value decimal(18,6), scale_mode string, slope decimal(10,4), "
+        "offset decimal(10,4), factor decimal(10,4), target_min decimal(10,4)",
+    )
+    out = df.select(
+        "i",
+        apply_scaling(
+            F.col("value"),
+            F.col("scale_mode"),
+            F.col("slope"),
+            F.col("offset"),
+            F.col("factor"),
+            F.col("target_min"),
+        ).alias("scaled"),
+    ).collect()
+    got = {r["i"]: r["scaled"] for r in out}
+    for i, c in enumerate(cases):
+        assert got[i] == _model(*c), (i, c, got[i], _model(*c))
+
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),  # device idx
+    st.integers(min_value=0, max_value=2),  # measure idx
+    st.integers(min_value=0, max_value=10**9),  # ts_us
+    st.integers(min_value=0, max_value=10**6),  # event_id
+    st.sampled_from([0, 2147483648]),  # status
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EVENT, min_size=1, max_size=40), st.randoms())
+def test_perpoint_merge_is_split_invariant(spark, events, rnd):
+    """Splitting the event list into arbitrary micro-batches and merging
+    must equal the single-batch state (T9 idempotence/associativity)."""
+    from opcua_ingestion_engine_spark.operators import ingest
+
+    def frame(evts):
+        return spark.createDataFrame(
+            [
+                (
+                    f"DEV-{d}",
+                    f"m{m}",
+                    f"type-{d % 2}",
+                    f"m{m}_raw",
+                    "u",
+                    ts,
+                    eid,
+                    status,
+                )
+                for d, m, ts, eid, status in evts
+            ],
+            "daq_name string, measure_name string, device_type string, "
+            "tag_name string, unit string, ts_us long, event_id long, "
+            "status_code long",
+        ).select(
+            "daq_name",
+            "measure_name",
+            "device_type",
+            "tag_name",
+            "unit",
+            F.timestamp_micros(F.col("ts_us")).alias("received_ts"),
+            "event_id",
+            "status_code",
+            F.lit("none").alias("scale_mode"),
+            F.lit(None).cast("decimal(10,4)").alias("slope"),
+            F.lit(None).cast("decimal(10,4)").alias("offset"),
+            F.lit(None).cast("decimal(10,4)").alias("factor"),
+            F.lit(None).cast("decimal(10,4)").alias("target_min"),
+            (F.col("event_id") % 7).cast("double").alias("value"),
+        )
+
+    whole = ingest.perpoint_state(frame(events)).collect()
+
+    shuffled = list(events)
+    rnd.shuffle(shuffled)
+    cut = rnd.randint(0, len(shuffled))
+    state = None
+    for part in (shuffled[:cut], shuffled[cut:]):
+        if not part:
+            continue
+        state = ingest.merge_perpoint_states(state, ingest.perpoint_state(frame(part)))
+    merged = state.collect()
+
+    key = lambda r: (r["daq_name"], r["measure_name"])
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
