@@ -67,13 +67,11 @@ def exclude_self_measure(updates: DataFrame) -> DataFrame:
 
 def good_quality(updates: DataFrame) -> DataFrame:
     """F4 good branch — StatusCode.IsGood (OpcSubscribeService.cs:563).
-    Good = severity bits clear (sim: status_code == 0)."""
+    Good = severity bits clear (sim: status_code == 0). The bad branch
+    (online=0 only, :582-589) is not a standalone filter: it lives inside
+    ``perpoint_state``'s conditional aggregation (``last_any`` vs
+    ``good_latest``), which is how a single-scan plan wants it."""
     return updates.filter(F.col("status_code") == 0)
-
-
-def bad_quality(updates: DataFrame) -> DataFrame:
-    """F4 bad branch — writes online=0 only (OpcSubscribeService.cs:582-589)."""
-    return updates.filter(F.col("status_code") != 0)
 
 
 def change_only(updates: DataFrame, deadband: float = 0.0) -> DataFrame:
@@ -147,54 +145,6 @@ def subscription_plan(devices: DataFrame, templates: DataFrame, connections: Dat
 # ---------------------------------------------------------------------------
 # Scaling + latest-per-key
 # ---------------------------------------------------------------------------
-
-def scale_updates(updates: DataFrame, templates: DataFrame, devices: DataFrame) -> DataFrame:
-    """Join the good update stream to its device + point config (J1/J2
-    broadcast) and apply the X3 scaling dispatch in exact DECIMAL arithmetic.
-
-    `value` is cast to DECIMAL(18,6) before the multiply so results are
-    bit-identical to the DuckDB oracle (SURVEY.md §7 risk: double rounding).
-    """
-    dev = F.broadcast(
-        monitored_devices(devices).select("daq_name", "device_type", "daq_template")
-    )
-    tpl = F.broadcast(
-        templates.select(
-            F.col("device_type").alias("t_device_type"),
-            "template_name",
-            "measure_name",
-            "unit",
-            "scale_mode",
-            "slope",
-            "offset",
-            "factor",
-            "target_min",
-        )
-    )
-    joined = (
-        updates.join(dev, "daq_name", "inner")
-        .join(
-            tpl,
-            (F.col("device_type") == F.col("t_device_type"))
-            & (F.col("daq_template") == F.col("template_name"))
-            & (updates.measure_name == tpl.measure_name),
-            "inner",
-        )
-        .drop("t_device_type", "template_name")
-        .drop(tpl.measure_name)
-    )
-    scaled = apply_scaling(
-        F.col("value").cast("decimal(18,6)"),
-        F.col("scale_mode"),
-        F.col("slope"),
-        F.col("offset"),
-        F.col("factor"),
-        F.col("target_min"),
-    )
-    return joined.withColumn("scaled_value", scaled).drop(
-        "scale_mode", "slope", "offset", "factor", "target_min"
-    )
-
 
 def latest_per_key(
     df: DataFrame,

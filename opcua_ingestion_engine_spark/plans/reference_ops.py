@@ -104,9 +104,8 @@ def q_f4(spark, sf_dir):
     # Single-scan routing: the good/bad split is a conditional projection,
     # not a union of two filtered re-scans of the fact stream (the
     # reference routes per notification, not per pass —
-    # OpcSubscribeService.cs:563). good_quality/bad_quality keep the
-    # branch-predicate operators for pipelines that genuinely fork
-    # (flagship liveness; their predicates are what this CASE fuses).
+    # OpcSubscribeService.cs:563). The same predicate drives
+    # ingest.good_quality and perpoint_state's conditional aggregation.
     u = _upd(spark, sf_dir)
     return u.select(
         "event_id",
