@@ -212,6 +212,63 @@ def test_heartbeat_refresh_bulk_update(spark, fixtures):
     assert _rows(offline_before) == _rows(offline_after)
 
 
+def test_watermarked_streaming_window_agg_matches_batch(spark, fixtures, tmp_path):
+    """T10 (true streaming form) — a watermarked event-time tumbling
+    window aggregation over the replayed stream. Events arrive across
+    micro-batches in received_ts order while windows key on source-time
+    ``ts``, so windows genuinely span batches and close under the
+    watermark. In append mode only watermark-closed windows emit; with
+    availableNow the trailing window(s) stay open at stream end, so the
+    emitted set must be a prefix-subset of the batch result, exactly
+    equal on every emitted window."""
+    import os
+
+    from opcua_ingestion_engine_spark.streaming.replay import write_replay_batches
+
+    u = fixtures["updates"].select("event_id", "source_ts", "received_ts", "measure_name", "value")
+    src = str(tmp_path / "wm_src")
+    write_replay_batches(u, src, num_batches=4)
+
+    def agg(df):
+        return df.groupBy(
+            F.window("source_ts", "1 hour").alias("w"), "measure_name"
+        ).agg(F.count("*").alias("n")).select(
+            F.col("w.start").alias("window_start"), "measure_name", "n"
+        )
+
+    batch = {(r["window_start"], r["measure_name"]): r["n"] for r in agg(u).collect()}
+
+    stream = (
+        spark.readStream.schema(u.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "batch_*"))
+        .withWatermark("source_ts", "10 minutes")
+    )
+    q = (
+        agg(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_windows")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        (r["window_start"], r["measure_name"]): r["n"]
+        for r in spark.table("wm_windows").collect()
+    }
+    assert emitted, "watermark never closed any window"
+    for k, n in emitted.items():
+        assert batch[k] == n, (k, n, batch[k])
+    # everything except the still-open trailing window(s) must have closed
+    open_starts = {ws for ws, _ in batch} - {ws for ws, _ in emitted}
+    closed_max = max(ws for ws, _ in emitted)
+    assert all(ws > closed_max for ws in open_starts), (
+        "a window older than the newest emitted one never closed"
+    )
+
+
 def test_custom_source_outage_reconnect_parity(spark, fixtures, tmp_path):
     """T5/T6 — a simulated server outage (one connection silent for the
     middle of the replay) loses exactly that window's notifications, like
