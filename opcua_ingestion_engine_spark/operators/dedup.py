@@ -68,6 +68,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """E2 (exact verify path) — blocked word-n-gram Jaccard via an
     inverted shingle index.
@@ -86,8 +87,13 @@ def jaccard_pairs(
 
     Scale: the shuffle key is the SHINGLE (high cardinality, skew only for
     stopword-like shingles — AQE skew-split absorbs moderate cases; at
-    extreme scale cap posting lists by document frequency, which only
-    drops shingles whose pairs are far below any useful threshold). The
+    extreme scale set ``max_doc_freq`` to cap posting lists by document
+    frequency: a shingle shared by >N docs contributes O(N^2) pair rows
+    while carrying almost no Jaccard signal, exactly the stopword-shingle
+    skew profile. The cap UNDERCOUNTS intersections (documented
+    approximation — scores only drop, never rise, so precision of the
+    >= threshold cut is preserved; recall on planted near-dups is pinned
+    in pytest). Default None = exact. The
     alternatives are strictly worse: an array-carrying pair join moves
     O(pairs) shingle arrays through an exchange and evaluates an
     O(|A|+|B|) intersect per pair — measured 65-100s at sf0.1 vs 4.6s for
@@ -106,6 +112,14 @@ def jaccard_pairs(
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
     ).localCheckpoint(eager=True)
     post = s.select("_block", "doc_id", F.explode("shingles").alias("sh"))
+    if max_doc_freq is not None:
+        df_counts = (
+            post.groupBy("_block", "sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_block", "sh")
+        )
+        post = post.join(df_counts, ["_block", "sh"], "left_semi")
     pa = post.select(F.col("doc_id").alias("doc_a"), "_block", "sh")
     pb = post.select(F.col("doc_id").alias("doc_b"), "_block", "sh")
     inter = (

@@ -57,6 +57,28 @@ def test_minhash_lsh_vs_exact_jaccard(spark, mutated_corpus):
     assert recall >= 0.9, f"recall {recall:.2f} below 0.9 ({len(lsh)}/{len(exact)})"
 
 
+def test_jaccard_doc_freq_cap_keeps_planted_mutants(spark, mutated_corpus):
+    """The max_doc_freq posting cap (extreme-scale skew guard) only
+    undercounts intersections: no pair may appear that the exact path
+    lacks, and the planted near-dups (whose shingles are rare) survive."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(mutated_corpus, block_col=None, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(
+            mutated_corpus, block_col=None, threshold=0.5, max_doc_freq=50
+        ).collect()
+    }
+    assert capped <= exact
+    planted_exact = {p for p in exact if p[1] >= 1_000_000}
+    planted_capped = {p for p in capped if p[1] >= 1_000_000}
+    assert len(planted_capped) >= int(len(planted_exact) * 0.9)
+
+
 def test_minhash_detects_planted_mutants(spark, mutated_corpus):
     from opcua_ingestion_engine_spark.operators import dedup as D
 
