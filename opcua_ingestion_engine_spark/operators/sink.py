@@ -111,6 +111,33 @@ def upsert_values(
     )
 
 
+def write_bucketed_state(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | None = None,
+    num_buckets: int = 16,
+) -> None:
+    """Persist a state table bucketed on its merge key
+    (``bucketBy(hash(device), ...)`` + ``sortBy`` within buckets).
+
+    This is the 100 TB layout for the perpetually-merged ``modvalues``
+    state: every MERGE round (S9/S10, foreachBatch T9) joins on the same
+    (device, measure) key, and a bucketed table makes that join
+    exchange-free on the stored side — the incoming micro-batch is
+    shuffled into the fixed bucket scheme once, instead of both sides
+    re-shuffling every round. tests/test_units.py pins the property: a
+    self-join of the bucketed table on the bucket key plans with ZERO
+    Exchange nodes.
+    """
+    keys = bucket_cols or ["device", "measure_name"]
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
 # ---------------------------------------------------------------------------
 # S7 — ensure-table DDL
 # ---------------------------------------------------------------------------

@@ -12,6 +12,35 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMOKE
 
 
+def test_bucketed_state_join_is_exchange_free(spark, tmp_path):
+    """The bucketed modvalues layout (sink.write_bucketed_state) must let
+    key-joins run without ANY exchange: both sides read the fixed bucket
+    scheme, so the per-round MERGE shuffle disappears at 100 TB."""
+    from opcua_ingestion_engine_spark.operators import sink
+
+    df = spark.createDataFrame(
+        [(f"DEV-{i % 7}", f"m{i % 3}", float(i)) for i in range(100)],
+        "device string, measure_name string, tag_value double",
+    )
+    sink.write_bucketed_state(df, "bucketed_modvalues", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick a keyed join — the
+        # case bucketing exists for (at 100 TB neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("bucketed_modvalues")
+        joined = t.alias("a").join(
+            t.alias("b"), ["device", "measure_name"], "inner"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() >= 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketed_modvalues")
+
+
 def test_value_domain_fits_decimal18(spark):
     """The DECIMAL(18,6) cast in the scaling path yields NULL (Spark,
     ANSI off) vs an error (DuckDB) on |value| >= 1e12 — oracle parity
