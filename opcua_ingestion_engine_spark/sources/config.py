@@ -60,13 +60,44 @@ def _read_json_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path, wholetext=True)
 
 
+def _parse_document(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    retries: int = 5,
+    backoff_s: float = 0.05,
+) -> DataFrame:
+    """Parse one whole-file JSON document with the reference's transient-
+    failure retry (config reads race the writer's partial writes / file
+    locks — ``OpcSubscribeService.cs:449-470`` retries x5 with backoff;
+    same policy at ``Helpers/OpcuaHelperFunctions.cs:25-27,49-51``).
+
+    ``from_json`` yields NULL on malformed JSON — the partial-write
+    signature — so a NULL document triggers a re-read instead of silently
+    producing an empty catalog (which downstream would treat as "all
+    devices deconfigured": the exact failure the reference guards)."""
+    import time
+
+    for attempt in range(retries):
+        parsed = _read_json_text(spark, path).select(
+            F.from_json("value", schema).alias("doc")
+        )
+        if parsed.filter(F.col("doc").isNotNull()).count() > 0:
+            return parsed
+        time.sleep(backoff_s * (attempt + 1))
+    raise ValueError(
+        f"config file {path!r} failed to parse after {retries} attempts "
+        "(malformed or perpetually mid-write)"
+    )
+
+
 def load_templates_json(spark: SparkSession, path: str) -> DataFrame:
     """S3 — parse ``deviceType -> templateName -> [point]`` into one row
     per point: (device_type, template_name, tag_name, measure_name, unit,
     scale_mode, slope, offset, factor, target_min), matching
     ``catalog.sos_templates`` exactly."""
-    parsed = _read_json_text(spark, path).select(
-        F.from_json("value", _TEMPLATES_SCHEMA).alias("by_type")
+    parsed = _parse_document(spark, path, _TEMPLATES_SCHEMA).select(
+        F.col("doc").alias("by_type")
     )
     flat = (
         parsed.select(F.explode("by_type").alias("device_type", "by_template"))
@@ -92,8 +123,8 @@ def load_devices_json(spark: SparkSession, path: str) -> DataFrame:
     """S4 — parse ``deviceType -> [device]`` into one row per device with
     the ``Network.Params`` nesting flattened to (protocol, server),
     matching ``catalog.site_devices``' column convention."""
-    parsed = _read_json_text(spark, path).select(
-        F.from_json("value", _DEVICES_SCHEMA).alias("by_type")
+    parsed = _parse_document(spark, path, _DEVICES_SCHEMA).select(
+        F.col("doc").alias("by_type")
     )
     return (
         parsed.select(F.explode("by_type").alias("device_type", "devices"))
@@ -122,15 +153,13 @@ def load_connection_config(spark: SparkSession, path: str) -> str:
     (AES-at-rest is X8's concern, not this reader's).
     """
     row = (
-        _read_json_text(spark, path)
-        .select(
-            F.from_json(
-                "value",
-                "struct<host:string,port:int,database:string,"
-                "username:string,password:string>",
-            ).alias("c")
+        _parse_document(
+            spark,
+            path,
+            "struct<host:string,port:int,database:string,"
+            "username:string,password:string>",
         )
-        .select("c.*")
+        .select("doc.*")
         .first()
     )
     return (

@@ -130,6 +130,41 @@ def test_s6_hot_reload_sees_file_change(spark, tmp_path):
     assert after.filter(F.col("device_type") == "type-9").count() == 5
 
 
+def test_config_read_retries_malformed_then_heals(spark, tmp_path, monkeypatch):
+    """The S-layer retry (OpcSubscribeService.cs:449-470, x5 with backoff):
+    a document that parses to NULL (partial write) is re-read; if the
+    writer finishes mid-retry the loader heals, and a perpetually-broken
+    file raises instead of yielding an empty catalog."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.sources import config as S
+
+    bad = tmp_path / "broken.json"
+    bad.write_text('{"type-0": {"tmpl-0": [')  # truncated mid-write
+    with _pytest.raises(ValueError, match="failed to parse"):
+        S.load_templates_json(spark, str(bad), )
+
+    # writer "finishes" during the first backoff sleep
+    healing = tmp_path / "healing.json"
+    healing.write_text('{"type-0": {')
+    good_doc = (
+        '{"type-0": {"tmpl-0": [{"tag_name": "click_raw", "measure_name": '
+        '"click", "unit": "kW", "scale_mode": "none"}]}}'
+    )
+    real_sleep = __import__("time").sleep
+
+    def finish_write(_secs):
+        healing.write_text(good_doc)
+
+    monkeypatch.setattr("time.sleep", finish_write)
+    try:
+        out = S.load_templates_json(spark, str(healing))
+        assert out.count() == 1
+        assert out.first()["measure_name"] == "click"
+    finally:
+        monkeypatch.setattr("time.sleep", real_sleep)
+
+
 def test_s7_ensure_table_creates_once(spark, tmp_path):
     path = str(tmp_path / "modvalues")
     assert ensure_table(spark, path) is True

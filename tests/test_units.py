@@ -9,9 +9,6 @@ from datetime import datetime, timezone
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
-
-
 def test_bucketed_state_join_is_exchange_free(spark, tmp_path):
     """The bucketed modvalues layout (sink.write_bucketed_state) must let
     key-joins run without ANY exchange: both sides read the fixed bucket
@@ -39,18 +36,6 @@ def test_bucketed_state_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bucketed_modvalues")
-
-
-def test_value_domain_fits_decimal18(spark):
-    """The DECIMAL(18,6) cast in the scaling path yields NULL (Spark,
-    ANSI off) vs an error (DuckDB) on |value| >= 1e12 — oracle parity
-    therefore assumes the fixture domain stays far below that bound
-    (ADVICE r1). Pin the assumption as a checked invariant."""
-    from opcua_ingestion_engine_spark import catalog as C
-
-    ev = C.load_table(spark, SF_SMOKE, "events")
-    mx = ev.agg(F.max(F.abs(F.col("value"))).alias("m")).collect()[0]["m"]
-    assert mx is not None and mx < 1e9, f"value domain {mx} endangers DECIMAL(18,6)"
 
 
 def ts(s: str) -> datetime:
