@@ -221,18 +221,30 @@ def _lcg(seed: int):
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 3
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, band-hash): documents
+    """Band the signatures and bucket on (band, band-hash): documents
     agreeing on ALL rows of any band become a candidate pair.
 
     This is THE scale operator: explode to `bands` rows per doc (bounded
-    fan-out), shuffle on the band bucket, join within buckets. Bucket
-    sizes are data-dependent but collisions require exact agreement of
-    rows_per_band 61-bit minhashes — adversarial skew is absorbed by AQE
-    skew-join splitting.
+    fan-out), ONE shuffle on the band bucket, then expand each bucket's
+    doc list into its unordered pairs in place. The groupBy form consumes
+    the signature frame exactly once — the equivalent bucket SELF-join
+    reads it through two lineages, forcing an upstream materialization
+    (measured: dropping the signature localCheckpoint this enables cuts
+    ~1.7s of the sf0.1 wall time; the join itself was no faster).
+
+    Bucket sizes are data-dependent, but a collision requires exact
+    agreement of rows_per_band 31-bit minhashes — giant buckets only
+    arise from clusters of (near-)identical documents, which belong to
+    the E1 exact-dedup stage upstream. ``max_bucket`` (default None =
+    unbounded) skips pathological buckets outright for adversarial
+    corpora where the O(k^2) in-task expansion would blow up; skipped
+    buckets lose their candidates, so cap only above the exact-dup scale.
     """
-    n = bands * rows_per_band
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -248,17 +260,25 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    assert n == bands * rows_per_band
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -280,14 +300,17 @@ def minhash_neardup_pairs(
     s=0.5 and ~1-1e-10 at s=0.8 with the 32x3 default). See
     tests/test_llm_ops.py for the recall harness.
 
-    Materialization strategy (measured 12.0s -> 8.5s one-shot at sf0.1):
+    Materialization strategy (measured 12.0s -> 8.5s -> ~2.8s warm at
+    sf0.1 across the tuning passes):
 
-    - The SIGNATURE frame is localCheckpoint'ed, not the shingle arrays:
-      it is ~800 bytes/doc vs multi-KB shingle arrays, and it is what the
-      band self-join consumes twice (left + right lineage — without the
-      checkpoint the whole corpus pass runs two times).
+    - The signature frame needs NO materialization: the groupBy form of
+      lsh_candidate_pairs consumes it exactly once, so the whole
+      shingle -> signature -> bucket path is one linear lineage (the
+      earlier self-join form read it twice and needed a localCheckpoint,
+      whose block-manager round-trip alone cost ~1.7s warm at sf0.1).
     - Candidate pairs (tiny) are checkpointed before the verify stage so
-      the `needed`-docs prune and the pair join don't re-run the LSH join.
+      the `needed`-docs prune and the pair join don't re-run the LSH
+      pipeline.
     - The verify stage re-tokenizes ONLY candidate docs: a broadcast
       semi-join prunes the corpus scan to docs that appear in some pair,
       then exact Jaccard runs on those shingle sets. Corpus passes total:
@@ -298,7 +321,7 @@ def minhash_neardup_pairs(
     """
     shingle_expr = F.array_distinct(word_ngrams(F.col(text_col), n))
     sh = docs.select("doc_id", shingle_expr.alias("shingles"))
-    sig = minhash_signatures(sh, num_hashes).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band).localCheckpoint(eager=True)
     needed = (
         cand.select(F.col("doc_a").alias("doc_id"))
