@@ -33,6 +33,7 @@ HEADLINE = [
     "q_agg_groupby_lineitem",
     "q_w_running_sum",
     "q_join_three_way",
+    "q_tpch_q5_local_supplier_volume",
     "q_f2_change_only",
     "q_e2_minhash_neardup",
     "q_e3_ann_cosine_topk",
