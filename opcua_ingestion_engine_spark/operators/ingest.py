@@ -251,17 +251,17 @@ def prepare_stream(
     subscribed points still feed liveness. Returns (joined, mon, tpl) —
     the enriched stream plus the materialized catalog frames.
 
-    ``mon`` is eagerly localCheckpoint'ed (NOT persisted): it is consumed
-    three times, and persist() would register in the session CacheManager
-    where repeated snapshot builds accumulate entries and every new plan
-    pays an O(cached-plans) sameResult scan — measured as a 4x slowdown by
-    the third call at sf0.1.
+    ``mon`` needs no materialization of its own: ``devices`` arrives as
+    the catalog's memoized+checkpointed dimension (catalog.site_devices),
+    so each of mon's three consumers re-evaluates only a trivial
+    filter+project over cached blocks — an extra localCheckpoint here
+    measured as one redundant ~0.2s job per snapshot build. (persist() is
+    still wrong for the same reason as ever: CacheManager entries
+    accumulate across repeated builds and every new plan pays an
+    O(cached-plans) sameResult scan — measured 4x slowdown by the third
+    call at sf0.1.)
     """
-    mon = (
-        monitored_devices(devices)
-        .select("daq_name", "device_type", "daq_template")
-        .localCheckpoint(eager=True)
-    )
+    mon = monitored_devices(devices).select("daq_name", "device_type", "daq_template")
     tpl = templates.select(
         F.col("device_type").alias("t_device_type"),
         "template_name",
