@@ -308,9 +308,12 @@ def minhash_neardup_pairs(
       shingle -> signature -> bucket path is one linear lineage (the
       earlier self-join form read it twice and needed a localCheckpoint,
       whose block-manager round-trip alone cost ~1.7s warm at sf0.1).
-    - Candidate pairs (tiny) are checkpointed before the verify stage so
-      the `needed`-docs prune and the pair join don't re-run the LSH
-      pipeline.
+    - Candidate pairs (tiny) are LAZILY checkpointed before the verify
+      stage so the `needed`-docs prune and the pair join don't re-run the
+      LSH pipeline. Lazy, not eager: the first consumer is the `needed`
+      broadcast build, which runs strictly before the probe side needs
+      cand again, so materialization fuses into a job that exists anyway
+      (a separate eager job measured ~0.4s slower at sf0.1).
     - The verify stage re-tokenizes ONLY candidate docs: a broadcast
       semi-join prunes the corpus scan to docs that appear in some pair,
       then exact Jaccard runs on those shingle sets. Corpus passes total:
@@ -322,7 +325,7 @@ def minhash_neardup_pairs(
     shingle_expr = F.array_distinct(word_ngrams(F.col(text_col), n))
     sh = docs.select("doc_id", shingle_expr.alias("shingles"))
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band).localCheckpoint(eager=False)
     needed = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
