@@ -1,0 +1,59 @@
+"""[EXT] Composed corpus-curation pipeline — the end-to-end shape an LLM
+training-data run actually executes, built from the E-operators:
+
+    E4 quality gate  ->  E1 exact dedup  ->  E2 near-dup removal
+
+Each stage is one of this package's standalone operators; this module
+only composes them, proving the operators chain the way a production
+pipeline needs (SURVEY.md §2.11; BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import jaccard_pairs
+from .text import quality_filter
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    near_threshold: float = 0.5,
+) -> DataFrame:
+    """Curate a document corpus: drop low-quality docs (E4 gates), collapse
+    exact duplicates to their lowest-doc_id representative (E1), then drop
+    every doc that near-duplicates a lower-id survivor (E2 exact-Jaccard,
+    language-blocked). Returns (doc_id, lang, n_tokens) of kept docs.
+
+    The near-dup rule is the standard greedy-by-id one: a doc is dropped
+    when ANY >= threshold pair links it to a smaller doc_id, whether or
+    not that smaller doc itself survived — deterministic and local to a
+    pair list (no transitive-closure pass, which at 100 TB would be an
+    iterative connected-components job for marginal extra removal).
+
+    Scale shape: stage 1+2 are one scan + one hash aggregation on the
+    32-byte sha256 digest; the min(struct) picks the representative and
+    carries (lang, n_tokens) so nothing re-joins the corpus afterwards.
+    Stage 3 re-reads only text of stage-2 survivors (left_semi prune
+    before tokenization) and reuses jaccard_pairs' inverted-index
+    candidate generation. In a materialized deployment each stage writes
+    a table and the next reads it; composed as one plan (test scale), the
+    quality scan runs once per consumer of ``reps`` — the documented
+    trade for keeping this a pure DataFrame -> DataFrame function.
+    """
+    s1 = quality_filter(docs, text_col=text_col, extra=("lang", text_col))
+    reps = (
+        s1.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("r"))
+        .select("r.doc_id", "r.lang", "r.n_tokens")
+    )
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    pairs = jaccard_pairs(
+        survivors, block_col="lang", text_col=text_col, threshold=near_threshold
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return reps.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens"
+    )

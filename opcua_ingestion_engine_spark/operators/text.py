@@ -42,12 +42,16 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens(text), lambda w: w.isin(*words))).cast("long")
 
 
-def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_metrics(
+    docs: DataFrame, text_col: str = "text", extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality scoring: length, token count, mean word length,
     stopword ratio, punctuation ratio, uppercase ratio.
 
     The standard cheap heuristics used to filter web corpora before
     training (C4/Gopher-style rules); each is a pure projection.
+    ``extra`` names input columns carried through unchanged (so composed
+    pipelines keep e.g. lang/text without a second corpus scan).
     """
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
@@ -63,6 +67,7 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     return docs.select(
         "doc_id",
+        *extra,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
@@ -148,20 +153,29 @@ def quality_filter(
     max_mean_word_len: float = 12.0,
     min_stopword_ratio: float = 0.005,
     max_punct_ratio: float = 0.2,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """E4 — the composed C4/Gopher-style KEEP filter: documents passing all
     cheap quality gates (length, word-length sanity, stopword floor,
     punctuation ceiling). This is the operator an LLM-data pipeline
     actually runs — metrics exist to be thresholded. Pure projection +
     filter over one scan; the predicate pushes to the parquet reader's
-    row-group stats where the corpus is length-sorted."""
-    m = quality_metrics(docs, text_col)
+    row-group stats where the corpus is length-sorted. ``extra`` columns
+    ride through for composed pipelines (curate.curate_corpus)."""
+    m = quality_metrics(docs, text_col, extra=extra)
     return m.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("mean_word_len") <= max_mean_word_len)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (F.col("punct_ratio") <= max_punct_ratio)
-    ).select("doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio")
+    ).select(
+        "doc_id",
+        *extra,
+        "n_tokens",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+    )
 
 
 # GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,

@@ -283,6 +283,60 @@ def q_e4_filter(spark, sf_dir):
 
 
 @register(
+    "q_e7_curation_pipeline",
+    f"""
+    WITH m AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS DOUBLE) / length(text) AS punct_ratio
+        FROM documents
+    ),
+    s1 AS (
+        SELECT * FROM m
+        WHERE n_tokens >= 20 AND mean_word_len <= 12.0
+          AND stopword_ratio >= 0.005 AND punct_ratio <= 0.2
+    ),
+    reps AS (
+        SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sha256(text)
+    ),
+    repsm AS (
+        SELECT s1.doc_id, s1.lang, s1.n_tokens FROM s1 JOIN reps USING (doc_id)
+    ),
+    sh AS (
+        SELECT d.doc_id, d.lang, {_sql_shingles()} AS sh
+        FROM documents d JOIN reps USING (doc_id)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(a.sh) AS na, len(b.sh) AS nb
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
+    dropd AS (
+        SELECT DISTINCT doc_b AS doc_id FROM pairs
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    )
+    SELECT r.doc_id, r.lang, r.n_tokens
+    FROM repsm r ANTI JOIN dropd d ON r.doc_id = d.doc_id
+    """,
+    "[EXT] composed corpus-curation pipeline: E4 quality gate -> E1 exact "
+    "dedup (sha256 representative) -> E2 near-dup removal (language-blocked "
+    "exact Jaccard >= 0.5, greedy-by-id) — the end-to-end LLM training-data "
+    "prep shape, chaining the standalone operators",
+)
+def q_e7_curation(spark, sf_dir):
+    from ..operators.curate import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+@register(
     "q_e4_token_count",
     r"""
     SELECT doc_id,
