@@ -247,6 +247,22 @@ def q_agg_count_distinct(spark, sf_dir):
 
 
 @register(
+    "q_agg_approx_distinct",
+    None,  # HLL sketches differ between engines — rows-only; error bound
+    # vs exact count_distinct pinned in tests/test_units.py
+    "[EXT] approx_count_distinct (HyperLogLog++, rsd=0.02) — the 100 TB "
+    "cardinality path: constant-size sketch per group, no expand/two-phase "
+    "distinct shuffle like the exact form",
+)
+def q_agg_approx_distinct(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_part_approx"),
+    )
+
+
+@register(
     "q_agg_having",
     """
     SELECT o_custkey, count(*) AS n_orders,

@@ -290,3 +290,27 @@ def test_browse_job_registry_gates_and_reports(spark):
     assert reg.join(0) == "done"
     assert reg.start(0, lambda: 1 / 0) is True  # finished job can restart
     assert reg.join(0) == "failed"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """q_agg_approx_distinct is rows-only (HLL sketches are
+    engine-specific); pin its estimates to within 5x the configured
+    rsd=0.02 of the exact distinct counts so the sketch path stays
+    honest."""
+    from opcua_ingestion_engine_spark.plans import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_agg_approx_distinct"].fn(spark, SF_CORRECT).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_agg_count_distinct"].fn(spark, SF_CORRECT).collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag, e in exact.items():
+        a = approx[flag]
+        for ac, ec in (("n_supp_approx", "n_supp"), ("n_part_approx", "n_part")):
+            rel_err = abs(a[ac] - e[ec]) / e[ec]
+            assert rel_err <= 0.10, (flag, ac, a[ac], e[ec], rel_err)
