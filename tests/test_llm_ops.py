@@ -215,3 +215,48 @@ def test_timeseries_similarity_symmetric_ranks(spark):
         assert ranks == list(range(1, len(ranks) + 1))
         dists = [r["dist"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert dists == sorted(dists)
+
+
+def test_lsh_candidates_match_selfjoin_reference(spark, mutated_corpus):
+    """The single-consumption groupBy/collect_list candidate generator must
+    produce EXACTLY the pair set of the textbook band self-join it
+    replaced (same signatures, same band geometry)."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators.text import word_ngrams
+
+    sh = mutated_corpus.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 3)).alias("shingles")
+    )
+    sig = D.minhash_signatures(sh, 48).localCheckpoint(eager=True)
+    bands, rpb = 16, 3
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sig, bands, rpb).collect()
+    }
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[
+                        F.col("signature").getItem(b * rpb + r) for r in range(rpb)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert got == want and want
