@@ -28,6 +28,16 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
             f"({exc}); events.parquet TIMESTAMP(NANOS) reads may fail",
             file=sys.stderr,
         )
+    try:
+        # DuckDB oracle timestamps are naive/UTC; keep date_format and
+        # window bucketing UTC-stable under a driver-owned session too.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception as exc:
+        print(
+            f"WARNING: could not set spark.sql.session.timeZone=UTC ({exc}); "
+            "formatted-timestamp oracle comparisons may diverge",
+            file=sys.stderr,
+        )
 
 
 def entry(spark: SparkSession) -> DataFrame:
