@@ -97,6 +97,10 @@ def brute_force_topk(
     id, so the result set is deterministic.
     """
     q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
