@@ -348,10 +348,11 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """E2 variant — 64-bit SimHash over word tokens: per bit, sum +1/-1
     weighted by token-hash bit, sign of the sum becomes the bit.
 
-    Pure bit arithmetic over a higher-order aggregate; near-dups then
-    reduce to hamming-distance joins on bit-prefix buckets (not
-    registered as a driver query — engine-specific hash — but unit
-    tested for the invariance properties).
+    Pure bit arithmetic over a higher-order aggregate; near-dups reduce
+    to hamming-distance joins on bit-band buckets — see
+    ``simhash_neardup_pairs`` for the banded search (engine-specific
+    hash, so both get rows-only driver checks plus pytest invariance /
+    exactness pins).
     """
     def bit_vote(b: int):
         return lambda acc, w: acc + F.when(
@@ -370,3 +371,75 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     return docs.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """E2 (SimHash path) — near-dup pairs with hamming(simhash64) <=
+    ``max_hamming``, found by the classic banded search (Manku et al.,
+    WWW'07): split the 64-bit fingerprint into ``n_bands`` equal bands;
+    by pigeonhole, any pair within ``max_hamming < n_bands`` bit flips
+    agrees EXACTLY on at least one band, so candidates = pairs sharing
+    (band_idx, band_bits), verified by bit_count(xor) — this search is
+    exact, not probabilistic, unlike MinHash banding.
+
+    Same scale shape as the MinHash path: bounded explode (n_bands rows
+    per doc), ONE shuffle on the band value, in-bucket pair expansion
+    consuming the fingerprint frame through a single lineage, cheap
+    verify on candidates only. ``max_bucket`` as in lsh_candidate_pairs.
+    """
+    assert max_hamming < n_bands, "pigeonhole exactness needs max_hamming < n_bands"
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    sh = simhash64(docs, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bits"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    buckets = (
+        banded.groupBy("band", "bits")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("sim_a"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -133,6 +133,18 @@ def q_e2_simhash(spark, sf_dir):
     return D.simhash64(_docs(spark, sf_dir))
 
 
+@register(
+    "q_e2_simhash_neardup",
+    None,  # xxhash64-based fingerprints — engine-specific; exactness of
+    # the banded search vs brute-force hamming is pinned in pytest
+    "E2 (SimHash path) — pairs with hamming(simhash64) <= 3 via the "
+    "Manku-style banded search: 4x16-bit bands, pigeonhole-exact "
+    "candidates, bit_count verify; single-shuffle scale shape",
+)
+def q_e2_simhash_neardup(spark, sf_dir):
+    return D.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # E3 — vector similarity search
 # ---------------------------------------------------------------------------

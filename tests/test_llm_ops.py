@@ -260,3 +260,31 @@ def test_lsh_candidates_match_selfjoin_reference(spark, mutated_corpus):
         .collect()
     }
     assert got == want and want
+
+
+def test_simhash_banded_search_is_exact(spark, mutated_corpus):
+    """The 4x16-bit banded hamming search must return EXACTLY the pairs a
+    brute-force hamming <= 3 scan finds (pigeonhole guarantee), with the
+    planted exact duplicates (hamming 0) among them when any exist."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_neardup_pairs(mutated_corpus, max_hamming=3).collect()
+    }
+    sh = D.simhash64(mutated_corpus)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()
+    }
+    assert got == want
+    assert want, "corpus should contain at least one simhash near-dup pair"
