@@ -402,3 +402,45 @@ def test_custom_opcua_source_matches_batch_flagship(spark, fixtures, tmp_path):
     # one watermark step per trigger; some windows can be row-empty
     assert sink.batches_seen >= 2
     assert _rows(sink.snapshot()) == _rows(batch)
+
+
+def test_streaming_dedup_within_watermark(spark, fixtures, tmp_path):
+    """E1 (streaming form) — dropDuplicatesWithinWatermark over the
+    replayed stream: duplicate event_ids injected across micro-batches
+    inside the watermark horizon collapse to one row, so the streaming
+    dedup matches batch dropDuplicates on the same input."""
+    import os
+
+    from opcua_ingestion_engine_spark.streaming.replay import write_replay_batches
+
+    u = fixtures["updates"].select(
+        "event_id", "source_ts", "received_ts", "value"
+    ).filter(F.col("event_id") < 2000)
+    # duplicate every 5th event — the replay interleaves them into later
+    # micro-batches than their originals
+    dupes = u.filter(F.col("event_id") % 5 == 0)
+    stream_input = u.unionByName(dupes)
+    src = str(tmp_path / "dd_src")
+    write_replay_batches(stream_input, src, num_batches=4)
+
+    batch_n = u.dropDuplicates(["event_id"]).count()
+
+    stream = (
+        spark.readStream.schema(u.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "batch_*"))
+        .withWatermark("source_ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dd_out")
+    assert got.count() == batch_n
+    assert got.select("event_id").distinct().count() == batch_n
