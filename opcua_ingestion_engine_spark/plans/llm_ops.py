@@ -145,6 +145,19 @@ def q_e2_simhash_neardup(spark, sf_dir):
     return D.simhash_neardup_pairs(_docs(spark, sf_dir))
 
 
+@register(
+    "q_e2_embedding_neardup_lsh",
+    None,  # hyperplane buckets are engine-side numpy — rows-only; recall
+    # vs the exact capped pair set pinned in pytest
+    "E2 (embedding scale path) — cosine >= 0.45 near-dup pairs via "
+    "random-hyperplane LSH self-join (16x4 tables, single-shuffle "
+    "collect_list candidates, exact JVM cosine verify; linear in corpus, "
+    "no crossJoin)",
+)
+def q_e2_embedding_lsh(spark, sf_dir):
+    return S.embedding_neardup_lsh(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # E3 — vector similarity search
 # ---------------------------------------------------------------------------

@@ -288,3 +288,29 @@ def test_simhash_banded_search_is_exact(spark, mutated_corpus):
     }
     assert got == want
     assert want, "corpus should contain at least one simhash near-dup pair"
+
+
+def test_embedding_lsh_neardup_recall(spark):
+    """LSH embedding near-dup: precision 1.0 by construction (exact cosine
+    verify); recall >= 0.8 vs the exact capped pair set at the 16x4 table
+    geometry."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_CORRECT
+
+    emb = C.load_table(spark, SF_CORRECT, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(emb, threshold=0.45).collect()
+    }
+    assert exact, "fixture should contain cosine>=0.45 pairs"
+    assert got <= exact, got - exact  # precision 1.0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, (recall, len(exact))
