@@ -79,6 +79,12 @@ def _parse_document(
     import time
 
     for attempt in range(retries):
+        # Drop any cached file status for this path: the session-shared
+        # FileStatusCache can pin the PREVIOUS length of a file being
+        # rewritten, making every re-read see the stale truncated bytes
+        # (observed as a 5x-retry flake). Also what S6 hot-reload needs —
+        # a re-read must see the new content, not the listing cache.
+        spark.catalog.refreshByPath(path)
         parsed = _read_json_text(spark, path).select(
             F.from_json("value", schema).alias("doc")
         )

@@ -144,7 +144,15 @@ def test_config_read_retries_malformed_then_heals(spark, tmp_path, monkeypatch):
     with _pytest.raises(ValueError, match="failed to parse"):
         S.load_templates_json(spark, str(bad), )
 
-    # writer "finishes" during the first backoff sleep
+    # writer "finishes" during the first backoff sleep. NOTE the global
+    # time.sleep patch is also hit by Spark/py4j background threads, so
+    # the heal must be atomic (unique temp + os.replace — readers see
+    # either the truncated or the full document, never a mid-write state;
+    # plain write_text() here raced a reader against its truncate window
+    # and flaked) and idempotent.
+    import os as _os
+    import tempfile as _tempfile
+
     healing = tmp_path / "healing.json"
     healing.write_text('{"type-0": {')
     good_doc = (
@@ -154,7 +162,10 @@ def test_config_read_retries_malformed_then_heals(spark, tmp_path, monkeypatch):
     real_sleep = __import__("time").sleep
 
     def finish_write(_secs):
-        healing.write_text(good_doc)
+        fd, tmp = _tempfile.mkstemp(dir=str(tmp_path))
+        with _os.fdopen(fd, "w") as f:
+            f.write(good_doc)
+        _os.replace(tmp, str(healing))
 
     monkeypatch.setattr("time.sleep", finish_write)
     try:
