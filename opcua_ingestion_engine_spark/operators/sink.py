@@ -165,3 +165,27 @@ def ensure_table(spark, path: str, schema: str = MODVALUES_DDL) -> bool:
     existed = os.path.isdir(path)
     spark.createDataFrame([], schema).write.mode("ignore").parquet(path)
     return not existed
+
+
+# ---------------------------------------------------------------------------
+# Event-history layout — date partitioning (SURVEY.md §4: "partition
+# events by date"; the modvalues-state analogue is write_bucketed_state)
+# ---------------------------------------------------------------------------
+
+
+def write_events_partitioned(events: DataFrame, path: str) -> None:
+    """Persist the event history hive-partitioned by event date, so
+    time-bounded queries (heartbeat windows, staleness audits, T10
+    window aggregations over a day) touch only the matching partition
+    directories instead of the full 100 TB history.
+
+    The partition column is derived (date(ts)) and kept ALONGSIDE the
+    full-fidelity ts column; readers filter on event_date for pruning
+    and on ts for exact bounds. Dynamic overwrite would make the write
+    idempotent per day on re-runs of a backfill.
+    """
+    from pyspark.sql import functions as F
+
+    events.withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)

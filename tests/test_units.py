@@ -314,3 +314,28 @@ def test_approx_count_distinct_error_bound(spark):
         for ac, ec in (("n_supp_approx", "n_supp"), ("n_part_approx", "n_part")):
             rel_err = abs(a[ac] - e[ec]) / e[ec]
             assert rel_err <= 0.10, (flag, ac, a[ac], e[ec], rel_err)
+
+
+def test_event_date_partition_pruning(spark, tmp_path):
+    """The date-partitioned event layout must let Spark prune partitions
+    for time-bounded queries: a single-day filter shows the predicate
+    under PartitionFilters (not PushedFilters) and reads exactly one
+    partition directory's rows."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import sink
+    from tests.conftest import SF_CORRECT
+
+    ev = C.load_table(spark, SF_CORRECT, "events")
+    path = str(tmp_path / "events_by_date")
+    sink.write_events_partitioned(ev, path)
+
+    day = ev.select(F.to_date(F.min("ts")).alias("d")).first()["d"]
+    t = spark.read.parquet(path)
+    one_day = t.filter(F.col("event_date") == F.lit(day))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    expected = ev.filter(F.to_date("ts") == F.lit(day)).count()
+    assert expected > 0
+    assert one_day.count() == expected
+    # full-fidelity ts column still present for exact bounds
+    assert "ts" in t.columns
