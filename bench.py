@@ -36,6 +36,7 @@ HEADLINE = [
     "q_tpch_q5_local_supplier_volume",
     "q_f2_change_only",
     "q_e2_minhash_neardup",
+    "q_e7_curation_pipeline",
     "q_e3_ann_cosine_topk",
     "q_e4_text_stats",
     "q_e6_timeseries_similarity",
