@@ -202,3 +202,40 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(bpe).cast("long").alias("n_tokens_bpe"),
         F.size(F.array_distinct(bpe)).cast("long").alias("n_unique_bpe"),
     )
+
+
+POSITIVE_LEXICON = ["fast", "big"]
+NEGATIVE_LEXICON = ["slow", "small"]
+
+
+def sentiment_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    positive: list[str] | None = None,
+    negative: list[str] | None = None,
+) -> DataFrame:
+    """E4 — lexicon-based sentiment-style scoring (§2.11's vectorizable
+    scorer): score = (|positive hits| - |negative hits|) / n_tokens in
+    [-1, 1], plus the raw hit counts and a 3-way label.
+
+    Pure higher-order Column expressions — the JVM fast path; a
+    pandas_udf would only pay Arrow transfer for arithmetic the codegen
+    engine already vectorizes (same reasoning as X1-X3). The division is
+    exact-int over double on both engines, so the oracle hash-matches.
+    """
+    pos = positive or POSITIVE_LEXICON
+    neg = negative or NEGATIVE_LEXICON
+    t = F.col(text_col)
+    n_pos = stopword_hits(t, pos)
+    n_neg = stopword_hits(t, neg)
+    score = (n_pos - n_neg).cast("double") / token_count(t).cast("double")
+    return docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        score.alias("sentiment"),
+        F.when(score > 0, "positive")
+        .when(score < 0, "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )

@@ -308,6 +308,32 @@ def q_e4_filter(spark, sf_dir):
 
 
 @register(
+    "q_e4_sentiment",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('fast','big'))) AS BIGINT) AS n_pos,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('slow','small'))) AS BIGINT) AS n_neg,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, n_pos, n_neg,
+           CAST(n_pos - n_neg AS DOUBLE) / n_tok AS sentiment,
+           CASE WHEN n_pos > n_neg THEN 'positive'
+                WHEN n_pos < n_neg THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM m
+    """,
+    "E4 — lexicon sentiment-style scoring: (pos-neg)/n_tokens + 3-way "
+    "label; pure higher-order Column exprs, one scan, no shuffle",
+)
+def q_e4_sentiment(spark, sf_dir):
+    return T.sentiment_score(_docs(spark, sf_dir))
+
+
+@register(
     "q_e7_curation_pipeline",
     f"""
     WITH m AS (
