@@ -239,3 +239,30 @@ def sentiment_score(
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """E4 — winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash fingerprint scheme MOSS uses): hash every word
+    k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum, dedupe. Guarantees any shared run of >= w+k-1
+    words between two documents shares at least one fingerprint, at
+    ~2/(w+1) of the full hash density.
+
+    Pure higher-order expressions: the k-gram hash is md5 (portable hex,
+    oracle-reproducible), window minima via transform over a position
+    sequence + array_min(slice) — O(grams x w) per document, no shuffle,
+    no UDF. Output one row per distinct fingerprint (doc_id, fp).
+    """
+    grams = word_ngrams(F.col(text_col), k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )

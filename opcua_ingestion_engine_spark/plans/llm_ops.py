@@ -38,14 +38,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.load_table(spark, sf_dir, "events")
 
 
+# SQL fragment: positional word-3-gram shingles (mirrors text.word_ngrams —
+# order preserved, duplicates kept). `{t}` is the text expression.
+def _sql_positional_shingles(t: str = "text") -> str:
+    w = f"string_split({t}, ' ')"
+    return f"""CASE WHEN len({w}) >= 3
+        THEN list_transform(range(1, len({w}) - 1),
+             i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])
+        ELSE [{t}] END"""
+
+
 # SQL fragment: distinct word-3-gram shingle set (mirrors text.word_ngrams +
 # array_distinct). `{t}` is the text expression.
 def _sql_shingles(t: str = "text") -> str:
-    w = f"string_split({t}, ' ')"
-    return f"""list_distinct(CASE WHEN len({w}) >= 3
-        THEN list_transform(range(1, len({w}) - 1),
-             i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])
-        ELSE [{t}] END)"""
+    return f"list_distinct({_sql_positional_shingles(t)})"
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +311,31 @@ def q_e4_lang(spark, sf_dir):
 )
 def q_e4_filter(spark, sf_dir):
     return T.quality_filter(_docs(spark, sf_dir))
+
+
+@register(
+    "q_e4_winnowing",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform({_sql_positional_shingles()}, g -> md5(g)) AS hs
+        FROM documents
+    ),
+    mins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                   i -> list_min(hs[i : i + 4 - 1]))) AS fps
+        FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM mins
+    """,
+    "E4 — winnowing fingerprints (Schleimer/MOSS rolling-hash scheme): "
+    "per-window minimum of word-3-gram md5 hashes, window w=4; any "
+    "shared >= w+k-1 word run yields a shared fingerprint",
+)
+def q_e4_winnowing(spark, sf_dir):
+    return T.winnowing_fingerprints(_docs(spark, sf_dir))
 
 
 @register(
