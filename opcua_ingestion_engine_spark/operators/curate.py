@@ -39,15 +39,18 @@ def curate_corpus(
     Stage 3 re-reads only text of stage-2 survivors (left_semi prune
     before tokenization) and reuses jaccard_pairs' inverted-index
     candidate generation. In a materialized deployment each stage writes
-    a table and the next reads it; composed as one plan (test scale), the
-    quality scan runs once per consumer of ``reps`` — the documented
-    trade for keeping this a pure DataFrame -> DataFrame function.
+    a table and the next reads it; composed as one plan (test scale),
+    ``reps`` is lazily checkpointed — its first consumer is
+    jaccard_pairs' internal shingle materialization, which runs before
+    the final anti join needs it again, so the quality scan + digest
+    aggregation execute exactly once.
     """
     s1 = quality_filter(docs, text_col=text_col, extra=("lang", text_col))
     reps = (
         s1.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
         .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("r"))
         .select("r.doc_id", "r.lang", "r.n_tokens")
+        .localCheckpoint(eager=False)
     )
     survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
     pairs = jaccard_pairs(
