@@ -29,6 +29,17 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
             file=sys.stderr,
         )
     try:
+        # Naive parquet timestamps must surface as TIMESTAMP (LTZ), not
+        # TIMESTAMP_NTZ — operators use LTZ-only functions (unix_micros,
+        # window); catalog.load_table also normalizes defensively.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception as exc:
+        print(
+            f"WARNING: could not disable parquet TIMESTAMP_NTZ inference ({exc}); "
+            "catalog.load_table will cast NTZ columns instead",
+            file=sys.stderr,
+        )
+    try:
         # DuckDB oracle timestamps are naive/UTC; keep date_format and
         # window bucketing UTC-stable under a driver-owned session too.
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -80,6 +80,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) read via nanosAsLong: ns -> us with integer div
         # (exact; DuckDB's ns->us read truncates identically).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Naive parquet timestamps read as TIMESTAMP_NTZ when the session's NTZ
+    # inference is on (driver-owned sessions may pin it). Operators use
+    # LTZ-only functions (unix_micros, window); with UTC session tz the
+    # NTZ->LTZ cast is wall-clock-identical to DuckDB's naive reads.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -32,6 +32,12 @@ def get_spark(app_name: str = "opcua_ingestion_engine_spark") -> SparkSession:
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp —
         # read as long and convert in catalog.load_table (exact integer div).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (isAdjustedToUTC=false, e.g. events.ts,
+        # orders.o_orderdate) must read as TIMESTAMP (LTZ, session tz UTC),
+        # not TIMESTAMP_NTZ: the time functions the operators use
+        # (unix_micros, window, date_format) take LTZ, and with UTC session
+        # tz the wall-clock values are identical to DuckDB's naive reads.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

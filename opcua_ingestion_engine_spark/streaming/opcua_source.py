@@ -48,11 +48,13 @@ def _load_notifications(path: str):
     t = pq.read_table(path, columns=["event_id", "user_id", "event_type", "value", "ts"])
     ev = t.to_pandas()
     ts = ev["ts"]
-    # TIMESTAMP(NANOS) arrives as datetime64[ns] (or int64 ns) — reduce to µs
+    # Fixture generations differ: TIMESTAMP(NANOS) arrives as
+    # datetime64[ns] / int64 ns, TIMESTAMP(MICROS) as datetime64[us] —
+    # normalize to µs without assuming the unit.
     if str(ts.dtype).startswith("datetime64"):
-        ts_us = ts.astype("int64") // 1000
+        ts_us = ts.astype("datetime64[us]").astype("int64")
     else:
-        ts_us = ts.astype("int64") // 1000
+        ts_us = ts.astype("int64") // 1000  # raw int64 is always ns
     ev = ev.assign(
         source_us=ts_us,
         received_us=ts_us + (ev["event_id"] % 150) * 1_000_000,

@@ -68,7 +68,12 @@ def _make_liveness_fn(timeout_ms: int):
 
         best = state.get if state.exists else None
         for pdf in pdfs:
-            ts_us = (pdf["received_ts"].astype("int64") // 1000).to_numpy()
+            # unit/tz-safe: Arrow may hand back datetime64[ns] or [us],
+            # naive (session-tz wall clock) or tz-aware
+            ser = pdf["received_ts"]
+            if getattr(ser.dtype, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_us = ser.astype("datetime64[us]").astype("int64").to_numpy()
             for t, eid, status in zip(
                 ts_us, pdf["event_id"].to_numpy(), pdf["status_code"].to_numpy()
             ):
