@@ -1,0 +1,229 @@
+"""[EXT] time-series relational queries over the ``events`` fixture:
+as-of join, gap sessionization, bucketed range join, plus the remaining
+window-function inventory (ntile/percent_rank/cume_dist/first_value) and
+pivot / grouping-sets aggregates.
+
+These are the temporal operators a telemetry engine needs beyond the
+reference's staleness filter + LWW state (SURVEY.md §2.5/§2.11); the
+implementations live in ``operators/timeseries.py`` and are all
+single-shuffle, pair-free plans (see that module's docstring for the
+100 TB rationale).
+
+Float-parity rule as elsewhere: sums go through DECIMAL(38,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .. import catalog as C
+from ..operators import timeseries as TS
+from .registry import register
+
+DEC = "decimal(38,6)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.load_table(spark, sf_dir, "events")
+
+
+@register(
+    "q_asof_join_purchase_view",
+    """
+    WITH v AS (
+        SELECT user_id, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ),
+    vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           vd.ts AS view_ts, vd.value AS view_value
+    FROM p ASOF LEFT JOIN vd
+      ON p.user_id = vd.user_id AND vd.ts <= p.ts
+    """,
+    "[EXT] backward as-of join: each purchase paired with the user's most "
+    "recent prior view (inclusive); union+window, one shuffle, no pair "
+    "materialization (operators/timeseries.asof_join)",
+)
+def q_asof_join_purchase_view(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TS.asof_join(
+        p,
+        v,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"view_ts": "ts", "view_value": "value"},
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "q_w_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                AS DOUBLE) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "[EXT] gap sessionization (30 min) + per-session rollup; lag + running "
+    "sum fused into one per-key sort (operators/timeseries.sessionize)",
+)
+def q_w_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    sess = TS.sessionize(ev, key="user_id", ts="ts", tiebreak="event_id", gap_s=1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "q_range_join_purchase_errors",
+    """
+    SELECT p.event_id, p.user_id,
+           count(*) AS n_errors,
+           CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS err_value_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = p.user_id
+     AND epoch_us(e.ts) >= epoch_us(p.ts) - 300 * 1000000
+     AND epoch_us(e.ts) <  epoch_us(p.ts)
+    GROUP BY p.event_id, p.user_id
+    """,
+    "[EXT] range join: errors in the 5 minutes before each purchase "
+    "(same user), bucketed equi-join + exact refinement "
+    "(operators/timeseries.range_join_buckets) — never a nested loop",
+)
+def q_range_join_purchase_errors(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    paired = TS.range_join_buckets(
+        p, e, key="user_id", left_ts="ts", right_ts="err_ts",
+        lower_s=-300, upper_s=0,
+    )
+    return paired.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_errors"),
+        F.sum(F.col("err_value").cast(DEC)).cast("double").alias("err_value_sum"),
+    )
+
+
+@register(
+    "q_w_ntile_dist",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cum_dist,
+           first_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey
+                                        ROWS UNBOUNDED PRECEDING) AS richest_in_segment
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "[EXT] remaining ranking/analytic window functions: ntile, "
+    "percent_rank, cume_dist, first_value over a deterministic order",
+)
+def q_w_ntile_dist(spark, sf_dir):
+    c = C.load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_first = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cum_dist"),
+        F.first("c_custkey").over(w_first).alias("richest_in_segment"),
+    )
+
+
+@register(
+    "q_agg_pivot_event_types",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+    "[EXT] pivot: per-user event-type counts; fixed pivot values so the "
+    "plan is a single hash aggregate (no distinct-value pre-pass)",
+)
+def q_agg_pivot_event_types(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    """
+    SELECT n_nationkey, c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acctbal_sum
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_nationkey), (c_mktsegment), ())
+    """,
+    "[EXT] grouping sets beyond rollup/cube: two independent groupings + "
+    "grand total in one pass",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    c = C.load_table(spark, sf_dir, "customer")
+    n = C.load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("_gs_cust_nation")
+    return spark.sql("""
+        SELECT n_nationkey, c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acctbal_sum
+        FROM _gs_cust_nation
+        GROUP BY GROUPING SETS ((n_nationkey), (c_mktsegment), ())
+    """)

@@ -1,0 +1,95 @@
+"""Edge-semantics tests for operators/timeseries.py: as-of tie/ordering
+rules, sessionize gap boundary, range-join interval boundaries across
+bucket edges."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+
+def _ts(s: float):
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_asof_join_tie_and_ordering(spark):
+    left = _frame(spark, [(10, 1, _ts(100.0), 1.0), (11, 1, _ts(50.0), 2.0)])
+    right = _frame(
+        spark,
+        [
+            # two right rows at exactly left ts=100: larger event_id wins
+            (1, 1, _ts(100.0), 10.0),
+            (2, 1, _ts(100.0), 20.0),
+            # earlier row is the only candidate for left ts=50
+            (3, 1, _ts(40.0), 30.0),
+            # future row must never match
+            (4, 1, _ts(101.0), 40.0),
+        ],
+    )
+    out = {
+        r["event_id"]: r["view_value"]
+        for r in TS.asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            payload={"view_value": "value"}, tiebreak="event_id",
+        ).collect()
+    }
+    assert out[10] == 20.0  # inclusive <=, max tiebreak at equal ts
+    assert out[11] == 30.0
+
+
+def test_asof_join_no_prior_match_is_null(spark):
+    left = _frame(spark, [(1, 1, _ts(10.0), 1.0)])
+    right = _frame(spark, [(2, 1, _ts(11.0), 9.0), (3, 2, _ts(5.0), 8.0)])
+    rows = TS.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"v": "value"}, tiebreak="event_id",
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] is None
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap exactly == gap_s stays in-session; one microsecond more splits
+    df = _frame(
+        spark,
+        [
+            (1, 1, _ts(0.0), 0.0),
+            (2, 1, _ts(60.0), 0.0),        # +60s == gap -> same session
+            (3, 1, _ts(120.000001), 0.0),  # +60.000001s -> new session
+        ],
+    )
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in TS.sessionize(df, "user_id", "ts", "event_id", gap_s=60).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_range_join_boundaries_span_buckets(spark):
+    # window [-10s, 0): left at t=100 matches right in [90, 100)
+    left = _frame(spark, [(1, 1, _ts(100.0), 0.0)])
+    right = spark.createDataFrame(
+        [
+            (21, 1, _ts(89.999999), 1.0),  # below -> excluded
+            (22, 1, _ts(90.0), 2.0),       # lower bound inclusive
+            (23, 1, _ts(95.0), 3.0),       # bucket boundary interior
+            (24, 1, _ts(99.999999), 4.0),  # just inside
+            (25, 1, _ts(100.0), 5.0),      # upper bound exclusive
+            (26, 2, _ts(95.0), 6.0),       # other key
+        ],
+        "event_id long, user_id long, err_ts timestamp, err_value double",
+    )
+    out = TS.range_join_buckets(
+        left, right, key="user_id", left_ts="ts", right_ts="err_ts",
+        lower_s=-10, upper_s=0,
+    )
+    got = sorted(r["err_value"] for r in out.collect())
+    assert got == [2.0, 3.0, 4.0]
