@@ -96,7 +96,8 @@ def q_tpch_q1(spark, sf_dir):
     f"""
     SELECT l.l_orderkey,
            {_REVENUE} AS revenue,
-           o.o_orderdate, o.o_orderpriority
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -124,7 +125,13 @@ def q_tpch_q3(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_revenue().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            "revenue",
+            # string-formatted: aligns result dtype with the DuckDB oracle
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .limit(10)
     )
 
@@ -250,8 +257,9 @@ def q_tpch_q10(spark, sf_dir):
         FROM lineitem GROUP BY l_orderkey
         HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300
     )
-    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           b.total_qty
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice, b.total_qty
     FROM big b
     JOIN orders o ON b.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -277,7 +285,7 @@ def q_tpch_q18(spark, sf_dir):
             "c_custkey",
             "c_name",
             "o_orderkey",
-            "o_orderdate",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
             "total_qty",
         )

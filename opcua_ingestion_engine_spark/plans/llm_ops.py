@@ -194,7 +194,10 @@ def q_e2_embedding_lsh(spark, sf_dir):
 def q_e3_brute(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.withColumnRenamed("rank", "nn_rank")
+    # long cast: Spark row_number is int32, DuckDB int64
+    return out.withColumnRenamed("rank", "nn_rank").withColumn(
+        "nn_rank", F.col("nn_rank").cast("long")
+    )
 
 
 @register(
@@ -569,6 +572,7 @@ def q_e5_frames(spark, sf_dir):
 )
 def q_e6(spark, sf_dir):
     out = S.timeseries_similarity_topk(_events(spark, sf_dir), k=3, max_users=40)
+    # long cast: Spark row_number is int32, DuckDB int64
     return out.withColumnRenamed("rank", "nn_rank").select(
-        "user_a", "user_b", "nn_rank", "dist"
+        "user_a", "user_b", F.col("nn_rank").cast("long").alias("nn_rank"), "dist"
     )

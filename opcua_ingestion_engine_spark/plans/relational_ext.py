@@ -141,7 +141,9 @@ def q_join_anti(spark, sf_dir):
 @register(
     "q_join_three_way",
     """
-    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_nationkey
+    SELECT l.l_orderkey, l.l_linenumber,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           c.c_nationkey
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -153,10 +155,17 @@ def q_join_three_way(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # date formatted to string: Spark's pandas bridge yields ns-resolution
+    # timestamps, DuckDB µs — identical instants, unequal dtypes
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .select("l_orderkey", "l_linenumber", "o_orderdate", "c_nationkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "c_nationkey",
+        )
     )
 
 
@@ -304,12 +313,14 @@ def q_w_row_number_rank(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     uw = W.partitionBy("user_id").orderBy("ts", "event_id")
     vw = W.partitionBy("user_id").orderBy("event_type")
+    # ranks cast to long: Spark emits int32, DuckDB int64 — align the
+    # result schema so the driver's dtype/schema comparison can't diverge
     return ev.select(
         "event_id",
         "user_id",
-        F.row_number().over(uw).alias("rn"),
-        F.rank().over(vw).alias("rk"),
-        F.dense_rank().over(vw).alias("drk"),
+        F.row_number().over(uw).cast("long").alias("rn"),
+        F.rank().over(vw).cast("long").alias("rk"),
+        F.dense_rank().over(vw).cast("long").alias("drk"),
     )
 
 

@@ -41,8 +41,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
     p AS (SELECT event_id, user_id, ts, value FROM events
           WHERE event_type = 'purchase')
-    SELECT p.event_id, p.user_id, p.ts, p.value,
-           vd.ts AS view_ts, vd.value AS view_value
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, p.value,
+           strftime(vd.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts, vd.value AS view_value
     FROM p ASOF LEFT JOIN vd
       ON p.user_id = vd.user_id AND vd.ts <= p.ts
     """,
@@ -58,7 +59,7 @@ def q_asof_join_purchase_view(spark, sf_dir):
     v = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value"
     )
-    return TS.asof_join(
+    out = TS.asof_join(
         p,
         v,
         key="user_id",
@@ -66,6 +67,17 @@ def q_asof_join_purchase_view(spark, sf_dir):
         right_ts="ts",
         payload={"view_ts": "ts", "view_value": "value"},
         tiebreak="event_id",
+    )
+    # timestamps formatted to strings: Spark's pandas bridge yields
+    # ns-resolution, DuckDB µs — identical instants, unequal dtypes
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "value",
+        F.date_format("view_ts", fmt).alias("view_ts"),
+        "view_value",
     )
 
 
@@ -90,7 +102,8 @@ def q_asof_join_purchase_view(spark, sf_dir):
         FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           min(ts) AS session_start, max(ts) AS session_end,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            CAST((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
                 AS DOUBLE) AS duration_s
     FROM sess GROUP BY user_id, session_id
@@ -101,10 +114,11 @@ def q_asof_join_purchase_view(spark, sf_dir):
 def q_w_sessionize(spark, sf_dir):
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
     sess = TS.sessionize(ev, key="user_id", ts="ts", tiebreak="event_id", gap_s=1800)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
         (
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
         ).alias("duration_s"),
@@ -174,7 +188,8 @@ def q_w_ntile_dist(spark, sf_dir):
     )
     return c.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        # long cast: Spark ntile is int32, DuckDB int64
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
         F.cume_dist().over(w).cast("double").alias("cum_dist"),
         F.first("c_custkey").over(w_first).alias("richest_in_segment"),
