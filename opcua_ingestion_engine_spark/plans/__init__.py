@@ -7,5 +7,6 @@ from . import llm_ops  # noqa: E402,F401
 from . import config_ops  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import timeseries_ops  # noqa: E402,F401
+from . import analytics_full  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql"]
