@@ -34,7 +34,10 @@ HEADLINE = [
     "q_w_running_sum",
     "q_join_three_way",
     "q_tpch_q5_local_supplier_volume",
+    "q_tpch_q21_waiting_suppliers",
     "q_f2_change_only",
+    "q_asof_join_purchase_view",
+    "q_w_sessionize",
     "q_e2_minhash_neardup",
     "q_e7_curation_pipeline",
     "q_e3_ann_cosine_topk",

@@ -1,0 +1,124 @@
+"""[EXT] advanced aggregate / scalar coverage: exact percentiles,
+higher-order array functions, and the salted two-stage aggregation
+pattern for skewed keys.
+
+Percentile parity note: Spark ``percentile`` and DuckDB
+``quantile_cont`` implement the same definition (linear interpolation at
+rank ``(n-1)*p``); with integral data values and dyadic p
+(0.25/0.5/0.75) the interpolation arithmetic is exact in double on both
+engines, so the comparison is bit-identical. Higher-order folds run
+left-to-right in declared element order on both engines, so
+double-precision accumulation orders agree.
+
+The salted aggregation is the canonical skew treatment at 100 TB: stage
+1 groups by (key, salt) so one hot key spreads over ``salt_buckets``
+reducers; stage 2 merges the bounded partials. Decimal partial sums make
+the two-stage result bit-identical to the direct group-by (associative,
+order-independent) — which is exactly what the plain-SQL oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog as C
+from .registry import register
+
+DEC = "decimal(38,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return C.load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "[EXT] exact percentiles (linear interpolation) per group; the "
+    "approx_percentile sketch is the scale path, this is the exact "
+    "verify form",
+)
+def q_agg_percentiles(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_x_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b)) AS l2_norm,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_val,
+           CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT)
+               AS n_positive
+    FROM embeddings
+    """,
+    "[EXT] higher-order array functions (transform/aggregate/filter) on "
+    "the embedding column — JVM-side lambda evaluation, no UDF; "
+    "left-to-right folds match DuckDB list_reduce exactly",
+)
+def q_x_array_hof(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)).alias("l2_norm"),
+        F.aggregate(
+            dbl,
+            F.lit(None).cast("double"),
+            lambda a, x: F.when(a.isNull() | (x > a), x).otherwise(a),
+        ).alias("max_val"),
+        F.size(F.filter("embedding", lambda x: x > 0.0)).cast("long").alias(
+            "n_positive"
+        ),
+    )
+
+
+@register(
+    "q_agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "[EXT] salted two-stage aggregation: 3 hot keys spread over 8 salt "
+    "buckets in stage 1, merged in stage 2 — bit-identical to the direct "
+    "groupBy (decimal partials are order-independent), which is what the "
+    "plain-SQL oracle asserts",
+)
+def q_agg_salted_skew(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    stage1 = (
+        l.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(8)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("_rev"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("_rev").cast("double").alias("revenue"),
+        F.sum("_n").alias("n"),
+    )
