@@ -1,0 +1,89 @@
+"""[EXT] Iterative graph operators: connected components over the
+near-dup pair graph.
+
+LLM curation pipelines cluster near-duplicate PAIRS into components and
+keep one representative per component (pair-local greedy rules — like
+``curate.curate_corpus``'s drop-if-linked-to-smaller-id — can drop both
+endpoints of a chain's middle links). Connected components is the
+textbook Spark iterative algorithm: no built-in DataFrame primitive
+exists, and the naive self-join recursion doubles the plan per round —
+the implementation below follows the same discipline as the browse BFS
+(``operators/browse.py``): checkpoint per iteration to keep plans
+linear, converge on a count that materializes the iteration's frame
+anyway.
+
+Algorithm: min-label propagation. Every node starts labeled with
+itself; each round every node takes the min label in its closed
+neighborhood. Rounds needed = graph diameter (near-dup components are
+shallow — chains of borderline-similar docs — so typically <= ~5);
+each round is one shuffle keyed on node id. For adversarial diameters
+the alternating large-star/small-star algorithm halves path lengths
+per round (O(log n) rounds); the loop structure here is the same, only
+the neighbor rule changes — not needed for dedup-shaped graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_CC_ITERATIONS = 50  # safety bound; rounds used = component diameter
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = MAX_CC_ITERATIONS,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with the minimum node
+    id of its connected component. Returns (node, component).
+
+    Only nodes that appear in some pair are returned — callers treat
+    absent docs as singleton components (their own id), which is the
+    identity and needs no computation.
+
+    Per iteration: ONE groupBy shuffle on node id (the symmetric edge
+    list is built once, checkpointed, and re-probed each round with the
+    current labels via a broadcast-eligible join on src). Convergence is
+    detected by counting label changes — the count materializes the
+    round's lazily-checkpointed label frame, so each round is one job
+    (same fusion trick as the browse BFS termination count).
+    """
+    # Symmetric closed-neighborhood edge list, built once: (u,v), (v,u),
+    # and (u,u) self-loops so a node always sees its own label.
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .unionByName(fwd.select(F.col("u").alias("u"), F.col("u").alias("v")))
+        .unionByName(fwd.select(F.col("v").alias("u"), F.col("v").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.groupBy("u").agg(F.min("v").alias("lbl"))  # round 1 for free
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # propagate: node u's new label = min over neighbors v of lbl(v)
+        nxt = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        merged = (
+            labels.join(nxt, "u")
+            .select(
+                "u",
+                F.least("lbl", "new_lbl").alias("lbl"),
+                (F.col("new_lbl") < F.col("lbl")).cast("long").alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = merged.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))

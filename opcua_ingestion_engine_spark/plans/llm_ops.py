@@ -101,6 +101,53 @@ def q_e2_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_e2_dedup_clusters",
+    f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, lang, {_sql_shingles()} AS sh FROM documents
+    ),
+    p AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) AS na, len(b.sh) AS nb
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    ),
+    labels AS (
+        SELECT u AS node, min(lbl) AS component FROM reach GROUP BY u
+    )
+    SELECT node, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM labels
+    """,
+    "E2 (cluster stage) — connected components over the exact near-dup "
+    "pair graph: min-label propagation, one shuffle per round, rounds = "
+    "component diameter (operators/graph.py); the recursive-CTE oracle "
+    "computes the same transitive closure",
+)
+def q_e2_dedup_clusters(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from ..operators.graph import connected_components
+
+    pairs = D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    cc = connected_components(pairs)
+    return cc.withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("component"))
+    )
+
+
+@register(
     "q_e2_minhash_neardup",
     None,  # engine-native hashing — rows-only; recall pinned in pytest
     "E2 (scale path) — MinHash-LSH: shingle -> 96-hash signature -> 32x3 "

@@ -93,3 +93,21 @@ def test_range_join_boundaries_span_buckets(spark):
     )
     got = sorted(r["err_value"] for r in out.collect())
     assert got == [2.0, 3.0, 4.0]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from opcua_ingestion_engine_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (diameter 3: exercises multiple rounds)
+            (1, 2), (2, 3), (3, 4),
+            # separate pair
+            (10, 11),
+            # triangle merging two labels
+            (20, 21), (21, 22), (20, 22),
+        ],
+        "doc_a long, doc_b long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
