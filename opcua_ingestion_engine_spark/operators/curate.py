@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import jaccard_pairs
+from .graph import connected_components
 from .text import quality_filter
 
 
@@ -60,3 +61,43 @@ def curate_corpus(
     return reps.join(drop, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+def curate_corpus_clustered(
+    docs: DataFrame,
+    text_col: str = "text",
+    near_threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-mode curation: same quality gate (E4) and exact-dedup (E1)
+    stages as ``curate_corpus``, but near-duplicates are resolved by
+    CONNECTED COMPONENTS over the pair graph (``graph.connected_components``)
+    keeping the minimum-doc_id representative per component — the rule
+    production LLM dedup uses, preserving exactly one doc per transitive
+    near-dup cluster where the greedy pair rule can over- or under-drop
+    along chains.
+
+    Scale shape: identical to curate_corpus through the pair list, then
+    O(diameter) label-propagation rounds on the (small) pair graph;
+    unpaired survivors bypass the clustering entirely (left_anti on the
+    clustered node set).
+    """
+    s1 = quality_filter(docs, text_col=text_col, extra=("lang", text_col))
+    reps = (
+        s1.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("r"))
+        .select("r.doc_id", "r.lang", "r.n_tokens")
+        .localCheckpoint(eager=False)
+    )
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    pairs = jaccard_pairs(
+        survivors, block_col="lang", text_col=text_col, threshold=near_threshold
+    )
+    comp = connected_components(pairs)  # (node, component); paired docs only
+    cluster_reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
+    singles = reps.join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    chosen = reps.join(
+        cluster_reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    return singles.unionByName(chosen).select("doc_id", "lang", "n_tokens")
