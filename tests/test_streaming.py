@@ -479,3 +479,90 @@ def test_replayer_beats_reference_ingest_ceiling(spark, fixtures, tmp_path):
     assert sink.batches_seen == 2
     rate = n_updates / elapsed
     assert rate >= 500, (rate, n_updates, elapsed)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """[EXT] stream-stream interval join with watermarks on both sides:
+    purchases joined to same-user errors in the preceding 5 minutes must
+    emit exactly the pairs the batch range join produces
+    (operators/timeseries.range_join_buckets)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming import replay
+
+    ev = C.load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ss_join")
+    replay.write_replay_batches(
+        ev.select(
+            "event_id",
+            F.col("ts").alias("received_ts"),  # splitter orders by received_ts
+            "user_id",
+            "event_type",
+            "value",
+        ),
+        src,
+        num_batches=4,
+    )
+    schema = (
+        "event_id long, received_ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("received_ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    e = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("received_ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user = e_user AND "
+            "e_ts >= p_ts - interval 5 minutes AND e_ts < p_ts"
+        ),
+        "inner",
+    ).select("p_id", "e_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["p_id"], r["e_id"]) for r in spark.table("ss_interval_join").collect()
+    )
+
+    pb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    eb = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    want = sorted(
+        (r["p_id"], r["e_id"])
+        for r in TS.range_join_buckets(
+            pb, eb, key="user_id", left_ts="ts", right_ts="err_ts",
+            lower_s=-300, upper_s=0,
+        ).collect()
+    )
+    assert len(want) > 0 and got == want
