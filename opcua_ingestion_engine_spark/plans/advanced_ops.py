@@ -122,3 +122,49 @@ def q_agg_salted_skew(spark, sf_dir):
         F.sum("_rev").cast("double").alias("revenue"),
         F.sum("_n").alias("n"),
     )
+
+
+@register(
+    "q_x_unpivot",
+    """
+    SELECT p_partkey, attr, val FROM (
+        SELECT p_partkey, 'retailprice' AS attr,
+               CAST(p_retailprice AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    """,
+    "[EXT] unpivot/melt: wide part attributes to long (attr, val) rows — "
+    "Spark's native unpivot vs the equivalent UNION ALL oracle",
+)
+def q_x_unpivot(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot("p_partkey", ["retailprice", "size"], "attr", "val")
+
+
+@register(
+    "q_sort_nulls_ordering",
+    """
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np
+    FROM orders
+    ORDER BY status_np NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+    "[EXT] explicit null-ordering sort: NULLS FIRST with a unique "
+    "tiebreak — engines default null order differently (Spark first, "
+    "DuckDB last), so the query pins it explicitly on both",
+)
+def q_sort_nulls_ordering(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif("o_orderstatus", F.lit("P")).alias("status_np"),
+        )
+        .orderBy(F.col("status_np").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(50)
+    )
