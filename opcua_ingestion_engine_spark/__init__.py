@@ -17,7 +17,9 @@ This package re-expresses those semantics Spark-first:
 - ``operators``  — DataFrame -> DataFrame operators (filters F1-F10, joins
                    J1-J7, aggregations A1-A4, merge/upsert S9-S11, browse
                    B1-B4, reconcile J5, and the [EXT] scale operators:
-                   dedup, similarity search, text analysis, multimodal).
+                   dedup + connected-component clustering, similarity
+                   search, text analysis, multimodal, as-of/range joins +
+                   sessionization, composed corpus curation).
 - ``sources``    — file-backed config loaders (S3/S4 nested-JSON catalogs
                    via from_json + map explode, S5 connection config; S6
                    hot reload falls out of re-reading per call).

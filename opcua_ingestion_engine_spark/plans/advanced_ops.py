@@ -168,3 +168,18 @@ def q_sort_nulls_ordering(spark, sf_dir):
         .orderBy(F.col("status_np").asc_nulls_first(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+@register(
+    "q_agg_approx_percentile",
+    None,  # sketch output is engine-specific; error bound pinned in pytest
+    "[EXT] approx_percentile sketch — the scale path pairing "
+    "q_agg_percentiles' exact verify form; |approx - exact| accuracy is "
+    "pinned by tests/test_timeseries.py::test_approx_percentile_error_bound",
+)
+def q_agg_approx_percentile(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("approx_median"),
+        F.count("*").alias("n"),
+    )

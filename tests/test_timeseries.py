@@ -111,3 +111,26 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile(accuracy=10000) must land within 1/10000 rank
+    error of the exact median — on l_quantity's 50 distinct values that
+    means within one neighboring value."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from tests.conftest import SF_CORRECT
+    from pyspark.sql import functions as F
+
+    l = C.load_table(spark, SF_CORRECT, "lineitem")
+    got = {
+        r["l_returnflag"]: (r["approx_median"], r["exact_median"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_quantity", 0.5, 10000).alias("approx_median"),
+            F.percentile("l_quantity", 0.5).alias("exact_median"),
+        )
+        .collect()
+    }
+    assert len(got) == 3
+    for flag, (approx, exact) in got.items():
+        assert abs(approx - exact) <= 1.0, (flag, approx, exact)
