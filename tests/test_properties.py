@@ -136,3 +136,51 @@ def test_perpoint_merge_is_split_invariant(spark, events, rnd):
 
     key = lambda r: (r["daq_name"], r["measure_name"])
     assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a brute-force per-row model
+# ---------------------------------------------------------------------------
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),     # key
+    st.integers(min_value=0, max_value=20),    # ts (seconds, collisions likely)
+    st.integers(min_value=0, max_value=40),    # value payload
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_EVENT, min_size=1, max_size=25),
+    st.lists(_EVENT, min_size=0, max_size=25),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-left-row argmax over {right | same key, ts <=
+    left.ts}, ordering by (ts, tiebreak) — including timestamp collisions
+    between and within sides."""
+    from datetime import datetime, timezone
+
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    lrows = [(i, k, ts(t), float(v)) for i, (k, t, v) in enumerate(lefts)]
+    rrows = [
+        (1000 + i, k, ts(t), float(v)) for i, (k, t, v) in enumerate(rights)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    out = TS.asof_join(
+        spark.createDataFrame(lrows, schema),
+        spark.createDataFrame(rrows, schema) if rrows
+        else spark.createDataFrame([], schema),
+        key="user_id", left_ts="ts", right_ts="ts",
+        payload={"v": "value"}, tiebreak="event_id",
+    ).collect()
+    got = {r["event_id"]: r["v"] for r in out}
+
+    expect = {}
+    for lid, lk, lt, _ in lrows:
+        cands = [(rt, rid, rv) for rid, rk, rt, rv in rrows if rk == lk and rt <= lt]
+        expect[lid] = max(cands)[2] if cands else None
+    assert got == expect
