@@ -9,5 +9,6 @@ from . import analytics  # noqa: E402,F401
 from . import timeseries_ops  # noqa: E402,F401
 from . import analytics_full  # noqa: E402,F401
 from . import advanced_ops  # noqa: E402,F401
+from . import telemetry_reports  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql"]
