@@ -566,3 +566,57 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert len(want) > 0 and got == want
+
+
+def test_restart_from_checkpoint_resumes_exactly_once(spark, fixtures, tmp_path):
+    """T9 — kill/restart recovery: a first availableNow run consumes the
+    batch files present, a second run against the SAME checkpoint must
+    resume at the recorded offset (no re-merge of consumed files) and
+    finish with the exact batch-flagship state."""
+    import os
+    import shutil
+
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.streaming import replay
+
+    batch = ingest.modvalues_snapshot(
+        fixtures["updates"],
+        fixtures["devices"],
+        fixtures["templates"],
+        fixtures["connections"],
+    )
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    hidden = tmp_path / "hidden"
+    hidden.mkdir()
+    paths = replay.write_replay_batches(fixtures["updates"], str(src), 6)
+    for p in paths[3:]:  # simulate data not yet arrived at first run
+        shutil.move(p, str(hidden / os.path.basename(p)))
+
+    sink = replay.ModvaluesMergeSink(
+        fixtures["devices"], fixtures["templates"], fixtures["connections"]
+    )
+    schema = fixtures["updates"].schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/batch_*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sink.batches_seen == 3  # "crash" after half the stream
+    for p in hidden.iterdir():
+        shutil.move(str(p), str(src / p.name))
+    run_once()
+    # offsets resumed: only the 3 new files triggered, nothing re-merged
+    assert sink.batches_seen == 6
+    assert _rows(sink.snapshot()) == _rows(batch)
