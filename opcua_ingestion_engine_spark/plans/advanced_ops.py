@@ -183,3 +183,64 @@ def q_agg_approx_percentile(spark, sf_dir):
         F.approx_percentile("l_quantity", 0.5, 10000).alias("approx_median"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_e4_pattern_extract",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+(\.[0-9]+)?')) AS BIGINT)
+               AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+               AS n_capitalized,
+           CAST(len(regexp_extract_all(text, '\b(the|and|of)\b')) AS BIGINT)
+               AS n_function_words
+    FROM documents
+    """,
+    "[EXT] E4 pattern extraction: per-doc counts of numeric literals, "
+    "capitalized words and selected function words via regexp_extract_all "
+    "— pure codegen'd JVM regex, one scan",
+)
+def q_e4_pattern_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    def n(pat):
+        return F.size(F.regexp_extract_all("text", F.lit(pat))).cast("long")
+    return d.select(
+        "doc_id",
+        n(r"[0-9]+(\.[0-9]+)?").alias("n_numbers"),
+        n(r"[A-Z][a-z]+").alias("n_capitalized"),
+        n(r"\b(the|and|of)\b").alias("n_function_words"),
+    )
+
+
+@register(
+    "q_profile_lineitem",
+    """
+    SELECT 'l_quantity' AS col, count(*) AS n_rows,
+           count(l_quantity) AS n_nonnull,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_val,
+           CAST(max(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           count(DISTINCT l_discount),
+           CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+    "[EXT] table profiling utility: per-column null/distinct/min/max in "
+    "one pass per column set — the first query any engine user runs "
+    "against an unknown table",
+)
+def q_profile_lineitem(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    def profile(col):
+        return l.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+    return profile("l_quantity").unionByName(profile("l_discount"))
