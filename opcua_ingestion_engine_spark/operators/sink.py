@@ -189,3 +189,39 @@ def write_events_partitioned(events: DataFrame, path: str) -> None:
     events.withColumn("event_date", F.to_date("ts")).write.mode(
         "overwrite"
     ).partitionBy("event_date").parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Maintenance op: rewrite a parquet directory into ~target-sized
+    files. Streaming micro-batch sinks accrete small files (one-per-
+    trigger-per-partition); at 100 TB an uncompacted table turns every
+    scan into a metadata storm (800k+ file opens). Returns the resulting
+    file count.
+
+    Sizing: output file count = ceil(total_bytes / target) measured from
+    the current footprint — a cheap driver-side directory listing, no
+    data read. The rewrite is one coalesce(n) pass (no shuffle: coalesce
+    narrows partitions; repartition would be needed only to also
+    redistribute skew). Write lands in a temp dir then swaps in, so a
+    concurrent reader never sees a half-written table.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".compact_old"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+    return len(_glob.glob(os.path.join(path, "*.parquet")))

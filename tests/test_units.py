@@ -339,3 +339,20 @@ def test_event_date_partition_pruning(spark, tmp_path):
     assert one_day.count() == expected
     # full-fidelity ts column still present for exact bounds
     assert "ts" in t.columns
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    """Compaction must collapse a many-small-file table to the computed
+    file count without changing its contents."""
+    from opcua_ingestion_engine_spark.operators import sink
+
+    path = str(tmp_path / "small_files")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    import glob
+    assert len(glob.glob(path + "/*.parquet")) >= 32
+    n = sink.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 10_000 * 9_999
