@@ -28,7 +28,12 @@ snapshot — is shared with the replay path untouched.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SCHEMA = (
     "event_id bigint, server_url string, conn_id int, node_id string, "
@@ -136,68 +141,97 @@ class OpcUaSimStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _ConnWindowPartition):
-        # Vectorized partition read: one pandas pass + ONE Arrow
-        # RecordBatch yielded per (connection, window) — the DataSource API
-        # consumes Arrow batches directly, skipping per-row Python tuple
-        # pickling (the row-at-a-time form is the classic Python-source
-        # bottleneck once notification volume grows).
-        import pyarrow as pa
-
-        ev = _load_notifications(partition.path)
-        m = (
-            (ev["conn_id"] == partition.conn_id)
-            & (ev["received_us"] > partition.start_us)
-            & (ev["received_us"] <= partition.end_us)
-        )
-        if partition.outage is not None:
-            o_start, o_end = partition.outage
-            m &= ~((ev["received_us"] >= o_start) & (ev["received_us"] < o_end))
-        sel = ev[m]
-        if len(sel) == 0:
-            return
-        dev = "DEV-" + (sel["user_id"] % 100).astype("int64").astype(str).str.zfill(3)
-        tag = sel["event_type"].astype(str) + "_raw"
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(sel["event_id"].astype("int64"), pa.int64()),
-                pa.array(
-                    "opc.tcp://10.10.100." + str(partition.conn_id + 1) + ":62541"
-                    for _ in range(len(sel))
-                ),
-                pa.array([partition.conn_id] * len(sel), pa.int32()),
-                pa.array("ns=2;s=" + dev + "/" + tag),
-                pa.array(dev),
-                pa.array(sel["event_type"].astype(str)),
-                pa.array(tag),
-                pa.array(sel["value"].astype("float64"), pa.float64()),
-                pa.array(sel["source_us"].astype("int64"), pa.timestamp("us")),
-                pa.array(
-                    ((sel["event_id"] % 50 == 0) * BAD_STATUS).astype("int64"),
-                    pa.int64(),
-                ),
-                pa.array(sel["received_us"].astype("int64"), pa.timestamp("us")),
-            ],
-            names=[
-                "event_id",
-                "server_url",
-                "conn_id",
-                "node_id",
-                "daq_name",
-                "measure_name",
-                "tag_name",
-                "value",
-                "source_ts",
-                "status_code",
-                "received_ts",
-            ],
-        )
+        yield from _read_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass
 
 
+def _read_partition(partition: _ConnWindowPartition):
+    """Vectorized partition read shared by the stream and batch readers:
+    one pandas pass + ONE Arrow RecordBatch yielded per (connection,
+    window) — the DataSource API consumes Arrow batches directly,
+    skipping per-row Python tuple pickling (the row-at-a-time form is
+    the classic Python-source bottleneck once notification volume
+    grows)."""
+    import pyarrow as pa
+
+    ev = _load_notifications(partition.path)
+    m = (
+        (ev["conn_id"] == partition.conn_id)
+        & (ev["received_us"] > partition.start_us)
+        & (ev["received_us"] <= partition.end_us)
+    )
+    if partition.outage is not None:
+        o_start, o_end = partition.outage
+        m &= ~((ev["received_us"] >= o_start) & (ev["received_us"] < o_end))
+    sel = ev[m]
+    if len(sel) == 0:
+        return
+    dev = "DEV-" + (sel["user_id"] % 100).astype("int64").astype(str).str.zfill(3)
+    tag = sel["event_type"].astype(str) + "_raw"
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(sel["event_id"].astype("int64"), pa.int64()),
+            pa.array(
+                "opc.tcp://10.10.100." + str(partition.conn_id + 1) + ":62541"
+                for _ in range(len(sel))
+            ),
+            pa.array([partition.conn_id] * len(sel), pa.int32()),
+            pa.array("ns=2;s=" + dev + "/" + tag),
+            pa.array(dev),
+            pa.array(sel["event_type"].astype(str)),
+            pa.array(tag),
+            pa.array(sel["value"].astype("float64"), pa.float64()),
+            pa.array(sel["source_us"].astype("int64"), pa.timestamp("us")),
+            pa.array(
+                ((sel["event_id"] % 50 == 0) * BAD_STATUS).astype("int64"),
+                pa.int64(),
+            ),
+            pa.array(sel["received_us"].astype("int64"), pa.timestamp("us")),
+        ],
+        names=[
+            "event_id",
+            "server_url",
+            "conn_id",
+            "node_id",
+            "daq_name",
+            "measure_name",
+            "tag_name",
+            "value",
+            "source_ts",
+            "status_code",
+            "received_ts",
+        ],
+    )
+
+
+class OpcUaSimBatchReader(DataSourceReader):
+    """Batch form of the connector: the full notification history in one
+    read, still one input partition per connection (the same sharding the
+    subscription topology dictates). ``spark.read.format("opcua_sim")``."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opcua_sim requires .option('path', <events.parquet>)")
+
+    def partitions(self):
+        ev = _load_notifications(self.path)
+        lo = int(ev["received_us"].min()) - 1
+        hi = int(ev["received_us"].max())
+        return [
+            _ConnWindowPartition(self.path, int(c), lo, hi)
+            for c in sorted(ev["conn_id"].unique())
+        ]
+
+    def read(self, partition: _ConnWindowPartition):
+        yield from _read_partition(partition)
+
+
 class OpcUaSimDataSource(DataSource):
-    """``spark.readStream.format("opcua_sim").option("path", ...)`` after
+    """``spark.readStream.format("opcua_sim").option("path", ...)`` (or
+    batch ``spark.read``) after
     ``spark.dataSource.register(OpcUaSimDataSource)``."""
 
     @classmethod
@@ -206,6 +240,9 @@ class OpcUaSimDataSource(DataSource):
 
     def schema(self) -> str:
         return SCHEMA
+
+    def reader(self, schema) -> OpcUaSimBatchReader:
+        return OpcUaSimBatchReader(self.options)
 
     def streamReader(self, schema) -> OpcUaSimStreamReader:
         return OpcUaSimStreamReader(self.options)

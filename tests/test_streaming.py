@@ -620,3 +620,27 @@ def test_restart_from_checkpoint_resumes_exactly_once(spark, fixtures, tmp_path)
     # offsets resumed: only the 3 new files triggered, nothing re-merged
     assert sink.batches_seen == 6
     assert _rows(sink.snapshot()) == _rows(batch)
+
+
+def test_batch_reader_matches_catalog_derivation(spark):
+    """The connector's batch form (spark.read.format('opcua_sim')) must
+    produce exactly the notification set catalog.opc_updates derives with
+    DataFrame expressions."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.streaming.opcua_source import (
+        OpcUaSimDataSource,
+    )
+
+    try:
+        spark.dataSource.register(OpcUaSimDataSource)
+    except Exception:
+        pass  # already registered by another test in this session
+    got = (
+        spark.read.format("opcua_sim")
+        .option("path", f"{SF_SMOKE}/events.parquet")
+        .load()
+    )
+    want = C.opc_updates(spark, SF_SMOKE)
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
