@@ -1,0 +1,73 @@
+"""Deployment-shaped E2E: the per-point state PERSISTED between merge
+rounds as a bucketed table (blue/green swap — the parquet analogue of
+Delta MERGE-in-place), then snapshotted. Final result must equal the
+one-shot batch flagship over the same updates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    from opcua_ingestion_engine_spark import catalog as C
+
+    return dict(
+        updates=C.opc_updates(spark, SF_SMOKE),
+        devices=C.site_devices(spark, SF_SMOKE),
+        templates=C.sos_templates(spark),
+        connections=C.opc_client_connections(spark),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_bucketed_state_rounds(spark, fx):
+    from opcua_ingestion_engine_spark.operators import ingest, sink
+
+    batch = ingest.modvalues_snapshot(
+        fx["updates"], fx["devices"], fx["templates"], fx["connections"]
+    )
+
+    # three time-ordered update rounds (a day of ingest = many such)
+    bounds = fx["updates"].agg(
+        F.min("received_ts").alias("lo"), F.max("received_ts").alias("hi")
+    ).collect()[0]
+    lo_us, hi_us = (
+        int(bounds["lo"].timestamp() * 1e6),
+        int(bounds["hi"].timestamp() * 1e6) + 1,
+    )
+    step = (hi_us - lo_us) // 3 + 1
+    names = ["pstate_a", "pstate_b"]
+    mon = tpl = None
+    stored = None
+    for i in range(3):
+        win_lo, win_hi = lo_us + i * step, lo_us + (i + 1) * step
+        batch_updates = fx["updates"].filter(
+            (F.unix_micros("received_ts") >= win_lo)
+            & (F.unix_micros("received_ts") < win_hi)
+        )
+        joined, m, t = ingest.prepare_stream(
+            batch_updates, fx["devices"], fx["templates"], fx["connections"]
+        )
+        if mon is None:
+            mon, tpl = m, t
+        incoming = ingest.perpoint_state(joined)
+        merged = ingest.merge_perpoint_states(stored, incoming)
+        # blue/green: write the new state version, then read it back as
+        # the next round's stored side (never read+overwrite one table)
+        table = names[i % 2]
+        sink.write_bucketed_state(
+            merged, table, ["daq_name", "measure_name"], num_buckets=4
+        )
+        stored = spark.table(table)
+
+    got = ingest.snapshot_from_state(stored, mon, tpl)
+    assert _rows(got) == _rows(batch)
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
