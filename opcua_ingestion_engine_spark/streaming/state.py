@@ -148,3 +148,104 @@ def heartbeat_refresh(
             F.col("last_updated")
         ),
     ).drop("_hb")
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 forward API) — same semantics as
+# liveness_stream, expressed with explicit value state + one-shot timers.
+# ---------------------------------------------------------------------------
+
+def _ts_us_series(ser: pd.Series) -> pd.Series:
+    """unit/tz-safe received_ts -> int64 µs (Arrow may hand back
+    datetime64[ns] or [us], naive or tz-aware)."""
+    if getattr(ser.dtype, "tz", None) is not None:
+        ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+    return ser.astype("datetime64[us]").astype("int64")
+
+
+def make_liveness_processor(timeout_ms: int = WATCHDOG_TIMEOUT_MS):
+    """Factory for the TransformWithState liveness processor. Semantics
+    identical to ``liveness_stream`` (LWW last-event state; watchdog
+    timer emits the one-shot offline mark); the forward API adds explicit
+    state variables and timer management (registerTimer/deleteTimer) in
+    place of GroupState's single timeout slot."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LivenessProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._best = handle.getValueState("best", LIVENESS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (daq_name,) = key
+            best = tuple(self._best.get()) if self._best.exists() else None
+            for pdf in rows:
+                ts_us = _ts_us_series(pdf["received_ts"]).to_numpy()
+                for t, eid, status in zip(
+                    ts_us,
+                    pdf["event_id"].to_numpy(),
+                    pdf["status_code"].to_numpy(),
+                ):
+                    cand = (int(t), int(eid), int(status))
+                    if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                        best = cand
+            if best is None:
+                return
+            self._best.update(best)
+            # re-arm the one-shot watchdog: exactly one pending timer
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + timeout_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "daq_name": [daq_name],
+                    "online": [1.0 if best[2] == 0 else 0.0],
+                    "last_ts_us": [best[0]],
+                    "last_status": [best[2]],
+                    "reason": ["update"],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (daq_name,) = key
+            last = tuple(self._best.get()) if self._best.exists() else (0, 0, 0)
+            yield pd.DataFrame(
+                {
+                    "daq_name": [daq_name],
+                    "online": [0.0],
+                    "last_ts_us": [last[0]],
+                    "last_status": [last[2]],
+                    "reason": ["timeout"],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return LivenessProcessor()
+
+
+def liveness_stream_tws(
+    updates_stream: DataFrame, timeout_ms: int = WATCHDOG_TIMEOUT_MS
+) -> DataFrame:
+    """T4/A3 on the Spark 4 ``transformWithStateInPandas`` API — drop-in
+    alternative to ``liveness_stream`` (same output schema and semantics);
+    parity pinned by test_liveness_tws_matches_applyinpandas.
+
+    Runtime requirements beyond ``liveness_stream``: the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``)
+    and the ``protobuf`` Python package (the TWS state-server protocol —
+    absent in some minimal images, in which case the query fails at plan
+    time with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE and callers
+    should stay on ``liveness_stream``)."""
+    return updates_stream.groupBy("daq_name").transformWithStateInPandas(
+        statefulProcessor=make_liveness_processor(timeout_ms),
+        outputStructType=LIVENESS_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
+    )

@@ -644,3 +644,58 @@ def test_batch_reader_matches_catalog_derivation(spark):
     assert _rows(got.select(*sorted(got.columns))) == _rows(
         want.select(*sorted(want.columns))
     )
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs the protobuf package (TWS state-server "
+    "protocol); absent in this image",
+)
+def test_liveness_tws_matches_applyinpandas(spark, fixtures, tmp_path):
+    """The transformWithState liveness (forward API) must emit the same
+    final update-driven state per device as the applyInPandasWithState
+    form: latest (ts, status) under LWW, online = status==0."""
+    from opcua_ingestion_engine_spark.streaming import replay, state as ST
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    src = str(tmp_path / "src_tws")
+    replay.write_replay_batches(fixtures["updates"], src, 2)
+
+    def run(builder, ckpt):
+        stream = (
+            spark.readStream.schema(fixtures["updates"].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/batch_*")
+        )
+        collected: list = []
+        q = (
+            builder(stream, timeout_ms=3_600_000)  # long timeout: no firings
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        final = {}
+        for r in collected:
+            if r["reason"] == "update":
+                final[r["daq_name"]] = (r["last_ts_us"], r["online"], r["last_status"])
+        return final
+
+    a = run(ST.liveness_stream, "ckpt_a")
+    b = run(ST.liveness_stream_tws, "ckpt_b")
+    assert a and a == b
