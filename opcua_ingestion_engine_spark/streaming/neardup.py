@@ -1,0 +1,155 @@
+"""Streaming-incremental near-duplicate detection (E2, streaming form).
+
+An LLM ingest pipeline receives documents continuously; re-running batch
+MinHash-LSH over the full corpus per arrival wave is O(corpus) each
+time. This sink maintains the LSH state ACROSS micro-batches and does
+per-batch work proportional to the batch:
+
+- state 1: the banded signature index (band, bucket, doc_id) of every
+  doc seen so far — the same rows batch `lsh_candidate_pairs` builds,
+  accumulated instead of rebuilt;
+- state 2: the shingle store (doc_id, shingles) for exact-Jaccard
+  verification of candidates (at 100 TB this is the corpus table itself,
+  re-read by candidate semi-join; here it is accumulated the same way
+  the modvalues merge sink accumulates state).
+
+Per batch: new docs are shingled + signed ONCE (the signature depends
+only on the text, so incremental banding produces byte-identical bucket
+rows to the batch pipeline), candidates = new-vs-index plus
+new-vs-new on the same (band, bucket) key, then exact-Jaccard verify.
+Each pair is emitted exactly once — in the micro-batch where its LATER
+doc arrives — so the union of emissions over any batch split equals the
+batch pipeline's output (pinned by
+test_incremental_neardup_matches_batch).
+
+Both states grow append-only and are localCheckpoint'ed per batch
+(linear plans, same discipline as the replay merge sink); a real
+deployment writes them as bucketed tables (bucket key: (band, bucket)
+for the index) so the per-batch candidate join is exchange-free on the
+stored side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+
+
+class IncrementalNearDupSink:
+    """foreachBatch sink: call ``process_batch`` with each micro-batch of
+    (doc_id, text[, ...]) rows; verified pairs accumulate in ``pairs``."""
+
+    def __init__(
+        self,
+        threshold: float = 0.2,
+        n: int = 3,
+        num_hashes: int = 96,
+        bands: int = 32,
+        rows_per_band: int = 3,
+    ):
+        self.threshold = threshold
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.index: DataFrame | None = None     # (band, bucket, doc_id)
+        self.shingles: DataFrame | None = None  # (doc_id, shingles)
+        self.pairs: DataFrame | None = None     # (doc_a, doc_b, jaccard)
+        self.batches_seen = 0
+
+    def _banded(self, sig: DataFrame) -> DataFrame:
+        r = self.rows_per_band
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[
+                            F.col("signature").getItem(b * r + i) for i in range(r)
+                        ]).alias("bucket"),
+                    )
+                    for b in range(self.bands)
+                ])
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        sh_new = batch_docs.select(
+            "doc_id",
+            F.array_distinct(D.word_ngrams(F.col("text"), self.n)).alias("shingles"),
+        ).localCheckpoint(eager=True)
+        sig_new = D.minhash_signatures(sh_new, self.num_hashes)
+        banded_new = self._banded(sig_new).localCheckpoint(eager=True)
+
+        # new-vs-old: same (band, bucket) against the accumulated index
+        cands = None
+        if self.index is not None:
+            old = self.index.select(
+                "band", "bucket", F.col("doc_id").alias("_o")
+            )
+            new = banded_new.select("band", "bucket", F.col("doc_id").alias("_n"))
+            # normalize to (least, greatest) — the batch pipeline's pair
+            # orientation — since an earlier-arriving doc may have the
+            # larger id
+            cands = (
+                old.join(new, ["band", "bucket"])
+                .select(
+                    F.least("_o", "_n").alias("doc_a"),
+                    F.greatest("_o", "_n").alias("doc_b"),
+                )
+            )
+        # new-vs-new within this batch (the batch pipeline's self-collision)
+        nn = (
+            banded_new.groupBy("band", "bucket")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.filter(F.col("ids"), lambda y: y > x),
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+        )
+        cands = nn if cands is None else cands.unionByName(nn)
+        cands = cands.distinct()
+
+        # exact-Jaccard verify against the (old + new) shingle store
+        store = (
+            sh_new
+            if self.shingles is None
+            else self.shingles.unionByName(sh_new)
+        )
+        a = store.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        b = store.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        verified = (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn("jaccard", D._jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("doc_a", "doc_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+
+        self.pairs = (
+            verified if self.pairs is None else self.pairs.unionByName(verified)
+        )
+        self.index = (
+            banded_new
+            if self.index is None
+            else self.index.unionByName(banded_new).localCheckpoint(eager=True)
+        )
+        self.shingles = store.localCheckpoint(eager=True)
+        self.batches_seen += 1

@@ -699,3 +699,47 @@ def test_liveness_tws_matches_applyinpandas(spark, fixtures, tmp_path):
     a = run(ST.liveness_stream, "ckpt_a")
     b = run(ST.liveness_stream_tws, "ckpt_b")
     assert a and a == b
+
+
+def test_incremental_neardup_matches_batch(spark, tmp_path):
+    """E2 streaming form: documents arriving over 3 micro-batches through
+    the incremental LSH sink must yield exactly the pair set the batch
+    MinHash pipeline computes over the full corpus — each pair emitted in
+    the batch where its later doc arrives, never twice."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.streaming.neardup import (
+        IncrementalNearDupSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    for i in range(3):  # deliberately id-interleaved batches
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch_{i:02d}")
+
+    sink = IncrementalNearDupSink(threshold=0.2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sink.batches_seen == 3
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"]) for r in sink.pairs.collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_neardup_pairs(docs, threshold=0.2).collect()
+    )
+    assert len(got) == len(set(got))  # no pair emitted twice
+    assert got == want and len(want) > 0
