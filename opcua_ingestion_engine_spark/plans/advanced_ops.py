@@ -244,3 +244,86 @@ def q_profile_lineitem(spark, sf_dir):
             F.max(col).cast("double").alias("max_val"),
         )
     return profile("l_quantity").unionByName(profile("l_discount"))
+
+
+@register(
+    "q_agg_corr_moments",
+    """
+    WITH m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM lineitem
+    )
+    SELECT n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (sxx - sx * sx / n) / (n - 1) AS var_x,
+           (sxy - sx * sy / n)
+               / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_xy
+    FROM m
+    """,
+    "[EXT] correlation/covariance/variance derived from decimal-exact "
+    "moments: the built-in corr()/covar_samp() accumulate in double with "
+    "engine-specific order (not cross-engine comparable); exact moments "
+    "then identical double arithmetic are — and the moment form is also "
+    "the single-pass map-side-combinable shape you want at 100 TB",
+)
+def q_agg_corr_moments(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    def dsum(c):
+        return F.sum(c.cast(DEC)).cast("double")
+    m = l.agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("sx"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_x"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_xy"),
+    )
+
+
+@register(
+    "q_agg_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    "[EXT] fixed-width histogram via width_bucket (DuckDB 1.0 lacks the "
+    "function — the oracle uses the equivalent floor formula; the data "
+    "domain has no values on bucket boundaries, checked, so the two "
+    "formulas agree) — single hash aggregate, the standard "
+    "distribution-profiling query",
+)
+def q_agg_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
