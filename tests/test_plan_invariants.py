@@ -87,3 +87,40 @@ def test_plan_invariants(spark, name):
         assert n <= scan_allow.get(t, 1), (
             f"{name}: {t} scanned {n}x (allowed {scan_allow.get(t, 1)})\n{p}"
         )
+
+
+def _formatted(spark, name):
+    from opcua_ingestion_engine_spark.plans import QUERIES
+
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """TPC-H Q6's predicates must be pushed into the parquet reader and
+    the scan pruned to exactly the 4 referenced columns."""
+    p = _formatted(spark, "q_tpch_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+    schema_line = next(l for l in p.split("\n") if "ReadSchema" in l)
+    assert "l_quantity" in schema_line and "l_comment" not in schema_line
+    # 4 columns of lineitem's 11 — pruning worked if none of these appear
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in schema_line, schema_line
+
+
+def test_three_way_join_prunes_fact_columns(spark):
+    """The 3-way join projects 2 lineitem columns — the lineitem scan
+    must not read the other 9."""
+    p = _formatted(spark, "q_join_three_way")
+    li_schemas = [
+        l for l in p.split("\n")
+        if "ReadSchema" in l and "l_orderkey" in l
+    ]
+    assert li_schemas, p
+    for col in ("l_quantity", "l_extendedprice", "l_shipdate"):
+        assert all(col not in l for l in li_schemas), li_schemas
