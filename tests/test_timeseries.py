@@ -134,3 +134,10 @@ def test_approx_percentile_error_bound(spark):
     assert len(got) == 3
     for flag, (approx, exact) in got.items():
         assert abs(approx - exact) <= 1.0, (flag, approx, exact)
+
+
+def test_connected_components_empty_input(spark):
+    from opcua_ingestion_engine_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
