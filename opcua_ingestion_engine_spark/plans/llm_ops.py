@@ -159,6 +159,25 @@ def q_e2_minhash(spark, sf_dir):
 
 
 @register(
+    "q_e2_incremental_neardup",
+    None,  # engine-native hashing — rows-only; batch-equality pinned in
+    # test_incremental_neardup_matches_batch
+    "E2 (streaming-incremental form, batch-driven here) — documents fed "
+    "in 3 id-interleaved waves through streaming/neardup.py's maintained "
+    "LSH index; per-wave work is O(wave), and the accumulated pair set "
+    "equals the batch MinHash pipeline exactly",
+)
+def q_e2_incremental(spark, sf_dir):
+    from ..streaming.neardup import IncrementalNearDupSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sink = IncrementalNearDupSink(threshold=0.2)
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    return sink.pairs
+
+
+@register(
     "q_e2_embedding_neardup",
     """
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
