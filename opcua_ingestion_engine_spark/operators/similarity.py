@@ -546,3 +546,88 @@ def embedding_neardup_lsh(
         .filter(_dot(F.col("a_vec"), F.col("b_vec")) >= threshold)
         .select("vec_a", "vec_b")
     )
+
+
+def hour_of_day_vectors(events: DataFrame, max_users: int) -> DataFrame:
+    """Dense 24-dim hour-of-day activity vector per user (exact DECIMAL
+    sums cast to double at the end) — the fixed-length representation the
+    DTW rerank consumes."""
+    lanes = [
+        F.sum(
+            F.when(F.hour("ts") == h, F.col("value").cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        )
+        .cast("double")
+        .alias(f"_h{h}")
+        for h in range(24)
+    ]
+    return (
+        events.filter(F.col("user_id") < max_users)
+        .groupBy("user_id")
+        .agg(*lanes)
+        .select(
+            "user_id",
+            F.array(*[F.col(f"_h{h}") for h in range(24)]).alias("profile"),
+        )
+    )
+
+
+def dtw_rerank_topk(
+    events: DataFrame,
+    k: int = 3,
+    cand_k: int = 6,
+    max_users: int = 40,
+    band: int = 3,
+) -> DataFrame:
+    """E6 variant — the classic two-stage similarity shape: the cheap
+    exact metric (Manhattan on co-active hours) generates ``cand_k``
+    candidates per user, then Dynamic Time Warping over dense 24-h
+    profiles (Sakoe-Chiba band ``band``) reranks them to the final top
+    ``k``. DTW tolerates phase shifts (a user active 1-2 h later still
+    matches) that pointwise metrics punish — and is far too expensive to
+    run all-pairs, which is exactly why it lives behind a candidate
+    stage.
+
+    Scale shape: candidates are O(users x cand_k); each DTW evaluates a
+    banded 24x24 DP in a vectorized Arrow batch (numpy, no per-row
+    Python) — cost scales with the candidate list, never the corpus.
+    """
+    from pyspark.sql.types import DoubleType
+
+    cands = timeseries_similarity_topk(events, k=cand_k, max_users=max_users).select(
+        "user_a", "user_b"
+    )
+    prof = hour_of_day_vectors(events, max_users).localCheckpoint(eager=True)
+
+    @F.pandas_udf(DoubleType())
+    def _dtw(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = []
+        for x_l, y_l in zip(va, vb):
+            x = np.asarray(x_l, dtype=np.float64)
+            y = np.asarray(y_l, dtype=np.float64)
+            n, m = len(x), len(y)
+            dp = np.full((n + 1, m + 1), np.inf)
+            dp[0, 0] = 0.0
+            for i in range(1, n + 1):
+                lo = max(1, i - band)
+                hi = min(m, i + band)
+                for j in range(lo, hi + 1):
+                    c = abs(x[i - 1] - y[j - 1])
+                    dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+            out.append(float(dp[n, m]))
+        return pd.Series(out)
+
+    a = prof.select(F.col("user_id").alias("user_a"), F.col("profile").alias("pa"))
+    b = prof.select(F.col("user_id").alias("user_b"), F.col("profile").alias("pb"))
+    scored = (
+        cands.join(F.broadcast(a), "user_a")
+        .join(F.broadcast(b), "user_b")
+        .withColumn("dtw", _dtw("pa", "pb"))
+    )
+    w = W.partitionBy("user_a").orderBy(F.col("dtw").asc(), F.col("user_b").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= k)
+        .select("user_a", "user_b", "nn_rank", F.col("dtw").alias("dtw_dist"))
+    )

@@ -712,3 +712,16 @@ def q_e6(spark, sf_dir):
     return out.withColumnRenamed("rank", "nn_rank").select(
         "user_a", "user_b", F.col("nn_rank").cast("long").alias("nn_rank"), "dist"
     )
+
+
+@register(
+    "q_e6_dtw_rerank",
+    None,  # DTW is not SQL-expressible; properties pinned in pytest
+    "E6 variant — two-stage similarity: Manhattan-on-common-hours "
+    "candidates reranked by banded DTW over dense 24-h profiles "
+    "(phase-shift-tolerant); DTW cost scales with the candidate list, "
+    "never the corpus",
+)
+def q_e6_dtw(spark, sf_dir):
+    out = S.dtw_rerank_topk(_events(spark, sf_dir), k=3, max_users=40)
+    return out

@@ -314,3 +314,31 @@ def test_embedding_lsh_neardup_recall(spark):
     assert got <= exact, got - exact  # precision 1.0
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, (recall, len(exact))
+
+
+def test_dtw_rerank_properties(spark):
+    """DTW rerank: ranks are 1..k per user; the distance is symmetric
+    (pair (a,b) and (b,a) agree when both survive); identical profiles
+    would give DTW 0 (pinned via a constructed pair)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from tests.conftest import SF_SMOKE
+
+    ev = C.load_table(spark, SF_SMOKE, "events")
+    out = S.dtw_rerank_topk(ev, k=3, max_users=30).collect()
+    assert out
+    by_user: dict = {}
+    dist = {}
+    for r in out:
+        by_user.setdefault(r["user_a"], []).append(r["nn_rank"])
+        dist[(r["user_a"], r["user_b"])] = r["dtw_dist"]
+    for u, ranks in by_user.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    for (a, b), d in dist.items():
+        if (b, a) in dist:
+            assert abs(d - dist[(b, a)]) < 1e-9
+    # identical profiles -> DTW exactly 0 (self-consistency of the kernel)
+    dup = ev.filter(F.col("user_id") == 0)
+    both = dup.union(dup.withColumn("user_id", F.lit(1)))
+    pair = S.dtw_rerank_topk(both, k=1, max_users=2).collect()
+    assert any(r["dtw_dist"] == 0.0 for r in pair)
