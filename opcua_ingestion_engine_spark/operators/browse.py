@@ -31,6 +31,7 @@ def browse_tree(
     exclusions: DataFrame,
     max_depth: int = MAX_BROWSE_DEPTH,
     opened_depth: int = 3,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """B1 — expand the hierarchy from each connection's root, one BFS level
     per iteration, applying the F6 exclusion prune per frontier (so an
@@ -43,6 +44,12 @@ def browse_tree(
 
     Returns (conn_id, parent_id, node_id, display_name, node_class, depth,
     opened) — ``opened`` is the B3 depth flag (JsTree ``state.opened``).
+
+    ``broadcast_frontier=False`` switches to the bushy-wide fallback: a
+    shuffled join per level keyed on (conn_id, parent_id) for address
+    spaces whose frontier outgrows the broadcast threshold — same
+    results (pinned by test_browse_shuffled_fallback_matches_broadcast),
+    2 exchanges per level instead of 0.
     """
     # Materialize the edge list ONCE before iterating. The fixture derives
     # it from the fact table (events scan + distinct); left lazy, every BFS
@@ -84,13 +91,12 @@ def browse_tree(
     # checkpoint + isEmpty was two jobs; at ~0.15s fixed cost per local
     # job that halved the walk's wall time at sf0.1).
     for _ in range(max_depth):
+        fkeys = frontier.select(
+            "conn_id", F.col("node_id").alias("parent_id"), "depth"
+        )
         children = (
             edges.join(
-                F.broadcast(
-                    frontier.select(
-                        "conn_id", F.col("node_id").alias("parent_id"), "depth"
-                    )
-                ),
+                F.broadcast(fkeys) if broadcast_frontier else fkeys,
                 ["conn_id", "parent_id"],
                 "inner",
             )

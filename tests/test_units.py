@@ -356,3 +356,23 @@ def test_compact_small_files_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 10_000
     assert out.agg(F.sum("v")).collect()[0][0] == 10_000 * 9_999
+
+
+def test_browse_shuffled_fallback_matches_broadcast(spark):
+    """B1's bushy-wide fallback (shuffled frontier join per level) must
+    walk the identical tree as the broadcast-frontier default."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import browse
+    from tests.conftest import SF_SMOKE
+
+    nodes = C.browse_nodes(spark, SF_SMOKE)
+    excl = C.browse_exclusion_folders(spark)
+    a = browse.browse_tree(nodes, excl)
+    b = browse.browse_tree(nodes, excl, broadcast_frontier=False)
+
+    def key(df):
+        return sorted(
+            tuple("" if v is None else v for v in r) for r in df.collect()
+        )
+
+    assert key(a) == key(b) and len(key(a)) > 0
