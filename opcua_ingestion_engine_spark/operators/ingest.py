@@ -473,11 +473,14 @@ def modvalues_snapshot(
 
     Scale design: events is scanned ONCE; the single wide shuffle is the
     per-point aggregation (map-side partial combine). Everything downstream
-    of ``perpoint`` is O(configured points) — it is eagerly
-    localCheckpoint'ed so the three output branches (each behind a
-    broadcast exchange whose build runs concurrently) don't recompute the
-    stream aggregate.
+    of ``perpoint`` is O(configured points) — it is LAZILY
+    localCheckpoint'ed: the checkpoint collapses the three output branches
+    onto one shared RDD lineage (left un-checkpointed each branch plans
+    its own copy of the stream aggregate), and lazy materialization fuses
+    the aggregate into the output job itself — one job instead of an
+    eager-checkpoint job plus an assembly job (measured 2.7 s -> 2.0 s
+    warm at sf0.1).
     """
     joined, mon, tpl = prepare_stream(updates, devices, templates, connections)
-    perpoint = perpoint_state(joined).localCheckpoint(eager=True)
+    perpoint = perpoint_state(joined).localCheckpoint(eager=False)
     return snapshot_from_state(perpoint, mon, tpl, liveness_window_s)
