@@ -86,4 +86,13 @@ def connected_components(
         labels = merged.drop("_chg")
         if changed == 0:
             break
+    else:
+        # A component with diameter > max_iter would silently split into
+        # several components, corrupting downstream cluster-dedup — fail
+        # loudly instead of returning partially-propagated labels.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter — "
+            f"rounds needed grow with component diameter, not data size"
+        )
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))

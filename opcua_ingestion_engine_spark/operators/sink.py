@@ -206,8 +206,15 @@ def compact_small_files(
     the current footprint — a cheap driver-side directory listing, no
     data read. The rewrite is one coalesce(n) pass (no shuffle: coalesce
     narrows partitions; repartition would be needed only to also
-    redistribute skew). Write lands in a temp dir then swaps in, so a
-    concurrent reader never sees a half-written table.
+    redistribute skew).
+
+    This is a SINGLE-WRITER maintenance op, not reader-safe: the swap is
+    two directory moves, and between them (or if the process dies there)
+    the table path briefly does not exist — a concurrent reader can fail,
+    and a crash leaves the data recoverable only from ``.compact_old``.
+    On a real deployment use an ACID table format (Delta/Iceberg
+    ``OPTIMIZE``), whose snapshot swap is a single atomic metadata
+    commit; plain-directory parquet has no atomic rename-over-nonempty.
     """
     import glob as _glob
     import os

@@ -51,16 +51,25 @@ def asof_join(
     tiebreak)`` — right rows sort before left rows at equal timestamps,
     giving inclusive (<=) semantics. One shuffle total; state per key is
     the running last payload, never a pair set.
+
+    All payload columns are packed into ONE struct before the window so
+    the whole payload is taken atomically from the same right row. (With
+    one ``last(..., ignorenulls=True)`` per column, a NULL field in the
+    newest right row would fall back to an older row for that column only
+    — mixed-row output, and NULLs "seen through" instead of carried,
+    diverging from true ASOF semantics.) A right row always contributes a
+    non-null struct, so NULL payload *fields* are carried verbatim.
     """
     payload = {k: F.col(v) if isinstance(v, str) else v for k, v in payload.items()}
+    rhs_struct = F.struct(*[c.alias(n) for n, c in payload.items()])
+    struct_type = right.select(rhs_struct.alias("_p")).schema[0].dataType
     lhs = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.col(tiebreak).alias("_tb"),
         F.struct(*left.columns).alias("_row"),
-        *[F.lit(None).cast(right.select(c).schema[0].dataType).alias(f"_p_{n}")
-          for n, c in payload.items()],
+        F.lit(None).cast(struct_type).alias("_p"),
     )
     rhs = right.select(
         F.col(key).alias("_k"),
@@ -68,7 +77,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.col(tiebreak).alias("_tb"),
         F.lit(None).cast(lhs.select("_row").schema[0].dataType).alias("_row"),
-        *[c.alias(f"_p_{n}") for n, c in payload.items()],
+        rhs_struct.alias("_p"),
     )
     w = (
         W.partitionBy("_k")
@@ -78,10 +87,10 @@ def asof_join(
     matched = lhs.unionByName(rhs).select(
         "_side",
         "_row",
-        *[F.last(f"_p_{n}", ignorenulls=True).over(w).alias(f"_p_{n}") for n in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
     return matched.filter(F.col("_side") == 1).select(
-        "_row.*", *[F.col(f"_p_{n}").alias(n) for n in payload]
+        "_row.*", *[F.col(f"_p.{n}").alias(n) for n in payload]
     )
 
 
@@ -131,6 +140,11 @@ def range_join_buckets(
     with the exact predicate after the hash join. Returns the paired
     rows with both timestamps; callers aggregate as needed.
     """
+    if upper_s <= lower_s:
+        raise ValueError(
+            f"range_join_buckets needs a non-degenerate window: "
+            f"lower_s={lower_s} upper_s={upper_s}"
+        )
     width_us = (upper_s - lower_s) * 1_000_000
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))

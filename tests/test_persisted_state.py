@@ -35,13 +35,14 @@ def test_persisted_bucketed_state_rounds(spark, fx):
     )
 
     # three time-ordered update rounds (a day of ingest = many such)
+    # Bounds computed as unix_micros INSIDE the aggregation — converting a
+    # naive driver-side datetime with .timestamp() would re-interpret it in
+    # the local timezone and shift the windows on non-UTC machines.
     bounds = fx["updates"].agg(
-        F.min("received_ts").alias("lo"), F.max("received_ts").alias("hi")
+        F.unix_micros(F.min("received_ts")).alias("lo_us"),
+        F.unix_micros(F.max("received_ts")).alias("hi_us"),
     ).collect()[0]
-    lo_us, hi_us = (
-        int(bounds["lo"].timestamp() * 1e6),
-        int(bounds["hi"].timestamp() * 1e6) + 1,
-    )
+    lo_us, hi_us = bounds["lo_us"], bounds["hi_us"] + 1
     step = (hi_us - lo_us) // 3 + 1
     names = ["pstate_a", "pstate_b"]
     mon = tpl = None

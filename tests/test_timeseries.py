@@ -56,6 +56,51 @@ def test_asof_join_no_prior_match_is_null(spark):
     assert len(rows) == 1 and rows[0]["v"] is None
 
 
+def test_asof_join_null_payload_field_is_atomic(spark):
+    """The matched right row's payload is taken whole: a NULL field in the
+    newest right row must be carried as NULL, not 'seen through' to an
+    older row's non-NULL value (mixed-row output)."""
+    left = _frame(spark, [(1, 1, _ts(100.0), 0.0)])
+    right = spark.createDataFrame(
+        [
+            (11, 1, _ts(90.0), 7.0, "old"),     # older, fully populated
+            (12, 1, _ts(95.0), None, "new"),    # newest match, NULL value
+        ],
+        "event_id long, user_id long, ts timestamp, value double, tag string",
+    )
+    rows = TS.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"v": "value", "tag": "tag"}, tiebreak="event_id",
+    ).collect()
+    assert len(rows) == 1
+    # Both fields come from row 12: v is NULL (carried), tag is "new".
+    assert rows[0]["v"] is None and rows[0]["tag"] == "new"
+
+
+def test_range_join_degenerate_window_raises(spark):
+    import pytest
+
+    left = _frame(spark, [(1, 1, _ts(100.0), 0.0)])
+    with pytest.raises(ValueError, match="non-degenerate"):
+        TS.range_join_buckets(
+            left, left, key="user_id", left_ts="ts", right_ts="ts",
+            lower_s=0, upper_s=0,
+        )
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from opcua_ingestion_engine_spark.operators.graph import connected_components
+
+    # a 5-chain needs ~3 propagation rounds; max_iter=1 must fail loudly
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_sessionize_gap_boundary(spark):
     # gap exactly == gap_s stays in-session; one microsecond more splits
     df = _frame(
