@@ -6,13 +6,20 @@ to a typed metadata struct::
     payload  BINARY                      -- encoded image/audio/video bytes
     meta     STRUCT<width INT, height INT, channels INT, fmt STRING>
 
-Per the build brief, the container ships no image/audio codecs, so the
-actual decode is STUBBED: :func:`decode_image` raises NotImplementedError
-for real formats and routes the deterministic ``fake8`` format through a
-pure-Python "decoder" whose output is reproducible from the bytes alone.
-Everything AROUND the stub — the schema convention, the Arrow-batched
-``mapInPandas`` plumbing, batch shapes, and partition behavior — is real
-and tested; swapping in Pillow/librosa later changes one function body.
+Two formats decode for real, everything else raises NotImplementedError:
+
+- ``png`` — a pure-stdlib decoder (``zlib`` inflate + per-scanline
+  unfilter walk, all five PNG filter types, 8-bit gray/RGB/RGBA): real
+  pixel stats from real image bytes, no external codec needed. A matching
+  minimal encoder (:func:`encode_png`) generates test fixtures and the
+  mixed-format corpus.
+- ``fake8`` — the deterministic byte-stream stand-in kept from round 1
+  (payload bytes ARE the "pixels"), so plumbing tests stay codec-free.
+
+JPEG/audio/video still need codecs the container doesn't ship (verified:
+no PIL/ffmpeg); their path is the guarded NotImplementedError. The Spark
+plumbing — schema convention, Arrow-batched ``mapInPandas``, batch
+shapes, fan-out sampling — is identical for every format.
 
 Scale notes: payloads ride in parquet binary columns; feature extraction
 is ``mapInPandas`` (Arrow batches, zero-copy into pandas) — the canonical
@@ -23,17 +30,185 @@ projection; partition sizing is controlled upstream by
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FAKE_FORMAT = "fake8"
+PNG_FORMAT = "png"
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, byte_sum bigint, width int, height int"
+    "doc_id bigint, n_bytes bigint, byte_sum bigint, width int, height int, "
+    "fmt string, px_mean double"
 )
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (RFC 2083): 8-bit depth, color types 0/2/6,
+# no interlace. Enough to decode real PNGs produced by any standard
+# encoder at these settings — and to produce them for fixtures.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder: 8-bit depth, grayscale/RGB/RGBA chosen by
+    array shape (h,w) / (h,w,3) / (h,w,4), single IDAT, the same
+    ``filter_type`` (0-4) applied to every scanline. Exists for fixture
+    generation and the mixed-format corpus; filters 1-4 exercise the
+    decoder's unfilter paths against the roundtrip identity."""
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim == 2:
+        h, w, ch, color = *arr.shape, 1, 0
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        (h, w, ch), color = arr.shape, 2
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        (h, w, ch), color = arr.shape, 6
+    else:
+        raise ValueError(f"unsupported pixel array shape {arr.shape}")
+    flat = arr.reshape(h, w * ch)
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = flat[y]
+        lines.append(bytes([filter_type]) + _png_filter(line, prior, ch, filter_type))
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter(line: np.ndarray, prior: np.ndarray, bpp: int, ft: int) -> bytes:
+    """Apply PNG filter ``ft`` to a reconstructed scanline (encoder side).
+    uint8 arithmetic wraps mod 256 exactly as the spec requires."""
+    if ft == 0:
+        return line.tobytes()
+    left = np.zeros_like(line)
+    left[bpp:] = line[:-bpp]
+    if ft == 1:
+        return (line - left).tobytes()
+    if ft == 2:
+        return (line - prior).tobytes()
+    if ft == 3:
+        avg = ((left.astype(np.int32) + prior.astype(np.int32)) >> 1).astype(np.uint8)
+        return (line - avg).tobytes()
+    up_left = np.zeros_like(prior)
+    up_left[bpp:] = prior[:-bpp]
+    pred = _paeth(left, prior, up_left)
+    return (line - pred).tobytes()
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int32 copies of left/up/up-left."""
+    a, b, c = (x.astype(np.int32) for x in (a, b, c))
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _decode_png(data: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Decode a PNG into (pixels uint8 [h, w*ch], width, height, channels).
+
+    Chunk walk with CRC verification, zlib inflate of the concatenated
+    IDAT stream, then scanline unfiltering. Filters 0/2 are vectorized
+    whole-line numpy; 1/3/4 carry an intra-line data dependency, resolved
+    lane-wise: filter 1 (Sub) is a cumulative sum per byte lane mod 256
+    (vectorized cumsum over a strided view); 3/4 fall back to a per-byte
+    walk (scanlines are short; numpy uint8 wrap matches the spec).
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width, height, color, idat = 8, None, None, None, []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + length
+        if typ == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+            if color not in _COLOR_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color} not supported (palette/16-bit)"
+                )
+            if interlace:
+                raise NotImplementedError("Adam7 interlaced PNG not supported")
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    ch = _COLOR_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel stream length {len(raw)} != expected {(stride + 1) * height}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft, line = int(filters[y]), lines[y]
+        if ft == 0:
+            recon = line.copy()
+        elif ft == 1:
+            # Sub: recon[i] = line[i] + recon[i-bpp] — per-lane cumsum mod 256
+            recon = np.cumsum(
+                line.reshape(width, ch).astype(np.int64), axis=0
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            recon = line + prior
+        elif ft == 3:
+            recon = line.copy()
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                recon[i] = (int(line[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif ft == 4:
+            recon = line.copy()
+            for i in range(stride):
+                a = int(recon[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                c = int(prior[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        out[y] = recon
+        prior = out[y]
+    return out, width, height, ch
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -53,22 +228,48 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes, fmt: str) -> dict:
-    """The stubbed decoder. Real formats raise (no codecs in this
-    environment); the deterministic ``fake8`` format treats the payload
-    as raw bytes and returns reproducible features."""
-    if fmt != FAKE_FORMAT:
-        raise NotImplementedError(
-            f"decode for format {fmt!r} requires an image codec not present "
-            "in this environment; only the deterministic 'fake8' stub is "
-            "available"
-        )
-    return {"n_bytes": len(payload), "byte_sum": sum(payload)}
+    """Decode one payload into pixel features.
+
+    ``png`` runs the real stdlib decoder (pixel stats over DECODED bytes,
+    dimensions from IHDR); ``fake8`` treats the payload bytes as the
+    pixels (vectorized ``np.frombuffer`` sum — the shape a real kernel
+    uses, never a per-byte Python loop); every other format raises
+    NotImplementedError (JPEG/audio/video need codecs this environment
+    doesn't ship — the guard IS the documented extension point).
+    """
+    if fmt == PNG_FORMAT:
+        px, w, h, _ch = _decode_png(bytes(payload))
+        total = int(px.sum(dtype=np.int64))
+        return {
+            "n_bytes": len(payload),
+            "byte_sum": total,
+            "width": w,
+            "height": h,
+            "px_mean": total / px.size,
+        }
+    if fmt == FAKE_FORMAT:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        total = int(arr.sum(dtype=np.int64))
+        return {
+            "n_bytes": len(payload),
+            "byte_sum": total,
+            "width": None,
+            "height": None,
+            "px_mean": total / arr.size if arr.size else 0.0,
+        }
+    raise NotImplementedError(
+        f"decode for format {fmt!r} requires a codec not present in this "
+        "environment; supported here: 'png' (stdlib decoder), 'fake8' "
+        "(deterministic stub)"
+    )
 
 
 def extract_features(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: decode each payload and emit feature rows.
     Arrow hands payloads to pandas as Python bytes — the real batch shape
-    an image pipeline would see."""
+    an image pipeline would see. Decoded dimensions (PNG IHDR) win over
+    the metadata column; formats without intrinsic dimensions (fake8)
+    pass the metadata through."""
     for pdf in frames:
         feats = [decode_image(p, f) for p, f in zip(pdf["payload"], pdf["fmt"])]
         yield pd.DataFrame(
@@ -76,16 +277,105 @@ def extract_features(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": [f["n_bytes"] for f in feats],
                 "byte_sum": [f["byte_sum"] for f in feats],
-                "width": pdf["width"].astype("int32"),
-                "height": pdf["height"].astype("int32"),
+                "width": pd.Series(
+                    [
+                        f["width"] if f["width"] is not None else m
+                        for f, m in zip(feats, pdf["width"])
+                    ],
+                    dtype="int32",
+                ),
+                "height": pd.Series(
+                    [
+                        f["height"] if f["height"] is not None else m
+                        for f, m in zip(feats, pdf["height"])
+                    ],
+                    dtype="int32",
+                ),
+                "fmt": pdf["fmt"],
+                "px_mean": pd.Series([f["px_mean"] for f in feats], dtype="float64"),
             }
         )
 
 
-def multimodal_features(docs: DataFrame) -> DataFrame:
+def _png_pixels_for(doc_id: int) -> np.ndarray:
+    """Deterministic tiny test image for the mixed corpus: dimensions and
+    color type derived from doc_id, gradient pixel pattern."""
+    w, h = 4 + doc_id % 13, 4 + doc_id % 11
+    ch = (1, 3, 4)[doc_id % 3]
+    y, x = np.mgrid[0:h, 0:w]
+    base = (3 * x + 5 * y + doc_id) % 256
+    if ch == 1:
+        return base.astype(np.uint8)
+    planes = [(base + 17 * c) % 256 for c in range(ch)]
+    return np.stack(planes, axis=-1).astype(np.uint8)
+
+
+def attach_payload_mixed(
+    docs: DataFrame, text_col: str = "text", png_every: int = 7
+) -> DataFrame:
+    """Mixed-format corpus: every ``png_every``-th doc_id carries a REAL
+    PNG payload (tiny deterministic image, cycling gray/RGB/RGBA,
+    encoded by :func:`encode_png` with the scanline filter cycling 0-4 so
+    decode exercises every unfilter path); the rest carry the ``fake8``
+    text-bytes payload.
+
+    PNG payloads are synthesized inside ``mapInPandas`` — payload
+    construction is Python-side by nature here, standing in for bytes
+    that a real pipeline reads from object storage; the downstream decode
+    path neither knows nor cares where the bytes came from."""
+    mixed_schema = (
+        "doc_id bigint, payload binary, width int, height int, "
+        "channels int, fmt string"
+    )
+
+    def build(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            payloads, widths, heights, chans, fmts = [], [], [], [], []
+            for did, text in zip(pdf["doc_id"].astype("int64"), pdf[text_col]):
+                did = int(did)
+                if did % png_every == 0:
+                    px = _png_pixels_for(did)
+                    h, w = px.shape[:2]
+                    ch = 1 if px.ndim == 2 else px.shape[2]
+                    payloads.append(encode_png(px, filter_type=did % 5))
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(ch)
+                    fmts.append(PNG_FORMAT)
+                else:
+                    payloads.append((text or "").encode("utf-8"))
+                    widths.append((did * 7) % 640 + 16)
+                    heights.append((did * 13) % 480 + 16)
+                    chans.append(3)
+                    fmts.append(FAKE_FORMAT)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "channels": pd.Series(chans, dtype="int32"),
+                    "fmt": fmts,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(build, mixed_schema).select(
+        "doc_id",
+        "payload",
+        F.struct("width", "height", "channels", "fmt").alias("meta"),
+    )
+
+
+def multimodal_features(docs: DataFrame, png_every: int | None = None) -> DataFrame:
     """E5 — end-to-end: attach payload/meta, flatten for Arrow, decode via
-    mapInPandas, return typed features."""
-    flat = attach_payload(docs).select(
+    mapInPandas, return typed features. ``png_every`` switches to the
+    mixed fake8/PNG corpus (real decode on the PNG rows)."""
+    mm = (
+        attach_payload_mixed(docs, png_every=png_every)
+        if png_every is not None
+        else attach_payload(docs)
+    )
+    flat = mm.select(
         "doc_id",
         "payload",
         F.col("meta.width").alias("width"),

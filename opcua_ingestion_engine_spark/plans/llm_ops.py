@@ -626,13 +626,15 @@ def q_e5_meta(spark, sf_dir):
 @register(
     "q_e5_decode_features",
     None,  # decode is Python-side (Arrow mapInPandas) — rows-only; the
-    # deterministic byte_sum is asserted in tests/test_llm_ops.py
-    "E5 — stubbed decode via Arrow-batched mapInPandas: payload bytes -> "
-    "(n_bytes, byte_sum) features + passthrough metadata. Real codecs slot "
-    "into decode_image() without touching the Spark plumbing.",
+    # deterministic features are asserted in tests/test_llm_ops.py
+    "E5 — image decode via Arrow-batched mapInPandas over a mixed corpus: "
+    "every 7th doc carries a real PNG payload decoded by the pure-stdlib "
+    "decoder (real pixel stats from IHDR/IDAT), the rest the deterministic "
+    "fake8 byte stream. JPEG/audio/video stay behind the documented "
+    "NotImplementedError guard.",
 )
 def q_e5_decode(spark, sf_dir):
-    return M.multimodal_features(_docs(spark, sf_dir))
+    return M.multimodal_features(_docs(spark, sf_dir), png_every=7)
 
 
 @register(

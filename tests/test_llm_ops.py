@@ -166,9 +166,102 @@ def test_multimodal_decode_stub(spark, docs):
         assert f["n_bytes"] == len(raw)
         assert f["byte_sum"] == sum(raw)
         assert f["width"] == (r["doc_id"] * 7) % 640 + 16
+        assert f["fmt"] == "fake8"
 
+    # formats with no in-container codec stay behind the guard
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG...", "png")
+        M.decode_image(b"\xff\xd8\xff\xe0...", "jpeg")
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    rnd = np.random.RandomState(7)
+    shapes = [(5, 3), (4, 7, 3), (6, 2, 4), (1, 1), (3, 1, 3)]
+    for shape in shapes:
+        px = rnd.randint(0, 256, size=shape).astype(np.uint8)
+        for ft in range(5):
+            data = M.encode_png(px, filter_type=ft)
+            out, w, h, ch = M._decode_png(data)
+            assert (w, h) == (shape[1], shape[0])
+            assert ch == (1 if len(shape) == 2 else shape[2])
+            assert (out.reshape(px.shape) == px).all(), (shape, ft)
+
+
+def test_png_decode_hand_computed_paeth():
+    """Independent check that unfiltering follows the spec (not just the
+    encoder's inverse): a 2x2 gray image filtered with Paeth, filtered
+    bytes derived by hand from the RFC 2083 predictor definition."""
+    import struct
+    import zlib
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    # target pixels: [[10, 20], [30, 55]]
+    # row 0 (prior=0): a=left, b=0, c=0 -> predictor = left
+    #   byte0: pred 0 -> filt 10;  byte1: pred a=10 -> filt 10
+    # row 1: byte0: a=0 b=10 c=0 -> p=10 pa=10 pb=0 -> pred b=10 -> filt 20
+    #        byte1: a=30 b=20 c=10 -> p=40 pa=10 pb=20 pc=30 -> pred a=30
+    #        -> filt 55-30=25
+    raw = bytes([4, 10, 10, 4, 20, 25])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    out, w, h, ch = M._decode_png(data)
+    assert (w, h, ch) == (2, 2, 1)
+    assert out.tolist() == [[10, 20], [30, 55]]
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    good = M.encode_png(np.zeros((2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        M._decode_png(b"JUNK" + good[4:])
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # flip a byte inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        M._decode_png(bytes(corrupt))
+
+
+def test_multimodal_mixed_corpus_decodes_real_png(spark, docs):
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    sample = docs.limit(30)
+    feats = {
+        r["doc_id"]: r
+        for r in M.multimodal_features(sample, png_every=7).collect()
+    }
+    saw_png = saw_fake = 0
+    for r in sample.collect():
+        did, f = r["doc_id"], feats[r["doc_id"]]
+        if did % 7 == 0:
+            saw_png += 1
+            px = M._png_pixels_for(did)
+            h, w = px.shape[:2]
+            assert f["fmt"] == "png"
+            # dimensions come from IHDR, not the meta column
+            assert (f["width"], f["height"]) == (w, h)
+            assert f["byte_sum"] == int(px.sum(dtype=np.int64))
+            assert abs(f["px_mean"] - px.mean()) < 1e-9
+            # n_bytes is the ENCODED size: decode really ran on real bytes
+            assert f["n_bytes"] != px.size
+        else:
+            saw_fake += 1
+            raw = r["text"].encode("utf-8")
+            assert f["fmt"] == "fake8"
+            assert (f["n_bytes"], f["byte_sum"]) == (len(raw), sum(raw))
+    assert saw_png >= 2 and saw_fake >= 2
 
 
 def test_multimodal_resize_and_frame_sample(spark, docs):
