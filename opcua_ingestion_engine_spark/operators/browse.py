@@ -9,13 +9,14 @@ B4) and collapsing the UI display below depth 3 (``:49-53`` — B3), then
 serializes a jsTree JSON file (``:256-264`` — S12).
 
 Spark-first: the address space is an edge-list DataFrame; the walk is a
-frontier BFS by iterated self-join. Each level is ONE join of the frontier
-against the (broadcast) edge list with a left_anti against the exclusion
-names — level count is tree depth, not node count, so a 100 TB edge list
-costs depth × (one co-partitioned hash join). The frontier is
-localCheckpoint'ed per level to keep plans linear (iterative self-joins
-otherwise double the plan tree each round — the classic Spark iterative-
-algorithm trap).
+frontier BFS by iterated self-join. The exclusion prune is applied once
+to the edge list up front (an excluded node never becomes a child, so its
+subtree is unreachable); each level is then exactly ONE join of the
+frontier against the pruned edge list — level count is tree depth, not
+node count, so a 100 TB edge list costs depth × (one hash join). The
+frontier is localCheckpoint'ed per level to keep plans linear (iterative
+self-joins otherwise double the plan tree each round — the classic Spark
+iterative-algorithm trap).
 """
 
 from __future__ import annotations
@@ -34,9 +35,9 @@ def browse_tree(
     broadcast_frontier: bool = True,
 ) -> DataFrame:
     """B1 — expand the hierarchy from each connection's root, one BFS level
-    per iteration, applying the F6 exclusion prune per frontier (so an
-    excluded folder's whole subtree is never visited) and the F7 node-class
-    predicate.
+    per iteration, with the F6 exclusion prune folded into the one-time
+    edge-list build (so an excluded folder's whole subtree is never
+    visited) and the F7 node-class predicate.
 
     ``nodes``: (conn_id, parent_id, node_id, display_name, node_class)
     edge list, roots having parent_id NULL.
@@ -56,14 +57,26 @@ def browse_tree(
     # level-join would recompute that derivation — measured 48s -> ~3s at
     # sf0.1. At scale this is the "cache the graph before iterating" rule
     # every Spark graph algorithm follows.
-    edges = nodes.filter(
-        F.col("node_class").isin("Object", "Variable")
-    ).localCheckpoint(eager=True)
-    # Materialized once: left lazy, the distinct's exchange re-runs on
-    # every level of the walk (~0.5s x depth at sf0.1 for a 3-row frame).
-    excl = (
-        exclusions.select("conn_id", F.col("folder").alias("display_name"))
-        .distinct()
+    #
+    # The F6 exclusion prune is applied HERE, once, instead of as an
+    # anti-join per level: an excluded node never appears as a child, so
+    # its whole subtree is unreachable to the BFS — identical prune, and
+    # each level is now exactly ONE join (frontier x edges). Roots are
+    # kept unconditionally: the reference applies exclusions while
+    # browsing children (Helpers/OpcuaBrowse.cs:80-87,216-223), never to
+    # the root itself.
+    excl = exclusions.select(
+        "conn_id", F.col("folder").alias("display_name")
+    ).distinct()
+    edges = (
+        nodes.filter(F.col("node_class").isin("Object", "Variable"))
+        .join(
+            F.broadcast(excl.withColumn("_excluded", F.lit(True))),
+            ["conn_id", "display_name"],
+            "left",
+        )
+        .filter(F.col("parent_id").isNull() | F.col("_excluded").isNull())
+        .drop("_excluded")
         .localCheckpoint(eager=True)
     )
 
@@ -76,15 +89,15 @@ def browse_tree(
         .withColumn("depth", F.lit(0))
     )
     result = frontier
-    # Per level: ONE BroadcastHashJoin probing the checkpointed edge list
-    # with the (always-small) frontier key set, plus a broadcast anti join
-    # for the exclusion prune — zero exchanges per level. Shuffled joins
-    # here cost 2 exchanges x depth (the checkpointed frontier has no
-    # partitioning metadata, so nothing is co-partitioned) — measured
-    # 7.7s -> 2.9s for the whole walk at sf0.1. A frontier too big to
-    # broadcast means the graph is bushy-wide, at which point drop this
-    # loop for a single shuffled join per level keyed on (conn_id,
-    # parent_id) — depth still bounds the iteration count either way.
+    # Per level: ONE BroadcastHashJoin probing the checkpointed (already
+    # exclusion-pruned) edge list with the (always-small) frontier key set
+    # — zero exchanges per level. Shuffled joins here cost 2 exchanges x
+    # depth (the checkpointed frontier has no partitioning metadata, so
+    # nothing is co-partitioned) — measured 7.7s -> 2.9s for the whole
+    # walk at sf0.1. A frontier too big to broadcast means the graph is
+    # bushy-wide, at which point drop this loop for a single shuffled join
+    # per level keyed on (conn_id, parent_id) — depth still bounds the
+    # iteration count either way.
     #
     # Each level's LAZY localCheckpoint materializes inside the count()
     # that decides termination, so one job per level does both (eager
@@ -100,7 +113,6 @@ def browse_tree(
                 ["conn_id", "parent_id"],
                 "inner",
             )
-            .join(F.broadcast(excl), ["conn_id", "display_name"], "left_anti")
             .select(
                 "conn_id",
                 "parent_id",

@@ -300,6 +300,7 @@ def minhash_neardup_pairs(
     num_hashes: int = 96,
     bands: int = 32,
     rows_per_band: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """E2 — full MinHash-LSH near-dup pipeline: shingle -> signature ->
     banded candidates -> exact-Jaccard verification >= threshold.
@@ -308,6 +309,16 @@ def minhash_neardup_pairs(
     the band geometry: P[detect | s] = 1-(1-s^rows)^bands — ~0.99 at
     s=0.5 and ~1-1e-10 at s=0.8 with the 32x3 default). See
     tests/test_llm_ops.py for the recall harness.
+
+    ``max_bucket`` passes through to :func:`lsh_candidate_pairs`. Default
+    None (exact search) is a DELIBERATE choice: an LSH bucket only grows
+    giant when many documents agree on rows_per_band exact minhashes —
+    i.e. a cluster of (near-)identical texts that the E1 exact-dedup
+    stage upstream should already have collapsed. On an adversarial or
+    un-pre-deduped corpus set it (e.g. 1000) to bound the in-bucket
+    O(k^2) pair expansion; skipped buckets drop ONLY pairs inside
+    mega-clusters (tests/test_skew_stress.py pins both the volume bound
+    and the planted-pair recall).
 
     Materialization strategy (measured 12.0s -> 8.5s -> ~2.8s warm at
     sf0.1 across the tuning passes):
@@ -334,7 +345,9 @@ def minhash_neardup_pairs(
     shingle_expr = F.array_distinct(word_ngrams(F.col(text_col), n))
     sh = docs.select("doc_id", shingle_expr.alias("shingles"))
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket).localCheckpoint(
+        eager=False
+    )
     needed = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))

@@ -72,3 +72,68 @@ def test_persisted_bucketed_state_rounds(spark, fx):
     assert _rows(got) == _rows(batch)
     for t in names:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_crash_mid_merge_recovers_idempotently(spark, fx):
+    """Deployment recovery contract for the blue/green MERGE protocol: the
+    'current' pointer advances only AFTER a successful write, so a crash
+    mid-merge leaves (a) the previous state table intact and (b) possibly
+    a partial/complete orphan write of the target table. Recovery =
+    re-run the same micro-batch from the intact previous table (exactly
+    what foreachBatch re-delivery does after restart). Pins:
+
+    1. partial-write crash: recovery overwrites the torn table and the
+       final state equals the never-crashed control run;
+    2. complete-write-but-no-pointer-advance crash: the re-run write is
+       byte-equal to the first (LWW merge is deterministic), so replay is
+       idempotent.
+    """
+    from opcua_ingestion_engine_spark.operators import ingest, sink
+
+    bounds = fx["updates"].agg(
+        F.unix_micros(F.min("received_ts")).alias("lo_us"),
+        F.unix_micros(F.max("received_ts")).alias("hi_us"),
+    ).collect()[0]
+    lo_us, hi_us = bounds["lo_us"], bounds["hi_us"] + 1
+    mid = lo_us + (hi_us - lo_us) // 2
+
+    def batch_state(win_lo, win_hi, stored):
+        upd = fx["updates"].filter(
+            (F.unix_micros("received_ts") >= win_lo)
+            & (F.unix_micros("received_ts") < win_hi)
+        )
+        joined, _, _ = ingest.prepare_stream(
+            upd, fx["devices"], fx["templates"], fx["connections"]
+        )
+        return ingest.merge_perpoint_states(stored, ingest.perpoint_state(joined))
+
+    # round 1 -> crash_a (intact; pointer advances to it)
+    sink.write_bucketed_state(
+        batch_state(lo_us, mid, None), "crash_a", ["daq_name", "measure_name"], 4
+    )
+    stored = spark.table("crash_a")
+
+    # control: what round 2 SHOULD produce
+    control = batch_state(mid, hi_us, stored)
+    control_rows = _rows(control)
+
+    # crash case 1: torn write of crash_b (half the rows), pointer still at a
+    torn = control.limit(max(1, len(control_rows) // 2))
+    sink.write_bucketed_state(torn, "crash_b", ["daq_name", "measure_name"], 4)
+    assert len(_rows(spark.table("crash_b"))) < len(control_rows)
+
+    # recovery: pointer says crash_a; replay the SAME batch, overwrite crash_b
+    recovered = batch_state(mid, hi_us, spark.table("crash_a"))
+    sink.write_bucketed_state(
+        recovered, "crash_b", ["daq_name", "measure_name"], 4
+    )
+    assert _rows(spark.table("crash_b")) == control_rows
+
+    # crash case 2: write completed but pointer never advanced — replaying
+    # the batch must reproduce the identical table (idempotent redelivery)
+    replay = batch_state(mid, hi_us, spark.table("crash_a"))
+    sink.write_bucketed_state(replay, "crash_c", ["daq_name", "measure_name"], 4)
+    assert _rows(spark.table("crash_c")) == _rows(spark.table("crash_b"))
+
+    for t in ("crash_a", "crash_b", "crash_c"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1,0 +1,172 @@
+"""Adversarial skew stress for the dedup caps (VERDICT r2 #8).
+
+Two planted pathologies that break naive near-dup pipelines at scale:
+
+1. a HOT SHINGLE — boilerplate text shared by most of the corpus, whose
+   posting list makes the inverted-index self-join O(corpus^2);
+2. a GIANT NEAR-IDENTICAL CLUSTER — many copies of one document, whose
+   LSH buckets expand to O(cluster^2) candidate pairs in a single task.
+
+The caps (``max_doc_freq`` for the inverted index, ``max_bucket`` for the
+LSH bucket expansion) must bound the blow-up while keeping recall on
+planted near-dup pairs that are NOT part of the pathology.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _unique_text(i: int, n_words: int = 24) -> str:
+    # deterministic, shingle-disjoint-ish tail per doc
+    return " ".join(WORDS[(i * 7 + j * (1 + i % 5)) % 20] + str(i) for j in range(n_words))
+
+
+BOILER = "terms of service apply to all content on this site please read carefully"
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_corpus(spark):
+    """140 background docs sharing an identical boilerplate sentence (every
+    boilerplate shingle has document frequency 140) + 3 planted near-dup
+    pairs whose similarity comes from their own long shared tails."""
+    rows = []
+    for i in range(140):
+        rows.append((i, f"{BOILER} {_unique_text(i)}"))
+    # planted pairs: long shared tail, small unique head -> high jaccard,
+    # NO boilerplate (so the cap cannot be what finds them)
+    planted = []
+    for k in range(3):
+        base = _unique_text(1000 + k, n_words=40)
+        a_id, b_id = 2000 + 2 * k, 2001 + 2 * k
+        rows.append((a_id, f"headA{k} {base}"))
+        rows.append((b_id, f"headB{k} {base}"))
+        planted.append((a_id, b_id))
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint(),
+        planted,
+    )
+
+
+@pytest.fixture(scope="module")
+def megacluster_corpus(spark):
+    """100 identical copies of one document (the LSH mega-bucket) + 2
+    planted near-dup pairs outside the cluster."""
+    clone = "identical spam document body repeated across the entire corpus " + _unique_text(1)
+    rows = [(i, clone) for i in range(100)]
+    planted = []
+    for k in range(2):
+        base = _unique_text(3000 + k, n_words=40)
+        a_id, b_id = 4000 + 2 * k, 4001 + 2 * k
+        rows.append((a_id, f"headA{k} {base}"))
+        rows.append((b_id, f"headB{k} {base}"))
+        planted.append((a_id, b_id))
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint(),
+        planted,
+    )
+
+
+def test_max_doc_freq_bounds_hot_shingle_volume(spark, hot_shingle_corpus):
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    docs, planted = hot_shingle_corpus
+    # tiny threshold surfaces EVERY pair sharing >=1 surviving shingle —
+    # a proxy for candidate volume through the inverted-index join
+    uncapped = D.jaccard_pairs(docs, block_col=None, threshold=0.01).count()
+    capped_df = D.jaccard_pairs(docs, block_col=None, threshold=0.01, max_doc_freq=20)
+    capped_rows = capped_df.collect()
+    capped = len(capped_rows)
+    # 140 boilerplate docs pair all-to-all without the cap (~9.7k pairs);
+    # with it, only docs sharing sub-cap shingles pair up
+    assert uncapped > 9000
+    assert capped < uncapped / 50, (capped, uncapped)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
+    for pair in planted:
+        assert pair in got, f"planted pair {pair} lost by max_doc_freq cap"
+
+    # at a realistic threshold the planted pairs still score high THROUGH
+    # the cap (their similarity lives in sub-cap shingles)
+    strict = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(
+            docs, block_col=None, threshold=0.5, max_doc_freq=20
+        ).collect()
+    }
+    for pair in planted:
+        assert pair in strict
+
+
+def test_max_bucket_bounds_megacluster_expansion(spark, megacluster_corpus):
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators.text import word_ngrams
+    from pyspark.sql import functions as F
+
+    docs, planted = megacluster_corpus
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 3)).alias("shingles")
+    )
+    sig = D.minhash_signatures(sh).localCheckpoint()
+
+    uncapped = D.lsh_candidate_pairs(sig).count()
+    capped_rows = D.lsh_candidate_pairs(sig, max_bucket=50).collect()
+    # the 100-clone cluster contributes C(100,2)=4950 candidate pairs
+    # uncapped; the cap drops those buckets wholesale
+    assert uncapped >= 4950
+    assert len(capped_rows) < 100, (len(capped_rows), uncapped)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
+    for pair in planted:
+        assert pair in got, f"planted pair {pair} lost by max_bucket cap"
+
+
+def test_minhash_neardup_end_to_end_with_cap(spark, megacluster_corpus):
+    """The full pipeline with max_bucket: planted pairs verified with
+    their true jaccard; mega-cluster pairs (exact dups — E1's job) are the
+    only casualties of the cap."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    docs, planted = megacluster_corpus
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_neardup_pairs(
+            docs, threshold=0.5, max_bucket=50
+        ).collect()
+    }
+    for pair in planted:
+        assert pair in out and out[pair] > 0.8
+    # every surviving pair is a genuine near-dup (verify stage intact)
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_simhash_neardup_with_cap_keeps_planted(spark):
+    """SimHash's max_hamming=3 needs planted pairs within 3 bit flips —
+    one substituted token in ~40 lands at hamming ~8-9 (many bit-votes
+    sit at low margins), so the planted pairs here are exact clones
+    (hamming 0), distinct per pair and from the mega-cluster."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    clone = "identical spam document body repeated across the corpus " + _unique_text(1)
+    rows = [(i, clone) for i in range(100)]
+    planted = []
+    for k in range(2):
+        text = f"planted pair {k} " + _unique_text(5000 + k, n_words=40)
+        a_id, b_id = 6000 + 2 * k, 6001 + 2 * k
+        rows.append((a_id, text))
+        rows.append((b_id, text))
+        planted.append((a_id, b_id))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_neardup_pairs(docs, max_bucket=50).collect()
+    }
+    # mega-cluster pairs capped away, planted pairs kept
+    assert len(got) < 100
+    for pair in planted:
+        assert pair in got
