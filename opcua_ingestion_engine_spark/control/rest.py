@@ -1,0 +1,317 @@
+"""S13 — REST control plane (SURVEY.md §2.1).
+
+The reference exposes a small ASP.NET API over its connection config and
+browse jobs (``Controllers/ClientController.cs:22-87``,
+``Controllers/BrowseController.cs:18-25``, routes ``api/[controller]``
+per ``Controllers/BaseApiController.cs:5-7``):
+
+- ``GET    api/client/config/get``              — list connections, passwords decrypted
+- ``POST   api/client/config/add``              — insert-if-absent, password AES-encrypted at rest
+- ``PATCH  api/client/config/update``           — update-if-present
+- ``DELETE api/client/config/delete/{name}``    — remove by connection name
+- ``GET    api/browse/startBrowseJob/{connId}`` — fire-and-forget browse job
+
+Every successful mutation triggers ``ReloadPolling``
+(``Services/OpcSubscribeService.cs`` — the S6 hot-reload); the browse
+endpoint returns immediately while the job runs async (B5).
+
+Spark-first shape: this module is a THIN stdlib ``http.server`` shell —
+no web framework in the container, none needed for a config-sized
+control plane — over a :class:`ConnectionConfigStore` whose mutations
+are the engine's own MERGE-shaped DataFrame transforms (S10
+insert-if-missing for add, S9 keyed-update for update, anti-join for
+delete) against a parquet-backed table, with X8 AES-CBC at rest via the
+JVM ``aes_encrypt``/``aes_decrypt`` built-ins and the reference's
+S8-style default injection on an empty store. The config table is O(10)
+rows: driver-side materialization per request is the correct plan at any
+scale (the 100 TB side of this engine is the data plane, not this).
+
+The data plane stays decoupled exactly as in the reference: consumers
+re-read config per micro-batch (S6), so a control-plane write is visible
+at the next trigger without restarting anything.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.browse import BrowseJobRegistry
+
+# Mirrors the reference's injected default when no config exists
+# (Services/OpcuaHelperService.cs:72-86).
+DEFAULT_CONNECTION = {
+    "connection_name": "Ignition",
+    "url": "opc.tcp://10.10.100.1:62541/discovery",
+    "max_search": 600,
+    "timeout_ms": 60000,
+    "username": None,
+    "password": None,
+    "browse_exclusion_folders": [],
+}
+
+STORE_SCHEMA = (
+    "conn_id int, connection_name string, url string, max_search int, "
+    "timeout_ms int, username string, encrypted_password binary, "
+    "browse_exclusion_folders array<string>"
+)
+
+_DTO_FIELDS = (
+    "connection_name", "url", "max_search", "timeout_ms", "username",
+    "password", "browse_exclusion_folders",
+)
+
+
+class ConnectionConfigStore:
+    """Parquet-backed connection config with AES-encrypted passwords.
+
+    Single-writer by design (one control plane per deployment, like the
+    reference's single API process); a process-local lock serializes
+    mutations. Readers (the S6 loaders) see the previous version until
+    the overwrite commits — config-table-sized windows, same as the
+    reference's read-committed Postgres reads.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, aes_key: str):
+        if len(aes_key.encode("utf-8")) not in (16, 24, 32):
+            raise ValueError("aes_key must be 16/24/32 bytes (AES-128/192/256)")
+        self.spark = spark
+        self.path = path
+        self._key = aes_key
+        self._lock = threading.Lock()
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
+        except Exception:  # path not created yet -> empty store
+            return self.spark.createDataFrame([], STORE_SCHEMA)
+
+    def _write(self, df: DataFrame) -> None:
+        # materialize before overwriting the path the plan reads from
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+
+    def _encrypt(self, col):
+        return F.aes_encrypt(col, F.lit(self._key), F.lit("CBC"))
+
+    def _decrypt(self, col):
+        return F.aes_decrypt(col, F.lit(self._key), F.lit("CBC")).cast("string")
+
+    def _dto_frame(self, dto: dict) -> DataFrame:
+        row = {k: dto.get(k) for k in _DTO_FIELDS}
+        df = self.spark.createDataFrame(
+            [
+                (
+                    row["connection_name"],
+                    row["url"],
+                    row["max_search"],
+                    row["timeout_ms"],
+                    row["username"],
+                    row["password"],
+                    row["browse_exclusion_folders"] or [],
+                )
+            ],
+            "connection_name string, url string, max_search int, timeout_ms int, "
+            "username string, password string, browse_exclusion_folders array<string>",
+        )
+        return df.select(
+            "connection_name", "url", "max_search", "timeout_ms", "username",
+            F.when(
+                F.col("password").isNotNull(), self._encrypt(F.col("password"))
+            ).alias("encrypted_password"),
+            "browse_exclusion_folders",
+        )
+
+    # -- the four verbs -----------------------------------------------------
+
+    def load(self, decrypt: bool = True) -> list[dict]:
+        """GET — all connections; passwords decrypted for the DTO exactly
+        as the reference does (ClientController.cs:81). Empty store gets
+        the injected default row (OpcuaHelperService.cs:72-86) — returned,
+        not persisted, same as the reference."""
+        cur = self._read()
+        pw = self._decrypt(F.col("encrypted_password")) if decrypt else F.lit(None)
+        rows = [
+            r.asDict()
+            for r in cur.select(
+                "conn_id", "connection_name", "url", "max_search", "timeout_ms",
+                "username", pw.alias("password"), "browse_exclusion_folders",
+            )
+            .orderBy("conn_id")
+            .collect()
+        ]
+        if not rows:
+            return [dict(DEFAULT_CONNECTION, conn_id=0)]
+        return rows
+
+    def add(self, dto: dict) -> bool:
+        """POST — S10 insert-if-missing on connection_name; False (-> 400)
+        when the name exists (OpcuaHelperService.cs:91-116)."""
+        if not dto.get("connection_name"):
+            return False
+        with self._lock:
+            cur = self._read()
+            if (
+                cur.filter(
+                    F.col("connection_name") == dto["connection_name"]
+                ).limit(1).count()
+                > 0
+            ):
+                return False
+            next_id = cur.agg(
+                F.coalesce(F.max("conn_id") + 1, F.lit(0)).alias("i")
+            ).first()["i"]
+            incoming = self._dto_frame(dto).withColumn(
+                "conn_id", F.lit(int(next_id)).cast("int")
+            )
+            self._write(cur.unionByName(incoming.select(*cur.columns)))
+            return True
+
+    def update(self, dto: dict) -> bool:
+        """PATCH — S9 update-if-present keyed on connection_name; False
+        (-> 400) when absent (OpcuaHelperService.cs:118-147). A NULL
+        incoming password keeps the stored ciphertext (the reference only
+        re-encrypts when one is supplied)."""
+        with self._lock:
+            cur = self._read()
+            inc = self._dto_frame(dto).select(
+                "connection_name",
+                *[
+                    F.col(c).alias(f"_new_{c}")
+                    for c in (
+                        "url", "max_search", "timeout_ms", "username",
+                        "encrypted_password", "browse_exclusion_folders",
+                    )
+                ],
+            )
+            if (
+                cur.join(inc, "connection_name", "left_semi").limit(1).count() == 0
+            ):
+                return False
+            merged = cur.join(inc, "connection_name", "left")
+            for c in ("url", "max_search", "timeout_ms", "username",
+                      "browse_exclusion_folders"):
+                merged = merged.withColumn(
+                    c, F.coalesce(F.col(f"_new_{c}"), F.col(c))
+                )
+            merged = merged.withColumn(
+                "encrypted_password",
+                F.coalesce(F.col("_new_encrypted_password"), F.col("encrypted_password")),
+            )
+            self._write(merged.select(*cur.columns))
+            return True
+
+    def delete(self, connection_name: str) -> bool:
+        """DELETE — anti-join on connection_name; False (-> 400) when the
+        name wasn't present (OpcuaHelperService.cs:250-272)."""
+        with self._lock:
+            cur = self._read()
+            if (
+                cur.filter(F.col("connection_name") == connection_name)
+                .limit(1).count() == 0
+            ):
+                return False
+            self._write(cur.filter(F.col("connection_name") != connection_name))
+            return True
+
+
+class ControlPlaneServer:
+    """The HTTP shell. ``reload_hook`` runs after every successful
+    mutation (the reference's ``ReloadPolling`` notification);
+    ``browse_fn(conn_id)`` is launched async through the B5 registry by
+    the browse endpoint."""
+
+    def __init__(
+        self,
+        store: ConnectionConfigStore,
+        reload_hook=None,
+        browse_fn=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.store = store
+        self.reload_hook = reload_hook or (lambda: None)
+        self.browse_fn = browse_fn
+        self.registry = BrowseJobRegistry()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test runs
+                pass
+
+            def _send(self, code: int, body=None):
+                data = json.dumps(body if body is not None else {}).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                if self.path == "/api/client/config/get":
+                    return self._send(200, outer.store.load())
+                if self.path.startswith("/api/browse/startBrowseJob/"):
+                    conn_id = self.path.rsplit("/", 1)[-1]
+                    started = outer._start_browse(conn_id)
+                    return self._send(
+                        200,
+                        {"message": "Long-running process started.",
+                         "started": started},
+                    )
+                return self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path == "/api/client/config/add":
+                    return outer._mutate(self, outer.store.add, self._body())
+                return self._send(404, {"error": "not found"})
+
+            def do_PATCH(self):
+                if self.path == "/api/client/config/update":
+                    return outer._mutate(self, outer.store.update, self._body())
+                return self._send(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                if self.path.startswith("/api/client/config/delete/"):
+                    name = self.path.rsplit("/", 1)[-1]
+                    return outer._mutate(self, outer.store.delete, name)
+                return self._send(404, {"error": "not found"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def _mutate(self, handler, op, arg):
+        ok = op(arg)
+        if ok:
+            self.reload_hook()
+            return handler._send(200)
+        return handler._send(400, {"error": "rejected"})
+
+    def _start_browse(self, conn_id: str) -> bool:
+        if self.browse_fn is None:
+            return False
+        return self.registry.start(conn_id, lambda: self.browse_fn(conn_id))
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> "ControlPlaneServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
