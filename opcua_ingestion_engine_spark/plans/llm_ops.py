@@ -670,6 +670,20 @@ def q_e5_frames(spark, sf_dir):
     )
 
 
+@register(
+    "q_e5_audio_features",
+    None,  # WAV synthesis + decode are Python-side (Arrow mapInPandas) —
+    # rows-only; determinism and numpy-exact features pinned in
+    # tests/test_llm_ops.py
+    "E5 (audio) — real RIFF/PCM WAV decode via the stdlib wave module "
+    "inside mapInPandas: every 5th doc carries a deterministic PCM signal, "
+    "features are duration/RMS/peak over the decoded samples. Compressed "
+    "audio stays behind the NotImplementedError codec guard.",
+)
+def q_e5_audio(spark, sf_dir):
+    return M.audio_features(_docs(spark, sf_dir), wav_every=5)
+
+
 # ---------------------------------------------------------------------------
 # E6 — time-series similarity
 # ---------------------------------------------------------------------------

@@ -264,6 +264,44 @@ def test_multimodal_mixed_corpus_decodes_real_png(spark, docs):
     assert saw_png >= 2 and saw_fake >= 2
 
 
+def test_wav_roundtrip_and_features(spark, docs):
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    # roundtrip: encode -> decode preserves the signal's features exactly
+    sig = (np.sin(np.arange(500) / 7.0) * 12000).astype(np.int16)
+    feats = M.decode_audio(M.encode_wav(sig, 22050), "wav")
+    assert feats["sample_rate"] == 22050
+    assert feats["n_samples"] == 500 and feats["n_channels"] == 1
+    assert abs(feats["duration_s"] - 500 / 22050) < 1e-12
+    assert abs(feats["rms"] - np.sqrt(np.mean(sig.astype(np.float64) ** 2))) < 1e-9
+    assert feats["peak"] == int(np.abs(sig.astype(np.int32)).max())
+
+    # compressed audio stays behind the guard
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x04...", "mp3")
+
+    # end-to-end over the documents table: features numpy-exact per doc
+    sample = docs.limit(25)
+    rows = {r["doc_id"]: r for r in M.audio_features(sample, wav_every=5).collect()}
+    checked = 0
+    for r in sample.collect():
+        did = r["doc_id"]
+        if did % 5 != 0:
+            assert did not in rows
+            continue
+        samples, rate = M._wav_samples_for(did)
+        got = rows[did]
+        assert got["sample_rate"] == rate
+        assert got["n_samples"] == len(samples)
+        exp_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        assert abs(got["rms"] - exp_rms) < 1e-9
+        assert got["peak"] == int(np.abs(samples.astype(np.int32)).max())
+        checked += 1
+    assert checked >= 2
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     import numpy as np
 

@@ -743,3 +743,56 @@ def test_incremental_neardup_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(set(got))  # no pair emitted twice
     assert got == want and len(want) > 0
+
+
+def test_reconnect_policy_tcp_schedule():
+    """Pin the piecewise-linear TCP probe schedule to hand-computed values
+    from the reference's constants (OpcSubscribeService.cs:879-891):
+    base 30s flat through iteration 100 (leg-1 slope (30-30)/99 = 0),
+    then +(600-30)/100 = 5.7 s/iteration, capped at 600s from 200 on."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.streaming.reconnect import tcp_probe_delay_s
+
+    assert tcp_probe_delay_s(1) == 30.0
+    assert tcp_probe_delay_s(50) == 30.0
+    assert tcp_probe_delay_s(100) == 30.0
+    assert abs(tcp_probe_delay_s(101) - 35.7) < 1e-9
+    assert abs(tcp_probe_delay_s(150) - (30.0 + 5.7 * 50)) < 1e-9
+    assert tcp_probe_delay_s(200) == 600.0
+    assert tcp_probe_delay_s(500) == 600.0
+    with _pytest.raises(ValueError):
+        tcp_probe_delay_s(0)
+
+
+def test_reconnect_policy_state_machine():
+    """The two-layer machine: OPC delays double (1,2,4,...) while TCP holds;
+    a TCP drop mid-attempt resets BOTH layers (OpcSubscribeService.cs:
+    916-927); success exits clean."""
+    from opcua_ingestion_engine_spark.streaming.reconnect import ReconnectPolicy
+
+    p = ReconnectPolicy()
+    # dark server: probe layer paces at the schedule
+    assert p.next_delay_s() == 30.0
+    p.tcp_probe_failed()
+    p.tcp_probe_failed()
+    assert p.state == "probing_tcp" and p.next_delay_s() == 30.0
+
+    # TCP answers: exponential OPC attempts from 1s
+    p.tcp_probe_succeeded()
+    got = []
+    for _ in range(4):
+        got.append(p.next_delay_s())
+        p.opc_attempt_failed(tcp_still_up=True)
+    assert got == [1.0, 2.0, 4.0, 8.0]
+
+    # TCP drops mid-attempt: both layers reset
+    p.opc_attempt_failed(tcp_still_up=False)
+    assert p.state == "probing_tcp"
+    assert p.tcp_iteration == 1 and p.next_delay_s() == 30.0
+    p.tcp_probe_succeeded()
+    assert p.next_delay_s() == 1.0  # opc delay back to initial
+
+    # success exits; a later outage starts fresh
+    p.opc_attempt_succeeded()
+    assert p.state == "connected" and p.next_delay_s() == 0.0
