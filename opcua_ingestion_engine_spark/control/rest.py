@@ -87,10 +87,15 @@ class ConnectionConfigStore:
     # -- plumbing -----------------------------------------------------------
 
     def _read(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
-        except Exception:  # path not created yet -> empty store
+        # ONLY a missing path means "empty store" — any other failure
+        # (corrupt files, permissions) must propagate: treating it as
+        # empty would make the next mutation overwrite the table with a
+        # near-empty one (silent config loss).
+        import os
+
+        if not os.path.exists(self.path):
             return self.spark.createDataFrame([], STORE_SCHEMA)
+        return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
         # materialize before overwriting the path the plan reads from

@@ -166,3 +166,29 @@ def test_store_survives_reopen(spark, tmp_path):
     rows = store2.load()
     assert rows[0]["connection_name"] == "plant-a"
     assert rows[0]["password"] == "hunter2-secret"
+
+
+def test_corrupt_store_fails_loudly_instead_of_wiping(spark, tmp_path):
+    """A corrupt table must raise, not read as empty — 'empty' would let
+    the next mutation overwrite the config with a near-empty table."""
+    import os
+
+    from opcua_ingestion_engine_spark.control import ConnectionConfigStore
+
+    path = str(tmp_path / "connections")
+    store = ConnectionConfigStore(spark, path, KEY)
+    assert store.add(DTO)
+
+    # corrupt every parquet footer
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            with open(os.path.join(path, name), "r+b") as f:
+                f.seek(-8, os.SEEK_END)
+                f.write(b"XXXXXXXX")
+
+    with pytest.raises(Exception):
+        store.load()
+    with pytest.raises(Exception):
+        store.add(dict(DTO, connection_name="other"))
+    # the corrupt data is still on disk for operator recovery — not wiped
+    assert any(n.endswith(".parquet") for n in os.listdir(path))

@@ -184,3 +184,33 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         cands = [(rt, rid, rv) for rid, rk, rt, rv in rrows if rk == lk and rt <= lt]
         expect[lid] = max(cands)[2] if cands else None
     assert got == expect
+
+
+@given(
+    data=st.data(),
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 3, 4]),
+    ft=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(data, h, w, ch, ft):
+    """Pure-Python property (no Spark job): encode_png -> _decode_png is
+    the identity for every shape x color type x scanline filter."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    n = h * w * ch
+    flat = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255), min_size=n, max_size=n
+            )
+        ),
+        dtype=np.uint8,
+    )
+    px = flat.reshape((h, w) if ch == 1 else (h, w, ch))
+    out, got_w, got_h, got_ch = M._decode_png(M.encode_png(px, filter_type=ft))
+    assert (got_w, got_h, got_ch) == (w, h, ch)
+    assert (out.reshape(px.shape) == px).all()
