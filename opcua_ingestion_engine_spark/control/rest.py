@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,19 +88,46 @@ class ConnectionConfigStore:
     # -- plumbing -----------------------------------------------------------
 
     def _read(self) -> DataFrame:
-        # ONLY a missing path means "empty store" — any other failure
-        # (corrupt files, permissions) must propagate: treating it as
-        # empty would make the next mutation overwrite the table with a
-        # near-empty one (silent config loss).
+        # ONLY a never-initialized path means "empty store" — any other
+        # failure must propagate: treating it as empty would make the next
+        # mutation overwrite the table with a near-empty one (silent
+        # config loss). A missing path WITH swap leftovers means a crash
+        # mid-_write: fail loudly with the recovery pointer instead of
+        # reading empty.
         import os
 
         if not os.path.exists(self.path):
+            for leftover in (self.path + ".bak", self.path + ".tmp"):
+                if os.path.exists(leftover):
+                    raise RuntimeError(
+                        f"config store {self.path} missing but {leftover} "
+                        "exists — crashed mid-swap; restore by renaming "
+                        "the .bak (complete previous version) into place"
+                    )
             return self.spark.createDataFrame([], STORE_SCHEMA)
         return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
-        # materialize before overwriting the path the plan reads from
-        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        # Write-new + swap, never overwrite-in-place: mode("overwrite")
+        # deletes the table before committing the replacement, so a crash
+        # mid-write would lose the whole config. Here a crash leaves
+        # either the old table in place (before the first rename) or a
+        # complete .bak next to the new table; _read refuses the
+        # ambiguous window instead of reading empty.
+        import os
+        import shutil
+
+        tmp, bak = self.path + ".tmp", self.path + ".bak"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # debris from an earlier failed attempt
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        if os.path.exists(self.path):
+            os.rename(self.path, bak)
+        os.rename(tmp, self.path)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
 
     def _encrypt(self, col):
         return F.aes_encrypt(col, F.lit(self._key), F.lit("CBC"))
@@ -108,6 +136,10 @@ class ConnectionConfigStore:
         return F.aes_decrypt(col, F.lit(self._key), F.lit("CBC")).cast("string")
 
     def _dto_frame(self, dto: dict) -> DataFrame:
+        # browse_exclusion_folders: omitted/None stays NULL (update keeps
+        # the stored list via coalesce); an EXPLICIT [] is preserved and
+        # clears the list — coercing None to [] here would silently wipe
+        # folders on every PATCH that omits the field.
         row = {k: dto.get(k) for k in _DTO_FIELDS}
         df = self.spark.createDataFrame(
             [
@@ -118,7 +150,7 @@ class ConnectionConfigStore:
                     row["timeout_ms"],
                     row["username"],
                     row["password"],
-                    row["browse_exclusion_folders"] or [],
+                    row["browse_exclusion_folders"],
                 )
             ],
             "connection_name string, url string, max_search int, timeout_ms int, "
@@ -171,8 +203,17 @@ class ConnectionConfigStore:
             next_id = cur.agg(
                 F.coalesce(F.max("conn_id") + 1, F.lit(0)).alias("i")
             ).first()["i"]
-            incoming = self._dto_frame(dto).withColumn(
-                "conn_id", F.lit(int(next_id)).cast("int")
+            incoming = (
+                self._dto_frame(dto)
+                .withColumn("conn_id", F.lit(int(next_id)).cast("int"))
+                # a NEW row with no folders stores [], not NULL
+                .withColumn(
+                    "browse_exclusion_folders",
+                    F.coalesce(
+                        F.col("browse_exclusion_folders"),
+                        F.array().cast("array<string>"),
+                    ),
+                )
             )
             self._write(cur.unionByName(incoming.select(*cur.columns)))
             return True
@@ -261,34 +302,59 @@ class ControlPlaneServer:
                 n = int(self.headers.get("Content-Length") or 0)
                 return json.loads(self.rfile.read(n) or b"{}")
 
+            def _dispatch(self, fn):
+                # an exception must become an HTTP status, not a dropped
+                # socket: malformed input -> 400, store/engine errors ->
+                # 500 (the fail-loudly paths stay diagnosable to clients)
+                try:
+                    fn()
+                except (json.JSONDecodeError, ValueError, KeyError, TypeError) as e:
+                    self._send(400, {"error": f"bad request: {e!r}"})
+                except Exception as e:  # noqa: BLE001 — HTTP boundary
+                    self._send(500, {"error": f"internal error: {e!r}"})
+
             def do_GET(self):
-                if self.path == "/api/client/config/get":
-                    return self._send(200, outer.store.load())
-                if self.path.startswith("/api/browse/startBrowseJob/"):
-                    conn_id = self.path.rsplit("/", 1)[-1]
-                    started = outer._start_browse(conn_id)
-                    return self._send(
-                        200,
-                        {"message": "Long-running process started.",
-                         "started": started},
-                    )
-                return self._send(404, {"error": "not found"})
+                def run():
+                    if self.path == "/api/client/config/get":
+                        return self._send(200, outer.store.load())
+                    if self.path.startswith("/api/browse/startBrowseJob/"):
+                        conn_id = unquote(self.path.rsplit("/", 1)[-1])
+                        started = outer._start_browse(conn_id)
+                        return self._send(
+                            200,
+                            {"message": "Long-running process started.",
+                             "started": started},
+                        )
+                    return self._send(404, {"error": "not found"})
+
+                self._dispatch(run)
 
             def do_POST(self):
-                if self.path == "/api/client/config/add":
-                    return outer._mutate(self, outer.store.add, self._body())
-                return self._send(404, {"error": "not found"})
+                def run():
+                    if self.path == "/api/client/config/add":
+                        return outer._mutate(self, outer.store.add, self._body())
+                    return self._send(404, {"error": "not found"})
+
+                self._dispatch(run)
 
             def do_PATCH(self):
-                if self.path == "/api/client/config/update":
-                    return outer._mutate(self, outer.store.update, self._body())
-                return self._send(404, {"error": "not found"})
+                def run():
+                    if self.path == "/api/client/config/update":
+                        return outer._mutate(
+                            self, outer.store.update, self._body()
+                        )
+                    return self._send(404, {"error": "not found"})
+
+                self._dispatch(run)
 
             def do_DELETE(self):
-                if self.path.startswith("/api/client/config/delete/"):
-                    name = self.path.rsplit("/", 1)[-1]
-                    return outer._mutate(self, outer.store.delete, name)
-                return self._send(404, {"error": "not found"})
+                def run():
+                    if self.path.startswith("/api/client/config/delete/"):
+                        name = unquote(self.path.rsplit("/", 1)[-1])
+                        return outer._mutate(self, outer.store.delete, name)
+                    return self._send(404, {"error": "not found"})
+
+                self._dispatch(run)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(

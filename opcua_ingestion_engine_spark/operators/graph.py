@@ -64,6 +64,8 @@ def connected_components(
         sym.groupBy("u").agg(F.min("v").alias("lbl"))  # round 1 for free
         .localCheckpoint(eager=True)
     )
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     for _ in range(max_iter):
         # propagate: node u's new label = min over neighbors v of lbl(v)
         nxt = (

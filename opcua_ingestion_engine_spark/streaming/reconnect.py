@@ -35,16 +35,23 @@ def tcp_probe_delay_s(
     iteration: int,
     base_s: float = 30.0,
     leg1_end_iter: int = 100,
-    leg1_end_s: float = 30.0,
+    leg1_end_s: float | None = None,
     leg2_end_iter: int = 200,
     leg2_end_s: float = 600.0,
 ) -> float:
     """Delay before TCP probe ``iteration`` (1-based), per the reference's
     piecewise-linear schedule. With the hard-coded constants: 30 s flat
     through iteration 100, +5.7 s per iteration to 600 s at 200, capped.
+
+    ``leg1_end_s`` defaults to ``base_s`` so leg 1 stays FLAT at any
+    configured base (the reference's leg-1 slope is identically zero:
+    ``(30-30)/99``); pinning it to the literal 30 would silently ramp a
+    non-default base toward 30 across the first hundred probes.
     """
     if iteration < 1:
         raise ValueError(f"iteration is 1-based, got {iteration}")
+    if leg1_end_s is None:
+        leg1_end_s = base_s
     leg1_slope = (leg1_end_s - base_s) / (leg1_end_iter - 1)
     leg2_slope = (leg2_end_s - leg1_end_s) / (leg2_end_iter - leg1_end_iter)
     if iteration >= leg2_end_iter:
@@ -62,6 +69,11 @@ class ReconnectPolicy:
 
     base_s: float = 30.0
     opc_initial_s: float = 1.0
+    # Safety cap ABSENT from the reference (its opcDelaySeconds doubles
+    # unbounded — :916-917 — so ~25 straight failures push the next retry
+    # out by a year). Matches the TCP layer's 600 s ceiling; set to
+    # float("inf") for literal reference behavior.
+    opc_max_s: float = 600.0
     state: str = field(default="probing_tcp", init=False)
     tcp_iteration: int = field(default=1, init=False)
     opc_delay_s: float = field(default=1.0, init=False)
@@ -92,7 +104,7 @@ class ReconnectPolicy:
         dropped, reset BOTH layers and fall back to probing (:919-927)."""
         if tcp_still_up:
             self.state = "attempting_opc"
-            self.opc_delay_s *= 2
+            self.opc_delay_s = min(self.opc_delay_s * 2, self.opc_max_s)
         else:
             self.state = "probing_tcp"
             self.opc_delay_s = self.opc_initial_s

@@ -44,12 +44,15 @@ def main() -> int:
     base = load_queries(base_path)
     new = load_queries(args[0]) if args else run_bench()
 
-    flagged = []
+    flagged, missing = [], []
     print(f"{'query':40s} {'base':>7s} {'new':>7s} {'ratio':>6s}")
     for name, b in base.items():
         n = new.get(name)
         if n is None:
-            print(f"{name:40s} {b:7.3f} {'--':>7s}  (missing)")
+            # a silently-dropped baseline query is a gate failure too —
+            # coverage shrinking must not read as "clean"
+            missing.append(name)
+            print(f"{name:40s} {b:7.3f} {'--':>7s}  <-- MISSING from new run")
             continue
         ratio = n / b if b else float("inf")
         mark = "  <-- REGRESSED" if ratio > FLAG_RATIO else ""
@@ -58,10 +61,18 @@ def main() -> int:
         print(f"{name:40s} {b:7.3f} {n:7.3f} {ratio:6.2f}{mark}")
     for name in sorted(set(new) - set(base)):
         print(f"{name:40s} {'--':>7s} {new[name]:7.3f}  (new: first measurement)")
-    tb, tn = sum(base.values()), sum(v for k, v in new.items() if k in base)
-    print(f"{'TOTAL (common queries)':40s} {tb:7.3f} {tn:7.3f} {tn / tb:6.2f}")
-    if flagged:
-        print(f"\nregressed beyond {FLAG_RATIO}x: {', '.join(flagged)}")
+    common = [k for k in new if k in base]
+    if common:
+        tb = sum(base[k] for k in common)
+        tn = sum(new[k] for k in common)
+        print(f"{'TOTAL (common queries)':40s} {tb:7.3f} {tn:7.3f} {tn / tb:6.2f}")
+    else:
+        print("no common queries between baseline and new run")
+    if flagged or missing:
+        if flagged:
+            print(f"\nregressed beyond {FLAG_RATIO}x: {', '.join(flagged)}")
+        if missing:
+            print(f"missing from new run: {', '.join(sorted(set(missing)))}")
         return 1
     return 0
 

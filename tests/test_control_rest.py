@@ -192,3 +192,71 @@ def test_corrupt_store_fails_loudly_instead_of_wiping(spark, tmp_path):
         store.add(dict(DTO, connection_name="other"))
     # the corrupt data is still on disk for operator recovery — not wiped
     assert any(n.endswith(".parquet") for n in os.listdir(path))
+
+
+def test_patch_omitting_folders_keeps_them_explicit_empty_clears(server):
+    base, *_ = server
+    _req(base, "POST", "/api/client/config/add", DTO)
+
+    # omit the field entirely -> stored folders survive
+    code, _ = _req(
+        base, "PATCH", "/api/client/config/update",
+        {"connection_name": "plant-a", "timeout_ms": 45000},
+    )
+    assert code == 200
+    _, body = _req(base, "GET", "/api/client/config/get")
+    assert body[0]["timeout_ms"] == 45000
+    assert body[0]["browse_exclusion_folders"] == ["Server", "Devices"]
+
+    # explicit [] clears
+    code, _ = _req(
+        base, "PATCH", "/api/client/config/update",
+        {"connection_name": "plant-a", "browse_exclusion_folders": []},
+    )
+    assert code == 200
+    _, body = _req(base, "GET", "/api/client/config/get")
+    assert body[0]["browse_exclusion_folders"] == []
+
+
+def test_url_encoded_name_roundtrip(server):
+    base, *_ = server
+    dto = dict(DTO, connection_name="Plant A / main")
+    _req(base, "POST", "/api/client/config/add", dto)
+    from urllib.parse import quote
+
+    code, _ = _req(
+        base, "DELETE", f"/api/client/config/delete/{quote('Plant A / main', safe='')}"
+    )
+    assert code == 200
+    _, body = _req(base, "GET", "/api/client/config/get")
+    assert body[0]["connection_name"] == "Ignition"  # back to empty-store default
+
+
+def test_malformed_json_returns_400_not_dropped_socket(server):
+    base, *_ = server
+    req = urllib.request.Request(
+        f"{base}/api/client/config/add", data=b"not-json", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_crash_mid_swap_is_detected_not_read_as_empty(spark, tmp_path):
+    import os
+
+    from opcua_ingestion_engine_spark.control import ConnectionConfigStore
+
+    path = str(tmp_path / "connections")
+    store = ConnectionConfigStore(spark, path, KEY)
+    assert store.add(DTO)
+    # simulate a crash between the two renames: table moved to .bak, new
+    # table never moved into place
+    os.rename(path, path + ".bak")
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        store.load()
+    # recovery per the error message: rename .bak into place
+    os.rename(path + ".bak", path)
+    assert store.load()[0]["connection_name"] == "plant-a"

@@ -796,3 +796,24 @@ def test_reconnect_policy_state_machine():
     # success exits; a later outage starts fresh
     p.opc_attempt_succeeded()
     assert p.state == "connected" and p.next_delay_s() == 0.0
+
+
+def test_reconnect_policy_custom_base_and_opc_cap():
+    """leg 1 stays FLAT at a non-default base (leg1_end_s follows base_s),
+    and the OPC doubling honors the safety cap."""
+    from opcua_ingestion_engine_spark.streaming.reconnect import (
+        ReconnectPolicy,
+        tcp_probe_delay_s,
+    )
+
+    assert tcp_probe_delay_s(1, base_s=5.0) == 5.0
+    assert tcp_probe_delay_s(99, base_s=5.0) == 5.0
+    assert tcp_probe_delay_s(100, base_s=5.0) == 5.0
+
+    p = ReconnectPolicy(opc_max_s=8.0)
+    p.tcp_probe_succeeded()
+    seen = []
+    for _ in range(6):
+        seen.append(p.next_delay_s())
+        p.opc_attempt_failed(tcp_still_up=True)
+    assert seen == [1.0, 2.0, 4.0, 8.0, 8.0, 8.0]
