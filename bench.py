@@ -40,6 +40,7 @@ HEADLINE = [
     "q_w_sessionize",
     "q_e2_minhash_neardup",
     "q_e2_simhash_neardup",
+    "q_e8_contamination",
     "q_e7_curation_pipeline",
     "q_e3_ann_cosine_topk",
     "q_e4_text_stats",

@@ -1,0 +1,174 @@
+"""[EXT] E8 — dataset-assembly operators for LLM training pipelines:
+deterministic splits, stratified sampling, benchmark-contamination
+flagging, and concat-and-chunk sequence packing.
+
+These are the steps between a curated corpus (E1/E2/E4 output) and a
+training run. None exist in the reference (its data plane ends at the
+state table); they complete the training-data story the [EXT] brief
+asks for. Every operator here is DETERMINISTIC — assignment follows
+content/id hashes, never an RNG — so reruns, resumed jobs, and the
+DuckDB oracles all agree row-for-row.
+
+Scale shapes:
+
+- split/sample: pure projections on md5 hex prefixes — no shuffle, no
+  state, embarrassingly parallel at any scale. md5 (not xxhash64)
+  because the assignment must be portable across engines and stable
+  forever (it lands in dataset manifests); the hex-prefix comparison
+  against a fixed-width threshold string gives exact fractions of
+  2^16 buckets.
+- contamination: inverted n-gram index — explode benchmark docs' grams
+  (the SMALL side, distinct), one shuffle of corpus grams for the
+  semi-join probe, distinct doc ids out. Never a doc-x-doc comparison.
+- packing: per-partition-key running token offsets (one window sort per
+  key). The GLOBAL concat order a single-stream pack would need is
+  deliberately avoided: a whole-corpus window is a single-partition
+  sort at 100 TB. Packing within a partition key (language here;
+  source shard in production) is what distributed training pipelines
+  do anyway — each shard's chunks are independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .text import word_ngrams
+
+
+def _bucket_hex(col: Column, salt: str) -> Column:
+    """First 4 hex chars of md5('<salt>:<value>') — a uniform bucket in
+    [0, 2^16) encoded as a fixed-width lowercase hex string, so a plain
+    string comparison against a threshold implements fraction cuts
+    identically in Spark and any SQL oracle."""
+    return F.substring(
+        F.md5(F.encode(F.concat_ws(":", F.lit(salt), col.cast("string")), "UTF-8")),
+        1,
+        4,
+    )
+
+
+def frac_hex(frac: float) -> str:
+    """The threshold t with P[bucket_hex < t] == round(frac*2^16)/2^16.
+    A fraction that rounds to 1 returns "g", which sorts after every hex
+    string (keep-all) — formatting 65536 into 4 hex digits would wrap to
+    "0000" and keep NOTHING."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {frac}")
+    bucket = int(round(frac * 65536))
+    return "g" if bucket >= 65536 else format(bucket, "04x")
+
+
+def split_assign(
+    docs: DataFrame,
+    salt: str = "split-v1",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """E8 — deterministic train/val/test assignment by id hash: bucket =
+    md5 prefix of (salt, doc_id); train gets [0, train), val
+    [train, train+val), test the rest. Changing the salt re-rolls every
+    assignment; adding documents never moves an existing one (the
+    property a content-addressed manifest needs)."""
+    if train + val > 1.0:
+        raise ValueError(f"train+val must be <= 1, got {train + val}")
+    h = _bucket_hex(F.col("doc_id"), salt)
+    t_train, t_val = frac_hex(train), frac_hex(train + val)
+    return docs.select(
+        "doc_id",
+        F.when(h < t_train, F.lit("train"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    salt: str = "sample-v1",
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """E8 — per-stratum deterministic sampling (corpus mixing): keep a
+    document iff its (salt, doc_id) bucket falls under its stratum's
+    rate. The per-language rate dict IS the mixing recipe — e.g. keep
+    100% of a scarce language and 10% of an abundant one. Pure
+    projection + filter; rates ride as a literal CASE, no join."""
+    h = _bucket_hex(F.col("doc_id"), salt)
+    thresh = F.lit(frac_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(frac_hex(rate))
+        ).otherwise(thresh)
+    return docs.filter(h < thresh).select("doc_id", strata_col)
+
+
+def contamination_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """E8 — benchmark-contamination check: flag every corpus document
+    sharing at least one word-``n``-gram with the benchmark set. The
+    benchmark here is the fixture stand-in ``doc_id % bench_mod == 0``
+    (in production: the eval suites); flagged docs are excluded from
+    training to avoid eval leakage.
+
+    Shape: the benchmark's distinct grams are the SMALL (broadcast-
+    eligible) side; corpus grams left-join them with a hit marker and a
+    per-doc ``bool_or`` aggregation produces the flag — exactly TWO
+    corpus passes (benchmark slice + corpus slice), one groupBy shuffle
+    on doc_id with map-side partial aggregation. Long n-grams (default
+    8) keep the gram space high-cardinality, so the join key is
+    skew-free."""
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    marked = (
+        docs.filter(~is_bench)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .join(bench_grams, "g", "left")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.coalesce(F.bool_or("_hit"), F.lit(False)).alias("contaminated")
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """E8 — concat-and-chunk packing: within each ``part_col`` shard,
+    concatenate documents in ``order_col`` order and cut the token
+    stream into ``max_tokens``-sized training chunks. Emits each doc's
+    running start offset and the chunk its first token lands in —
+    deterministic, resumable, and exactly the standard LLM pretraining
+    layout (documents cross chunk boundaries; the chunker doesn't pad).
+
+    One window sort per shard; never a global sort."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    start = (cum - n_tok).alias("start_offset")
+    return docs.select(
+        "doc_id",
+        F.col(part_col),
+        n_tok.alias("n_tokens"),
+        start,
+        F.floor((cum - n_tok) / max_tokens).alias("chunk_id"),
+    )

@@ -10,6 +10,7 @@ from . import timeseries_ops  # noqa: E402,F401
 from . import analytics_full  # noqa: E402,F401
 from . import advanced_ops  # noqa: E402,F401
 from . import telemetry_reports  # noqa: E402,F401
+from . import datapipe_ops  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (first 50 registered queries).
@@ -73,16 +74,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_sort_topk_orders",
     "q_set_intersect",
     "q_sort_nulls_ordering",
+    # E8 dataset-assembly family (new in round 3) — driver-checked from
+    # its first round.
+    "q_e8_split_assignment",
+    "q_e8_stratified_sample",
+    "q_e8_contamination",
+    "q_e8_pack_chunks",
     # Core sample that was driver-green in round 2 (regression canaries).
     "q_f1_monitored_devices",
     "q_f3_staleness_filter",
-    "q_j5_venn_reconcile",
     "q_a2_latest_per_key",
     "q_s9_upsert_matched",
     "q_b1_browse_tree",
-    "q_x8_aes_roundtrip",
-    "q_agg_groupby_lineitem",
-    "q_w_row_number_rank",
 )
 
 

@@ -1,0 +1,125 @@
+"""E8 — dataset-assembly queries (operators/datapipe.py) with DuckDB
+oracles. All four are exactly reproducible in ANSI SQL because the
+operators hash with md5 (portable) and express fractions as hex-prefix
+thresholds — the oracle embeds the SAME threshold literals computed by
+``frac_hex`` at registration time, so Spark and DuckDB compare the same
+strings against the same hashes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 (parity with sibling modules)
+
+from .. import catalog as C
+from ..operators import datapipe as DP
+from .registry import register
+
+
+def _docs(spark, sf_dir):
+    return C.load_table(spark, sf_dir, "documents")
+
+
+_SALT = "split-v1"
+_SAMPLE_SALT = "sample-v1"
+_RATES = {"en": 0.25, "de": 1.0, "fr": 0.5}
+_DEFAULT_RATE = 0.1
+
+
+def _sql_bucket(salt: str) -> str:
+    return f"substr(md5('{salt}' || ':' || CAST(doc_id AS VARCHAR)), 1, 4)"
+
+
+# 8-gram SQL mirror of text.word_ngrams(n=8): docs shorter than 8 words
+# collapse to a single whole-text gram on both sides.
+def _sql_8grams(t: str = "text") -> str:
+    w = f"string_split({t}, ' ')"
+    parts = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(8))
+    return f"""CASE WHEN len({w}) >= 8
+        THEN list_transform(range(1, len({w}) - 6), i -> {parts})
+        ELSE [{t}] END"""
+
+
+@register(
+    "q_e8_split_assignment",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_sql_bucket(_SALT)} < '{DP.frac_hex(0.8)}' THEN 'train'
+                WHEN {_sql_bucket(_SALT)} < '{DP.frac_hex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "E8 — deterministic train/val/test split (80/10/10) by md5(salt, "
+    "doc_id) hex-prefix buckets; pure projection, assignment stable under "
+    "corpus growth",
+)
+def q_e8_split(spark, sf_dir):
+    return DP.split_assign(_docs(spark, sf_dir), salt=_SALT, train=0.8, val=0.1)
+
+
+@register(
+    "q_e8_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_sql_bucket(_SAMPLE_SALT)} <
+          CASE lang
+               WHEN 'de' THEN '{DP.frac_hex(1.0)}'
+               WHEN 'en' THEN '{DP.frac_hex(0.25)}'
+               WHEN 'fr' THEN '{DP.frac_hex(0.5)}'
+               ELSE '{DP.frac_hex(_DEFAULT_RATE)}' END
+    """,
+    "E8 — stratified corpus mixing: per-language keep rates (keep all de, "
+    "half fr, quarter en, 10% otherwise) via the same deterministic "
+    "buckets; projection + filter, no shuffle",
+)
+def q_e8_sample(spark, sf_dir):
+    return DP.stratified_sample(
+        _docs(spark, sf_dir), _RATES, salt=_SAMPLE_SALT, default_rate=_DEFAULT_RATE
+    )
+
+
+@register(
+    "q_e8_contamination",
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest(list_distinct({_sql_8grams()})) AS g
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, list_distinct({_sql_8grams()}) AS gs
+        FROM documents WHERE doc_id % 97 <> 0
+    ),
+    hits AS (
+        SELECT DISTINCT c.doc_id
+        FROM corpus c, bench b
+        WHERE list_contains(c.gs, b.g)
+    )
+    SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+    "E8 — benchmark-contamination flags: corpus docs sharing any word-"
+    "8-gram with the benchmark set (fixture stand-in: doc_id % 97 = 0). "
+    "Inverted-index semi-join on the gram — never doc-x-doc",
+)
+def q_e8_contamination(spark, sf_dir):
+    return DP.contamination_flags(_docs(spark, sf_dir), n=8, bench_mod=97)
+
+
+@register(
+    "q_e8_pack_chunks",
+    """
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang ORDER BY doc_id)
+                - len(string_split(text, ' ')) AS BIGINT) AS start_offset,
+           CAST(floor((sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang ORDER BY doc_id)
+                - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS chunk_id
+    FROM documents
+    """,
+    "E8 — concat-and-chunk packing: per-language running token offsets "
+    "cut into 2048-token training chunks (one window sort per shard; "
+    "the global single-stream order is deliberately avoided — a whole-"
+    "corpus window is a single-partition sort at scale)",
+)
+def q_e8_pack(spark, sf_dir):
+    return DP.pack_chunks(_docs(spark, sf_dir), max_tokens=2048)

@@ -1,0 +1,119 @@
+"""E8 dataset-assembly semantics (operators/datapipe.py): deterministic
+splits and their fraction bounds, stratified mixing rates, planted
+benchmark contamination, and chunk-packing arithmetic. Oracle parity
+runs separately in test_parity.py; these pin the semantics the hash
+equality alone can't show."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from opcua_ingestion_engine_spark import catalog as C
+
+    return C.load_table(spark, SF_CORRECT, "documents")
+
+
+def test_frac_hex_edges():
+    from opcua_ingestion_engine_spark.operators.datapipe import frac_hex
+
+    assert frac_hex(0.0) == "0000"
+    assert frac_hex(0.5) == "8000"
+    assert frac_hex(1.0) == "g"          # sorts after every hex string
+    assert frac_hex(0.999999) == "g"     # rounds to 2^16 -> keep-all, not 0000
+    assert frac_hex(0.99999) == "ffff"   # rounds to 65535 -> still hex
+    assert frac_hex(0.8) == "cccd"
+    with pytest.raises(ValueError):
+        frac_hex(1.5)
+
+
+def test_split_fractions_and_determinism(spark, docs):
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    out = {r["doc_id"]: r["split"] for r in DP.split_assign(docs).collect()}
+    n = len(out)
+    counts = {s: sum(1 for v in out.values() if v == s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == n
+    # md5 buckets are uniform: 500 docs stay within generous binomial bounds
+    assert 0.7 <= counts["train"] / n <= 0.9
+    assert 0.04 <= counts["val"] / n <= 0.17
+    assert 0.04 <= counts["test"] / n <= 0.17
+
+    # determinism + stability: rerun identical; a different salt re-rolls
+    out2 = {r["doc_id"]: r["split"] for r in DP.split_assign(docs).collect()}
+    assert out == out2
+    out3 = {
+        r["doc_id"]: r["split"]
+        for r in DP.split_assign(docs, salt="other-salt").collect()
+    }
+    assert out != out3
+
+    # growth stability: assignment of a doc doesn't depend on the corpus
+    subset = {
+        r["doc_id"]: r["split"]
+        for r in DP.split_assign(docs.limit(50)).collect()
+    }
+    assert all(out[k] == v for k, v in subset.items())
+
+
+def test_stratified_sample_rates(spark, docs):
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in DP.stratified_sample(docs, {"de": 1.0, "en": 0.25}, default_rate=0.0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kept.get("de") == totals["de"]          # rate 1.0 keeps ALL
+    langs_kept = set(kept)
+    assert "de" in langs_kept and langs_kept <= {"de", "en"}  # default 0 drops others
+    if "en" in kept:
+        assert 0.1 <= kept["en"] / totals["en"] <= 0.45
+
+
+def test_contamination_planted(spark):
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    bench_text = "the secret benchmark question about ducks flying south for winter"
+    rows = [
+        (0, bench_text),                                  # benchmark (0 % 97 == 0)
+        (1, "completely unrelated text with no overlap at all in any gram here"),
+        # copies the full benchmark sentence (>= one shared 8-gram)
+        (2, f"prefix words then {bench_text} and a suffix"),
+        (3, "another clean document that shares nothing with the benchmark set"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["contaminated"] for r in DP.contamination_flags(docs).collect()}
+    assert 0 not in out                 # benchmark docs are not scored
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_pack_chunks_arithmetic(spark):
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    rows = [
+        (1, "en", "a b c d"),        # 4 tokens, start 0, chunk 0
+        (2, "en", "e f g"),          # start 4 -> crosses the max_tokens=6 cut? no: chunk 0
+        (3, "en", "h i"),            # start 7 -> chunk 1
+        (10, "de", "x y z"),         # separate shard: start 0, chunk 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["chunk_id"])
+        for r in DP.pack_chunks(docs, max_tokens=6).collect()
+    }
+    assert out == {
+        1: (4, 0, 0),
+        2: (3, 4, 0),
+        3: (2, 7, 1),
+        10: (3, 0, 0),
+    }
