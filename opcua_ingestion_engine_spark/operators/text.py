@@ -266,3 +266,44 @@ def winnowing_fingerprints(
     return docs.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 — PII redaction. Patterns restricted to the regex subset Java
+# (Spark codegen) and RE2 (DuckDB oracle) evaluate identically: explicit
+# character classes, bounded quantifiers, \b word boundaries — no
+# lookaround, no backreferences. Applied in a fixed order (email before
+# IP before phone) so earlier replacements can't create later matches;
+# the replacement tokens contain no digits or '@' for the same reason.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E4 — PII redaction: replace emails, IPv4 addresses, and phone-like
+    digit runs with typed placeholder tokens, and count each class
+    (counted BEFORE redaction, on the same text each pattern actually
+    sees). A pure projection — chained ``regexp_replace`` stays inside
+    whole-stage codegen, one scan, no shuffle at any scale.
+
+    The training-data motivation: corpus PII must be stripped before
+    tokenization, and the counts feed the quality dashboard (a doc that
+    is mostly PII is usually boilerplate or a scrape artifact).
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            # idx=0 = whole match: Spark defaults to group 1 and errors on
+            # group-less patterns; DuckDB's default group is already 0
+            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select("doc_id", out.alias("clean_text"), *counts)

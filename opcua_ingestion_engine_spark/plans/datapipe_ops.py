@@ -123,3 +123,37 @@ def q_e8_contamination(spark, sf_dir):
 )
 def q_e8_pack(spark, sf_dir):
     return DP.pack_chunks(_docs(spark, sf_dir), max_tokens=2048)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+@register(
+    "q_e4_pii_redact",
+    f"""
+    WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+    s1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+           FROM s0),
+    s2 AS (SELECT doc_id, t0, t1,
+                  regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+           FROM s1)
+    SELECT doc_id,
+           regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+    FROM s2
+    """,
+    "E4 — PII redaction: emails, IPv4s, and phone-like digit runs replaced "
+    "with typed placeholders; per-class counts on the text each pattern "
+    "actually sees. Patterns restricted to the Java/RE2-identical regex "
+    "subset; chained regexp_replace stays in whole-stage codegen, one "
+    "scan, no shuffle.",
+)
+def q_e4_pii(spark, sf_dir):
+    from ..operators.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))

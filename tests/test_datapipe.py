@@ -117,3 +117,26 @@ def test_pack_chunks_arithmetic(spark):
         3: (2, 7, 1),
         10: (3, 0, 0),
     }
+
+
+def test_pii_redaction_semantics(spark):
+    from opcua_ingestion_engine_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk or visit 192.168.1.1 today"),
+        (2, "call +1 (555) 123-4567 now; backup line 555 987 6543 ok"),
+        (3, "clean text with no pii at all just words"),
+        (4, "edge 999.999.999.999 and a@b.io and 12345678901"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+
+    assert out[1]["clean_text"] == "contact <EMAIL> or visit <IP> today"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 0)
+    assert out[2]["clean_text"] == "call <PHONE> now; backup line <PHONE> ok"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["clean_text"] == rows[2][1]  # untouched
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    # long digit run redacts as phone-like; >255 octets still match the
+    # syntactic IPv4 shape (documented: shape, not semantic validity)
+    assert out[4]["clean_text"] == "edge <IP> and <EMAIL> and <PHONE>"
