@@ -307,3 +307,49 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         out = F.regexp_replace(out, pat, repl)
     return docs.select("doc_id", out.alias("clean_text"), *counts)
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E4 — Gopher-style repetition signals: the fraction of tokens taken
+    by the single most frequent word, and of bigram slots by the most
+    frequent word-bigram. High values mark keyboard-mash / boilerplate /
+    template spam that the length+punctuation heuristics miss.
+
+    Shape: two explode -> count -> per-doc max pipelines joined on
+    doc_id. The shuffle keys are (doc_id, gram) — high cardinality, no
+    skew — with map-side partial counts; the corpus is scanned twice
+    (words + bigrams branch) rather than materializing per-doc token
+    arrays, the cheaper trade at scale. Documents shorter than the gram
+    size collapse to one whole-text gram (fraction 1.0) — mirroring
+    word_ngrams so no doc silently disappears."""
+    toks = tokens(F.col(text_col))
+
+    def top_frac(gram_col, out_name):
+        exploded = docs.select(
+            "doc_id",
+            F.size(gram_col).cast("long").alias("_n"),
+            F.explode(gram_col).alias("_g"),
+        )
+        return (
+            exploded.groupBy("doc_id", "_n", "_g")
+            .agg(F.count("*").alias("_c"))
+            .groupBy("doc_id", "_n")
+            .agg(F.max("_c").alias("_m"))
+            .select(
+                "doc_id",
+                (F.col("_m").cast("double") / F.col("_n").cast("double")).alias(
+                    out_name
+                ),
+                F.col("_n").alias(f"_n_{out_name}"),
+            )
+        )
+
+    words = top_frac(toks, "top_word_frac").withColumnRenamed(
+        "_n_top_word_frac", "n_tokens"
+    )
+    bigrams = top_frac(word_ngrams(F.col(text_col), 2), "top_bigram_frac").drop(
+        "_n_top_bigram_frac"
+    )
+    return words.join(bigrams, "doc_id").select(
+        "doc_id", "n_tokens", "top_word_frac", "top_bigram_frac"
+    )

@@ -157,3 +157,44 @@ def q_e4_pii(spark, sf_dir):
     from ..operators.text import redact_pii
 
     return redact_pii(_docs(spark, sf_dir))
+
+
+# Positional 2-gram mirror of text.word_ngrams(n=2).
+def _sql_2grams(t: str = "text") -> str:
+    w = f"string_split({t}, ' ')"
+    return f"""CASE WHEN len({w}) >= 2
+        THEN list_transform(range(1, len({w})), i -> {w}[i] || ' ' || {w}[i+1])
+        ELSE [{t}] END"""
+
+
+@register(
+    "q_e4_repetition",
+    f"""
+    WITH w AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n,
+               unnest(string_split(text, ' ')) AS g
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, n, g, count(*) AS c FROM w GROUP BY doc_id, n, g),
+    wm AS (SELECT doc_id, max(n) AS n_tokens, max(c) AS m FROM wc GROUP BY doc_id),
+    b AS (
+        SELECT doc_id, len(bg) AS nb, unnest(bg) AS g
+        FROM (SELECT doc_id, {_sql_2grams()} AS bg FROM documents)
+    ),
+    bc AS (SELECT doc_id, nb, g, count(*) AS c FROM b GROUP BY doc_id, nb, g),
+    bm AS (SELECT doc_id, max(nb) AS nb, max(c) AS mb FROM bc GROUP BY doc_id)
+    SELECT wm.doc_id,
+           CAST(wm.n_tokens AS BIGINT) AS n_tokens,
+           CAST(wm.m AS DOUBLE) / wm.n_tokens AS top_word_frac,
+           CAST(bm.mb AS DOUBLE) / bm.nb AS top_bigram_frac
+    FROM wm JOIN bm ON wm.doc_id = bm.doc_id
+    """,
+    "E4 — Gopher-style repetition signals: fraction of tokens taken by "
+    "the most frequent word / of bigram slots by the most frequent "
+    "bigram. Two explode->count->max pipelines on (doc_id, gram) keys "
+    "(high cardinality, map-side partial counts), joined on doc_id.",
+)
+def q_e4_repetition(spark, sf_dir):
+    from ..operators.text import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))

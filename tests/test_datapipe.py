@@ -140,3 +140,23 @@ def test_pii_redaction_semantics(spark):
     # long digit run redacts as phone-like; >255 octets still match the
     # syntactic IPv4 shape (documented: shape, not semantic validity)
     assert out[4]["clean_text"] == "edge <IP> and <EMAIL> and <PHONE>"
+
+
+def test_repetition_metrics_planted(spark):
+    from opcua_ingestion_engine_spark.operators.text import repetition_metrics
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam ham"),  # 9/10 one word
+        (2, "all words here are fully distinct tokens okay"),     # 8 distinct
+        (3, "one"),                                               # shorter than bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+
+    assert out[1]["n_tokens"] == 10
+    assert abs(out[1]["top_word_frac"] - 0.9) < 1e-12
+    # "spam spam" fills 8 of 9 bigram slots
+    assert abs(out[1]["top_bigram_frac"] - 8 / 9) < 1e-12
+    assert abs(out[2]["top_word_frac"] - 1 / 8) < 1e-12
+    # single-token doc: whole-text gram on both lanes -> fraction 1.0
+    assert out[3]["top_word_frac"] == 1.0 and out[3]["top_bigram_frac"] == 1.0

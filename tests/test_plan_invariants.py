@@ -39,6 +39,7 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     "q_e2_embedding_neardup_lsh": (0, 0, {"embeddings": 2}),
     "q_e2_minhash_neardup": (0, 0, {"documents": 2}),
     "q_e3_ivf_ann": (0, 0, {"embeddings": 2}),
+    "q_e4_repetition": (0, 0, {"documents": 2}),
     "q_e8_contamination": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
