@@ -631,3 +631,221 @@ def dtw_rerank_topk(
         .filter(F.col("nn_rank") <= k)
         .select("user_a", "user_b", "nn_rank", F.col("dtw").alias("dtw_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 — product quantization (memory-compressed ANN)
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebooks(
+    embeddings: DataFrame,
+    m: int,
+    ksub: int,
+    lloyd_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """PQ codebook training — one distributed k-means over all ``m``
+    subspaces at once, returned as an (m, ksub, sub_dim) array.
+
+    Init mirrors ``_centroid_matrix``: the ksub corpus vectors with the
+    smallest xxhash64(id) seed every subspace (deterministic, no RNG).
+    Each Lloyd round is ONE cluster pass: a pandas_udf assigns all m
+    sub-codes per vector (numpy distance argmin per subspace), then the
+    mean-update posexplodes the vector once — dim maps to
+    (subspace, within-dim) arithmetically and the code comes from the
+    assignment array — so the round costs one shuffle of dim rows per
+    vector regardless of m. Only the m*ksub*sub_dim codebook tensor
+    (config-sized) reaches the driver.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    unit = embeddings.select(
+        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("u")
+    )
+    seeds = (
+        unit.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(ksub)
+        .select("u")
+        .collect()
+    )
+    seed_mat = np.array([r["u"] for r in seeds], dtype=np.float64)  # (ksub, dim)
+    dim = seed_mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub_dim = dim // m
+    # books[s] = (ksub, sub_dim) codebook for subspace s
+    books = np.stack(
+        [seed_mat[:, s * sub_dim : (s + 1) * sub_dim] for s in range(m)]
+    )
+
+    for _ in range(lloyd_iters):
+        snapshot = books.copy()
+
+        @pandas_udf("array<int>")
+        def sub_codes(vecs: pd.Series) -> pd.Series:
+            v = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                x = v[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub_dim)
+                cb = snapshot[s]  # (ksub, sub_dim)
+                # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+                scores = x @ cb.T - 0.5 * (cb * cb).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1)
+            return pd.Series(list(codes))
+
+        means = (
+            unit.select(sub_codes(F.col("u")).alias("codes"),
+                        F.posexplode("u").alias("dim", "x"))
+            .select(
+                (F.col("dim") / sub_dim).cast("int").alias("sub"),
+                (F.col("dim") % sub_dim).alias("within"),
+                F.element_at("codes", (F.col("dim") / sub_dim).cast("int") + 1)
+                 .alias("code"),
+                "x",
+            )
+            .groupBy("sub", "code", "within")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        for r in means:  # empty (sub, code) cells keep their previous centroid
+            books[r["sub"], r["code"], r["within"]] = r["mval"]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (unit-normalized) corpus vector as m sub-codes against
+    a trained codebook tensor — the compressed representation PQ scans."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub_dim = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            x = v[:, s * sub_dim : (s + 1) * sub_dim]
+            cb = books[s]
+            codes[:, s] = np.argmax(x @ cb.T - 0.5 * (cb * cb).sum(axis=1), axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 32,
+    lloyd_iters: int = 3,
+    rerank: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 scale path (product-quantization variant) — asymmetric-distance
+    ANN over a compressed corpus.
+
+    The corpus is stored as m sub-codes per vector (m*log2(ksub) bits —
+    at m=8, ksub=256 that is 8 bytes against 256 B of float32 for dim=64,
+    a 32x working-set compression; the scan that dominates ANN cost reads
+    codes, never vectors). Per query the driver precomputes an (m, ksub)
+    lookup table of subspace dot contributions, so scoring a corpus row is
+    m table gathers + a sum: score ~= q . x_hat. Each Arrow batch of codes
+    is reduced to its local top-(k*rerank) BEFORE the exchange (same
+    local-reduce shape as ``brute_force_topk``), then the candidate set —
+    O(queries * k * rerank), broadcast-sized — is exact-reranked against
+    the true vectors to absorb quantization error.
+
+    Complements the other E3 paths: LSH is data-independent, IVF prunes
+    the scan, PQ compresses it; production systems compose IVF+PQ, and
+    this operator reuses ``_centroid_matrix``'s training discipline
+    (deterministic seeds, distributed Lloyd, config-sized driver state).
+    Returns (query_id, neighbor_id, rank); recall vs brute force is
+    pinned in tests/test_llm_ops.py.
+    """
+    books = _pq_codebooks(embeddings, m, ksub, lloyd_iters, id_col, vec_col)
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    sub_dim = Q.shape[1] // m
+    # luts[i, s, c] = q_i[sub s] . books[s, c]  — per-query ADC tables
+    luts = np.einsum(
+        "qsd,scd->qsc", Q.reshape(len(Q), m, sub_dim), books
+    )
+    bc = embeddings.sparkSession.sparkContext.broadcast((qids, luts))
+    take = max(k + 1, k * rerank)
+    sub_idx = np.arange(m)
+
+    def adc_scan(batches):
+        b_qids, b_luts = bc.value
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(b_qids)):
+                scores = b_luts[i][sub_idx[None, :], c].sum(axis=1)
+                order = np.lexsort((ids, -scores))[:take]
+                out_q.append(np.full(len(order), b_qids[i]))
+                out_n.append(ids[order])
+                out_s.append(scores[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_score": np.concatenate(out_s),
+                }
+            )
+
+    local = codes.mapInPandas(
+        adc_scan, "query_id long, neighbor_id long, adc_score double"
+    )
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= take)
+        .select("query_id", "neighbor_id")
+    )
+
+    # Exact rerank: candidates are broadcast-sized; true cosine via the
+    # strict-order JVM dot so rerank ordering matches the exact path.
+    q_df = queries.select(
+        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("q_vec")
+    )
+    c_df = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c_df, "neighbor_id")
+        .join(F.broadcast(q_df), "query_id")
+        .withColumn("cos_sim", _dot(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -291,6 +291,20 @@ def q_e3_ivf(spark, sf_dir):
     return out.withColumnRenamed("rank", "nn_rank")
 
 
+@register(
+    "q_e3_pq_ann",
+    None,  # data-dependent codebooks — rows-only; recall pinned in pytest
+    "E3 (scale path, PQ variant) — product-quantized ADC scan: corpus "
+    "stored as m sub-codes (m*log2(ksub) bits/vector), per-query lookup "
+    "tables score codes without touching vectors, local top-k before the "
+    "exchange, exact rerank of the broadcast-sized candidate set",
+)
+def q_e3_pq(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
 # ---------------------------------------------------------------------------
 # E4 — text analysis
 # ---------------------------------------------------------------------------

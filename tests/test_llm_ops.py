@@ -155,6 +155,57 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert ivf == ivf2
 
 
+def test_ann_pq_recall_vs_brute_force(spark):
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(emb, q, k=5).collect()
+    }
+    assert len(brute) == 50
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below 0.6"
+    # determinism: fresh training pass, identical result
+    pq2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(emb, q, k=5).collect()
+    }
+    assert pq == pq2
+
+
+def test_pq_encode_roundtrip_error_bounded(spark):
+    """Quantization sanity: reconstructing a vector from its sub-codes
+    recovers most of its norm (codebooks trained on the same corpus)."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    books = S._pq_codebooks(emb, m=8, ksub=32, lloyd_iters=3,
+                            id_col="vec_id", vec_col="embedding")
+    assert books.shape == (8, 32, 8)
+    codes = {r["neighbor_id"]: r["codes"]
+             for r in S.pq_encode(emb, books).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    errs = []
+    for vid, v in vecs.items():
+        u = v / np.linalg.norm(v)
+        recon = np.concatenate([books[s, c] for s, c in enumerate(codes[vid])])
+        errs.append(np.linalg.norm(u - recon))
+    # unit vectors: quantization must capture a meaningful share of the
+    # energy (fixture embeddings are near-isotropic, so the bound is loose)
+    assert sum(errs) / len(errs) < 0.85, sum(errs) / len(errs)
+
+
 def test_multimodal_decode_stub(spark, docs):
     from opcua_ingestion_engine_spark.operators import multimodal as M
 

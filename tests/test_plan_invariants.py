@@ -39,6 +39,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     "q_e2_embedding_neardup_lsh": (0, 0, {"embeddings": 2}),
     "q_e2_minhash_neardup": (0, 0, {"documents": 2}),
     "q_e3_ivf_ann": (0, 0, {"embeddings": 2}),
+    # codes scan + rerank vectors + query slice; deployed, the codes scan
+    # reads a persisted compressed table instead of re-encoding in-plan
+    "q_e3_pq_ann": (0, 0, {"embeddings": 3}),
     "q_e4_repetition": (0, 0, {"documents": 2}),
     "q_e8_contamination": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
