@@ -41,6 +41,8 @@ HEADLINE = [
     "q_e2_minhash_neardup",
     "q_e2_simhash_neardup",
     "q_e8_contamination",
+    "q_e4_heavy_hitters",
+    "q_t_multires_rollup",
     "q_e7_curation_pipeline",
     "q_e3_ann_cosine_topk",
     "q_e4_text_stats",

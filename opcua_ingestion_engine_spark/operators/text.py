@@ -353,3 +353,118 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return words.join(bigrams, "doc_id").select(
         "doc_id", "n_tokens", "top_word_frac", "top_bigram_frac"
     )
+
+
+def frequent_tokens(
+    docs: DataFrame,
+    min_frac: float = 0.002,
+    capacity: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 — corpus-level heavy hitters: every token whose corpus frequency
+    exceeds ``min_frac`` of all tokens, with its exact count. The
+    vocabulary audit step of a curation pipeline (boilerplate markers,
+    templating artifacts, tokenizer hot spots).
+
+    Two-phase sketch-then-verify — the full explode->groupBy over the
+    whole vocabulary never happens:
+
+    1. **Candidates**: one ``mapInPandas`` pass keeps a per-partition
+       Misra-Gries summary (mergeable-summaries form: absorb a batch
+       Counter, then subtract the (capacity+1)-th largest count from all
+       and drop non-positives). MG guarantees any token with partition
+       frequency > n_p/capacity survives its partition's summary; by
+       averaging, a token with GLOBAL frequency > N/capacity survives in
+       at least one partition — so with capacity >= 1/min_frac the union
+       of summaries is a superset of the answer. Emitted rows per
+       partition <= capacity, so the candidate set is
+       O(partitions x capacity) — broadcast-sized by construction.
+    2. **Verify**: exact counts for candidate tokens only — explode,
+       broadcast-semi-join against the candidates, groupBy(token) with
+       map-side partial aggregation (shuffle carries <= candidates rows
+       per map partition), then filter against the exact total token
+       count (a 1-row scalar broadcast).
+
+    The result is EXACT (the sketch only prunes, the verify recounts), so
+    a plain SQL HAVING oracle checks it. Returns (token, cnt).
+    """
+    import heapq
+    from collections import Counter
+
+    import pandas as pd
+
+    cap = capacity or max(64, int(2.0 / min_frac))
+    toks = tokens(F.col(text_col))
+
+    def mg_candidates(batches):
+        sketch: Counter = Counter()
+        for pdf in batches:
+            batch = Counter()
+            for s in pdf["_toks"]:
+                batch.update(s)
+            sketch.update(batch)
+            if len(sketch) > cap:
+                # subtract the (cap+1)-th largest count from everything;
+                # at most cap tokens stay positive
+                kth = heapq.nlargest(cap + 1, sketch.values())[-1]
+                sketch = Counter(
+                    {t: c - kth for t, c in sketch.items() if c > kth}
+                )
+        yield pd.DataFrame({"token": list(sketch.keys())})
+
+    cands = (
+        docs.select(toks.alias("_toks"))
+        .mapInPandas(mg_candidates, "token string")
+        .distinct()
+    )
+
+    exploded = docs.select(F.explode(toks).alias("token"))
+    # exact denominator without a third explode: sum of per-doc token
+    # counts over a column-pruned scan
+    totals = docs.agg(F.sum(F.size(toks)).cast("long").alias("_total"))
+    return (
+        exploded.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(totals))
+        .filter(F.col("cnt") > F.lit(min_frac) * F.col("_total"))
+        .select("token", "cnt")
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E4 — unigram language-model quality score: per document, the mean
+    negative log-probability of its tokens under the corpus's own unigram
+    distribution. The cheap stand-in for model-based perplexity filtering
+    — outlier docs (rare-token soup, wrong language, mojibake) score
+    high; boilerplate scores abnormally low.
+
+    Shape: one explode->groupBy builds the vocabulary (shuffle key =
+    token, map-side combine); the scoring pass joins occurrences to the
+    vocabulary on token (both sides corpus-derived, so a shuffle join —
+    the vocab is NOT assumed broadcastable at scale) and aggregates per
+    doc_id. Two corpus scans (vocab + score), the same trade
+    ``repetition_metrics`` documents.
+    Each addend ln(cnt/N) is cast to DECIMAL(38,6) before the per-doc
+    sum, making the sum order-independent so Spark and the SQL oracle
+    agree bit-for-bit (the TPC-H convention in plans/analytics.py).
+
+    Returns (doc_id, n_tokens, nll).
+    """
+    toks = tokens(F.col(text_col))
+    occurrences = docs.select("doc_id", F.explode(toks).alias("token"))
+    vocab = occurrences.groupBy("token").agg(F.count("*").alias("_cnt"))
+    # total token count derived FROM the vocab so the groupBy exchange is
+    # shared (ReusedExchange) between the totals branch and the join probe
+    totals = vocab.agg(F.sum("_cnt").alias("_total"))
+    logp = F.log(F.col("_cnt") / F.col("_total")).cast("decimal(38,6)")
+    return (
+        occurrences.join(vocab, "token")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum(logp).cast("double") / F.count("*")).alias("nll"),
+        )
+        .select("doc_id", "n_tokens", "nll")
+    )

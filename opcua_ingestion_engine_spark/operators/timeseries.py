@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+DEC = "decimal(38,6)"
+
 
 def asof_join(
     left: DataFrame,
@@ -165,4 +167,224 @@ def range_join_buckets(
         lhs.join(rhs, cond, "inner")
         .drop(rhs[key])
         .drop("_bucket", "_lo_us")
+    )
+
+
+def downsample_ohlc(
+    events: DataFrame,
+    bucket: str = "hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """OHLC/Gorilla-style downsample: per (key, time bucket) keep
+    open/high/low/close + count — the rollup a telemetry store serves
+    dashboards from instead of raw points.
+
+    One groupBy on (key, bucket): min/max are plain codegen'd aggregates;
+    open/close are ``min_by``/``max_by`` with a (ts, tie) struct ordering
+    key, so ties at identical timestamps resolve deterministically. The
+    shuffle carries one row per (key, bucket) per map partition
+    (map-side partial combine) — at 100 TB this is the canonical
+    pre-aggregation whose output is smaller than its input by the
+    bucket/sample-rate ratio."""
+    ord_key = F.struct(F.col(ts_col), F.col(tie_col))
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.min_by(F.col(val_col), ord_key).alias("open"),
+            F.max(val_col).alias("high"),
+            F.min(val_col).alias("low"),
+            F.max_by(F.col(val_col), ord_key).alias("close"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    lookback: int = 20,
+    z_thresh: float = 3.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Rolling z-score outlier detection: flag points whose value is more
+    than ``z_thresh`` sample standard deviations from the mean of the
+    preceding ``lookback`` points of the same key.
+
+    One shuffle by key, one per-key sort shared by both frame aggregates.
+    The mean/variance come from DECIMAL-exact running sums (sum and
+    sum-of-squares over the frame), not floating stddev aggregates:
+    sliding-frame float aggregation is engine-dependent (incremental
+    add/remove vs segment trees round differently), while exact decimal
+    sums make Spark and any SQL oracle agree bit-for-bit; the final
+    variance/z arithmetic is a fixed double expression over those exact
+    sums. Frames shorter than 2 preceding points can't estimate spread
+    and are never flagged."""
+    v_dec = F.col(val_col).cast(DEC)
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(val_col).over(w)
+    s1 = F.sum(v_dec).over(w).cast("double")
+    s2 = F.sum((v_dec * v_dec).cast(DEC)).over(w).cast("double")
+    nd = n.cast("double")
+    mean = s1 / nd
+    var = (s2 - s1 * s1 / nd) / (nd - F.lit(1.0))
+    z = (F.col(val_col) - mean) / F.sqrt(var)
+    return (
+        events.withColumn("_n", n)
+        .withColumn("z", z)
+        .filter((F.col("_n") >= 2) & (F.abs(F.col("z")) > z_thresh))
+        .select(key_col, tie_col, ts_col, val_col, "z")
+    )
+
+
+def multires_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute, hour, and day
+    aggregates where each coarser level is computed FROM the next finer
+    one, never from raw data — the continuous-aggregate cascade.
+
+    Correctness rests on re-aggregability: count and DECIMAL sum are
+    associative, so hour-from-minute equals hour-from-raw exactly (the
+    oracle recomputes every level from raw; equality proves the cascade
+    introduces no drift — the property that lets a deployment maintain
+    the minute level incrementally and derive the rest for free). Raw
+    data is scanned ONCE; each subsequent level aggregates the
+    level-sized (already tiny) frame above it. avg is derived at read
+    time from (sum, count) — never rolled up itself, since avg is not
+    re-aggregable."""
+    minute = (
+        events.groupBy(
+            F.col(key_col),
+            F.date_trunc("minute", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col(val_col).cast(DEC)).alias("val_sum"),
+            F.min(val_col).alias("val_min"),
+            F.max(val_col).alias("val_max"),
+        )
+    )
+
+    def up(df: DataFrame, unit: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.col(key_col),
+                F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+            )
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.sum("val_sum").cast(DEC).alias("val_sum"),
+                F.min("val_min").alias("val_min"),
+                F.max("val_max").alias("val_max"),
+            )
+        )
+
+    hour = up(minute, "hour")
+    day = up(hour, "day")
+
+    def out(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            key_col,
+            "bucket_ts",
+            "n_points",
+            F.col("val_sum").cast("double").alias("val_sum"),
+            "val_min",
+            "val_max",
+        )
+
+    return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
+        out(day, "day")
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many keys reached step 1, step 2
+    after step 1, step 3 after step 2 (ts >= previous step's first hit).
+
+    No join, no pair materialization: all step timestamps are cascading
+    conditional window-mins over ONE per-key partitioning — Catalyst
+    plans a single shuffle and the window aggregates share the
+    partition; the final step-count aggregation runs over one row per
+    key. The classic formulations (k-1 self-joins, or a sequence-match
+    UDF over collected arrays) shuffle k times or materialize per-key
+    event lists; this shape does neither and is insensitive to per-key
+    event counts — the 100 TB funnel."""
+    w = W.partitionBy(key_col)
+    prev = None
+    cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= prev)
+        t = F.min(F.when(cond, F.col(ts_col))).over(w)
+        cols.append(t.alias(f"_t{i}"))
+        prev = F.col(f"_t{i}")
+        # reference the aliased column in the NEXT select stage; build
+        # iteratively so each step's window sees the previous alias
+        events = events.select("*", cols[-1])
+    per_key = events.select(
+        key_col, *[f"_t{i}" for i in range(len(steps))]
+    ).dropDuplicates([key_col])
+    aggs = [
+        F.count(F.col(f"_t{i}")).alias(f"n_{i}") for i in range(len(steps))
+    ]
+    wide = per_key.agg(*aggs)
+    # unpivot the single wide row with stack() — one consumption, so the
+    # per-key subtree is never duplicated in the plan (a 3-way union of
+    # selects from `wide` would re-expand it per branch)
+    stack_args = ", ".join(
+        f"CAST({i + 1} AS INT), '{s}', n_{i}" for i, s in enumerate(steps)
+    )
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: keys grouped by first-activity day, and
+    for each (cohort_day, day_offset) the count of distinct keys active
+    that day. One window-min per key (shared shuffle with nothing else),
+    a distinct on (key, day) — both map-side combinable — and the final
+    small matrix aggregation."""
+    w = W.partitionBy(key_col)
+    return (
+        events.select(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("_day"),
+            F.date_trunc("day", F.min(F.col(ts_col)).over(w)).alias("_cohort"),
+        )
+        .distinct()
+        .groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("_day"), F.col("_cohort")).cast("int").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count("*").alias("n_users"))
     )

@@ -198,3 +198,116 @@ def q_e4_repetition(spark, sf_dir):
     from ..operators.text import repetition_metrics
 
     return repetition_metrics(_docs(spark, sf_dir))
+
+
+_HH_FRAC = 0.002
+
+@register(
+    "q_e4_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY token
+    HAVING count(*) > {_HH_FRAC} * (SELECT count(*) FROM toks)
+    """,
+    "E4 — corpus heavy hitters (tokens above 0.2% of all tokens), EXACT "
+    "via sketch-then-verify: per-partition Misra-Gries summaries bound "
+    "the candidate set (no full-vocabulary shuffle), then an exact "
+    "recount of candidates only. The oracle recomputes the answer the "
+    "naive way; equality proves the sketch pruned nothing it shouldn't.",
+)
+def q_e4_heavy_hitters(spark, sf_dir):
+    from ..operators.text import frequent_tokens
+
+    return frequent_tokens(_docs(spark, sf_dir), min_frac=_HH_FRAC)
+
+
+@register(
+    "q_e4_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           -CAST(sum(CAST(ln(v.cnt / tot.total) AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS nll
+    FROM toks t JOIN vocab v USING (token), tot
+    GROUP BY t.doc_id
+    """,
+    "E4 — unigram-LM quality score: per-doc mean negative log-probability "
+    "of its tokens under the corpus's own unigram distribution (the cheap "
+    "stand-in for perplexity filtering). Addends cast to DECIMAL(38,6) "
+    "before the per-doc sum (order-independent, oracle-exact); vocab "
+    "shuffle-joined on token, never assumed broadcastable.",
+)
+def q_e4_unigram_logprob(spark, sf_dir):
+    from ..operators.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "q_e4_bpe_train",
+    None,  # iterative (one argmax per round) — not SQL-expressible;
+    # exact equality vs a pure-Python reference model pinned in pytest
+    "E4 — BPE tokenizer induction (Sennrich-style merges) over the "
+    "distinct-word frequency table: corpus-size-independent state, one "
+    "pair-count shuffle + one vectorized merge application per round, "
+    "ONE argmax row to the driver per round",
+)
+def q_e4_bpe_train(spark, sf_dir):
+    from ..operators import bpe as B
+
+    merges = B.bpe_train(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, weighted_count long",
+    )
+
+
+@register(
+    "q_e4_bpe_segment",
+    None,  # depends on the learned merge table — rows-only; model parity
+    # and fertility bounds pinned in pytest
+    "E4 — apply learned BPE merges to every document (greedy lowest-rank "
+    "merging per word, merge table in the Arrow UDF closure): per-doc "
+    "whitespace vs BPE token counts + fertility ratio",
+)
+def q_e4_bpe_segment(spark, sf_dir):
+    from ..operators import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    return B.bpe_segment(docs, B.bpe_train(docs, n_merges=8))
+
+
+@register(
+    "q_e4_incremental_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY token
+    HAVING count(*) > {_HH_FRAC} * (SELECT count(*) FROM toks)
+    """,
+    "E4 (streaming-incremental form, batch-driven here) — documents fed "
+    "through the Misra-Gries foreachBatch sink in 3 interleaved "
+    "micro-batches; the merged sketch's candidates are exact-verified "
+    "over the accumulated corpus, so the answer EQUALS the batch "
+    "operator's (same oracle) no matter how the stream was batched",
+)
+def q_e4_incremental_hh(spark, sf_dir):
+    from ..streaming.heavyhitters import IncrementalHeavyHittersSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sink = IncrementalHeavyHittersSink(capacity=1000)
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    return sink.result(min_frac=_HH_FRAC)

@@ -242,3 +242,156 @@ def q_agg_grouping_sets(spark, sf_dir):
         FROM _gs_cust_nation
         GROUP BY GROUPING SETS ((n_nationkey), (c_mktsegment), ())
     """)
+
+
+@register(
+    "q_t_downsample_ohlc",
+    """
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S.%f') AS bucket_ts,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "Telemetry downsample — OHLC per (user, hour): open/close via "
+    "min_by/max_by on a (ts, event_id) struct (deterministic ties), "
+    "high/low/count as plain aggregates; ONE map-side-combined shuffle, "
+    "output shrinks by the bucket/sample-rate ratio",
+)
+def q_t_downsample_ohlc(spark, sf_dir):
+    out = TS.downsample_ohlc(_events(spark, sf_dir))
+    return out.withColumn(
+        "bucket_ts", F.date_format("bucket_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+
+
+@register(
+    "q_t_anomaly_zscore",
+    """
+    WITH f AS (
+        SELECT user_id, event_id, ts, value,
+               count(value) OVER w AS n,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6))
+                             * CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6)))
+                    OVER w AS DOUBLE) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts, value,
+           (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS z
+    FROM f
+    WHERE n >= 2
+      AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 3.0
+    """,
+    "Rolling z-score anomaly flags: |value - mean| > 3 sample stddevs "
+    "over the preceding 20 same-key points. One shuffle by key, one "
+    "shared per-key sort; mean/var from DECIMAL-exact frame sums (float "
+    "sliding-frame aggregation rounds engine-dependently), z arithmetic "
+    "in double over those exact sums",
+)
+def q_t_anomaly_zscore(spark, sf_dir):
+    out = TS.rolling_zscore_anomalies(_events(spark, sf_dir))
+    return out.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+
+
+@register(
+    "q_t_multires_rollup",
+    """
+    WITH lv AS (
+        SELECT 'minute' AS resolution, user_id,
+               date_trunc('minute', ts) AS bucket_ts, ts, value
+        FROM events
+        UNION ALL
+        SELECT 'hour', user_id, date_trunc('hour', ts), ts, value FROM events
+        UNION ALL
+        SELECT 'day', user_id, date_trunc('day', ts), ts, value FROM events
+    )
+    SELECT resolution, user_id,
+           strftime(bucket_ts, '%Y-%m-%dT%H:%M:%S.%f') AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val_sum,
+           min(value) AS val_min,
+           max(value) AS val_max
+    FROM lv
+    GROUP BY resolution, user_id, bucket_ts
+    """,
+    "Hypertable-style continuous-aggregate cascade: minute rolled up "
+    "from raw, hour FROM minute, day FROM hour (count/DECIMAL-sum/min/"
+    "max are re-aggregable, so no drift — the oracle recomputes every "
+    "level from raw and must match exactly). Raw scanned once; coarser "
+    "levels aggregate the tiny finer-level frames",
+)
+def q_t_multires_rollup(spark, sf_dir):
+    out = TS.multires_rollup(_events(spark, sf_dir))
+    return out.withColumn(
+        "bucket_ts", F.date_format("bucket_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+
+
+@register(
+    "q_t_funnel_conversion",
+    """
+    WITH s0 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events
+    ),
+    s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM s0
+    ),
+    s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ),
+    per AS (SELECT DISTINCT user_id, t0, t1, t2 FROM s2)
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+           CAST(count(t0) AS BIGINT) AS n_users FROM per
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', CAST(count(t1) AS BIGINT) FROM per
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', CAST(count(t2) AS BIGINT) FROM per
+    """,
+    "Ordered funnel (view -> click -> purchase): users reaching each "
+    "step after their first hit of the previous one. Cascading "
+    "conditional window-mins over ONE per-user partitioning — no "
+    "self-joins, no per-user event lists; insensitive to per-key event "
+    "counts",
+)
+def q_t_funnel_conversion(spark, sf_dir):
+    return TS.funnel_counts(_events(spark, sf_dir))
+
+
+@register(
+    "q_t_cohort_retention",
+    """
+    WITH c AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               date_trunc('day', min(ts) OVER (PARTITION BY user_id)) AS cohort
+        FROM events
+    ),
+    dd AS (SELECT DISTINCT user_id, d, cohort FROM c)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM dd
+    GROUP BY cohort_day, day_offset
+    """,
+    "Cohort retention matrix: users grouped by first-activity day, "
+    "distinct-active counts per (cohort, day offset). One window-min "
+    "per key + a map-side-combinable distinct + the tiny matrix agg",
+)
+def q_t_cohort_retention(spark, sf_dir):
+    return TS.cohort_retention(_events(spark, sf_dir))

@@ -1,0 +1,125 @@
+"""Streaming-incremental heavy hitters (E4, streaming form).
+
+Corpus-level frequent-token tracking over a document stream: the batch
+operator (``operators/text.frequent_tokens``) sketches then verifies in
+two corpus passes; this sink keeps the Misra-Gries summary ACROSS
+micro-batches so per-batch work is O(batch), and runs the exact verify
+only when a result is requested.
+
+- Per batch: the batch's per-partition MG summaries are computed with
+  the same vectorized kernel as the batch operator, collected (bounded:
+  <= capacity x partitions candidate rows — config-sized), and merged
+  into the driver-held global summary with the standard mergeable-
+  summaries trim (combine counters, subtract the (capacity+1)-th
+  largest, drop non-positives). Merging MG summaries preserves the
+  guarantee: any token with global frequency > N/capacity stays
+  positive in the merged summary (Agarwal et al., "Mergeable
+  Summaries"). Documents are also accumulated append-only
+  (localCheckpoint'ed linear plans — in deployment this is simply the
+  corpus table the stream is writing anyway).
+- On ``result(min_frac)``: exact recount of the merged summary's
+  candidates over the accumulated corpus — identical phase-2 shape to
+  the batch operator, so the output EQUALS the batch answer on the same
+  data regardless of how the stream was batched (pinned by
+  tests/test_streaming.py).
+
+The driver-held summary is O(capacity) entries — the same "config-sized
+driver state" budget as the IVF/PQ codebooks; nothing corpus-sized ever
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import tokens
+
+
+class IncrementalHeavyHittersSink:
+    """foreachBatch sink: feed micro-batches of (doc_id, text) rows via
+    ``process_batch``; ask for the exact heavy-hitter set any time via
+    ``result``."""
+
+    def __init__(self, capacity: int = 1000, text_col: str = "text"):
+        self.capacity = capacity
+        self.text_col = text_col
+        self.sketch: Counter = Counter()
+        self.docs: DataFrame | None = None
+        self.batches_seen = 0
+
+    def _trim(self, merged: Counter) -> Counter:
+        if len(merged) <= self.capacity:
+            return merged
+        kth = heapq.nlargest(self.capacity + 1, merged.values())[-1]
+        return Counter({t: c - kth for t, c in merged.items() if c > kth})
+
+    def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        cap = self.capacity
+        text_col = self.text_col
+
+        def mg_partition(batches):
+            sk: Counter = Counter()
+            for pdf in batches:
+                batch = Counter()
+                for s in pdf["_toks"]:
+                    batch.update(s)
+                sk.update(batch)
+                if len(sk) > cap:
+                    kth = heapq.nlargest(cap + 1, sk.values())[-1]
+                    sk = Counter({t: c - kth for t, c in sk.items() if c > kth})
+            yield pd.DataFrame(
+                {"token": list(sk.keys()), "cnt": list(sk.values())}
+            )
+
+        part_rows = (
+            batch_docs.select(tokens(F.col(text_col)).alias("_toks"))
+            .mapInPandas(mg_partition, "token string, cnt long")
+            .collect()  # bounded: <= capacity x partitions rows
+        )
+        merged = Counter(self.sketch)
+        for r in part_rows:
+            merged[r["token"]] += r["cnt"]
+        self.sketch = self._trim(merged)
+
+        batch_state = batch_docs.select("doc_id", text_col)
+        if self.docs is None:
+            self.docs = batch_state.localCheckpoint(eager=True)
+        else:
+            self.docs = self.docs.unionByName(batch_state).localCheckpoint(
+                eager=True
+            )
+        self.batches_seen += 1
+
+    def result(self, min_frac: float) -> DataFrame:
+        """Exact (token, cnt) for every token above ``min_frac`` of all
+        tokens seen so far. Requires capacity >= 1/min_frac for the
+        superset guarantee (same bound as the batch operator)."""
+        if self.docs is None:
+            raise RuntimeError("no batches processed yet")
+        if self.capacity < 1.0 / min_frac:
+            raise ValueError(
+                f"capacity {self.capacity} below 1/min_frac "
+                f"({1.0 / min_frac:.0f}) — superset guarantee would not hold"
+            )
+        spark = self.docs.sparkSession
+        cands = spark.createDataFrame(
+            [(t,) for t in self.sketch], "token string"
+        )
+        toks = tokens(F.col(self.text_col))
+        exploded = self.docs.select(F.explode(toks).alias("token"))
+        totals = self.docs.agg(
+            F.sum(F.size(toks)).cast("long").alias("_total")
+        )
+        return (
+            exploded.join(F.broadcast(cands), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .join(F.broadcast(totals))
+            .filter(F.col("cnt") > F.lit(min_frac) * F.col("_total"))
+            .select("token", "cnt")
+        )

@@ -160,3 +160,142 @@ def test_repetition_metrics_planted(spark):
     assert abs(out[2]["top_word_frac"] - 1 / 8) < 1e-12
     # single-token doc: whole-text gram on both lanes -> fraction 1.0
     assert out[3]["top_word_frac"] == 1.0 and out[3]["top_bigram_frac"] == 1.0
+
+
+def test_heavy_hitters_planted_adversarial_partitioning(spark):
+    """MG sketch correctness under the worst layout: the heavy token's
+    occurrences split across many partitions, capacity at the guarantee
+    floor. The verify phase must still return the exact answer."""
+    import pyspark.sql.functions as F
+
+    from opcua_ingestion_engine_spark.operators.text import frequent_tokens
+
+    # 400 docs of unique-ish filler + 'hot' in 10% of docs (freq ~ 3.3%
+    # of tokens); 'warm' just under a 5% threshold on purpose
+    rows = []
+    for i in range(400):
+        base = f"tok{i}a tok{i}b"
+        if i % 10 == 0:
+            base += " hot"
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+
+    out = {r["token"]: r["cnt"] for r in
+           frequent_tokens(docs, min_frac=0.02, capacity=50).collect()}
+    total = 400 * 2 + 40
+    assert out == {"hot": 40}, out
+    assert 40 > 0.02 * total
+
+    # threshold above the planted frequency -> empty result, not noise
+    none = frequent_tokens(docs, min_frac=0.1, capacity=50).collect()
+    assert none == []
+
+    # determinism across layouts: a different partitioning, same answer
+    out2 = {r["token"]: r["cnt"] for r in
+            frequent_tokens(docs.repartition(3), min_frac=0.02,
+                            capacity=50).collect()}
+    assert out2 == out
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus where the unigram distribution is computable by hand:
+    6 tokens total, 'a' x3, 'b' x2, 'c' x1."""
+    import math
+
+    from opcua_ingestion_engine_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["nll"]) for r in
+           unigram_logprob(docs).collect()}
+    def dec6(x):
+        # mirror the DECIMAL(38,6) cast of each addend
+        return round(x, 6)
+    nll1 = -(2 * dec6(math.log(3 / 6)) + dec6(math.log(2 / 6))) / 3
+    nll2 = -(dec6(math.log(3 / 6)) + dec6(math.log(2 / 6))
+             + dec6(math.log(1 / 6))) / 3
+    assert out[1][0] == 3 and abs(out[1][1] - nll1) < 1e-9
+    assert out[2][0] == 3 and abs(out[2][1] - nll2) < 1e-9
+    # rare-token soup scores strictly worse (higher nll)
+    assert out[2][1] > out[1][1]
+
+
+def _model_bpe(word_counts, n_merges, min_count=2):
+    """Pure-Python reference BPE trainer (Sennrich alg.) — same tie-break
+    (count desc, then lexicographic pair) as operators/bpe.py."""
+    state = {}
+    for w, c in word_counts.items():
+        state[tuple(w)] = state.get(tuple(w), 0) + c
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((left, right, cnt))
+        new = {}
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        state = new
+    return merges
+
+
+def test_bpe_train_matches_reference_model(spark, docs):
+    from collections import Counter
+
+    from opcua_ingestion_engine_spark.operators import bpe as B
+
+    wc = Counter()
+    for r in docs.select("text").collect():
+        wc.update(r["text"].split(" "))
+    expect = _model_bpe(wc, n_merges=12)
+    got = B.bpe_train(docs, n_merges=12)
+    assert got == expect, (got[:4], expect[:4])
+
+
+def test_bpe_planted_corpus(spark):
+    from opcua_ingestion_engine_spark.operators import bpe as B
+
+    # 'aaab' x3, 'ab' x2: round 1 merges (a,a) cnt=6; round 2 (b: 'aa a b')
+    # pairs: (aa,a)x3,(a,b)x5 -> (a,b) cnt=5; round 3 (aa,ab) cnt=3
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    merges = B.bpe_train(docs, n_merges=3)
+    assert merges == [("a", "a", 6), ("a", "b", 5), ("aa", "ab", 3)], merges
+
+    seg = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+           for r in B.bpe_segment(docs, merges).collect()}
+    # every word collapses to ONE token under the learned merges
+    assert seg == {1: (3, 3), 2: (2, 2)}, seg
+
+    # no merges -> every word is split to characters
+    chars = {r["doc_id"]: r["n_tokens_bpe"]
+             for r in B.bpe_segment(docs, []).collect()}
+    assert chars == {1: 10, 2: 6}, chars
+
+
+def test_bpe_segment_fertility_bounds(spark, docs):
+    from opcua_ingestion_engine_spark.operators import bpe as B
+
+    merges = B.bpe_train(docs, n_merges=8)
+    assert len(merges) == 8
+    out = B.bpe_segment(docs, merges).collect()
+    for r in out:
+        # BPE token count is bounded by chars-per-word below and words above
+        assert r["n_tokens_bpe"] >= r["n_tokens_ws"]
+        assert abs(r["compression"] - r["n_tokens_bpe"] / r["n_tokens_ws"]) < 1e-12

@@ -817,3 +817,47 @@ def test_reconnect_policy_custom_base_and_opc_cap():
         seen.append(p.next_delay_s())
         p.opc_attempt_failed(tcp_still_up=True)
     assert seen == [1.0, 2.0, 4.0, 8.0, 8.0, 8.0]
+
+
+def test_incremental_heavy_hitters_matches_batch(spark, tmp_path):
+    """E4 streaming form: the Misra-Gries sketch merged across real
+    micro-batches + exact verify must equal the batch operator's answer
+    on the same corpus, for any batch split."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators.text import frequent_tokens
+    from opcua_ingestion_engine_spark.streaming.heavyhitters import (
+        IncrementalHeavyHittersSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "hh_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch_{i:02d}")
+
+    sink = IncrementalHeavyHittersSink(capacity=600)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sink.batches_seen == 3
+
+    stream_res = {(r["token"], r["cnt"])
+                  for r in sink.result(min_frac=0.002).collect()}
+    batch_res = {(r["token"], r["cnt"])
+                 for r in frequent_tokens(docs, min_frac=0.002).collect()}
+    assert stream_res == batch_res and len(batch_res) > 0
+
+    # guarantee guard: capacity below 1/min_frac must refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sink.result(min_frac=1e-4)
