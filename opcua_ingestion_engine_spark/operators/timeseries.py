@@ -267,35 +267,9 @@ def multires_rollup(
     level-sized (already tiny) frame above it. avg is derived at read
     time from (sum, count) — never rolled up itself, since avg is not
     re-aggregable."""
-    minute = (
-        events.groupBy(
-            F.col(key_col),
-            F.date_trunc("minute", F.col(ts_col)).alias("bucket_ts"),
-        )
-        .agg(
-            F.count("*").alias("n_points"),
-            F.sum(F.col(val_col).cast(DEC)).alias("val_sum"),
-            F.min(val_col).alias("val_min"),
-            F.max(val_col).alias("val_max"),
-        )
-    )
-
-    def up(df: DataFrame, unit: str) -> DataFrame:
-        return (
-            df.groupBy(
-                F.col(key_col),
-                F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
-            )
-            .agg(
-                F.sum("n_points").alias("n_points"),
-                F.sum("val_sum").cast(DEC).alias("val_sum"),
-                F.min("val_min").alias("val_min"),
-                F.max("val_max").alias("val_max"),
-            )
-        )
-
-    hour = up(minute, "hour")
-    day = up(hour, "day")
+    minute = rollup_minute(events, key_col, ts_col, val_col)
+    hour = rollup_up(minute, "hour", key_col)
+    day = rollup_up(hour, "day", key_col)
 
     def out(df: DataFrame, res: str) -> DataFrame:
         return df.select(
@@ -310,6 +284,47 @@ def multires_rollup(
 
     return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
         out(day, "day")
+    )
+
+
+def rollup_minute(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Finest rollup level: (key, minute bucket) -> count / DECIMAL sum /
+    min / max. The base state a continuous aggregate maintains."""
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.date_trunc("minute", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col(val_col).cast(DEC)).alias("val_sum"),
+            F.min(val_col).alias("val_min"),
+            F.max(val_col).alias("val_max"),
+        )
+    )
+
+
+def rollup_up(df: DataFrame, unit: str, key_col: str = "user_id") -> DataFrame:
+    """Re-aggregate a rollup level to a coarser unit — also the MERGE
+    that folds a new batch's partial buckets into maintained state
+    (count/sum/min/max are associative + commutative, so merging partials
+    equals recomputing from raw)."""
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("val_sum").cast(DEC).alias("val_sum"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+        )
     )
 
 

@@ -305,6 +305,20 @@ def q_e3_pq(spark, sf_dir):
     return out.withColumnRenamed("rank", "nn_rank")
 
 
+@register(
+    "q_e3_ivfpq_ann",
+    None,  # data-dependent quantizers — rows-only; recall pinned in pytest
+    "E3 (scale path, IVF+PQ composition) — inverted-file cell pruning + "
+    "product-quantized RESIDUAL codes scored by asymmetric distance "
+    "(q.c offset per probed cell + cell-independent residual LUTs), "
+    "local top-k before the exchange, broadcast-sized exact rerank",
+)
+def q_e3_ivfpq(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
 # ---------------------------------------------------------------------------
 # E4 — text analysis
 # ---------------------------------------------------------------------------

@@ -395,3 +395,43 @@ def q_t_funnel_conversion(spark, sf_dir):
 )
 def q_t_cohort_retention(spark, sf_dir):
     return TS.cohort_retention(_events(spark, sf_dir))
+
+
+@register(
+    "q_t_incremental_rollup",
+    """
+    WITH lv AS (
+        SELECT 'minute' AS resolution, user_id,
+               date_trunc('minute', ts) AS bucket_ts, ts, value
+        FROM events
+        UNION ALL
+        SELECT 'hour', user_id, date_trunc('hour', ts), ts, value FROM events
+        UNION ALL
+        SELECT 'day', user_id, date_trunc('day', ts), ts, value FROM events
+    )
+    SELECT resolution, user_id,
+           strftime(bucket_ts, '%Y-%m-%dT%H:%M:%S.%f') AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val_sum,
+           min(value) AS val_min,
+           max(value) AS val_max
+    FROM lv
+    GROUP BY resolution, user_id, bucket_ts
+    """,
+    "Continuous-aggregate maintenance (streaming form, batch-driven "
+    "here): events fed through the incremental rollup sink in 3 "
+    "interleaved micro-batches — minute state merged per batch "
+    "(associative count/DECIMAL-sum/min/max, so merge == recompute "
+    "exactly), hour/day derived from it; shares the recompute-from-raw "
+    "oracle with q_t_multires_rollup",
+)
+def q_t_incremental_rollup(spark, sf_dir):
+    from ..streaming.rollup import IncrementalRollupSink
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    sink = IncrementalRollupSink()
+    for i in range(3):
+        sink.process_batch(ev.filter(F.col("event_id") % 3 == i), i)
+    return sink.result().withColumn(
+        "bucket_ts", F.date_format("bucket_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )

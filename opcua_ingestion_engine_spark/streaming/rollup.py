@@ -1,0 +1,93 @@
+"""Streaming continuous aggregate (incremental multi-resolution rollup).
+
+The batch cascade (``operators/timeseries.multires_rollup``) recomputes
+minute->hour->day from raw events; a telemetry deployment instead
+maintains the MINUTE level incrementally as micro-batches arrive and
+derives the coarser levels from it — TimescaleDB's continuous
+aggregates, as a foreachBatch sink.
+
+Per batch: the batch's rows are aggregated to partial minute buckets
+(one map-side-combined shuffle over batch rows only), then merged into
+the maintained minute state by re-aggregating on the same keys —
+count/DECIMAL-sum/min/max are associative and commutative, so
+merge(state, partial) == recompute-from-raw EXACTLY (no float drift),
+for any batch split, including late events that reopen an old bucket.
+State is localCheckpoint'ed per batch (linear plans); a deployment
+persists it as a table bucketed on (key, bucket_ts) so the per-batch
+merge join is exchange-free on the stored side — the same layout
+argument as the modvalues state (operators/sink.write_bucketed_state).
+
+``result()`` returns the identical (resolution, key, bucket, stats)
+frame as the batch operator — equality for any batching is pinned by
+tests/test_streaming.py, and the driver-checked
+``q_t_incremental_rollup`` shares the batch entry's recompute-from-raw
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as TS
+
+
+class IncrementalRollupSink:
+    """foreachBatch sink: feed micro-batches of (key, ts, value) events
+    via ``process_batch``; read the full multi-resolution rollup any
+    time via ``result``."""
+
+    def __init__(
+        self,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        val_col: str = "value",
+    ):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.val_col = val_col
+        self.minute: DataFrame | None = None
+        self.batches_seen = 0
+
+    def process_batch(self, batch_events: DataFrame, batch_id: int) -> None:
+        partial = TS.rollup_minute(
+            batch_events, self.key_col, self.ts_col, self.val_col
+        )
+        if self.minute is None:
+            merged = partial
+        else:
+            # merge partial buckets into state: same-key re-aggregation
+            # (rollup_up at minute grain IS the merge — associative stats)
+            merged = TS.rollup_up(
+                self.minute.unionByName(partial), "minute", self.key_col
+            )
+        self.minute = merged.localCheckpoint(eager=True)
+        self.batches_seen += 1
+
+    def result(self) -> DataFrame:
+        """The same (resolution, key, bucket_ts, n_points, val_sum,
+        val_min, val_max) frame as ``multires_rollup`` over everything
+        seen so far."""
+        if self.minute is None:
+            raise RuntimeError("no batches processed yet")
+        key = self.key_col
+        minute = self.minute
+        hour = TS.rollup_up(minute, "hour", key)
+        day = TS.rollup_up(hour, "day", key)
+
+        def out(df: DataFrame, res: str) -> DataFrame:
+            return df.select(
+                F.lit(res).alias("resolution"),
+                key,
+                "bucket_ts",
+                "n_points",
+                F.col("val_sum").cast("double").alias("val_sum"),
+                "val_min",
+                "val_max",
+            )
+
+        return (
+            out(minute, "minute")
+            .unionByName(out(hour, "hour"))
+            .unionByName(out(day, "day"))
+        )

@@ -180,6 +180,30 @@ def test_ann_pq_recall_vs_brute_force(spark):
     assert pq == pq2
 
 
+def test_ann_ivfpq_recall_vs_brute_force(spark):
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivfpq_topk(emb, q, k=5).collect()
+    }
+    assert len(brute) == 50
+    recall = len(brute & ivfpq) / len(brute)
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} below 0.6"
+    ivfpq2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivfpq_topk(emb, q, k=5).collect()
+    }
+    assert ivfpq == ivfpq2
+
+
 def test_pq_encode_roundtrip_error_bounded(spark):
     """Quantization sanity: reconstructing a vector from its sub-codes
     recovers most of its norm (codebooks trained on the same corpus)."""

@@ -42,6 +42,7 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # codes scan + rerank vectors + query slice; deployed, the codes scan
     # reads a persisted compressed table instead of re-encoding in-plan
     "q_e3_pq_ann": (0, 0, {"embeddings": 3}),
+    "q_e3_ivfpq_ann": (0, 0, {"embeddings": 3}),
     "q_e4_repetition": (0, 0, {"documents": 2}),
     # static plan expands the minute->hour->day cascade into 3 branches,
     # but at runtime the hour/day branches are ReusedExchange of the

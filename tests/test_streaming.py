@@ -861,3 +861,46 @@ def test_incremental_heavy_hitters_matches_batch(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sink.result(min_frac=1e-4)
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """Continuous-aggregate parity: minute-state merged across real
+    micro-batches, hour/day derived from it, must equal the batch
+    cascade over the same events — bit-for-bit (DECIMAL-exact sums),
+    for an arbitrary batch split including buckets reopened by late
+    rows."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming.rollup import (
+        IncrementalRollupSink,
+    )
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = str(tmp_path / "ru_src")
+    # id-interleaved batches: every batch touches most buckets, so the
+    # merge path (not the fresh-bucket path) is what's exercised
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch_{i:02d}")
+
+    sink = IncrementalRollupSink()
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ru_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sink.batches_seen == 3
+
+    stream_rows = {tuple(r) for r in sink.result().collect()}
+    batch_rows = {tuple(r) for r in TS.multires_rollup(ev).collect()}
+    assert stream_rows == batch_rows and len(batch_rows) > 0

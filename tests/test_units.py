@@ -376,3 +376,65 @@ def test_browse_shuffled_fallback_matches_broadcast(spark):
         )
 
     assert key(a) == key(b) and len(key(a)) > 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered parquet must give file-stat pruning on BOTH interleaved
+    columns; a single-column sort gives perfect pruning on one and none
+    on the other. Pruning is measured from real parquet footer min/max
+    stats, the same statistics a scan's file/row-group skipping uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import sink
+    from tests.conftest import SF_SMOKE
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def files_touched(path, col, point):
+        touched, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            hit = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or (st.min <= point <= st.max):
+                    hit = True
+            total += 1
+            touched += int(hit)
+        assert total >= 6, f"expected several files, got {total}"
+        return touched, total
+
+    zpath = str(tmp_path / "z")
+    sink.write_zordered(ev, zpath, "user_id", "value", n_files=8)
+    zx, nx = files_touched(zpath, "user_id", 42)
+    zy, ny = files_touched(zpath, "value", 9.0)
+
+    spath = str(tmp_path / "sorted_x")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    sx, _ = files_touched(spath, "user_id", 42)
+    sy, ns = files_touched(spath, "value", 9.0)
+
+    # single-column sort: perfect on x, useless on y
+    assert sx <= 2
+    assert sy == ns
+    # z-order: real pruning on BOTH dimensions
+    assert zx <= nx * 3 // 4, (zx, nx)
+    assert zy <= ny * 3 // 4, (zy, ny)
+
+    # layout change must not change content
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    a = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in ev.collect()}
+    assert a == b
