@@ -468,3 +468,48 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", "n_tokens", "nll")
     )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E4 — per-document Shannon entropy of the token distribution (nats):
+    the diversity signal that catches repetition the top-word fraction
+    misses (a doc cycling five words evenly has low top-word share but
+    low entropy too).
+
+    One explode -> count per (doc, token) -> per-doc aggregate; the
+    per-doc total is derived from the counts themselves (sum, not a
+    second scan). Each p*ln(p) term is cast to DECIMAL(38,6) before the
+    sum (order-independent, oracle-exact); the final negate/cast runs in
+    double. Returns (doc_id, n_tokens, n_distinct, entropy).
+    """
+    toks = tokens(F.col(text_col))
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("_c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.collect_list(F.col("_c")).alias("_cs"),
+    )
+    # entropy from the count list: p = c/n, term = p*ln(p) quantized —
+    # aggregate over the (bounded: distinct tokens per doc) array keeps
+    # the whole computation in one projection
+    n = F.col("n_tokens").cast("double")
+
+    def term(c):
+        p = c.cast("double") / n
+        return (p * F.log(p)).cast("decimal(38,6)")
+
+    ent = F.aggregate(
+        F.col("_cs"),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, c: acc + term(c),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (-ent.cast("double")).alias("entropy"),
+    )

@@ -70,16 +70,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_w_sessionize",
     "q_w_ntile_dist",
     "q_t10_tumbling_window",
-    "q_t10_session_window",
     "q_sort_topk_orders",
-    "q_set_intersect",
-    "q_sort_nulls_ordering",
+    # Round-3 operator families, one oracle-checked representative each
+    # (displacing the second/third sort/set reps, which stay pytest- and
+    # contract-checked): exact heavy hitters (MG sketch + verify), the
+    # continuous-aggregate cascade, and the windowed funnel.
+    "q_e4_heavy_hitters",
+    "q_t_multires_rollup",
     # E8 dataset-assembly family (new in round 3) — driver-checked from
     # its first round.
     "q_e8_split_assignment",
     "q_e8_stratified_sample",
     "q_e8_contamination",
     "q_e8_pack_chunks",
+    "q_t_funnel_conversion",
     # Core sample that was driver-green in round 2 (regression canaries).
     "q_f1_monitored_devices",
     "q_f3_staleness_filter",

@@ -311,3 +311,33 @@ def q_e4_incremental_hh(spark, sf_dir):
     for i in range(3):
         sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
     return sink.result(min_frac=_HH_FRAC)
+
+
+@register(
+    "q_e4_token_entropy",
+    """
+    WITH c AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ),
+    d AS (SELECT doc_id, sum(c) AS n, count(*) AS nd FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_tokens,
+           CAST(d.nd AS BIGINT) AS n_distinct,
+           -CAST(sum(CAST((c.c / d.n) * ln(c.c / d.n) AS DECIMAL(38,6)))
+                 AS DOUBLE) AS entropy
+    FROM c JOIN d USING (doc_id)
+    GROUP BY d.doc_id, d.n, d.nd
+    """,
+    "E4 — per-doc Shannon entropy of the token distribution (nats): the "
+    "diversity signal that catches even-cycle repetition the top-word "
+    "fraction misses. One explode + (doc,token) count + per-doc "
+    "aggregate; p*ln(p) terms quantized to DECIMAL(38,6) before the "
+    "(order-independent) sum",
+)
+def q_e4_token_entropy(spark, sf_dir):
+    from ..operators.text import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))

@@ -1,0 +1,119 @@
+"""Streaming rolling z-score anomaly detection (stateful form of
+``operators/timeseries.rolling_zscore_anomalies``).
+
+``applyInPandasWithState`` keyed by entity: state = the last
+``lookback`` values in arrival order (O(lookback) doubles per key —
+bounded, like every state table here). Each row is scored against the
+preceding window exactly as the batch operator scores it: the mean and
+sample variance come from DECIMAL-exact sums of the quantized values
+(quantize = the HALF_UP 6-decimal rounding Spark's ``cast(double as
+decimal(38,6))`` performs, reproduced with ``decimal.Decimal`` so the
+streaming scores match the batch plan bit-for-bit), and the z
+arithmetic runs in ordinary doubles over those exact sums.
+
+Ordering contract: rows are sorted by (ts, tiebreak) WITHIN each
+micro-batch, and batches must arrive in non-decreasing time order per
+key (true for replay and for any watermarked, sorted feed) — the same
+contract the batch window's ORDER BY encodes. Batch-split parity is
+pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_Q6 = Decimal("0.000001")
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts_us long, value double, z double"
+)
+ZSCORE_STATE_SCHEMA = "vals array<double>"
+
+
+def _q(v: float) -> Decimal:
+    """Spark's cast(double AS decimal(38,6)): HALF_UP to 6 decimals of
+    the double's exact decimal expansion."""
+    return Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP)
+
+
+def _score(v: float, window: list[float]) -> float | None:
+    """Batch-identical z: DECIMAL-exact s1/s2 over the window, double
+    arithmetic after. Returns None when the window can't estimate
+    spread (fewer than 2 points)."""
+    n = len(window)
+    if n < 2:
+        return None
+    s1 = float(sum(_q(x) for x in window))
+    s2 = float(sum((_q(x) * _q(x)).quantize(_Q6, rounding=ROUND_HALF_UP)
+                   for x in window))
+    nd = float(n)
+    mean = s1 / nd
+    var = (s2 - s1 * s1 / nd) / (nd - 1.0)
+    s = math.sqrt(var) if var > 0 else 0.0
+    if s == 0.0:
+        if v == mean:
+            return float("nan")
+        return math.inf if v > mean else -math.inf
+    return (v - mean) / s
+
+
+def _make_zscore_fn(lookback: int, z_thresh: float):
+    def _fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        window: list[float] = list(state.get[0]) if state.exists else []
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            ser = pdf["ts"]
+            if getattr(ser.dtype, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_us = ser.astype("datetime64[us]").astype("int64").to_numpy()
+            rows.extend(
+                zip(ts_us.tolist(),
+                    pdf["event_id"].to_numpy().tolist(),
+                    pdf["value"].to_numpy().tolist())
+            )
+        rows.sort()  # (ts_us, event_id) — the batch window's ORDER BY
+        out = {"user_id": [], "event_id": [], "ts_us": [], "value": [], "z": []}
+        for t, eid, v in rows:
+            z = _score(v, window)
+            if z is not None and not math.isnan(z) and abs(z) > z_thresh:
+                out["user_id"].append(uid)
+                out["event_id"].append(eid)
+                out["ts_us"].append(t)
+                out["value"].append(v)
+                out["z"].append(z)
+            window.append(v)
+            if len(window) > lookback:
+                window.pop(0)
+        state.update((window,))
+        yield pd.DataFrame(out)
+
+    return _fn
+
+
+def zscore_stream(
+    events_stream: DataFrame,
+    lookback: int = 20,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Stateful streaming form of the rolling z-score detector over a
+    (user_id, event_id, ts, value) stream. No timeout semantics — the
+    state is a pure sliding window, evicted by count."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_zscore_fn(lookback, z_thresh),
+        ZSCORE_OUTPUT_SCHEMA,
+        ZSCORE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -904,3 +904,55 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     stream_rows = {tuple(r) for r in sink.result().collect()}
     batch_rows = {tuple(r) for r in TS.multires_rollup(ev).collect()}
     assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Stateful streaming z-score must flag exactly the rows the batch
+    window flags, with bit-identical scores — the DECIMAL-exact window
+    sums are reproduced in the state function. Batches split by TIME
+    (the ordering contract a replay/watermarked feed satisfies)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming.anomaly import zscore_stream
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    lo, hi = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).first()
+    src = str(tmp_path / "zs_src")
+    parts = [
+        ev.filter(F.unix_micros("ts") <= lo),
+        ev.filter((F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)),
+        ev.filter(F.unix_micros("ts") > hi),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch_{i:02d}")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    out_path = str(tmp_path / "zs_out")
+    q = (
+        zscore_stream(stream).writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "zs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["event_id"], r["z"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["z"])
+        for r in TS.rolling_zscore_anomalies(ev).collect()
+    }
+    assert got == want and len(want) > 0
