@@ -638,6 +638,21 @@ def dtw_rerank_topk(
 # ---------------------------------------------------------------------------
 
 
+def _assign_codes(v: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """PQ sub-code assignment: per subspace, the euclidean-nearest
+    codebook row of each vector's sub-slice, via the identity
+    argmin ||x - c||^2 == argmax (x.c - ||c||^2 / 2). ONE definition
+    shared by training, encoding, and the IVF-PQ fused encoder — a
+    change to tie-breaking or precision cannot drift between them."""
+    m, _, sub_dim = books.shape
+    codes = np.empty((len(v), m), dtype=np.int32)
+    for s in range(m):
+        x = v[:, s * sub_dim : (s + 1) * sub_dim]
+        cb = books[s]
+        codes[:, s] = np.argmax(x @ cb.T - 0.5 * (cb * cb).sum(axis=1), axis=1)
+    return codes
+
+
 def _pq_codebooks(
     embeddings: DataFrame,
     m: int,
@@ -686,14 +701,7 @@ def _pq_codebooks(
         @pandas_udf("array<int>")
         def sub_codes(vecs: pd.Series) -> pd.Series:
             v = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-            codes = np.empty((len(v), m), dtype=np.int32)
-            for s in range(m):
-                x = v[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub_dim)
-                cb = snapshot[s]  # (ksub, sub_dim)
-                # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
-                scores = x @ cb.T - 0.5 * (cb * cb).sum(axis=1)
-                codes[:, s] = np.argmax(scores, axis=1)
-            return pd.Series(list(codes))
+            return pd.Series(list(_assign_codes(v, snapshot)))
 
         means = (
             unit.select(sub_codes(F.col("u")).alias("codes"),
@@ -725,19 +733,12 @@ def pq_encode(
     a trained codebook tensor — the compressed representation PQ scans."""
     from pyspark.sql.functions import pandas_udf
 
-    m, _, sub_dim = books.shape
-
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
         if normalize:
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-        codes = np.empty((len(v), m), dtype=np.int32)
-        for s in range(m):
-            x = v[:, s * sub_dim : (s + 1) * sub_dim]
-            cb = books[s]
-            codes[:, s] = np.argmax(x @ cb.T - 0.5 * (cb * cb).sum(axis=1), axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_assign_codes(v, books)))
 
     return embeddings.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
@@ -924,8 +925,6 @@ def ivfpq_topk(
         resid_df, m, ksub, lloyd_iters,
         id_col="neighbor_id", vec_col="resid", normalize=False,
     )
-    sub_dim_b = books.shape[2]
-
     # one fused pass: cell assignment + residual + codes from the raw
     # vectors (re-joining codes to the cell column would duplicate the
     # residual subtree — two corpus scans for what one map computes)
@@ -934,14 +933,7 @@ def ivfpq_topk(
             v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
             cells = np.argmax(v @ cent.T, axis=1)
-            r = v - cent[cells]
-            cc = np.empty((len(v), m), dtype=np.int32)
-            for sub in range(m):
-                x = r[:, sub * sub_dim_b : (sub + 1) * sub_dim_b]
-                cb = books[sub]
-                cc[:, sub] = np.argmax(
-                    x @ cb.T - 0.5 * (cb * cb).sum(axis=1), axis=1
-                )
+            cc = _assign_codes(v - cent[cells], books)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),

@@ -388,28 +388,19 @@ def frequent_tokens(
     The result is EXACT (the sketch only prunes, the verify recounts), so
     a plain SQL HAVING oracle checks it. Returns (token, cnt).
     """
-    import heapq
-    from collections import Counter
-
     import pandas as pd
 
     cap = capacity or max(64, int(2.0 / min_frac))
+    if cap < 1.0 / min_frac:
+        raise ValueError(
+            f"capacity {cap} below 1/min_frac ({1.0 / min_frac:.0f}) — the "
+            "Misra-Gries superset guarantee would not hold and the result "
+            "could silently miss heavy hitters"
+        )
     toks = tokens(F.col(text_col))
 
     def mg_candidates(batches):
-        sketch: Counter = Counter()
-        for pdf in batches:
-            batch = Counter()
-            for s in pdf["_toks"]:
-                batch.update(s)
-            sketch.update(batch)
-            if len(sketch) > cap:
-                # subtract the (cap+1)-th largest count from everything;
-                # at most cap tokens stay positive
-                kth = heapq.nlargest(cap + 1, sketch.values())[-1]
-                sketch = Counter(
-                    {t: c - kth for t, c in sketch.items() if c > kth}
-                )
+        sketch = mg_summary(batches, cap, "_toks")
         yield pd.DataFrame({"token": list(sketch.keys())})
 
     cands = (
@@ -417,10 +408,52 @@ def frequent_tokens(
         .mapInPandas(mg_candidates, "token string")
         .distinct()
     )
+    return exact_token_counts(docs, cands, min_frac, text_col)
 
+
+def mg_trim(sketch, cap: int):
+    """Misra-Gries trim (mergeable-summaries form): subtract the
+    (cap+1)-th largest count from everything; at most cap entries stay
+    positive. Shared by the batch operator and the streaming sink — the
+    guarantee lives in ONE place."""
+    import heapq
+    from collections import Counter
+
+    if len(sketch) <= cap:
+        return sketch
+    kth = heapq.nlargest(cap + 1, sketch.values())[-1]
+    return Counter({t: c - kth for t, c in sketch.items() if c > kth})
+
+
+def mg_summary(batches, cap: int, col: str):
+    """Fold Arrow batches of token arrays into one capacity-bounded MG
+    summary (Counter)."""
+    from collections import Counter
+
+    sketch: "Counter" = Counter()
+    for pdf in batches:
+        batch = Counter()
+        for s in pdf[col]:
+            batch.update(s)
+        sketch.update(batch)
+        sketch = mg_trim(sketch, cap)
+    return sketch
+
+
+def exact_token_counts(
+    docs: DataFrame,
+    cands: DataFrame,
+    min_frac: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy-hitters verify phase, shared by the batch operator and the
+    streaming sink: exact counts for candidate tokens only (explode +
+    broadcast semi-join + map-side-combined groupBy), thresholded
+    against the exact total token count (1-row scalar broadcast; the
+    denominator comes from a column-pruned size() scan, not a third
+    explode)."""
+    toks = tokens(F.col(text_col))
     exploded = docs.select(F.explode(toks).alias("token"))
-    # exact denominator without a third explode: sum of per-doc token
-    # counts over a column-pruned scan
     totals = docs.agg(F.sum(F.size(toks)).cast("long").alias("_total"))
     return (
         exploded.join(F.broadcast(cands), "token", "left_semi")

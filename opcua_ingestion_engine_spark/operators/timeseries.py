@@ -226,7 +226,18 @@ def rolling_zscore_anomalies(
     sums make Spark and any SQL oracle agree bit-for-bit; the final
     variance/z arithmetic is a fixed double expression over those exact
     sums. Frames shorter than 2 preceding points can't estimate spread
-    and are never flagged."""
+    and are never flagged.
+
+    Zero-spread windows get an EXPLICIT branch: a flat-line history
+    followed by a different value is infinitely many "standard
+    deviations" away and is flagged with z = +/-Infinity (the
+    flat-line-then-spike case a telemetry monitor most needs). Leaving
+    it to the division would silently drop those rows in Spark
+    (double/0 is NULL in non-ANSI mode; sqrt of the tiny-negative var
+    float rounding can produce is NaN) while IEEE engines like DuckDB
+    return Infinity — an engine-dependent miss, not a semantics choice.
+    The streaming twin (streaming/anomaly.py) implements the same
+    branch."""
     v_dec = F.col(val_col).cast(DEC)
     w = (
         W.partitionBy(key_col)
@@ -237,13 +248,31 @@ def rolling_zscore_anomalies(
     s1 = F.sum(v_dec).over(w).cast("double")
     s2 = F.sum((v_dec * v_dec).cast(DEC)).over(w).cast("double")
     nd = n.cast("double")
-    mean = s1 / nd
-    var = (s2 - s1 * s1 / nd) / (nd - F.lit(1.0))
-    z = (F.col(val_col) - mean) / F.sqrt(var)
+    # Total arithmetic: clamp divisors so short-window rows (n < 2, which
+    # the filter below removes) never divide by zero — ANSI mode raises
+    # DIVIDE_BY_ZERO even for doubles, and whether the n >= 2 conjunct
+    # short-circuits the evaluation depends on predicate inlining, which
+    # is an optimizer choice, not a contract. For n >= 2 the clamps are
+    # identities, so flagged rows match the oracle exactly.
+    mean = s1 / F.greatest(nd, F.lit(1.0))
+    var = (s2 - s1 * s1 / F.greatest(nd, F.lit(1.0))) / F.greatest(
+        nd - F.lit(1.0), F.lit(1.0)
+    )
+    z = F.when(
+        var > 0, (F.col(val_col) - mean) / F.sqrt(var)
+    ).otherwise(
+        F.signum(F.col(val_col) - mean) * F.lit(float("inf"))
+    )
+    flagged = (F.col("_n") >= 2) & (
+        ((F.col("_var") > 0) & (F.abs(F.col("z")) > z_thresh))
+        | ((F.col("_var") <= 0) & (F.col(val_col) != F.col("_mean")))
+    )
     return (
         events.withColumn("_n", n)
+        .withColumn("_mean", mean)
+        .withColumn("_var", var)
         .withColumn("z", z)
-        .filter((F.col("_n") >= 2) & (F.abs(F.col("z")) > z_thresh))
+        .filter(flagged)
         .select(key_col, tie_col, ts_col, val_col, "z")
     )
 
@@ -268,6 +297,15 @@ def multires_rollup(
     time from (sum, count) — never rolled up itself, since avg is not
     re-aggregable."""
     minute = rollup_minute(events, key_col, ts_col, val_col)
+    return rollup_cascade(minute, key_col)
+
+
+def rollup_cascade(minute: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """minute-level state -> the three-level (resolution, key, bucket_ts,
+    n_points, val_sum, val_min, val_max) frame. ONE definition of the
+    cascade and its output schema, shared by the batch operator and the
+    incremental sink (streaming/rollup.py) so their contract of
+    identical output cannot drift."""
     hour = rollup_up(minute, "hour", key_col)
     day = rollup_up(hour, "day", key_col)
 

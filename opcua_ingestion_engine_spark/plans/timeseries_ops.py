@@ -285,16 +285,25 @@ def q_t_downsample_ohlc(spark, sf_dir):
     )
     SELECT user_id, event_id,
            strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts, value,
-           (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS z
+           CASE WHEN (s2 - s1 * s1 / n) / (n - 1.0) > 0
+                THEN (value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                ELSE sign(value - s1 / n) * CAST('infinity' AS DOUBLE)
+           END AS z
     FROM f
     WHERE n >= 2
-      AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 3.0
+      AND (((s2 - s1 * s1 / n) / (n - 1.0) > 0
+            AND abs((value - s1 / n)
+                    / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 3.0)
+           OR ((s2 - s1 * s1 / n) / (n - 1.0) <= 0 AND value <> s1 / n))
     """,
     "Rolling z-score anomaly flags: |value - mean| > 3 sample stddevs "
     "over the preceding 20 same-key points. One shuffle by key, one "
     "shared per-key sort; mean/var from DECIMAL-exact frame sums (float "
     "sliding-frame aggregation rounds engine-dependently), z arithmetic "
-    "in double over those exact sums",
+    "in double over those exact sums; zero-spread windows branch "
+    "explicitly (flat-line-then-spike flags as +/-Infinity in BOTH "
+    "engines, instead of Spark's NULL-on-div-by-zero dropping it)",
 )
 def q_t_anomaly_zscore(spark, sf_dir):
     out = TS.rolling_zscore_anomalies(_events(spark, sf_dir))

@@ -12,10 +12,14 @@ streaming scores match the batch plan bit-for-bit), and the z
 arithmetic runs in ordinary doubles over those exact sums.
 
 Ordering contract: rows are sorted by (ts, tiebreak) WITHIN each
-micro-batch, and batches must arrive in non-decreasing time order per
-key (true for replay and for any watermarked, sorted feed) — the same
-contract the batch window's ORDER BY encodes. Batch-split parity is
-pinned by tests/test_streaming.py.
+micro-batch, and batch boundaries must not reorder the batch window's
+(ts, tiebreak) total order across batches — strictly increasing ts
+between consecutive batches of one key, or equivalently equal-ts ties
+never straddling a batch boundary (true for replay split by time and
+for any watermarked, sorted feed). Non-decreasing ts alone is NOT
+enough: a tie split across batches would be scored before its
+lower-tiebreak sibling is seen, diverging from the batch window.
+Batch-split parity is pinned by tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -38,9 +42,13 @@ ZSCORE_STATE_SCHEMA = "vals array<double>"
 
 
 def _q(v: float) -> Decimal:
-    """Spark's cast(double AS decimal(38,6)): HALF_UP to 6 decimals of
-    the double's exact decimal expansion."""
-    return Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP)
+    """Spark's cast(double AS decimal(38,6)): Java's BigDecimal.valueOf
+    goes through Double.toString — the SHORTEST round-trip decimal
+    representation — then HALF_UP to 6 decimals. Python's repr(float)
+    is the same shortest-round-trip algorithm, so Decimal(repr(v))
+    reproduces it; Decimal(v) (the exact binary expansion) would round
+    values like 1.0000005 (stored as 1.00000049999...) the other way."""
+    return Decimal(repr(v)).quantize(_Q6, rounding=ROUND_HALF_UP)
 
 
 def _score(v: float, window: list[float]) -> float | None:

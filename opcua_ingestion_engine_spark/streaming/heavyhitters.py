@@ -30,14 +30,13 @@ reaches the driver.
 
 from __future__ import annotations
 
-import heapq
 from collections import Counter
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text import tokens
+from ..operators.text import exact_token_counts, mg_summary, mg_trim, tokens
 
 
 class IncrementalHeavyHittersSink:
@@ -52,26 +51,12 @@ class IncrementalHeavyHittersSink:
         self.docs: DataFrame | None = None
         self.batches_seen = 0
 
-    def _trim(self, merged: Counter) -> Counter:
-        if len(merged) <= self.capacity:
-            return merged
-        kth = heapq.nlargest(self.capacity + 1, merged.values())[-1]
-        return Counter({t: c - kth for t, c in merged.items() if c > kth})
-
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         cap = self.capacity
         text_col = self.text_col
 
         def mg_partition(batches):
-            sk: Counter = Counter()
-            for pdf in batches:
-                batch = Counter()
-                for s in pdf["_toks"]:
-                    batch.update(s)
-                sk.update(batch)
-                if len(sk) > cap:
-                    kth = heapq.nlargest(cap + 1, sk.values())[-1]
-                    sk = Counter({t: c - kth for t, c in sk.items() if c > kth})
+            sk = mg_summary(batches, cap, "_toks")
             yield pd.DataFrame(
                 {"token": list(sk.keys()), "cnt": list(sk.values())}
             )
@@ -84,7 +69,7 @@ class IncrementalHeavyHittersSink:
         merged = Counter(self.sketch)
         for r in part_rows:
             merged[r["token"]] += r["cnt"]
-        self.sketch = self._trim(merged)
+        self.sketch = mg_trim(merged, self.capacity)
 
         batch_state = batch_docs.select("doc_id", text_col)
         if self.docs is None:
@@ -110,16 +95,4 @@ class IncrementalHeavyHittersSink:
         cands = spark.createDataFrame(
             [(t,) for t in self.sketch], "token string"
         )
-        toks = tokens(F.col(self.text_col))
-        exploded = self.docs.select(F.explode(toks).alias("token"))
-        totals = self.docs.agg(
-            F.sum(F.size(toks)).cast("long").alias("_total")
-        )
-        return (
-            exploded.join(F.broadcast(cands), "token", "left_semi")
-            .groupBy("token")
-            .agg(F.count("*").alias("cnt"))
-            .join(F.broadcast(totals))
-            .filter(F.col("cnt") > F.lit(min_frac) * F.col("_total"))
-            .select("token", "cnt")
-        )
+        return exact_token_counts(self.docs, cands, min_frac, self.text_col)

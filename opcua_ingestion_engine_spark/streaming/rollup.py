@@ -27,7 +27,6 @@ oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..operators import timeseries as TS
 
@@ -70,24 +69,4 @@ class IncrementalRollupSink:
         seen so far."""
         if self.minute is None:
             raise RuntimeError("no batches processed yet")
-        key = self.key_col
-        minute = self.minute
-        hour = TS.rollup_up(minute, "hour", key)
-        day = TS.rollup_up(hour, "day", key)
-
-        def out(df: DataFrame, res: str) -> DataFrame:
-            return df.select(
-                F.lit(res).alias("resolution"),
-                key,
-                "bucket_ts",
-                "n_points",
-                F.col("val_sum").cast("double").alias("val_sum"),
-                "val_min",
-                "val_max",
-            )
-
-        return (
-            out(minute, "minute")
-            .unionByName(out(hour, "hour"))
-            .unionByName(out(day, "day"))
-        )
+        return TS.rollup_cascade(self.minute, self.key_col)

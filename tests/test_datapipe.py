@@ -299,3 +299,16 @@ def test_bpe_segment_fertility_bounds(spark, docs):
         # BPE token count is bounded by chars-per-word below and words above
         assert r["n_tokens_bpe"] >= r["n_tokens_ws"]
         assert abs(r["compression"] - r["n_tokens_bpe"] / r["n_tokens_ws"]) < 1e-12
+
+
+def test_heavy_hitters_capacity_guard(spark):
+    """A capacity below 1/min_frac voids the Misra-Gries superset
+    guarantee — the batch operator must refuse it (the streaming sink
+    already does), never silently return an incomplete 'exact' set."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators.text import frequent_tokens
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="superset guarantee"):
+        frequent_tokens(docs, min_frac=0.002, capacity=100)

@@ -186,3 +186,35 @@ def test_connected_components_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_zscore_flat_line_then_spike_flagged(spark):
+    """Zero-spread windows must flag a diverging value with z = +/-inf in
+    BOTH the batch operator and the streaming state function — the
+    engine-dependent silent miss (Spark NULL-on-div-by-zero vs IEEE inf)
+    is exactly what the explicit branch removes."""
+    import math
+
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming.anomaly import _score
+
+    rows = [
+        (i, 7, f"2024-01-01 00:0{i}:00", 5.0) for i in range(5)
+    ] + [(5, 7, "2024-01-01 00:05:30", 100.0),
+         (6, 7, "2024-01-01 00:06:00", -100.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {r["event_id"]: r["z"]
+           for r in TS.rolling_zscore_anomalies(ev).collect()}
+    assert out[5] == math.inf
+    # event 6's window [5.0 x4, 100.0] has spread, finite z
+    assert 5 in out and math.isfinite(out.get(6, 0.0))
+    # constant rows themselves are never flagged
+    assert all(eid not in out for eid in range(5))
+
+    # streaming scorer: same branch
+    assert _score(100.0, [5.0, 5.0, 5.0]) == math.inf
+    assert _score(-100.0, [5.0, 5.0, 5.0]) == -math.inf
+    assert math.isnan(_score(5.0, [5.0, 5.0, 5.0]))
