@@ -264,6 +264,8 @@ def _centroid_matrix(embeddings: DataFrame, n_cells: int, lloyd_iters: int,
         .select("u")
         .collect()
     )
+    if not seeds:  # empty corpus — callers return an empty result frame
+        return None
     cent = np.array([r["u"] for r in seeds], dtype=np.float64)  # (k, dim)
 
     for _ in range(lloyd_iters):
@@ -321,6 +323,10 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    if cent is None:  # empty corpus
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
 
     @pandas_udf("int")
     def nearest_cell(vecs: pd.Series) -> pd.Series:
@@ -685,6 +691,8 @@ def _pq_codebooks(
         .select("u")
         .collect()
     )
+    if not seeds:  # empty corpus — callers return an empty result frame
+        return None
     seed_mat = np.array([r["u"] for r in seeds], dtype=np.float64)  # (ksub, dim)
     dim = seed_mat.shape[1]
     if dim % m:
@@ -778,6 +786,10 @@ def pq_topk(
     pinned in tests/test_llm_ops.py.
     """
     books = _pq_codebooks(embeddings, m, ksub, lloyd_iters, id_col, vec_col)
+    if books is None:  # empty corpus
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
     codes = pq_encode(embeddings, books, id_col, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
@@ -907,6 +919,10 @@ def ivfpq_topk(
     from pyspark.sql.functions import pandas_udf
 
     cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    if cent is None:  # empty corpus
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
 
     @pandas_udf("struct<cell:int, resid:array<double>>")
     def cell_resid(vecs: pd.Series) -> pd.DataFrame:

@@ -137,3 +137,52 @@ def test_crash_mid_merge_recovers_idempotently(spark, fx):
 
     for t in ("crash_a", "crash_b", "crash_c"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_persisted_rollup_state_rounds(spark, tmp_path):
+    """Deployment form of the continuous aggregate: the MINUTE state
+    lives on disk between rounds (blue/green parquet swap, same
+    discipline as the modvalues rounds above) — each round reads the
+    stored state, merges the batch's partial buckets, writes the new
+    version, and the cascade derived from the FINAL stored state equals
+    the one-shot batch rollup. Then compaction: rewriting the state
+    directory into target-sized files changes file count, not content."""
+    import os
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import sink
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    state_dir = str(tmp_path / "minute_state")
+
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        partial = TS.rollup_minute(batch)
+        if os.path.isdir(state_dir):
+            stored = spark.read.parquet(state_dir)
+            merged = TS.rollup_up(stored.unionByName(partial), "minute")
+        else:
+            merged = partial
+        # blue/green: write the new version beside, then swap
+        nxt = f"{state_dir}.next"
+        merged.write.mode("overwrite").parquet(nxt)
+        if os.path.isdir(state_dir):
+            import shutil
+
+            shutil.rmtree(state_dir)
+        os.rename(nxt, state_dir)
+
+    final_minute = spark.read.parquet(state_dir)
+    got = {tuple(r) for r in TS.rollup_cascade(final_minute).collect()}
+    want = {tuple(r) for r in TS.multires_rollup(ev).collect()}
+    assert got == want and len(want) > 0
+
+    # maintenance: compaction preserves content
+    n_files = sink.compact_small_files(spark, state_dir)
+    assert n_files >= 1
+    after = {tuple(r) for r in
+             TS.rollup_cascade(spark.read.parquet(state_dir)).collect()}
+    assert after == want

@@ -438,3 +438,38 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     a = {tuple(r) for r in back.collect()}
     b = {tuple(r) for r in ev.collect()}
     assert a == b
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Empty-input sweep for the round-3 operator surface: every operator
+    must return an empty frame of its declared shape (or an empty merge
+    list), never crash — the behavior a pipeline hits on an empty
+    partition, a fully-filtered corpus, or a cold-start table."""
+    from opcua_ingestion_engine_spark.operators import bpe as B
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from opcua_ingestion_engine_spark.operators import text as T
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double, "
+            "event_type string"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert T.frequent_tokens(docs).count() == 0
+    assert T.unigram_logprob(docs).count() == 0
+    assert T.token_entropy(docs).count() == 0
+    assert B.bpe_train(docs, n_merges=3) == []
+    assert B.bpe_segment(docs, []).count() == 0
+    assert TS.downsample_ohlc(ev).count() == 0
+    assert TS.rolling_zscore_anomalies(ev).count() == 0
+    assert TS.multires_rollup(ev).count() == 0
+    assert TS.cohort_retention(ev).count() == 0
+    # funnel on zero users still emits its 3 zero-count step rows
+    funnel = {(r["step_name"], r["n_users"])
+              for r in TS.funnel_counts(ev).collect()}
+    assert funnel == {("view", 0), ("click", 0), ("purchase", 0)}
+    # ANN family: empty corpus and/or empty query set -> empty result
+    for fn in (S.brute_force_topk, S.pq_topk, S.ivf_topk, S.ivfpq_topk):
+        assert fn(emb, emb.limit(0)).count() == 0, fn.__name__
