@@ -879,50 +879,26 @@ def _exact_rerank(
     )
 
 
-def ivfpq_topk(
+def ivfpq_train_encode(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 8,
     m: int = 8,
     ksub: int = 32,
     lloyd_iters: int = 2,
-    rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """E3 scale path (IVF+PQ composition) — the production ANN layout:
-    an inverted file prunes the scan to ``nprobe`` cells, and within
-    them product-quantized RESIDUALS (x - centroid) are scored by
-    asymmetric distance, so the scan reads cell ids + codes, never
-    vectors.
-
-    Residual encoding is what makes the composition better than either
-    part alone: residuals are centered near zero with far less variance
-    than raw vectors, so the same codebook budget quantizes them much
-    more tightly. The score decomposes exactly:
-    q . x_hat = q . c_cell + q . r_hat — the first term is one scalar
-    per (query, probed cell) computed on the driver, the second is the
-    same m-gather ADC sum as ``pq_topk`` (the residual LUTs do not
-    depend on the cell, so one (m, ksub) table per query serves all its
-    probed cells). Candidates reduce to local top-k per Arrow batch
-    before the exchange; a broadcast-sized exact rerank absorbs
-    quantization error. Recall vs brute force pinned in pytest.
-
-    Defaults are tuned for the 500-vector near-isotropic fixture, where
-    cells barely separate neighbors (nprobe=8 of 16 probes half the
-    file — the plain-IVF entry hits the same wall). At production scale
-    with clustered data, nprobe << n_cells is the operating point and
-    the knobs trade recall for scan fraction exactly as here.
-    """
+):
+    """IVF-PQ index construction: train the coarse quantizer, train PQ
+    codebooks on RESIDUALS (x - centroid), and encode the corpus in one
+    fused pass. Returns (cent, books, codes_df) — codes_df is
+    (neighbor_id, cell, codes), the compressed table a deployment
+    persists ONCE (``ivfpq_write_index``) and serves every search from;
+    (None, None, None) on an empty corpus."""
     from pyspark.sql.functions import pandas_udf
 
     cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col)
     if cent is None:  # empty corpus
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int"
-        )
+        return None, None, None
 
     @pandas_udf("struct<cell:int, resid:array<double>>")
     def cell_resid(vecs: pd.Series) -> pd.DataFrame:
@@ -961,6 +937,26 @@ def ivfpq_topk(
     codes = embeddings.select(id_col, vec_col).mapInPandas(
         encode_with_cell, "neighbor_id long, cell int, codes array<int>"
     )
+    return cent, books, codes
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    cent,
+    books,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search over a built (or loaded) index: the ADC scan reads
+    ONLY the codes table — ``embeddings`` is touched exclusively by the
+    broadcast-sized exact rerank of candidates (and never by the scan,
+    which is the point of storing codes)."""
+    m = books.shape[0]
 
     q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
     if not q_rows:
@@ -1041,3 +1037,115 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(cand, embeddings, queries, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 32,
+    lloyd_iters: int = 2,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 scale path (IVF+PQ composition) — the production ANN layout:
+    an inverted file prunes the scan to ``nprobe`` cells, and within
+    them product-quantized RESIDUALS (x - centroid) are scored by
+    asymmetric distance, so the scan reads cell ids + codes, never
+    vectors. Composition of ``ivfpq_train_encode`` + ``ivfpq_search``
+    (a deployment runs training once via ``ivfpq_write_index`` and
+    serves searches from the persisted codes table instead).
+
+    Residual encoding is what makes the composition better than either
+    part alone: residuals are centered near zero with far less variance
+    than raw vectors, so the same codebook budget quantizes them much
+    more tightly. The score decomposes exactly:
+    q . x_hat = q . c_cell + q . r_hat — the first term is one scalar
+    per (query, probed cell) computed on the driver, the second is the
+    same m-gather ADC sum as ``pq_topk`` (the residual LUTs do not
+    depend on the cell, so one (m, ksub) table per query serves all its
+    probed cells). Candidates reduce to local top-k per Arrow batch
+    before the exchange; a broadcast-sized exact rerank absorbs
+    quantization error. Recall vs brute force pinned in pytest.
+
+    Defaults are tuned for the 500-vector near-isotropic fixture, where
+    cells barely separate neighbors (nprobe=8 of 16 probes half the
+    file — the plain-IVF entry hits the same wall). At production scale
+    with clustered data, nprobe << n_cells is the operating point and
+    the knobs trade recall for scan fraction exactly as here.
+    """
+    cent, books, codes = ivfpq_train_encode(
+        embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col
+    )
+    if cent is None:  # empty corpus
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
+    return ivfpq_search(
+        codes, cent, books, embeddings, queries, k, nprobe, rerank,
+        id_col, vec_col,
+    )
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 32,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index: the codes table as parquet REPARTITIONED
+    BY CELL (searches prune whole files by the probed cells' min/max
+    stats) plus the config-sized quantizer tensors as .npy next to it.
+    Built once per corpus version; every search then reads codes — at
+    m=8 sub-codes a fraction of the vector bytes — instead of
+    re-encoding the corpus in-plan."""
+    import os
+
+    cent, books, codes = ivfpq_train_encode(
+        embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col
+    )
+    if cent is None:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    (
+        codes.repartitionByRange(max(4, n_cells // 4), "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    np.save(os.path.join(path, "cent.npy"), cent)
+    np.save(os.path.join(path, "books.npy"), books)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ searches from a persisted index (``ivfpq_write_index``):
+    identical results to the in-plan ``ivfpq_topk`` (training is
+    deterministic, so a rebuilt index encodes the same codes — pinned in
+    tests), but the corpus-sized work is ONE parquet scan of the codes
+    table; vectors are read only for the candidate rerank."""
+    import os
+
+    cent = np.load(os.path.join(path, "cent.npy"))
+    books = np.load(os.path.join(path, "books.npy"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return ivfpq_search(
+        codes, cent, books, embeddings, queries, k, nprobe, rerank,
+        id_col, vec_col,
+    )

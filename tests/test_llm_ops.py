@@ -548,3 +548,43 @@ def test_dtw_rerank_properties(spark):
     both = dup.union(dup.withColumn("user_id", F.lit(1)))
     pair = S.dtw_rerank_topk(both, k=1, max_users=2).collect()
     assert any(r["dtw_dist"] == 0.0 for r in pair)
+
+
+def test_ivfpq_persisted_index_matches_inplan(spark, tmp_path):
+    """The deployed IVF-PQ shape: build the index once on disk
+    (cell-clustered codes parquet + config-sized quantizer tensors),
+    serve searches from it. Deterministic training means the persisted
+    index returns exactly the in-plan result, and the search plan's scan
+    side must read codes — never the embedding column."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivfpq_index")
+    S.ivfpq_write_index(emb, idx)
+
+    from_index = S.ivfpq_topk_from_index(spark, idx, emb, q, k=5)
+    inplan = S.ivfpq_topk(emb, q, k=5)
+    assert {tuple(r) for r in from_index.collect()} == {
+        tuple(r) for r in inplan.collect()
+    }
+
+    # the codes scan reads 3 small columns, not vectors: every scan of the
+    # index directory must project codes, and no scan of it may read an
+    # embedding-typed column
+    plan = from_index._jdf.queryExecution().explainString(
+        from_index._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    idx_scan_schemas = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "codes" in l
+    ]
+    assert idx_scan_schemas, plan
+    assert all("embedding" not in l for l in idx_scan_schemas)
+
+    # empty corpus refuses to build (an empty index is a config error)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S.ivfpq_write_index(emb.limit(0), str(tmp_path / "nope"))
