@@ -327,3 +327,83 @@ def q_agg_histogram(spark, sf_dir):
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "q_agg_mode_per_group",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    "Per-group mode: most frequent event_type per user, deterministic "
+    "tie-break (count desc, then lexicographic). Two map-side-combined "
+    "aggregations — the count shuffle carries (user, type) partials and "
+    "the mode pick runs over the tiny per-user count frame; never a "
+    "collect_list of raw events",
+)
+def q_agg_mode_per_group(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = C.load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "q_w_range_frame",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_hour_sum,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_hour_n
+    FROM events
+    """,
+    "Value-based window frame (RANGE, not ROWS): per event, the DECIMAL-"
+    "exact sum and count of the same user's values in the trailing hour "
+    "— the frame follows the TIME AXIS, so dense bursts and sparse "
+    "stretches get the correct window regardless of row counts. Ordering "
+    "key is unix microseconds (numeric range frames); one shuffle by "
+    "user, one per-key sort",
+)
+def q_w_range_frame(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = C.load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+            "trailing_hour_sum"
+        ),
+        F.count("*").over(w).cast("long").alias("trailing_hour_n"),
+    )
