@@ -341,3 +341,64 @@ def q_e4_token_entropy(spark, sf_dir):
     from ..operators.text import token_entropy
 
     return token_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "q_e8_split_leakage",
+    f"""
+    WITH sp AS (
+        SELECT doc_id,
+               CASE WHEN {_sql_bucket(_SALT)} < '{DP.frac_hex(0.8)}' THEN 'train'
+                    WHEN {_sql_bucket(_SALT)} < '{DP.frac_hex(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i+1] || ' ' ||
+                              string_split(text, ' ')[i+2]))
+                    ELSE [text] END AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(a.sh) AS na, len(b.sh) AS nb
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+           CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= 0.2
+      AND sa.split <> sb.split
+    """,
+    "E8 — train/test LEAKAGE audit: near-duplicate pairs whose members "
+    "land in different splits (the contamination an id-hash split cannot "
+    "prevent when near-dups share no id). Composes the deterministic "
+    "split assignment with the exact Jaccard pair stage; the split "
+    "frames ride the pair output as broadcast joins. The fix pipeline "
+    "is E2 dedup BEFORE splitting — this query is the detector that "
+    "proves you need it",
+)
+def q_e8_split_leakage(spark, sf_dir):
+    from ..operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    splits = DP.split_assign(docs, salt=_SALT, train=0.8, val=0.1)
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

@@ -312,3 +312,42 @@ def test_heavy_hitters_capacity_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="superset guarantee"):
         frequent_tokens(docs, min_frac=0.002, capacity=100)
+
+
+def test_split_leakage_detector_fires_on_planted_neardups(spark):
+    """The leakage audit must surface a near-dup pair whose members hash
+    into different splits. Plant near-identical docs across many ids so
+    some pair necessarily straddles the 80/10/10 split, then check the
+    flagged pairs are exactly the cross-split near-dups."""
+    import pyspark.sql.functions as F
+
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+    from opcua_ingestion_engine_spark.operators.dedup import jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}", "en") for i in range(20)]
+    rows += [(100 + i, f"unrelated text number {i} with no overlap at all "
+              f"word{i}a word{i}b word{i}c", "en") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    splits = {r["doc_id"]: r["split"] for r in DP.split_assign(docs).collect()}
+    assert len(set(splits[i] for i in range(20))) > 1, (
+        "planted ids all hashed to one split — extend the id range"
+    )
+
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    sa = DP.split_assign(docs).select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = DP.split_assign(docs).select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leaks = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b")).collect()
+    }
+    expect = {
+        (a, b)
+        for (a, b) in [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+        if splits[a] != splits[b]
+    }
+    assert leaks == expect and len(leaks) > 0

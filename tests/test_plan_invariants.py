@@ -60,6 +60,10 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # executed plan) — only 2 scans execute
     "q_e4_unigram_logprob": (1, 0, {"documents": 3}),
     "q_e8_contamination": (0, 0, {"documents": 2}),
+    # jaccard inverted-index pass + the split-assignment projection
+    # (both split sides share one scan — md5 projections are cheap and
+    # identical, so Catalyst reuses the subtree)
+    "q_e8_split_leakage": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
     "q_e7_curation_pipeline": (0, 1, {}),
