@@ -142,6 +142,115 @@ def contamination_flags(
     )
 
 
+def domain_mix_quota(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    total: int = 100,
+    strata_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """E8 — temperature-scaled domain mixing (the multilingual /
+    multi-source sampling recipe: weight each domain by count^alpha, so
+    alpha<1 up-samples scarce domains and down-samples abundant ones).
+    Per-domain quota = floor(count^alpha / sum(count^alpha) * total);
+    the quota is filled by the first ``quota`` documents in md5-bucket
+    order — a deterministic stand-in for uniform-without-replacement
+    that reruns, resumed jobs, and SQL oracles reproduce exactly.
+
+    Shape: one groupBy on the domain column (domain cardinality is
+    config-sized, so the counts frame is a broadcast join back), then
+    ONE window sort per domain for the rank cut. floor (not round)
+    keeps Spark and other engines bit-identical on quota boundaries.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    # denominator via a whole-frame window over the COUNTS frame — it is
+    # domain-cardinality-sized (config-sized), so the single-partition
+    # window is free and avoids a second aggregation over the same scan
+    # subtree (which Catalyst would execute as a second corpus pass)
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    quotas = counts.select(
+        strata_col,
+        F.floor(
+            F.pow("_n", F.lit(alpha))
+            / F.sum(F.pow("_n", F.lit(alpha))).over(wall)
+            * total
+        ).alias("_quota"),
+    )
+    w = W.partitionBy(strata_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .select("doc_id", strata_col)
+    )
+
+
+def global_shuffle(
+    docs: DataFrame, n_shards: int = 8, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """E8 — deterministic corpus-scale shuffle into training shards: the
+    dataloader-order permutation a pretraining run needs, computed once
+    at corpus-build time instead of at read time. Shard = hash bucket of
+    (salt, doc_id); position = rank of the full hash within the shard.
+    The permutation is a pure function of (salt, doc_id): re-rolling the
+    salt gives an independent epoch order, and appending documents never
+    moves existing ones across shards (only positions after them).
+
+    Shape: one projection + ONE window sort per shard — each shard sorts
+    independently (n_shards-way parallel), never a global single-
+    partition sort. At 100 TB the shard count is the write parallelism."""
+    full = F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(full, 1, 4), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = W.partitionBy("shard").orderBy("_h", "doc_id")
+    return docs.select("doc_id", shard, full.alias("_h")).select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
+def quality_topk_per_domain(
+    docs: DataFrame,
+    keep_frac: float = 0.25,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """E8 — per-domain quality selection (the FineWeb-Edu-style recipe:
+    score every document, keep the top ``keep_frac`` WITHIN each domain
+    rather than globally, so a high-scoring domain doesn't crowd out the
+    rest). Score here is the E4 quality heuristic (mean word length +
+    stopword share); in production a model score column drops in
+    unchanged.
+
+    cume_dist (not a count cut) makes the selection a single window
+    function per domain; ties on the score keep deterministic order via
+    the doc_id tiebreak."""
+    from .text import LANG_STOPWORDS, stopword_hits, token_count
+
+    t = F.col(text_col)
+    n_tokens = token_count(t).cast("double")
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"]).cast("double")
+    scored = docs.select(
+        "doc_id",
+        strata_col,
+        (n_stop / n_tokens).alias("score"),
+    )
+    w = W.partitionBy(strata_col).orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("_cd", F.cume_dist().over(w))
+        .filter(F.col("_cd") <= keep_frac)
+        .select("doc_id", strata_col, "score")
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     text_col: str = "text",

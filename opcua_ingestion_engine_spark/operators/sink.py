@@ -20,6 +20,8 @@ T9). Scale notes per function.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -265,6 +267,43 @@ def quantile_rank(col, boundaries: list[float]):
     return F.size(F.filter(arr, lambda b: b <= c)).cast("long")
 
 
+def compute_zorder_sketch(
+    df: DataFrame, col_x: str, col_y: str, bits: int = 8
+) -> dict:
+    """One approxQuantile pass over ``df`` producing the boundary sketch
+    that drives quantile-rank z-ordering: ``2^bits - 1`` boundaries per
+    column. The sketch is config-sized (2 * 255 doubles at bits=8) and
+    is meant to be computed ONCE — on the initial load or a sample — and
+    persisted beside the table (`save_zorder_sketch`), so every later
+    append quantizes against the SAME curve without re-scanning history.
+    At 100 TB that turns layout maintenance from a full-table statistics
+    pass per batch into a JSON read."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    bx, by = df.approxQuantile([col_x, col_y], probs, 0.001)
+    return {"col_x": col_x, "col_y": col_y, "bits": bits, "bx": bx, "by": by}
+
+
+def _sketch_path(path: str) -> str:
+    # Leading underscore: Spark/Hadoop readers ignore _-prefixed files in
+    # a table directory (same convention as _SUCCESS), so the sidecar is
+    # invisible to spark.read.parquet(path).
+    return os.path.join(path, "_zorder_sketch.json")
+
+
+def save_zorder_sketch(path: str, sketch: dict) -> None:
+    import json
+
+    with open(_sketch_path(path), "w") as f:
+        json.dump(sketch, f)
+
+
+def load_zorder_sketch(path: str) -> dict:
+    import json
+
+    with open(_sketch_path(path)) as f:
+        return json.load(f)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -272,6 +311,8 @@ def write_zordered(
     col_y: str,
     n_files: int = 8,
     bits: int = 8,
+    sketch: dict | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a table z-ordered on two columns, so min/max row-group and
     file statistics prune scans filtered on EITHER column (or both).
@@ -291,21 +332,38 @@ def write_zordered(
     — the common case for telemetry values — still spread across the
     full curve; min-max scaling would collapse their dense region into
     a few buckets and lose the pruning on that dimension.
+
+    Incremental deployment form: pass ``mode="append"`` with the table's
+    persisted sketch (or none — it is loaded from the ``_zorder_sketch``
+    sidecar written on the initial load). Appended batches are quantized
+    against the SAME boundaries, so new files cover small rectangles of
+    the same (x, y) space and pruning keeps working as the table grows —
+    no re-clustering of history, no per-batch statistics scan. The
+    sketch only needs recomputing when the value distribution drifts far
+    enough that new data piles into few buckets (a maintenance decision,
+    same as Delta's OPTIMIZE cadence).
     """
     from pyspark.sql import functions as F
 
-    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    bx, by = df.approxQuantile([col_x, col_y], probs, 0.001)
+    if sketch is None:
+        if mode == "append" and os.path.exists(_sketch_path(path)):
+            sketch = load_zorder_sketch(path)
+        else:
+            sketch = compute_zorder_sketch(df, col_x, col_y, bits)
+    assert sketch["col_x"] == col_x and sketch["col_y"] == col_y, (
+        "sketch was built for different columns"
+    )
     z = interleave_bits(
-        quantile_rank(F.col(col_x), bx),
-        quantile_rank(F.col(col_y), by),
-        bits,
+        quantile_rank(F.col(col_x), sketch["bx"]),
+        quantile_rank(F.col(col_y), sketch["by"]),
+        sketch["bits"],
     )
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path)
     )
+    save_zorder_sketch(path, sketch)

@@ -402,3 +402,99 @@ def q_e8_split_leakage(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+_MIX_SALT = "mix-v1"
+_MIX_TOTAL = 120
+
+
+@register(
+    "q_e8_domain_mix",
+    f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    d AS (SELECT sum(power(n, 0.5)) AS d FROM counts),
+    quotas AS (
+        SELECT source, CAST(floor(power(n, 0.5) / d.d * {_MIX_TOTAL}) AS BIGINT)
+               AS quota
+        FROM counts, d
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_MIX_SALT}' || ':' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+    """,
+    "E8 — temperature-scaled domain mixing (count^0.5 weights, the "
+    "multilingual up/down-sampling recipe): per-source quotas filled in "
+    "deterministic md5-bucket order. One config-sized groupBy for counts "
+    "(broadcast back), one window sort per domain.",
+)
+def q_e8_domain_mix(spark, sf_dir):
+    return DP.domain_mix_quota(
+        _docs(spark, sf_dir), alpha=0.5, total=_MIX_TOTAL,
+        strata_col="source", salt=_MIX_SALT,
+    )
+
+
+_SHUF_SALT = "shuffle-v1"
+_N_SHARDS = 8
+
+
+@register(
+    "q_e8_global_shuffle",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('{_SHUF_SALT}' || ':' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(hx, 1, 4))::BIGINT % {_N_SHARDS} AS BIGINT)
+               AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(hx, 1, 4))::BIGINT % {_N_SHARDS}
+                    ORDER BY hx, doc_id) - 1 AS BIGINT) AS position
+    FROM h
+    """,
+    "E8 — deterministic corpus-scale shuffle into training shards: the "
+    "dataloader permutation precomputed at corpus-build time. Shard = "
+    "hash bucket, position = hash rank within shard; each shard sorts "
+    "independently — never a global single-partition sort.",
+)
+def q_e8_global_shuffle(spark, sf_dir):
+    return DP.global_shuffle(
+        _docs(spark, sf_dir), n_shards=_N_SHARDS, salt=_SHUF_SALT
+    )
+
+
+@register(
+    "q_e8_quality_topk",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS score
+        FROM documents
+    )
+    SELECT doc_id, source, score FROM (
+        SELECT doc_id, source, score,
+               cume_dist() OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id) AS cd
+        FROM scored
+    ) WHERE cd <= 0.25
+    """,
+    "E8 — per-domain quality selection (FineWeb-Edu-style): score every "
+    "document, keep the top 25% WITHIN each domain so no domain crowds "
+    "out the rest. One scoring projection + one window per domain.",
+)
+def q_e8_quality_topk(spark, sf_dir):
+    return DP.quality_topk_per_domain(
+        _docs(spark, sf_dir), keep_frac=0.25, strata_col="source"
+    )

@@ -186,3 +186,61 @@ def test_persisted_rollup_state_rounds(spark, tmp_path):
     after = {tuple(r) for r in
              TS.rollup_cascade(spark.read.parquet(state_dir)).collect()}
     assert after == want
+
+
+def test_persisted_zordered_table_append_rounds(spark, tmp_path):
+    """Deployment form of the z-ordered layout: the quantile sketch is
+    computed ONCE on the initial load, persisted as a `_zorder_sketch`
+    sidecar, and every later append quantizes against it — so layout
+    maintenance at 100 TB is a JSON read per batch, not a statistics
+    scan of history. Pins: (1) exactly one sketch ever computed (later
+    rounds load the sidecar); (2) after three appends, file-stat pruning
+    still works on BOTH interleaved columns, including over the appended
+    files; (3) content equals the union of all batches."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import sink
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zt")
+
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sink.write_zordered(batches[0], path, "user_id", "value", n_files=4)
+    sketch0 = sink.load_zorder_sketch(path)
+    for b in batches[1:]:
+        sink.write_zordered(
+            b, path, "user_id", "value", n_files=4, mode="append"
+        )
+    # (1) the sidecar is byte-identical: appends reused, not recomputed
+    assert sink.load_zorder_sketch(path) == sketch0
+
+    # (2) pruning on both dimensions across ALL files (incl. appended)
+    def files_touched(col, point):
+        touched, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            hit = any(
+                (st := md.row_group(rg).column(idx).statistics) is None
+                or (st.min <= point <= st.max)
+                for rg in range(md.num_row_groups)
+            )
+            total += 1
+            touched += int(hit)
+        return touched, total
+
+    tx, nx = files_touched("user_id", 42)
+    ty, ny = files_touched("value", 9.0)
+    assert nx >= 8  # several files after 3 rounds of 4
+    assert tx <= nx * 3 // 4, (tx, nx)
+    assert ty <= ny * 3 // 4, (ty, ny)
+
+    # (3) layout discipline never loses or duplicates rows
+    back = {tuple(r) for r in spark.read.parquet(path).collect()}
+    want = {tuple(r) for r in ev.collect()}
+    assert back == want and len(want) > 0

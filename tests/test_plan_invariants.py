@@ -64,6 +64,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # (both split sides share one scan — md5 projections are cheap and
     # identical, so Catalyst reuses the subtree)
     "q_e8_split_leakage": (0, 0, {"documents": 2}),
+    # counts pass (source column only, pruned) + ranked pass; the quota
+    # denominator is a whole-frame window over the config-sized counts
+    "q_e8_domain_mix": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
     "q_e7_curation_pipeline": (0, 1, {}),

@@ -473,3 +473,12 @@ def test_new_operators_tolerate_empty_inputs(spark):
     # ANN family: empty corpus and/or empty query set -> empty result
     for fn in (S.brute_force_topk, S.pq_topk, S.ivf_topk, S.ivfpq_topk):
         assert fn(emb, emb.limit(0)).count() == 0, fn.__name__
+
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    sdocs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert DP.domain_mix_quota(sdocs).count() == 0
+    assert DP.global_shuffle(sdocs).count() == 0
+    assert DP.quality_topk_per_domain(sdocs).count() == 0
