@@ -554,6 +554,59 @@ def embedding_neardup_lsh(
     )
 
 
+def domain_diversity(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 analytics — per-domain embedding coherence: the exact centroid
+    of each group and every member's cosine to it, reduced to the
+    group's mean. Low mean-cosine = diverse domain, high = redundant —
+    the signal a training-mix recipe uses to decide which domains need
+    more dedup or a lower sampling weight (SemDeDup-style diagnostics).
+
+    Cross-engine exactness: centroid component sums quantize each
+    addend to DECIMAL(38,6) (order-independent under shuffle), the
+    centroid division and per-vector cosine run in doubles folded in
+    strict index order (both engines associate left-to-right), and the
+    final per-group mean quantizes the cosines again.
+
+    Scale shape: pass 1 posexplodes to (group, pos) — a dim-x-corpus
+    explode, but the aggregation is map-side-combined down to
+    |groups| x dim rows (config-sized). Pass 2 broadcasts the centroid
+    table and scores each vector with a single higher-order fold — no
+    shuffle beyond the final |groups|-row aggregation.
+    """
+    pe = embeddings.select(group_col, F.posexplode(vec_col).alias("pos", "v"))
+    cent_pos = pe.groupBy(group_col, "pos").agg(
+        F.sum(F.col("v").cast("double").cast(DEC)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cent = (
+        cent_pos.select(
+            group_col,
+            "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("c"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"],
+            ).alias("_centroid")
+        )
+    )
+    scored = embeddings.join(F.broadcast(cent), group_col).select(
+        group_col, cosine(F.col(vec_col), F.col("_centroid")).alias("_cos")
+    )
+    return scored.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (F.sum(F.col("_cos").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mean_cos_to_centroid"
+        ),
+    )
+
+
 def hour_of_day_vectors(events: DataFrame, max_users: int) -> DataFrame:
     """Dense 24-dim hour-of-day activity vector per user (exact DECIMAL
     sums cast to double at the end) — the fixed-length representation the

@@ -266,6 +266,56 @@ def q_e3_brute(spark, sf_dir):
     )
 
 
+# Explicit 64-term left-associated chains: SQL `a+b+c` parses as
+# ((a+b)+c), exactly the fold order Spark's aggregate() uses, so the
+# double arithmetic is bit-identical across engines (list_cosine_
+# similarity would NOT be — its summation order is implementation-
+# defined, which is why the ANN oracle above compares ranks only).
+_DIM = 64
+_DOT_EC = " + ".join(
+    f"CAST(e.embedding[{i}] AS DOUBLE) * cv[{i}]" for i in range(1, _DIM + 1)
+)
+_NORM_E = " + ".join(
+    f"CAST(e.embedding[{i}] AS DOUBLE) * CAST(e.embedding[{i}] AS DOUBLE)"
+    for i in range(1, _DIM + 1)
+)
+_NORM_C = " + ".join(f"cv[{i}] * cv[{i}]" for i in range(1, _DIM + 1))
+
+
+@register(
+    "q_e3_domain_diversity",
+    f"""
+    WITH pe AS (
+        SELECT label, i AS pos, embedding[i] AS v
+        FROM embeddings, range(1, {_DIM + 1}) r(i)
+    ),
+    cp AS (
+        SELECT label, pos,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*) AS c
+        FROM pe GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM cp GROUP BY label),
+    scored AS (
+        SELECT e.label,
+               ({_DOT_EC}) / (sqrt({_NORM_E}) * sqrt({_NORM_C})) AS cs
+        FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(cs AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS mean_cos_to_centroid
+    FROM scored GROUP BY label
+    """,
+    "E3 analytics — per-domain embedding coherence: exact group centroid "
+    "(DECIMAL-quantized component sums) and mean member cosine to it — "
+    "the SemDeDup-style redundancy signal a training-mix recipe uses. "
+    "One dim-exploded map-side-combined pass for centroids (config-"
+    "sized result, broadcast back), one fold-scored corpus pass.",
+)
+def q_e3_domain_diversity(spark, sf_dir):
+    return S.domain_diversity(_emb(spark, sf_dir))
+
+
 @register(
     "q_e3_lsh_ann",
     None,  # hyperplanes from xxhash64 — rows-only; recall pinned in pytest

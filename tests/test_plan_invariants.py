@@ -68,6 +68,8 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # denominator is a whole-frame window over the config-sized counts
     "q_e8_domain_mix": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
+    # centroid explode pass + fold-scoring pass over the corpus
+    "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
     "q_e7_curation_pipeline": (0, 1, {}),
     "q_f8_online_probe": (1, 0, {}),
