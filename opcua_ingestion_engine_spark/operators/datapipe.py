@@ -191,6 +191,50 @@ def domain_mix_quota(
     )
 
 
+def epoch_expand(
+    docs: DataFrame,
+    repeats: dict[str, float],
+    strata_col: str = "source",
+    default_repeat: float = 1.0,
+    salt: str = "epoch-v1",
+) -> DataFrame:
+    """E8 — up-sampling with repetition: each domain's documents are
+    repeated ``repeats[domain]`` times in the assembled corpus (the
+    "N epochs of a scarce source" recipe — e.g. 4.0 for a small
+    high-quality source, 0.5 to halve an abundant one). Fractional
+    parts are resolved deterministically: every document gets
+    floor(r) full copies, and the extra copy goes to the documents
+    whose (salt, doc_id) hash bucket falls under frac(r) — so 2.25
+    repeats 2x for all and 3x for a uniform quarter of them.
+
+    Emits (doc_id, domain, epoch) with epoch in [0, copies) — the
+    downstream shuffle/packing stages treat each (doc_id, epoch) row
+    as an independent training sample. Pure projection + bounded
+    explode (max ceil(r) rows per doc), no shuffle; assignment is a
+    pure function of (salt, doc_id), stable under corpus growth."""
+    h = _bucket_hex(F.col("doc_id"), salt)
+    base = F.lit(int(default_repeat))
+    extra_thresh = F.lit(frac_hex(default_repeat - int(default_repeat)))
+    for stratum, r in sorted(repeats.items()):
+        if r < 0:
+            raise ValueError(f"repeat for {stratum!r} must be >= 0, got {r}")
+        base = F.when(F.col(strata_col) == stratum, F.lit(int(r))).otherwise(base)
+        extra_thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(frac_hex(r - int(r)))
+        ).otherwise(extra_thresh)
+    copies = base + F.when(h < extra_thresh, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", strata_col, copies.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(
+            "doc_id",
+            strata_col,
+            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
 def global_shuffle(
     docs: DataFrame, n_shards: int = 8, salt: str = "shuffle-v1"
 ) -> DataFrame:

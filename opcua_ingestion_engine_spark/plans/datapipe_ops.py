@@ -498,3 +498,39 @@ def q_e8_quality_topk(spark, sf_dir):
     return DP.quality_topk_per_domain(
         _docs(spark, sf_dir), keep_frac=0.25, strata_col="source"
     )
+
+
+_EPOCH_SALT = "epoch-v1"
+_REPEATS = {"src1": 2.25, "src2": 0.5, "src3": 0.0}
+
+
+@register(
+    "q_e8_epoch_expand",
+    f"""
+    WITH c AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+                           WHEN 'src3' THEN 0 ELSE 1 END
+             + CASE WHEN substr(md5('{_EPOCH_SALT}' || ':' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 4) <
+                         CASE source WHEN 'src1' THEN '{DP.frac_hex(0.25)}'
+                                     WHEN 'src2' THEN '{DP.frac_hex(0.5)}'
+                                     WHEN 'src3' THEN '{DP.frac_hex(0.0)}'
+                                     ELSE '{DP.frac_hex(0.0)}' END
+                    THEN 1 ELSE 0 END AS n
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+    FROM c WHERE n > 0
+    """,
+    "E8 — up-sampling with repetition (epoch expansion): src1 repeated "
+    "2.25x (every doc twice, a deterministic hash-quarter thrice), src2 "
+    "halved, src3 dropped, everything else kept once. Bounded explode, "
+    "no shuffle; each (doc_id, epoch) row is an independent training "
+    "sample for the downstream shuffle/packing stages.",
+)
+def q_e8_epoch_expand(spark, sf_dir):
+    return DP.epoch_expand(
+        _docs(spark, sf_dir), _REPEATS, strata_col="source",
+        default_repeat=1.0, salt=_EPOCH_SALT,
+    )

@@ -482,6 +482,7 @@ def test_new_operators_tolerate_empty_inputs(spark):
     assert DP.domain_mix_quota(sdocs).count() == 0
     assert DP.global_shuffle(sdocs).count() == 0
     assert DP.quality_topk_per_domain(sdocs).count() == 0
+    assert DP.epoch_expand(sdocs, {"a": 2.5}).count() == 0
     lemb = spark.createDataFrame(
         [], "vec_id long, embedding array<float>, label int"
     )
