@@ -70,7 +70,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_w_sessionize",
     "q_w_ntile_dist",
     "q_t10_tumbling_window",
-    "q_sort_topk_orders",
+    # E8 capstone: the composed corpus build (exact dedup -> quality ->
+    # decontamination -> split manifest) — displaces the top-k sort rep,
+    # which stays pytest- and contract-checked.
+    "q_e8_corpus_build",
     # Round-3 operator families, one oracle-checked representative each
     # (displacing the second/third sort/set reps, which stay pytest- and
     # contract-checked): exact heavy hitters (MG sketch + verify), the

@@ -534,3 +534,90 @@ def q_e8_epoch_expand(spark, sf_dir):
         _docs(spark, sf_dir), _REPEATS, strata_col="source",
         default_repeat=1.0, salt=_EPOCH_SALT,
     )
+
+
+@register(
+    "q_e8_corpus_build",
+    f"""
+    WITH dd AS (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, text, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM dd
+        WHERE rn = 1 AND doc_id % 97 <> 0
+          AND len(string_split(text, ' ')) >= 20
+          AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' ')) <= 12.0
+          AND CAST(len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= 0.005
+          AND CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                   AS DOUBLE) / length(text) <= 0.2
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(list_distinct({_sql_8grams()})) AS g
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    cg AS (
+        SELECT doc_id, source, n_tokens,
+               unnest(list_distinct({_sql_8grams()})) AS g
+        FROM q
+    ),
+    fl AS (
+        SELECT cg.doc_id, cg.source, cg.n_tokens,
+               count(b.g) > 0 AS contam
+        FROM cg LEFT JOIN bench b USING (g)
+        GROUP BY cg.doc_id, cg.source, cg.n_tokens
+    )
+    SELECT doc_id, source, n_tokens
+    FROM fl
+    WHERE NOT contam
+      AND {_sql_bucket(_SALT)} < '{DP.frac_hex(0.8)}'
+    """,
+    "E8 capstone — the composed corpus build: exact dedup (min-id copy "
+    "per sha256 digest) -> C4/Gopher quality gates -> benchmark "
+    "decontamination (shared word-8-grams vs the held-out set) -> "
+    "deterministic train-split manifest. Exactly TWO corpus scans "
+    "(candidate lineage + benchmark grams); the contamination flag "
+    "aggregates with the payload riding the gram shuffle, so no "
+    "join-back re-scan.",
+)
+def q_e8_corpus_build(spark, sf_dir):
+    from pyspark.sql.window import Window as PW
+
+    from ..operators.text import quality_filter, word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    w = PW.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    dd = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cand = quality_filter(dd, extra=("text", "source")).filter(
+        F.col("doc_id") % 97 != 0
+    )
+    grams = F.array_distinct(word_ngrams(F.col("text"), 8))
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    flags = (
+        cand.select("doc_id", "source", "n_tokens", F.explode(grams).alias("g"))
+        .join(bench, "g", "left")
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(F.coalesce(F.bool_or("_hit"), F.lit(False)).alias("_contam"))
+    )
+    h = DP._bucket_hex(F.col("doc_id"), _SALT)
+    return (
+        flags.filter(~F.col("_contam"))
+        .filter(h < F.lit(DP.frac_hex(0.8)))
+        .select("doc_id", "source", "n_tokens")
+    )

@@ -67,6 +67,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # counts pass (source column only, pruned) + ranked pass; the quota
     # denominator is a whole-frame window over the config-sized counts
     "q_e8_domain_mix": (0, 0, {"documents": 2}),
+    # candidate lineage + benchmark-gram pass (the composed corpus build
+    # holds the two-scan bound of its contamination stage)
+    "q_e8_corpus_build": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
