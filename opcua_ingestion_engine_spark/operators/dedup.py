@@ -437,28 +437,46 @@ def simhash_neardup_pairs(
     consuming the fingerprint frame through a single lineage, cheap
     verify on candidates only. ``max_bucket`` as in lsh_candidate_pairs.
     """
+    return hamming_neardup_pairs(
+        simhash64(docs, text_col), "simhash", max_hamming, n_bands, max_bucket
+    )
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Generic banded hamming search over any 64-bit fingerprint column
+    (``doc_id``, ``hash_col``) — the shared engine behind the SimHash
+    text path and the perceptual-hash image path: band the fingerprint,
+    bucket-join on exact band agreement (pigeonhole-exact for
+    max_hamming < n_bands), verify by bit_count(xor). One bounded
+    explode, ONE shuffle on the band value, in-bucket pair expansion
+    through a single lineage."""
     assert max_hamming < n_bands, "pigeonhole exactness needs max_hamming < n_bands"
     assert 64 % n_bands == 0
     width = 64 // n_bands
-    sh = simhash64(docs, text_col)
-    banded = sh.select(
+    banded = hashes.select(
         "doc_id",
-        "simhash",
+        F.col(hash_col).alias("_fp"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    F.shiftrightunsigned(F.col(hash_col), b * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("bits"),
                 )
                 for b in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    ).select("doc_id", "_fp", "bb.band", "bb.bits")
     buckets = (
         banded.groupBy("band", "bits")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .agg(F.collect_list(F.struct("doc_id", "_fp")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     if max_bucket is not None:
@@ -471,18 +489,18 @@ def simhash_neardup_pairs(
                 lambda y: F.struct(
                     x["doc_id"].alias("doc_a"),
                     y["doc_id"].alias("doc_b"),
-                    x["simhash"].alias("sim_a"),
-                    y["simhash"].alias("sim_b"),
+                    x["_fp"].alias("fp_a"),
+                    y["_fp"].alias("fp_b"),
                 ),
             ),
         )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .select("p.doc_a", "p.doc_b", "p.fp_a", "p.fp_b")
         .distinct()
         .withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

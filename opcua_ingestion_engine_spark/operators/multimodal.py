@@ -387,6 +387,97 @@ def multimodal_features(docs: DataFrame, png_every: int | None = None) -> DataFr
     return flat.mapInPandas(extract_features, FEATURE_SCHEMA)
 
 
+def _ahash64(gray: np.ndarray) -> int:
+    """64-bit average hash of a 2-D grayscale array: sample an 8x8 grid
+    (nearest-index, so any dimensions >= 1x1 work), threshold each sample
+    against the grid mean, pack the bits. The standard cheap perceptual
+    fingerprint — stable under re-encoding and small pixel noise, which
+    is exactly what byte-level (E1) dedup misses for images."""
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    grid = gray[np.ix_(ys, xs)].astype(np.float64)
+    bits = (grid > grid.mean()).flatten()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def _profile_hash64(data: np.ndarray) -> int:
+    """fake8 analogue of the aHash: 64 nearest-index samples over the
+    byte stream, thresholded against their mean."""
+    n = data.size
+    if n == 0:
+        return 0
+    idx = (np.arange(64) * n) // 64
+    s = data[idx].astype(np.float64)
+    bits = s > s.mean()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def image_ahash(mm: DataFrame) -> DataFrame:
+    """E5 x E2 — perceptual fingerprint per payload: decode, gray-average
+    the channels, 8x8 average-hash (``png``); byte-profile hash
+    (``fake8``); NotImplementedError guard for undecodable formats.
+    mapInPandas projection — no shuffle; the hash is 8 bytes per doc, so
+    the downstream near-dup search never touches pixels again."""
+
+    def do_hash(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            hashes = []
+            for p, f in zip(pdf["payload"], pdf["fmt"]):
+                if f == PNG_FORMAT:
+                    px, w, h, ch = _decode_png(bytes(p))
+                    gray = px.reshape(h, w, ch).mean(axis=2)
+                    hashes.append(_ahash64(gray))
+                elif f == FAKE_FORMAT:
+                    hashes.append(
+                        _profile_hash64(np.frombuffer(p, dtype=np.uint8))
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"perceptual hash for format {f!r} requires a codec "
+                        "not present in this environment"
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    flat = mm.select(
+        "doc_id", "payload", F.col("meta.fmt").alias("fmt")
+    )
+    return flat.mapInPandas(do_hash, "doc_id bigint, phash bigint")
+
+
+def image_neardup_pairs(
+    docs: DataFrame,
+    png_every: int = 7,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """E5 x E2 — image near-duplicate pairs over the mixed corpus:
+    perceptual aHash fingerprints -> the shared banded hamming search
+    (pigeonhole-exact, same engine as the SimHash text path). Catches
+    re-encoded / lightly-perturbed images that byte-exact dedup misses;
+    pixels are touched exactly once (the hash pass)."""
+    from .dedup import hamming_neardup_pairs
+
+    mm = attach_payload_mixed(docs, png_every=png_every)
+    return hamming_neardup_pairs(
+        image_ahash(mm), "phash", max_hamming, n_bands, max_bucket
+    )
+
+
 RESIZE_SCHEMA = (
     "doc_id bigint, payload binary, width int, height int, channels int, "
     "fmt string"

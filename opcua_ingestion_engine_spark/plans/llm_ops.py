@@ -762,6 +762,20 @@ def q_e5_audio(spark, sf_dir):
     return M.audio_features(_docs(spark, sf_dir), wav_every=5)
 
 
+@register(
+    "q_e5_image_neardup",
+    None,  # perceptual hashing is Python-side (Arrow mapInPandas) —
+    # rows-only; planted re-encode/perturb/distinct cases pinned in
+    # tests/test_llm_ops.py
+    "E5 x E2 — image near-dup: perceptual aHash per payload (real 8x8 "
+    "grid hash on the PNG rows, byte-profile hash on fake8) fed through "
+    "the shared banded hamming search. Catches re-encoded and lightly "
+    "perturbed images byte-exact dedup misses; pixels touched once.",
+)
+def q_e5_image_neardup(spark, sf_dir):
+    return M.image_neardup_pairs(_docs(spark, sf_dir), png_every=7)
+
+
 # ---------------------------------------------------------------------------
 # E6 — time-series similarity
 # ---------------------------------------------------------------------------

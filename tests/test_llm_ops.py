@@ -588,3 +588,64 @@ def test_ivfpq_persisted_index_matches_inplan(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty corpus"):
         S.ivfpq_write_index(emb.limit(0), str(tmp_path / "nope"))
+
+
+def test_image_phash_neardup_planted_cases(spark):
+    """Perceptual-hash image dedup must catch what byte-exact dedup
+    cannot: (a) the SAME pixels re-encoded with a different PNG scanline
+    filter (different bytes, identical image -> hamming 0) and (b) a
+    single-pixel perturbation (hamming <= 3); while (c) a structurally
+    different image never pairs. Images built with strongly separated
+    halves so grid bits sit far from the threshold."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+    from opcua_ingestion_engine_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    a = np.zeros((32, 32), dtype=np.uint8)
+    a[:, 16:] = 255  # left black / right white
+    a_perturbed = a.copy()
+    a_perturbed[0, 0] = 10  # still far below the grid mean
+    b = np.zeros((32, 32), dtype=np.uint8)
+    b[16:, :] = 255  # top black / bottom white — different structure
+
+    rows = [
+        (1, bytearray(M.encode_png(a, filter_type=0))),
+        (2, bytearray(M.encode_png(a, filter_type=4))),  # re-encoded
+        (3, bytearray(M.encode_png(a_perturbed, filter_type=1))),
+        (4, bytearray(M.encode_png(b, filter_type=0))),
+    ]
+    mm = (
+        spark.createDataFrame(rows, "doc_id long, payload binary")
+        .select(
+            "doc_id",
+            "payload",
+            F.struct(
+                F.lit(32).alias("width"),
+                F.lit(32).alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit("png").alias("fmt"),
+            ).alias("meta"),
+        )
+    )
+    hashes = {r["doc_id"]: r["phash"] for r in M.image_ahash(mm).collect()}
+    assert hashes[1] == hashes[2]  # re-encode: identical fingerprint
+    assert bin(hashes[1] ^ hashes[3]).count("1") <= 3
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_neardup_pairs(M.image_ahash(mm), "phash").collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)
+
+    # the registered mixed-corpus query runs end-to-end and only ever
+    # pairs same-format payloads at this threshold by construction
+    docs = spark.createDataFrame(
+        [(i, "word word word") for i in range(20)], "doc_id long, text string"
+    )
+    out = M.image_neardup_pairs(docs, png_every=7)
+    assert out.columns == ["doc_a", "doc_b", "hamming"]
+    out.collect()  # runs without codec errors on the mixed corpus
