@@ -649,3 +649,71 @@ def test_image_phash_neardup_planted_cases(spark):
     out = M.image_neardup_pairs(docs, png_every=7)
     assert out.columns == ["doc_a", "doc_b", "hamming"]
     out.collect()  # runs without codec errors on the mixed corpus
+
+
+def test_y4m_codec_roundtrip_and_features(spark):
+    """Y4M video path: (1) encode->decode roundtrip is pixel-exact for
+    the luma plane; (2) stream features match hand computation; (3) a
+    static clip scores motion 0 while a moving one scores > 0; (4) bad
+    magic / truncation / unsupported chroma fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    clip = M._y4m_frames_for(9)
+    payload = M.encode_y4m(clip, fps_num=25)
+    frames, w, h, fps = M.decode_y4m(payload)
+    assert (frames == clip).all()
+    assert (w, h, fps) == (clip.shape[2], clip.shape[1], 25.0)
+
+    feats = M.decode_video(payload, M.Y4M_FORMAT)
+    assert feats["n_frames"] == clip.shape[0]
+    assert feats["duration_s"] == clip.shape[0] / 25.0
+    assert feats["luma_mean"] == float(clip.mean())
+    expect_motion = float(np.abs(np.diff(clip.astype(np.int16), axis=0)).mean())
+    assert feats["motion"] == expect_motion and expect_motion > 0.0
+
+    static = np.full((4, 16, 16), 77, dtype=np.uint8)
+    assert M.decode_video(M.encode_y4m(static), M.Y4M_FORMAT)["motion"] == 0.0
+
+    with _pytest.raises(ValueError, match="bad magic"):
+        M.decode_y4m(b"nope" + payload)
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_y4m(payload[:-5])
+    with _pytest.raises(NotImplementedError, match="C420"):
+        M.decode_y4m(payload.replace(b" C420\n", b" C444\n"))
+    with _pytest.raises(NotImplementedError, match="codec"):
+        M.decode_video(payload, "mp4")
+    with _pytest.raises(ValueError, match="even"):
+        M.encode_y4m(np.zeros((1, 15, 16), dtype=np.uint8))
+
+
+def test_video_frame_sampling_bridges_into_image_path(spark):
+    """The video->image bridge: sampled frames are honest PNGs whose
+    decoded pixels equal the clip's luma planes at the sampled indices,
+    and per-frame perceptual hashes equal the hash of the standalone
+    image — so frames join the image near-dup search unchanged."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(20)], "doc_id long, text string"
+    )
+    frames = M.sample_video_frames(docs, y4m_every=9, stride=2).collect()
+    assert {r["doc_id"] for r in frames} == {0, 9, 18}
+    for r in frames:
+        clip = M._y4m_frames_for(r["doc_id"])
+        px, w, h, ch = M._decode_png(bytes(r["frame_png"]))
+        assert ch == 1 and (px.reshape(h, w) == clip[r["frame_idx"]]).all()
+
+    hashed = {
+        (r["doc_id"], r["frame_idx"]): r["phash"]
+        for r in M.frame_ahash(
+            M.sample_video_frames(docs, y4m_every=9, stride=2)
+        ).collect()
+    }
+    for (did, idx), ph in hashed.items():
+        clip = M._y4m_frames_for(did)
+        assert ph == M._ahash64(clip[idx].astype(np.float64))
