@@ -776,6 +776,35 @@ def q_e5_image_neardup(spark, sf_dir):
     return M.image_neardup_pairs(_docs(spark, sf_dir), png_every=7)
 
 
+@register(
+    "q_e5_video_features",
+    None,  # Y4M decode is Python-side (Arrow mapInPandas) — rows-only;
+    # codec roundtrip and hand-computed features pinned in
+    # tests/test_llm_ops.py
+    "E5 (video) — real uncompressed-video decode: every 9th doc carries "
+    "a deterministic YUV4MPEG2 clip parsed by the pure-stdlib Y4M codec "
+    "(header walk + raw C420 planes); features are dimensions, frame "
+    "count, duration, mean luma, and inter-frame motion. Compressed "
+    "containers stay behind the NotImplementedError guard.",
+)
+def q_e5_video(spark, sf_dir):
+    return M.video_features(_docs(spark, sf_dir), y4m_every=9)
+
+
+@register(
+    "q_e5_video_frame_hashes",
+    None,  # decode + perceptual hash are Python-side — rows-only;
+    # frame-identity and cross-clip collision pinned in pytest
+    "E5 (video -> image bridge) — true frame sampling: decode the Y4M "
+    "stream, re-encode every 2nd luma frame as a standalone PNG, and "
+    "fingerprint each with the 8x8 average hash — the composition that "
+    "feeds video frames into the image near-dup machinery.",
+)
+def q_e5_video_frames(spark, sf_dir):
+    frames = M.sample_video_frames(_docs(spark, sf_dir), y4m_every=9, stride=2)
+    return M.frame_ahash(frames)
+
+
 # ---------------------------------------------------------------------------
 # E6 — time-series similarity
 # ---------------------------------------------------------------------------
