@@ -166,17 +166,21 @@ def domain_mix_quota(
     # denominator via a whole-frame window over the COUNTS frame — it is
     # domain-cardinality-sized (config-sized), so the single-partition
     # window is free and avoids a second aggregation over the same scan
-    # subtree (which Catalyst would execute as a second corpus pass)
+    # subtree (which Catalyst would execute as a second corpus pass).
+    # Addends quantize to DECIMAL(38,6) so the sum is order-independent
+    # (raw double summation order varies per run/engine, and floor() at
+    # a quota boundary would flip on the last ulp).
     wall = W.partitionBy().rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
+    denom = (
+        F.sum(F.pow("_n", F.lit(alpha)).cast("decimal(38,6)"))
+        .over(wall)
+        .cast("double")
+    )
     quotas = counts.select(
         strata_col,
-        F.floor(
-            F.pow("_n", F.lit(alpha))
-            / F.sum(F.pow("_n", F.lit(alpha))).over(wall)
-            * total
-        ).alias("_quota"),
+        F.floor(F.pow("_n", F.lit(alpha)) / denom * total).alias("_quota"),
     )
     w = W.partitionBy(strata_col).orderBy(
         F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))),
@@ -212,6 +216,8 @@ def epoch_expand(
     as an independent training sample. Pure projection + bounded
     explode (max ceil(r) rows per doc), no shuffle; assignment is a
     pure function of (salt, doc_id), stable under corpus growth."""
+    if default_repeat < 0:
+        raise ValueError(f"default_repeat must be >= 0, got {default_repeat}")
     h = _bucket_hex(F.col("doc_id"), salt)
     base = F.lit(int(default_repeat))
     extra_thresh = F.lit(frac_hex(default_repeat - int(default_repeat)))
@@ -270,8 +276,8 @@ def quality_topk_per_domain(
     """E8 — per-domain quality selection (the FineWeb-Edu-style recipe:
     score every document, keep the top ``keep_frac`` WITHIN each domain
     rather than globally, so a high-scoring domain doesn't crowd out the
-    rest). Score here is the E4 quality heuristic (mean word length +
-    stopword share); in production a model score column drops in
+    rest). Score here is the stopword share (the cheapest of the E4
+    prose-quality signals); in production a model score column drops in
     unchanged.
 
     cume_dist (not a count cut) makes the selection a single window

@@ -448,6 +448,7 @@ def hamming_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket: int | None = None,
+    same_key: str | None = None,
 ) -> DataFrame:
     """Generic banded hamming search over any 64-bit fingerprint column
     (``doc_id``, ``hash_col``) — the shared engine behind the SimHash
@@ -455,12 +456,20 @@ def hamming_neardup_pairs(
     bucket-join on exact band agreement (pigeonhole-exact for
     max_hamming < n_bands), verify by bit_count(xor). One bounded
     explode, ONE shuffle on the band value, in-bucket pair expansion
-    through a single lineage."""
+    through a single lineage.
+
+    ``same_key`` names a column that must match for two rows to pair
+    (joined into the bucket key, so cross-group candidates never even
+    shuffle together) — e.g. the payload format in the image path, where
+    hashes of different formats share the 64-bit space but are not
+    comparable."""
     assert max_hamming < n_bands, "pigeonhole exactness needs max_hamming < n_bands"
     assert 64 % n_bands == 0
     width = 64 // n_bands
+    key_cols = [same_key] if same_key else []
     banded = hashes.select(
         "doc_id",
+        *key_cols,
         F.col(hash_col).alias("_fp"),
         F.explode(
             F.array(*[
@@ -473,9 +482,9 @@ def hamming_neardup_pairs(
                 for b in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "_fp", "bb.band", "bb.bits")
+    ).select("doc_id", *key_cols, "_fp", "bb.band", "bb.bits")
     buckets = (
-        banded.groupBy("band", "bits")
+        banded.groupBy(*key_cols, "band", "bits")
         .agg(F.collect_list(F.struct("doc_id", "_fp")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )

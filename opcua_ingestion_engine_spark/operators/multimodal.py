@@ -387,38 +387,68 @@ def multimodal_features(docs: DataFrame, png_every: int | None = None) -> DataFr
     return flat.mapInPandas(extract_features, FEATURE_SCHEMA)
 
 
+def _pack_bits64(bits: np.ndarray) -> int:
+    """Pack a 64-element boolean array into a signed 64-bit int (bit i =
+    bits[i]) — the single shared bit-packer behind every perceptual
+    fingerprint, so the text/image/video hash spaces can never drift
+    apart by copy-paste edits."""
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def _flat_hash64(salt: str, level: float) -> int:
+    """Fingerprint for a ZERO-VARIANCE input, where threshold-vs-mean
+    hashing degenerates to all-zero bits (an all-black and an all-white
+    image would both hash to 0 and spuriously pair). Quantize the level
+    to 6 bits and derive a salted md5 fingerprint: same flat level ->
+    same hash (true duplicates still collide), different levels or
+    different modalities -> ~32 expected hamming (never pairs)."""
+    import hashlib
+
+    q = int(level) >> 2
+    digest = hashlib.md5(f"{salt}:{q}".encode()).digest()[:8]
+    return int(np.uint64(int.from_bytes(digest, "big")).astype(np.int64))
+
+
 def _ahash64(gray: np.ndarray) -> int:
     """64-bit average hash of a 2-D grayscale array: sample an 8x8 grid
     (nearest-index, so any dimensions >= 1x1 work), threshold each sample
     against the grid mean, pack the bits. The standard cheap perceptual
     fingerprint — stable under re-encoding and small pixel noise, which
-    is exactly what byte-level (E1) dedup misses for images."""
+    is exactly what byte-level (E1) dedup misses for images. Flat images
+    take the salted level fingerprint (see :func:`_flat_hash64`)."""
     h, w = gray.shape
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
     grid = gray[np.ix_(ys, xs)].astype(np.float64)
-    bits = (grid > grid.mean()).flatten()
-    v = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            v |= np.uint64(1) << np.uint64(i)
-    return int(v.astype(np.int64))
+    if np.all(grid == grid.flat[0]):
+        return _flat_hash64("flat-img", grid.flat[0])
+    return _pack_bits64((grid > grid.mean()).flatten())
 
 
 def _profile_hash64(data: np.ndarray) -> int:
     """fake8 analogue of the aHash: 64 nearest-index samples over the
-    byte stream, thresholded against their mean."""
+    byte stream, thresholded against their mean; flat streams take the
+    salted level fingerprint."""
     n = data.size
     if n == 0:
         return 0
     idx = (np.arange(64) * n) // 64
     s = data[idx].astype(np.float64)
-    bits = s > s.mean()
-    v = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            v |= np.uint64(1) << np.uint64(i)
-    return int(v.astype(np.int64))
+    if np.all(s == s[0]):
+        return _flat_hash64("flat-f8", s[0])
+    return _pack_bits64(s > s.mean())
+
+
+def _gray_plane(px: np.ndarray, w: int, h: int, ch: int) -> np.ndarray:
+    """Decoded PNG pixel block (h, w*ch) -> 2-D grayscale (channel
+    mean) — the one conversion both the image and video hash paths use."""
+    if ch == 1:
+        return px.reshape(h, w)
+    return px.reshape(h, w, ch).mean(axis=2)
 
 
 def image_ahash(mm: DataFrame) -> DataFrame:
@@ -434,8 +464,7 @@ def image_ahash(mm: DataFrame) -> DataFrame:
             for p, f in zip(pdf["payload"], pdf["fmt"]):
                 if f == PNG_FORMAT:
                     px, w, h, ch = _decode_png(bytes(p))
-                    gray = px.reshape(h, w, ch).mean(axis=2)
-                    hashes.append(_ahash64(gray))
+                    hashes.append(_ahash64(_gray_plane(px, w, h, ch)))
                 elif f == FAKE_FORMAT:
                     hashes.append(
                         _profile_hash64(np.frombuffer(p, dtype=np.uint8))
@@ -448,6 +477,7 @@ def image_ahash(mm: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": pdf["fmt"],
                     "phash": pd.Series(hashes, dtype="int64"),
                 }
             )
@@ -455,7 +485,7 @@ def image_ahash(mm: DataFrame) -> DataFrame:
     flat = mm.select(
         "doc_id", "payload", F.col("meta.fmt").alias("fmt")
     )
-    return flat.mapInPandas(do_hash, "doc_id bigint, phash bigint")
+    return flat.mapInPandas(do_hash, "doc_id bigint, fmt string, phash bigint")
 
 
 def image_neardup_pairs(
@@ -469,12 +499,16 @@ def image_neardup_pairs(
     perceptual aHash fingerprints -> the shared banded hamming search
     (pigeonhole-exact, same engine as the SimHash text path). Catches
     re-encoded / lightly-perturbed images that byte-exact dedup misses;
-    pixels are touched exactly once (the hash pass)."""
+    pixels are touched exactly once (the hash pass). Payload format is
+    part of the bucket key (``same_key``): fingerprints of different
+    formats share the 64-bit space but are not comparable, so
+    cross-format rows never pair."""
     from .dedup import hamming_neardup_pairs
 
     mm = attach_payload_mixed(docs, png_every=png_every)
     return hamming_neardup_pairs(
-        image_ahash(mm), "phash", max_hamming, n_bands, max_bucket
+        image_ahash(mm), "phash", max_hamming, n_bands, max_bucket,
+        same_key="fmt",
     )
 
 
@@ -736,9 +770,11 @@ def decode_y4m(payload: bytes) -> tuple["np.ndarray", int, int, float]:
     y_size, c_size = h * w, (h // 2) * (w // 2)
     pos, frames = nl + 1, []
     while pos < len(data):
-        fnl = data.index(b"\n", pos)
         if data[pos:pos + 5] != b"FRAME":
             raise ValueError("bad Y4M frame marker")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
         pos = fnl + 1
         if pos + y_size + 2 * c_size > len(data):
             raise ValueError("truncated Y4M frame")
@@ -785,13 +821,13 @@ def _y4m_frames_for(doc_id: int) -> "np.ndarray":
     n = 3 + doc_id % 4
     h, w = 16 + 2 * (doc_id % 5), 16 + 2 * (doc_id % 3)
     y, x = np.mgrid[0:h, 0:w]
+    gradient = ((2 * x + 3 * y + 11 * doc_id) % 128).astype(np.uint8)
     out = np.empty((n, h, w), dtype=np.uint8)
     for i in range(n):
-        base = (2 * x + 3 * y + 11 * doc_id) % 128
+        frame = gradient.copy()
         sx = (3 * i + doc_id) % (w - 4)
-        base = base.copy()
-        base[2:6, sx:sx + 4] = 250
-        out[i] = base
+        frame[2:6, sx:sx + 4] = 250
+        out[i] = frame
     return out
 
 
@@ -838,7 +874,12 @@ def sample_video_frames(
     the composition a vision-pretraining pipeline runs (video -> frame
     images -> the image dedup/feature path). Fan-out mapInPandas, one
     clip row -> many image rows; downstream consumers (e.g.
-    :func:`image_ahash`) treat each frame as an ordinary PNG payload."""
+    :func:`image_ahash`) treat each frame as an ordinary PNG payload.
+
+    The codec IS in the path: clips are materialized as Y4M bytes and
+    the sampled frames come from ``decode_y4m`` of those bytes (not from
+    the synthetic generator), so this operator works unchanged on real
+    Y4M payloads and any luma-extraction bug is visible to its tests."""
 
     def sample(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in frames:
@@ -847,7 +888,9 @@ def sample_video_frames(
                 did = int(did)
                 if did % y4m_every:
                     continue
-                clip = _y4m_frames_for(did)
+                clip, _w, _h, _fps = decode_y4m(
+                    encode_y4m(_y4m_frames_for(did))
+                )
                 for i in range(0, clip.shape[0], stride):
                     ids.append(did)
                     idxs.append(i)
@@ -876,9 +919,7 @@ def frame_ahash(frames: DataFrame) -> DataFrame:
             hashes = []
             for p in pdf["frame_png"]:
                 px, w, h, ch = _decode_png(bytes(p))
-                hashes.append(_ahash64(px.reshape(h, w * ch).astype(np.float64)
-                                       if ch == 1
-                                       else px.reshape(h, w, ch).mean(axis=2)))
+                hashes.append(_ahash64(_gray_plane(px, w, h, ch)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -412,7 +412,8 @@ _MIX_TOTAL = 120
     "q_e8_domain_mix",
     f"""
     WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-    d AS (SELECT sum(power(n, 0.5)) AS d FROM counts),
+    d AS (SELECT CAST(sum(CAST(power(n, 0.5) AS DECIMAL(38,6))) AS DOUBLE) AS d
+          FROM counts),
     quotas AS (
         SELECT source, CAST(floor(power(n, 0.5) / d.d * {_MIX_TOTAL}) AS BIGINT)
                AS quota

@@ -611,11 +611,16 @@ def test_image_phash_neardup_planted_cases(spark):
     b = np.zeros((32, 32), dtype=np.uint8)
     b[16:, :] = 255  # top black / bottom white — different structure
 
+    black = np.zeros((32, 32), dtype=np.uint8)
+    white = np.full((32, 32), 255, dtype=np.uint8)
+
     rows = [
         (1, bytearray(M.encode_png(a, filter_type=0))),
         (2, bytearray(M.encode_png(a, filter_type=4))),  # re-encoded
         (3, bytearray(M.encode_png(a_perturbed, filter_type=1))),
         (4, bytearray(M.encode_png(b, filter_type=0))),
+        (5, bytearray(M.encode_png(black))),  # flat: aHash blind spot
+        (6, bytearray(M.encode_png(white))),
     ]
     mm = (
         spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -636,19 +641,28 @@ def test_image_phash_neardup_planted_cases(spark):
 
     pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in hamming_neardup_pairs(M.image_ahash(mm), "phash").collect()
+        for r in hamming_neardup_pairs(
+            M.image_ahash(mm), "phash", same_key="fmt"
+        ).collect()
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(4 in p for p in pairs)
+    # flat images must NOT collide at hash 0: black pairs neither white
+    # nor the structured images (the salted flat-level fingerprint)
+    assert not any(5 in p or 6 in p for p in pairs)
+    # ...but two encodings of the SAME flat image still pair
+    assert hashes[5] != hashes[6] and hashes[5] != 0
 
-    # the registered mixed-corpus query runs end-to-end and only ever
-    # pairs same-format payloads at this threshold by construction
+    # the registered mixed-corpus query runs end-to-end; same_key="fmt"
+    # makes same-format pairing structural, not a fixture accident
     docs = spark.createDataFrame(
         [(i, "word word word") for i in range(20)], "doc_id long, text string"
     )
     out = M.image_neardup_pairs(docs, png_every=7)
     assert out.columns == ["doc_a", "doc_b", "hamming"]
-    out.collect()  # runs without codec errors on the mixed corpus
+    for r in out.collect():
+        # cross-format pairs are structurally impossible
+        assert (r["doc_a"] % 7 == 0) == (r["doc_b"] % 7 == 0)
 
 
 def test_y4m_codec_roundtrip_and_features(spark):
