@@ -931,3 +931,42 @@ def frame_ahash(frames: DataFrame) -> DataFrame:
     return frames.mapInPandas(
         do_hash, "doc_id bigint, frame_idx int, phash bigint"
     )
+
+
+def clip_pairs_by_shared_frames(
+    frame_hashes: DataFrame, min_shared: int = 2, max_freq: int | None = None
+) -> DataFrame:
+    """E5 x E2 — clip-level near-duplicate pairs from per-frame
+    fingerprints: two clips pair when they share >= ``min_shared``
+    distinct frame hashes (re-posted / re-cut footage detection — the
+    video analogue of shared-shingle text dedup).
+
+    Shape: an inverted index on the fingerprint — distinct (doc, hash),
+    ONE shuffle on the hash, in-bucket pair expansion, per-pair distinct
+    count. Never clip x clip. A hash shared by many clips (intro cards,
+    black frames) blows the bucket up quadratically; ``max_freq`` drops
+    such non-discriminative hashes the way a text pipeline drops
+    stopword shingles."""
+    dh = frame_hashes.select("doc_id", "phash").distinct()
+    buckets = (
+        dh.groupBy("phash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_freq is not None:
+        buckets = buckets.filter(F.size("ids") <= max_freq)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select("phash", F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count_distinct("phash").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -805,6 +805,23 @@ def q_e5_video_frames(spark, sf_dir):
     return M.frame_ahash(frames)
 
 
+@register(
+    "q_e5_video_neardup",
+    None,  # frame hashing is Python-side — rows-only; planted
+    # shared-frame clips pinned in pytest
+    "E5 x E2 — clip-level near-dup: two clips pair when they share >= 2 "
+    "distinct frame fingerprints (re-posted/re-cut footage detection). "
+    "Inverted index on the frame hash — one shuffle, never clip x clip; "
+    "max_freq drops non-discriminative hashes (intro cards, black "
+    "frames) like stopword shingles.",
+)
+def q_e5_video_neardup(spark, sf_dir):
+    frames = M.frame_ahash(
+        M.sample_video_frames(_docs(spark, sf_dir), y4m_every=9, stride=1)
+    )
+    return M.clip_pairs_by_shared_frames(frames, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # E6 — time-series similarity
 # ---------------------------------------------------------------------------

@@ -731,3 +731,50 @@ def test_video_frame_sampling_bridges_into_image_path(spark):
     for (did, idx), ph in hashed.items():
         clip = M._y4m_frames_for(did)
         assert ph == M._ahash64(clip[idx].astype(np.float64))
+
+
+def test_clip_neardup_from_shared_frames(spark):
+    """Clip-level video dedup: clips sharing >= min_shared frame
+    fingerprints pair (re-posted footage), clips sharing fewer don't,
+    and max_freq drops non-discriminative frames shared by many clips."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    def split_frame(col, row):
+        """Structurally distinct pattern per (col, row): white right-of-col
+        AND below-row — aHash grids differ for distinct inputs (verified
+        below), unlike gradient variants which alias under the 8x8 grid."""
+        g = np.zeros((16, 16), dtype=np.uint8)
+        g[row:, col:] = 255
+        return g
+
+    seeds = [(2, 0), (6, 2), (10, 4), (14, 6), (4, 10), (8, 12), (12, 8),
+             (2, 14)]
+    A, B, C, D, E_, X1, X2, X3 = (split_frame(c, r) for c, r in seeds)
+    hs = [M._ahash64(f.astype(np.float64)) for f in (A, B, C, D, E_, X1, X2, X3)]
+    assert len(set(hs)) == len(hs), "fixture frames must hash distinctly"
+
+    # clip 1 and 2 share frames A,B; clip 3 shares only A; clip 4 disjoint
+    rows = []
+    for did, clip in ((1, [A, B, C]), (2, [A, B, D]), (3, [A, D, E_]),
+                      (4, [X1, X2, X3])):
+        for i, frame in enumerate(clip):
+            rows.append((did, i, bytearray(M.encode_png(frame))))
+    frames = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, frame_png binary"
+    )
+    hashed = M.frame_ahash(frames)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in M.clip_pairs_by_shared_frames(hashed, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2, (2, 3): 2}  # (1,3) share only A; 4 disjoint
+
+    # frame A is shared by clips 1,2,3 — max_freq=2 drops it, so only
+    # the B (1,2) and D (2,3) overlaps remain and no pair reaches 2
+    strict = M.clip_pairs_by_shared_frames(
+        hashed, min_shared=2, max_freq=2
+    ).collect()
+    assert strict == []
