@@ -815,6 +815,82 @@ def decode_video(payload: bytes, fmt: str) -> dict:
     }
 
 
+def audio_energy_hash64(samples: "np.ndarray") -> int:
+    """64-bit audio fingerprint: RMS energy over 64 equal windows,
+    thresholded against the mean energy (Shazam-lite, no FFT needed).
+    AMPLITUDE-INVARIANT by construction — scaling every sample by a
+    constant scales all window energies and their mean equally, so a
+    volume-normalized re-encode collides with its source (the audio
+    analogue of the re-encoded-PNG case). Flat signals take the salted
+    level fingerprint."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    n = x.size
+    if n == 0:
+        return 0
+    bounds = (np.arange(65) * n) // 64
+    # per-window mean square via one cumulative sum (exact, O(n))
+    csq = np.concatenate([[0.0], np.cumsum(x * x)])
+    widths = np.maximum(bounds[1:] - bounds[:-1], 1)
+    energies = (csq[bounds[1:]] - csq[bounds[:-1]]) / widths
+    if np.all(energies == energies[0]):
+        return _flat_hash64("flat-audio", float(np.sqrt(energies[0])))
+    return _pack_bits64(energies > energies.mean())
+
+
+def audio_neardup_pairs(
+    docs: DataFrame,
+    wav_every: int = 5,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """E5 x E2 (audio) — near-duplicate clip pairs: decode each WAV,
+    fingerprint its energy profile, feed the shared banded hamming
+    search. Catches volume-scaled / re-encoded copies byte dedup
+    misses; samples are touched exactly once (the hash pass)."""
+    from .dedup import hamming_neardup_pairs
+
+    def build(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            ids, payloads = [], []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                if did % wav_every == 0:
+                    samples, rate = _wav_samples_for(did)
+                    ids.append(did)
+                    payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    def do_hash(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in frames:
+            hashes = []
+            for p in pdf["payload"]:
+                with wave.open(io.BytesIO(bytes(p)), "rb") as wv:
+                    x = np.frombuffer(
+                        wv.readframes(wv.getnframes()), dtype=np.int16
+                    )
+                hashes.append(audio_energy_hash64(x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    wav = docs.select("doc_id").mapInPandas(build, "doc_id bigint, payload binary")
+    hashes = wav.mapInPandas(do_hash, "doc_id bigint, phash bigint")
+    return hamming_neardup_pairs(
+        hashes, "phash", max_hamming, n_bands, max_bucket
+    )
+
+
 def _y4m_frames_for(doc_id: int) -> "np.ndarray":
     """Deterministic tiny clip: a bright square translating across a
     gradient background — nonzero motion, reproducible from doc_id."""

@@ -822,6 +822,19 @@ def q_e5_video_neardup(spark, sf_dir):
     return M.clip_pairs_by_shared_frames(frames, min_shared=2)
 
 
+@register(
+    "q_e5_audio_neardup",
+    None,  # WAV decode + energy hashing are Python-side — rows-only;
+    # amplitude-invariance and planted-pair cases pinned in pytest
+    "E5 x E2 (audio) — near-dup clips: per-clip 64-window RMS energy "
+    "profile thresholded against its mean (amplitude-invariant — "
+    "volume-normalized re-encodes collide with their source), fed "
+    "through the shared banded hamming search.",
+)
+def q_e5_audio_neardup(spark, sf_dir):
+    return M.audio_neardup_pairs(_docs(spark, sf_dir), wav_every=5)
+
+
 # ---------------------------------------------------------------------------
 # E6 — time-series similarity
 # ---------------------------------------------------------------------------

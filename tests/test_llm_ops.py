@@ -778,3 +778,64 @@ def test_clip_neardup_from_shared_frames(spark):
         hashed, min_shared=2, max_freq=2
     ).collect()
     assert strict == []
+
+
+def test_audio_energy_hash_invariances(spark):
+    """Audio fingerprint: (1) amplitude scaling leaves the hash unchanged
+    (volume-normalized re-encode collides with its source); (2) distinct
+    energy envelopes hash differently and never pair; (3) flat signals
+    take the salted level fingerprint, so silence does not collide with
+    a constant tone; (4) the planted scaled copy pairs at hamming 0
+    through the full operator path."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+    from opcua_ingestion_engine_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    t = np.arange(4000)
+    burst = np.where((t // 500) % 2 == 0, 8000, 500).astype(np.int16)
+    h_burst = M.audio_energy_hash64(burst)
+    h_scaled = M.audio_energy_hash64((burst * 0.25).astype(np.int16))
+    assert h_burst == h_scaled  # amplitude-invariant
+
+    ramp = (t * 2).astype(np.int16)  # rising envelope — different shape
+    assert M.audio_energy_hash64(ramp) != h_burst
+    assert bin(M.audio_energy_hash64(ramp) ^ h_burst).count("1") > 3
+
+    silence = np.zeros(4000, dtype=np.int16)
+    tone = np.full(4000, 5000, dtype=np.int16)
+    assert M.audio_energy_hash64(silence) != M.audio_energy_hash64(tone)
+    assert M.audio_energy_hash64(np.array([], dtype=np.int16)) == 0
+
+    # operator path: clips 0,5,10,15 from the deterministic generator;
+    # with identical generator params, ids 5 and 15 differ in length —
+    # plant an exact scaled copy instead via a two-row frame
+    rows = [
+        (1, bytearray(M.encode_wav(burst, 8000))),
+        (2, bytearray(M.encode_wav((burst * 0.5).astype(np.int16), 8000))),
+        (3, bytearray(M.encode_wav(ramp, 8000))),
+    ]
+    wav = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    import io
+    import wave
+
+    def decode(p):
+        with wave.open(io.BytesIO(bytes(p)), "rb") as wv:
+            return np.frombuffer(wv.readframes(wv.getnframes()), np.int16)
+
+    hashes = wav.collect()
+    hs = {
+        r["doc_id"]: M.audio_energy_hash64(decode(r["payload"]))
+        for r in hashes
+    }
+    hdf = spark.createDataFrame(
+        [(k, v) for k, v in hs.items()], "doc_id long, phash long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_neardup_pairs(hdf, "phash").collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
