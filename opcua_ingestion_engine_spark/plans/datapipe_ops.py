@@ -537,9 +537,7 @@ def q_e8_epoch_expand(spark, sf_dir):
     )
 
 
-@register(
-    "q_e8_corpus_build",
-    f"""
+_CORPUS_BUILD_SQL = f"""
     WITH dd AS (
         SELECT doc_id, text, source,
                row_number() OVER (PARTITION BY sha256(text)
@@ -579,7 +577,12 @@ def q_e8_epoch_expand(spark, sf_dir):
     FROM fl
     WHERE NOT contam
       AND {_sql_bucket(_SALT)} < '{DP.frac_hex(0.8)}'
-    """,
+    """
+
+
+@register(
+    "q_e8_corpus_build",
+    _CORPUS_BUILD_SQL,
     "E8 capstone — the composed corpus build: exact dedup (min-id copy "
     "per sha256 digest) -> C4/Gopher quality gates -> benchmark "
     "decontamination (shared word-8-grams vs the held-out set) -> "
@@ -622,3 +625,34 @@ def q_e8_corpus_build(spark, sf_dir):
         .filter(h < F.lit(DP.frac_hex(0.8)))
         .select("doc_id", "source", "n_tokens")
     )
+
+
+@register(
+    "q_e8_incremental_corpus_build",
+    _CORPUS_BUILD_SQL,
+    "E8 capstone (streaming-incremental form, batch-driven here) — the "
+    "corpus build maintained across 3 doc_id-ordered micro-batches "
+    "through the foreachBatch sink: cross-batch exact dedup via a "
+    "digest-only state table, quality gates, decontamination against "
+    "the pinned benchmark gram set, split filter. The final manifest "
+    "EQUALS the one-shot batch answer (same oracle) because first-seen "
+    "== min-id under ordered ingest.",
+)
+def q_e8_incremental_corpus_build(spark, sf_dir):
+    from ..streaming.corpusbuild import IncrementalCorpusBuildSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = hi // 3 + 1
+    sink = IncrementalCorpusBuildSink(
+        docs.filter(F.col("doc_id") % 97 == 0)
+    )
+    for i in range(3):
+        sink.process_batch(
+            docs.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            ),
+            i,
+        )
+    return sink.result()

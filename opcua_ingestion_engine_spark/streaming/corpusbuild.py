@@ -1,0 +1,116 @@
+"""Streaming-incremental corpus build (E8 capstone, streaming form).
+
+The batch capstone (``plans/datapipe_ops.q_e8_corpus_build``) runs
+exact dedup -> quality gates -> benchmark decontamination -> split over
+the whole corpus in one plan; this sink maintains the SAME training
+manifest across micro-batches — the shape a continuously-ingesting
+pretraining pipeline actually runs:
+
+- The benchmark gram set is built ONCE at construction from the static
+  eval suite. Decontaminating against a moving benchmark would force
+  retroactive retraction of already-admitted documents; real pipelines
+  pin the eval suites, so the sink does too.
+- Per batch: within-batch exact dedup keeps the min doc_id per sha256
+  digest; cross-batch dedup anti-joins the digest STATE (32-byte
+  digests only — the content-addressed manifest a deployment keeps
+  anyway, never document text); then the identical quality gates, gram
+  semi-join against the pinned benchmark grams, and split filter as the
+  batch operator. Per-batch work is O(batch).
+- Digest state and the manifest grow append-only through
+  ``localCheckpoint`` (linear plans, no lineage blowup — same
+  discipline as the incremental heavy-hitters sink).
+
+Dedup keeps the FIRST-SEEN copy across batches. When batches arrive in
+doc_id order (deployment: monotonically increasing ids), first-seen ==
+min-id and the final manifest EQUALS the batch answer row for row —
+pinned by the shared DuckDB oracle on the registered query and by
+tests/test_streaming.py under different batchings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.datapipe import _bucket_hex, frac_hex
+from ..operators.text import quality_filter, word_ngrams
+
+
+class IncrementalCorpusBuildSink:
+    """foreachBatch sink: feed micro-batches of (doc_id, text, source)
+    rows via ``process_batch``; read the accumulated training manifest
+    via ``result``."""
+
+    def __init__(
+        self,
+        bench_docs: DataFrame,
+        n: int = 8,
+        bench_mod: int = 97,
+        train: float = 0.8,
+        salt: str = "split-v1",
+    ):
+        self.bench_mod = bench_mod
+        self.train_thresh = frac_hex(train)
+        self.salt = salt
+        self.grams = F.array_distinct(word_ngrams(F.col("text"), n))
+        self.bench = (
+            bench_docs.select(F.explode(self.grams).alias("g"))
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+        self.digests: DataFrame | None = None
+        self.manifest: DataFrame | None = None
+
+    def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        hashed = batch_docs.withColumn("_dig", F.sha2(F.col("text"), 256))
+        w = W.partitionBy("_dig").orderBy("doc_id")
+        dd = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        fresh = (
+            dd.join(self.digests, "_dig", "left_anti")
+            if self.digests is not None
+            else dd
+        )
+        # digest state includes BENCHMARK docs too (batch semantics: a
+        # non-bench copy of a benchmark text is an exact dup and drops)
+        new_digs = fresh.select("_dig")
+        self.digests = (
+            new_digs
+            if self.digests is None
+            else self.digests.unionByName(new_digs)
+        ).localCheckpoint(eager=True)
+
+        cand = quality_filter(
+            fresh.drop("_dig"), extra=("text", "source")
+        ).filter(F.col("doc_id") % self.bench_mod != 0)
+        flags = (
+            cand.select(
+                "doc_id", "source", "n_tokens",
+                F.explode(self.grams).alias("g"),
+            )
+            .join(self.bench, "g", "left")
+            .groupBy("doc_id", "source", "n_tokens")
+            .agg(
+                F.coalesce(F.bool_or("_hit"), F.lit(False)).alias("_contam")
+            )
+        )
+        clean = (
+            flags.filter(~F.col("_contam"))
+            .filter(_bucket_hex(F.col("doc_id"), self.salt)
+                    < F.lit(self.train_thresh))
+            .select("doc_id", "source", "n_tokens")
+        )
+        self.manifest = (
+            clean
+            if self.manifest is None
+            else self.manifest.unionByName(clean)
+        ).localCheckpoint(eager=True)
+
+    def result(self) -> DataFrame:
+        assert self.manifest is not None, "no batches processed"
+        return self.manifest
