@@ -407,3 +407,49 @@ def q_w_range_frame(spark, sf_dir):
         ),
         F.count("*").over(w).cast("long").alias("trailing_hour_n"),
     )
+
+
+@register(
+    "q_validate_orders",
+    """
+    WITH a AS (
+        SELECT
+          CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS r0,
+          CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 100000
+                        THEN 0 ELSE 1 END) AS BIGINT) AS r1,
+          CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+               AS BIGINT) AS r2,
+          CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS u
+        FROM orders
+    )
+    SELECT 'not_null(o_custkey)' AS rule, r0 AS n_violations, r0 = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,100000)', r1, r1 = 0 FROM a
+    UNION ALL
+    SELECT 'is_in(o_orderstatus,[O,F,P])', r2, r2 = 0 FROM a
+    UNION ALL
+    SELECT 'unique(o_orderkey)', u, u = 0 FROM a
+    """,
+    "Data-quality constraint validation (Deequ-style): completeness, "
+    "range, set-membership, and key-uniqueness expectations over orders "
+    "evaluated in ONE aggregation pass (each predicate folds to a "
+    "sum(CASE) in the same aggregate; uniqueness rides the same job as "
+    "count - count_distinct). Per-rule violation counts, never "
+    "fail-on-first — the gate a pipeline runs on every ingested table. "
+    "The range rule is deliberately tight so a nonzero count is "
+    "exercised.",
+)
+def q_validate_orders(spark, sf_dir):
+    from ..operators import validate as V
+
+    orders = C.load_table(spark, sf_dir, "orders")
+    return V.check_constraints(
+        orders,
+        [
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0, 100000),
+            V.is_in("o_orderstatus", ["O", "F", "P"]),
+        ],
+        unique_cols=["o_orderkey"],
+    )

@@ -487,3 +487,46 @@ def test_new_operators_tolerate_empty_inputs(spark):
         [], "vec_id long, embedding array<float>, label int"
     )
     assert S.domain_diversity(lemb).count() == 0
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    """The validation report must count every planted defect exactly:
+    2 nulls, 1 out-of-range, 1 bad category, 2 surplus duplicate keys —
+    and NULL predicate inputs fail their rule (absent data violates an
+    expectation), matching the SQL CASE WHEN semantics of the oracle."""
+    from opcua_ingestion_engine_spark.operators import validate as V
+
+    rows = [
+        (1, 10, "A", 5.0),
+        (1, 11, "A", 6.0),     # dup key 1
+        (1, 12, "A", 7.0),     # dup key 1 again
+        (2, None, "A", 8.0),   # null custkey
+        (3, 13, "B", 9.0),     # bad category
+        (4, 14, "A", 99.0),    # out of range
+        (5, None, "A", None),  # null custkey AND null value (range fails)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ck long, cat string, v double"
+    )
+    got = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in V.check_constraints(
+            df,
+            [V.not_null("ck"), V.in_range("v", 0, 50), V.is_in("cat", ["A"])],
+            unique_cols=["k"],
+        ).collect()
+    }
+    assert got == {
+        "not_null(ck)": (2, False),
+        "in_range(v,0,50)": (2, False),   # 99.0 and the NULL both fail
+        "is_in(cat,[A])": (1, False),
+        "unique(k)": (2, False),          # three rows share key 1 -> 2 surplus
+    }
+
+    clean = spark.createDataFrame([(1, 1, "A", 1.0)], "k long, ck long, cat string, v double")
+    assert all(
+        r["passed"] and r["n_violations"] == 0
+        for r in V.check_constraints(
+            clean, [V.not_null("ck")], unique_cols=["k"]
+        ).collect()
+    )
