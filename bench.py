@@ -41,6 +41,7 @@ HEADLINE = [
     "q_e2_minhash_neardup",
     "q_e2_simhash_neardup",
     "q_e8_contamination",
+    "q_e8_corpus_build",
     "q_e4_heavy_hitters",
     "q_t_multires_rollup",
     "q_e7_curation_pipeline",
