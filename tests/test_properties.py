@@ -214,3 +214,52 @@ def test_png_codec_roundtrip_property(data, h, w, ch, ft):
     out, got_w, got_h, got_ch = M._decode_png(M.encode_png(px, filter_type=ft))
     assert (got_w, got_h, got_ch) == (w, h, ch)
     assert (out.reshape(px.shape) == px).all()
+
+
+def test_shuffle_and_epoch_assignments_stable_under_corpus_growth(spark):
+    """The documented manifest-stability contracts: appending documents
+    (1) never moves an existing doc to a different shard and never
+    changes the RELATIVE order of existing docs within a shard
+    (global_shuffle), and (2) never changes an existing doc's copy
+    count (epoch_expand) or split (split_assign). These are what make
+    the assignments safe to persist in a dataset manifest."""
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    base = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 3}") for i in range(0, 400, 2)],
+        "doc_id long, text string, source string",
+    )
+    grown = base.unionByName(
+        spark.createDataFrame(
+            [(i, f"text {i}", f"src{i % 3}") for i in range(1, 400, 2)],
+            "doc_id long, text string, source string",
+        )
+    )
+
+    s1 = {r["doc_id"]: (r["shard"], r["position"])
+          for r in DP.global_shuffle(base).collect()}
+    s2 = {r["doc_id"]: (r["shard"], r["position"])
+          for r in DP.global_shuffle(grown).collect()}
+    for did, (shard, _pos) in s1.items():
+        assert s2[did][0] == shard  # shard never changes
+    # relative order within each shard is preserved
+    for shard in {v[0] for v in s1.values()}:
+        old_order = [d for d, v in sorted(s1.items(), key=lambda kv: kv[1][1])
+                     if v[0] == shard]
+        new_pos = {d: s2[d][1] for d in old_order}
+        assert old_order == sorted(old_order, key=lambda d: new_pos[d])
+
+    reps = {"src0": 2.5, "src1": 0.5}
+    e1 = {}
+    for r in DP.epoch_expand(base, reps).collect():
+        e1[r["doc_id"]] = e1.get(r["doc_id"], 0) + 1
+    e2 = {}
+    for r in DP.epoch_expand(grown, reps).collect():
+        e2[r["doc_id"]] = e2.get(r["doc_id"], 0) + 1
+    for did, copies in e1.items():
+        assert e2.get(did, 0) == copies
+
+    sp1 = {r["doc_id"]: r["split"] for r in DP.split_assign(base).collect()}
+    sp2 = {r["doc_id"]: r["split"] for r in DP.split_assign(grown).collect()}
+    for did, split in sp1.items():
+        assert sp2[did] == split

@@ -170,3 +170,44 @@ def test_simhash_neardup_with_cap_keeps_planted(spark):
     assert len(got) < 100
     for pair in planted:
         assert pair in got
+
+
+def test_image_neardup_max_bucket_bounds_identical_image_cluster(spark):
+    """Adversarial image corpus: one identical image repeated 60x (the
+    exact-dup cluster that belongs to E1 upstream) plus planted distinct
+    near-pairs. max_bucket must bound the in-bucket O(k^2) expansion
+    while the planted pair (rare fingerprint) survives."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+    from opcua_ingestion_engine_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    mega = np.zeros((16, 16), dtype=np.uint8)
+    mega[:, 8:] = 255
+    rare = np.zeros((16, 16), dtype=np.uint8)
+    rare[4:, :] = 255
+    rows = [(i, bytearray(M.encode_png(mega))) for i in range(60)]
+    rows += [(100, bytearray(M.encode_png(rare))),
+             (101, bytearray(M.encode_png(rare, filter_type=2)))]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id", "payload",
+        F.struct(F.lit(16).alias("width"), F.lit(16).alias("height"),
+                 F.lit(1).alias("channels"), F.lit("png").alias("fmt"),
+                 ).alias("meta"),
+    )
+    hashes = M.image_ahash(mm)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_neardup_pairs(
+            hashes, "phash", same_key="fmt", max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in capped            # rare planted pair survives
+    assert not any(a < 60 and b < 60 for a, b in capped)  # megacluster cut
+    # uncapped: the megacluster alone contributes 60*59/2 pairs
+    full = hamming_neardup_pairs(hashes, "phash", same_key="fmt").count()
+    assert full >= 60 * 59 // 2
