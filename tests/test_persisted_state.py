@@ -244,3 +244,72 @@ def test_persisted_zordered_table_append_rounds(spark, tmp_path):
     back = {tuple(r) for r in spark.read.parquet(path).collect()}
     want = {tuple(r) for r in ev.collect()}
     assert back == want and len(want) > 0
+
+
+def test_versioned_table_merge_rounds_time_travel_and_vacuum(spark, fx, tmp_path):
+    """The Delta-less MERGE deployment: per-point state committed as
+    immutable versions with an atomic pointer. Pins: (1) each round's
+    snapshot is time-travelable and the final one equals the one-shot
+    batch state; (2) a crash AFTER data write but BEFORE pointer advance
+    leaves readers on the old version, and the recommit is idempotent;
+    (3) vacuum removes old versions and crash orphans loudly, never the
+    live snapshot."""
+    import os
+
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "modvalues_versions")
+
+    bounds = fx["updates"].agg(
+        F.unix_micros(F.min("received_ts")).alias("lo_us"),
+        F.unix_micros(F.max("received_ts")).alias("hi_us"),
+    ).collect()[0]
+    lo_us, hi_us = bounds["lo_us"], bounds["hi_us"] + 1
+    step = (hi_us - lo_us) // 3 + 1
+
+    def round_state(i, stored):
+        upd = fx["updates"].filter(
+            (F.unix_micros("received_ts") >= lo_us + i * step)
+            & (F.unix_micros("received_ts") < lo_us + (i + 1) * step)
+        )
+        joined, _, _ = ingest.prepare_stream(
+            upd, fx["devices"], fx["templates"], fx["connections"]
+        )
+        return ingest.merge_perpoint_states(stored, ingest.perpoint_state(joined))
+
+    expected = []
+    stored = None
+    for i in range(3):
+        stored = round_state(i, stored)
+        v = TF.commit_version(stored, root)
+        assert v == i
+        expected.append({tuple(r) for r in stored.collect()})
+        stored = TF.read_version(spark, root)  # next round reads committed
+
+    # (1) time travel reproduces every intermediate state
+    for i in range(3):
+        got = {tuple(r) for r in TF.read_version(spark, root, version=i).collect()}
+        assert got == expected[i], f"version {i}"
+    assert TF.latest_version(root) == 2
+
+    # (2) crash: v3 data lands but the pointer never advances
+    crashed = round_state(2, TF.read_version(spark, root))  # any next state
+    crashed.write.mode("overwrite").parquet(
+        os.path.join(root, "data", "v00003")
+    )
+    assert TF.latest_version(root) == 2  # readers unaffected
+    assert {tuple(r) for r in TF.read_version(spark, root).collect()} == expected[2]
+    v = TF.commit_version(crashed, root)  # recommit after recovery
+    assert v == 3 and TF.latest_version(root) == 3
+
+    # (3) vacuum: keep newest 2, reclaim the rest + any orphans
+    removed = TF.vacuum(root, keep=2)
+    assert removed == [0, 1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="vacuum"):
+        TF.read_version(spark, root, version=0)
+    assert {tuple(r) for r in TF.read_version(spark, root).collect()} == {
+        tuple(r) for r in crashed.collect()
+    }
+    assert sorted(m["version"] for m in TF.history(root)) == [2, 3]
