@@ -263,3 +263,39 @@ def test_shuffle_and_epoch_assignments_stable_under_corpus_growth(spark):
     sp2 = {r["doc_id"]: r["split"] for r in DP.split_assign(grown).collect()}
     for did, split in sp1.items():
         assert sp2[did] == split
+
+
+@given(
+    data=st.data(),
+    n=st.integers(min_value=0, max_value=4),
+    h=st.sampled_from([2, 4, 6, 10]),
+    w=st.sampled_from([2, 4, 8]),
+    num=st.integers(min_value=1, max_value=60),
+    den=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_codec_roundtrip_property(data, n, h, w, num, den):
+    """Pure-Python property (no Spark job): encode_y4m -> decode_y4m is
+    the identity on the luma planes for every frame count x even
+    dimensions x frame rate, including the zero-frame stream."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import multimodal as M
+
+    total = n * h * w
+    flat = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=total, max_size=total,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    clip = flat.reshape(n, h, w)
+    frames, got_w, got_h, got_fps = M.decode_y4m(
+        M.encode_y4m(clip, fps_num=num, fps_den=den)
+    )
+    assert (got_w, got_h) == (w, h)
+    assert got_fps == num / den
+    assert frames.shape == clip.shape and (frames == clip).all()
