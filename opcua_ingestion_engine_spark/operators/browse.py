@@ -103,10 +103,20 @@ def browse_tree(
     # that decides termination, so one job per level does both (eager
     # checkpoint + isEmpty was two jobs; at ~0.15s fixed cost per local
     # job that halved the walk's wall time at sf0.1).
+    # Visited guard: OPC UA address spaces are reference GRAPHS, not
+    # strict trees — a cycle would keep the frontier alive for all
+    # max_depth levels and a diamond (multi-parent node) would emit the
+    # node once per parent. Each level therefore (a) dedupes its own
+    # children on the node key (same-level diamond) and (b) anti-joins
+    # the accumulated visited set (cycles / cross-level diamonds) — the
+    # visited keys are the same size class as the frontier, so the anti
+    # join broadcasts like everything else in the walk; a node's depth is
+    # its FIRST (shallowest) discovery, standard BFS semantics.
     for _ in range(max_depth):
         fkeys = frontier.select(
             "conn_id", F.col("node_id").alias("parent_id"), "depth"
         )
+        visited = result.select("conn_id", "node_id")
         children = (
             edges.join(
                 F.broadcast(fkeys) if broadcast_frontier else fkeys,
@@ -120,6 +130,12 @@ def browse_tree(
                 "display_name",
                 "node_class",
                 (F.col("depth") + 1).alias("depth"),
+            )
+            .dropDuplicates(["conn_id", "node_id"])
+            .join(
+                F.broadcast(visited) if broadcast_frontier else visited,
+                ["conn_id", "node_id"],
+                "left_anti",
             )
             .localCheckpoint(eager=False)
         )
@@ -156,12 +172,32 @@ def jstree_export(tree: DataFrame, conn_id: int) -> list[dict]:
             "children": [],
         }
         by_id[r["node_id"]] = node
-        parent = by_id.get(r["parent_id"]) if r["parent_id"] else None
-        (parent["children"] if parent else roots).append(node)
+        # Only a NULL parent is a root ('' or 0 are legitimate ids); a
+        # non-null parent that is absent from the slice is a LOUD error —
+        # silently promoting it to a root would emit a wrong hierarchy
+        # whenever the caller exports a filtered/depth-capped view.
+        if r["parent_id"] is None:
+            roots.append(node)
+            continue
+        parent = by_id.get(r["parent_id"])
+        if parent is None:
+            raise ValueError(
+                f"node {r['node_id']!r} references parent "
+                f"{r['parent_id']!r} which is not in the exported slice — "
+                "export the full per-connection tree, or filter to a "
+                "subtree whose root has parent_id NULL"
+            )
+        parent["children"].append(node)
     return roots
 
 
-def jstree_write(tree: DataFrame, conn_id: int, out_dir: str, name: str | None = None) -> str | None:
+def jstree_write(
+    tree: DataFrame,
+    conn_id: int,
+    out_dir: str,
+    name: str | None = None,
+    stale_lock_s: float = 600.0,
+) -> str | None:
     """S12 — serialize one connection's assembled jsTree to
     ``<out_dir>/<name>.json`` (Helpers/OpcuaBrowse.cs:156-182,256-264).
 
@@ -171,9 +207,17 @@ def jstree_write(tree: DataFrame, conn_id: int, out_dir: str, name: str | None =
     (:160-171): the writer claims ``<name>.json.tmp`` exclusively, writes,
     then atomically renames. Returns the final path, or None when another
     job holds the temp file.
+
+    Stale-lock recovery (deviation from the reference, which can wedge
+    here): a temp file older than ``stale_lock_s`` is an orphan from a
+    crashed writer — no live job holds a lock that long — so it is
+    reclaimed and the claim retried once; without this, one hard crash
+    between claim and rename makes every future export of the
+    connection return None forever.
     """
     import json
     import os
+    import time
 
     name = name or f"connection-{conn_id}"
     os.makedirs(out_dir, exist_ok=True)
@@ -182,7 +226,17 @@ def jstree_write(tree: DataFrame, conn_id: int, out_dir: str, name: str | None =
     try:
         fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        return None  # concurrent browse job in flight — reference skips
+        try:
+            age = time.time() - os.path.getmtime(tmp)
+        except FileNotFoundError:
+            age = 0.0  # holder just finished; treat as live contention
+        if age <= stale_lock_s:
+            return None  # concurrent browse job in flight — reference skips
+        try:  # orphan from a crashed writer — reclaim and retry once
+            os.unlink(tmp)
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except (FileNotFoundError, FileExistsError):
+            return None  # lost the reclaim race to another recoverer
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(jstree_export(tree, conn_id), f, indent=2)

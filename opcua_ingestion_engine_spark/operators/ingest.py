@@ -94,10 +94,21 @@ def change_only(updates: DataFrame, deadband: float = 0.0) -> DataFrame:
     w = W.partitionBy("node_id").orderBy("source_ts", "event_id")
     prev_v = F.lag("value").over(w)
     prev_s = F.lag("status_code").over(w)
+    # NULL-safe change semantics: "prev is null" must not double as the
+    # first-row marker (a stream can carry null VALUES, and a real
+    # transition to/from null IS a change — the plain `abs(v - prev) >
+    # deadband` evaluates to NULL there and filter() would silently drop
+    # the row). First row = row_number 1; value change = nullability
+    # flip OR numeric move; status change = null-safe inequality.
+    first = F.row_number().over(w) == 1
+    null_flip = F.col("value").isNull() != prev_v.isNull()
+    moved = (
+        F.col("value").isNotNull()
+        & prev_v.isNotNull()
+        & (F.abs(F.col("value") - prev_v) > F.lit(deadband))
+    )
     changed = (
-        prev_v.isNull()
-        | (F.abs(F.col("value") - prev_v) > F.lit(deadband))
-        | (F.col("status_code") != prev_s)
+        first | null_flip | moved | ~F.col("status_code").eqNullSafe(prev_s)
     )
     return updates.withColumn("_changed", changed).filter("_changed").drop("_changed")
 
@@ -120,9 +131,15 @@ def device_points(devices: DataFrame, templates: DataFrame) -> DataFrame:
 
 def device_server_urls(devices: DataFrame, connections: DataFrame) -> DataFrame:
     """J2 — device -> server URL via connection name
-    (OpcSubscribeService.cs:171-187,224)."""
+    (OpcSubscribeService.cs:171-187,224). The connection side's conn_id
+    is dropped before the join — both frames carry one, the join is on
+    the name, and leaving both in would make every downstream
+    F.col("conn_id") an AMBIGUOUS_REFERENCE trap."""
     return devices.join(
-        F.broadcast(connections.withColumnRenamed("connection_name", "server")),
+        F.broadcast(
+            connections.drop("conn_id")
+            .withColumnRenamed("connection_name", "server")
+        ),
         "server",
         "inner",
     )
@@ -305,6 +322,15 @@ def perpoint_state(joined: DataFrame) -> DataFrame:
     max ignores NULLs, so gating on `good` yields latest-good. One wide
     shuffle with map-side partial aggregation; at 100 TB the exchange
     moves at most one row per key per input partition.
+
+    The state key's tag comes from the CONFIG (``cfg_tag_name``), never
+    from the stream payload: the reference's modvalues rows carry the
+    template's tag (seeded at insert; updates only change values), so a
+    stream whose tag field diverges from the template must still fold
+    into the one configured (device, measure) row — grouping on the
+    stream tag would split that point into multiple never-merged state
+    rows and disagree with the S10 seed rows, which already use the
+    config tag.
     """
     good = F.col("status_code") == 0
     # Scaling applied pre-aggregation (codegen'd, no extra pass); value
@@ -320,6 +346,8 @@ def perpoint_state(joined: DataFrame) -> DataFrame:
     )
     return (
         joined.withColumn("scaled_value", F.when(good, scaled_value))
+        .drop("tag_name")
+        .withColumnRenamed("cfg_tag_name", "tag_name")
         .groupBy("daq_name", "measure_name", "device_type", "tag_name", "unit")
         .agg(
             F.max(

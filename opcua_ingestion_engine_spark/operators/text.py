@@ -77,19 +77,25 @@ def quality_metrics(
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame, text_col: str = "text", extra: tuple[str, ...] = ("lang",)
+) -> DataFrame:
     """Stopword-lexicon language ID: per-language hit count, argmax wins;
     ties and zero-hit documents fall back to 'und' (undetermined).
 
     Deterministic argmax: higher count wins, then lexicographically
     smaller language code (so the oracle can reproduce the tie-break).
+    ``extra`` names input columns carried through unchanged — the
+    fixture's ground-truth ``lang`` by default; pass ``()`` for a corpus
+    that has no such column (the natural language-ID input is just
+    (doc_id, text)).
     """
     t = F.col(text_col)
     hit_cols = [
         stopword_hits(t, words).alias(f"hits_{lang}")
         for lang, words in sorted(LANG_STOPWORDS.items())
     ]
-    scored = docs.select("doc_id", "lang", *hit_cols)
+    scored = docs.select("doc_id", *extra, *hit_cols)
     langs = sorted(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     guess = F.lit("und")
@@ -101,7 +107,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(guess)
     return scored.select(
         "doc_id",
-        "lang",
+        *extra,
         guess.alias("lang_guess"),
         *[F.col(f"hits_{lang}") for lang in langs],
     )

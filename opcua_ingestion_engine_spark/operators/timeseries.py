@@ -140,23 +140,31 @@ def range_join_buckets(
     buckets — the left side is exploded to those (bounded 2x fan-out,
     on the side that is usually the smaller "query" stream) and refined
     with the exact predicate after the hash join. Returns the paired
-    rows with both timestamps; callers aggregate as needed.
+    rows with both timestamps; callers aggregate as needed. When the
+    two timestamp columns share a name, the right one comes back as
+    ``<name>_right`` (and the refine predicate is built side-qualified,
+    so same-name inputs never hit AMBIGUOUS_REFERENCE).
     """
     if upper_s <= lower_s:
         raise ValueError(
             f"range_join_buckets needs a non-degenerate window: "
             f"lower_s={lower_s} upper_s={upper_s}"
         )
+    if right_ts == left_ts:
+        out_right_ts = right_ts + "_right"
+        right = right.withColumnRenamed(right_ts, out_right_ts)
+        right_ts = out_right_ts
     width_us = (upper_s - lower_s) * 1_000_000
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
-    lo = l_us + lower_s * 1_000_000
+    lo = F.unix_micros(F.col(left_ts)) + lower_s * 1_000_000
     lhs = left.withColumn("_lo_us", lo).withColumn(
         "_bucket", F.explode(F.array(
             F.floor(lo / width_us), F.floor(lo / width_us) + 1
         ))
     )
-    rhs = right.withColumn("_bucket", F.floor(r_us / width_us))
+    rhs = right.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(right_ts)) / width_us)
+    )
+    r_us = F.unix_micros(rhs[right_ts])
     cond = (
         (lhs[key] == rhs[key])
         & (lhs["_bucket"] == rhs["_bucket"])
@@ -236,8 +244,17 @@ def rolling_zscore_anomalies(
     (double/0 is NULL in non-ANSI mode; sqrt of the tiny-negative var
     float rounding can produce is NaN) while IEEE engines like DuckDB
     return Infinity — an engine-dependent miss, not a semantics choice.
-    The streaming twin (streaming/anomaly.py) implements the same
-    branch."""
+
+    The zero-spread test itself runs on the QUANTIZED values via the
+    window's decimal min/max ENVELOPE, never against the double mean:
+    ``s1/n`` is generally not bit-equal to the flat value even for a
+    perfectly flat window (``(3 * 0.1) / 3 != 0.1`` in doubles), and a
+    var that cancels to <= 0 under large offsets (ulp(1e12) ~ 1e-4)
+    does not mean the history was flat. Rule: var <= 0 flags exactly
+    the values OUTSIDE the observed [min, max] decimal envelope —
+    sub-quantum noise inside the envelope is never an anomaly, a real
+    departure always is. The streaming twin (streaming/anomaly.py)
+    implements the same branch."""
     v_dec = F.col(val_col).cast(DEC)
     w = (
         W.partitionBy(key_col)
@@ -247,6 +264,8 @@ def rolling_zscore_anomalies(
     n = F.count(val_col).over(w)
     s1 = F.sum(v_dec).over(w).cast("double")
     s2 = F.sum((v_dec * v_dec).cast(DEC)).over(w).cast("double")
+    mx = F.max(v_dec).over(w)
+    mn = F.min(v_dec).over(w)
     nd = n.cast("double")
     # Total arithmetic: clamp divisors so short-window rows (n < 2, which
     # the filter below removes) never divide by zero — ANSI mode raises
@@ -258,18 +277,19 @@ def rolling_zscore_anomalies(
     var = (s2 - s1 * s1 / F.greatest(nd, F.lit(1.0))) / F.greatest(
         nd - F.lit(1.0), F.lit(1.0)
     )
-    z = F.when(
-        var > 0, (F.col(val_col) - mean) / F.sqrt(var)
-    ).otherwise(
-        F.signum(F.col(val_col) - mean) * F.lit(float("inf"))
+    z = (
+        F.when(var > 0, (F.col(val_col) - mean) / F.sqrt(var))
+        .when(v_dec > mx, F.lit(float("inf")))
+        .when(v_dec < mn, F.lit(float("-inf")))
     )
     flagged = (F.col("_n") >= 2) & (
         ((F.col("_var") > 0) & (F.abs(F.col("z")) > z_thresh))
-        | ((F.col("_var") <= 0) & (F.col(val_col) != F.col("_mean")))
+        | ((F.col("_var") <= 0) & ((v_dec > F.col("_mx")) | (v_dec < F.col("_mn"))))
     )
     return (
         events.withColumn("_n", n)
-        .withColumn("_mean", mean)
+        .withColumn("_mx", mx)
+        .withColumn("_mn", mn)
         .withColumn("_var", var)
         .withColumn("z", z)
         .filter(flagged)

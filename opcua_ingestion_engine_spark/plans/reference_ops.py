@@ -53,13 +53,18 @@ def q_f1(spark, sf_dir):
         , w AS (
             SELECT node_id, event_id, value, status_code,
                    lag(value) OVER pt AS prev_v,
-                   lag(status_code) OVER pt AS prev_s
+                   lag(status_code) OVER pt AS prev_s,
+                   row_number() OVER pt AS rn
             FROM opc_updates
             WINDOW pt AS (PARTITION BY node_id ORDER BY source_ts, event_id)
         )
         SELECT node_id, event_id, value, status_code
         FROM w
-        WHERE prev_v IS NULL OR abs(value - prev_v) > 0.0 OR status_code <> prev_s
+        WHERE rn = 1
+           OR (value IS NULL) <> (prev_v IS NULL)
+           OR (value IS NOT NULL AND prev_v IS NOT NULL
+               AND abs(value - prev_v) > 0.0)
+           OR status_code IS DISTINCT FROM prev_s
     """),
     "F2 — change-only transport filter: value/status change vs previous "
     "update of the point; deadband=0 (DataChangeFilter, "

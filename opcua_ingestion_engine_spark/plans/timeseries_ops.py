@@ -278,7 +278,9 @@ def q_t_downsample_ohlc(spark, sf_dir):
                CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
                CAST(sum(CAST(CAST(value AS DECIMAL(38,6))
                              * CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6)))
-                    OVER w AS DOUBLE) AS s2
+                    OVER w AS DOUBLE) AS s2,
+               max(CAST(value AS DECIMAL(38,6))) OVER w AS mx,
+               min(CAST(value AS DECIMAL(38,6))) OVER w AS mn
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -288,22 +290,28 @@ def q_t_downsample_ohlc(spark, sf_dir):
            CASE WHEN (s2 - s1 * s1 / n) / (n - 1.0) > 0
                 THEN (value - s1 / n)
                      / sqrt((s2 - s1 * s1 / n) / (n - 1.0))
-                ELSE sign(value - s1 / n) * CAST('infinity' AS DOUBLE)
+                WHEN CAST(value AS DECIMAL(38,6)) > mx
+                THEN CAST('infinity' AS DOUBLE)
+                ELSE CAST('-infinity' AS DOUBLE)
            END AS z
     FROM f
     WHERE n >= 2
       AND (((s2 - s1 * s1 / n) / (n - 1.0) > 0
             AND abs((value - s1 / n)
                     / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 3.0)
-           OR ((s2 - s1 * s1 / n) / (n - 1.0) <= 0 AND value <> s1 / n))
+           OR ((s2 - s1 * s1 / n) / (n - 1.0) <= 0
+               AND (CAST(value AS DECIMAL(38,6)) > mx
+                    OR CAST(value AS DECIMAL(38,6)) < mn)))
     """,
     "Rolling z-score anomaly flags: |value - mean| > 3 sample stddevs "
     "over the preceding 20 same-key points. One shuffle by key, one "
     "shared per-key sort; mean/var from DECIMAL-exact frame sums (float "
     "sliding-frame aggregation rounds engine-dependently), z arithmetic "
     "in double over those exact sums; zero-spread windows branch "
-    "explicitly (flat-line-then-spike flags as +/-Infinity in BOTH "
-    "engines, instead of Spark's NULL-on-div-by-zero dropping it)",
+    "explicitly via the window's DECIMAL min/max envelope (values "
+    "outside it flag as +/-Infinity in BOTH engines; sub-quantum noise "
+    "inside it never flags — comparing against the double mean would "
+    "misfire both ways)",
 )
 def q_t_anomaly_zscore(spark, sf_dir):
     out = TS.rolling_zscore_anomalies(_events(spark, sf_dir))

@@ -54,21 +54,27 @@ def _q(v: float) -> Decimal:
 def _score(v: float, window: list[float]) -> float | None:
     """Batch-identical z: DECIMAL-exact s1/s2 over the window, double
     arithmetic after. Returns None when the window can't estimate
-    spread (fewer than 2 points)."""
+    spread (fewer than 2 points). Zero-spread windows branch on the
+    window's quantized min/max ENVELOPE, exactly like the batch
+    operator: values outside it are +/-Infinity, sub-quantum noise
+    inside it is not an anomaly (NaN -> unflagged)."""
     n = len(window)
     if n < 2:
         return None
-    s1 = float(sum(_q(x) for x in window))
-    s2 = float(sum((_q(x) * _q(x)).quantize(_Q6, rounding=ROUND_HALF_UP)
-                   for x in window))
+    qs = [_q(x) for x in window]
+    s1 = float(sum(qs))
+    s2 = float(sum((q * q).quantize(_Q6, rounding=ROUND_HALF_UP) for q in qs))
     nd = float(n)
     mean = s1 / nd
     var = (s2 - s1 * s1 / nd) / (nd - 1.0)
     s = math.sqrt(var) if var > 0 else 0.0
     if s == 0.0:
-        if v == mean:
-            return float("nan")
-        return math.inf if v > mean else -math.inf
+        qv = _q(v)
+        if qv > max(qs):
+            return math.inf
+        if qv < min(qs):
+            return -math.inf
+        return float("nan")
     return (v - mean) / s
 
 

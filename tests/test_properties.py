@@ -110,6 +110,9 @@ def test_perpoint_merge_is_split_invariant(spark, events, rnd):
             "measure_name",
             "device_type",
             "tag_name",
+            # perpoint_state keys on the CONFIG tag; in this harness the
+            # stream and config tags coincide, as in the fixture corpus
+            F.col("tag_name").alias("cfg_tag_name"),
             "unit",
             F.timestamp_micros(F.col("ts_us")).alias("received_ts"),
             "event_id",

@@ -218,3 +218,43 @@ def test_zscore_flat_line_then_spike_flagged(spark):
     assert _score(100.0, [5.0, 5.0, 5.0]) == math.inf
     assert _score(-100.0, [5.0, 5.0, 5.0]) == -math.inf
     assert math.isnan(_score(5.0, [5.0, 5.0, 5.0]))
+
+
+def test_zscore_zero_spread_uses_quantized_envelope(spark):
+    """Zero-spread semantics: (1) sub-quantum noise (inside the window's
+    DECIMAL(38,6) min/max envelope) after a flat history is NOT an
+    anomaly; (2) a real departure from a flat history flags +/-inf;
+    (3) a large-offset near-flat history (var cancels to <= 0 in
+    doubles) still flags a genuine spike outside the envelope."""
+    from datetime import datetime
+
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(1, i, datetime(2024, 1, 1, 0, 0, i), v)
+             for i, v in enumerate(rows)],
+            "user_id long, event_id long, ts timestamp, value double",
+        )
+
+    # flat 0.1s then noise at 1e-9 (quantizes to the same 0.100000)
+    noisy = mk([0.1, 0.1, 0.1, 0.100000001])
+    assert TS.rolling_zscore_anomalies(noisy).count() == 0
+
+    # flat 0.1s then a real spike
+    spike = mk([0.1, 0.1, 0.1, 9.0])
+    out = TS.rolling_zscore_anomalies(spike).collect()
+    assert len(out) == 1 and out[0]["z"] == float("inf")
+    drop = mk([0.1, 0.1, 0.1, -9.0])
+    out = TS.rolling_zscore_anomalies(drop).collect()
+    assert len(out) == 1 and out[0]["z"] == float("-inf")
+
+    # large offset, quantum-distinct values: var cancels to <= 0 in
+    # doubles (ulp(1e12) ~ 1e-4 >> the 1e-6 spread) but the envelope
+    # still classifies correctly: inside -> quiet, outside -> flagged
+    base = 1_000_000_000_000.0
+    inside = mk([base, base + 0.000002, base, base + 0.000001])
+    assert TS.rolling_zscore_anomalies(inside).count() == 0
+    outside = mk([base, base + 0.000002, base, base + 5.0])
+    out = TS.rolling_zscore_anomalies(outside).collect()
+    assert len(out) == 1 and out[0]["z"] == float("inf")

@@ -530,3 +530,129 @@ def test_check_constraints_counts_planted_violations(spark):
             clean, [V.not_null("ck")], unique_cols=["k"]
         ).collect()
     )
+
+
+def test_perpoint_state_keys_on_config_tag_not_stream_tag(spark):
+    """A stream whose tag field diverges from the template's tag must
+    still fold into ONE state row per configured (device, measure),
+    carrying the CONFIG tag — grouping on the stream tag would split
+    the point into never-merged rows and disagree with S10 seeds."""
+    from opcua_ingestion_engine_spark.operators.ingest import perpoint_state
+
+    rows = [
+        ("d1", "click", "inverter", "weird_tag", "click_raw", "W",
+         0, "5.0", ts("2024-01-01T00:00:01"), 1),
+        ("d1", "click", "inverter", "click_raw", "click_raw", "W",
+         0, "7.0", ts("2024-01-01T00:00:02"), 2),
+    ]
+    joined = spark.createDataFrame(
+        rows,
+        "daq_name string, measure_name string, device_type string, "
+        "tag_name string, cfg_tag_name string, unit string, "
+        "status_code int, value string, received_ts timestamp, "
+        "event_id long",
+    ).selectExpr(
+        "*", "CAST(NULL AS string) AS scale_mode",
+        "CAST(NULL AS decimal(10,4)) AS slope",
+        "CAST(NULL AS decimal(10,4)) AS offset",
+        "CAST(NULL AS decimal(10,4)) AS factor",
+        "CAST(NULL AS decimal(10,4)) AS target_min",
+    )
+    out = perpoint_state(joined).collect()
+    assert len(out) == 1
+    assert out[0]["tag_name"] == "click_raw"
+    assert out[0]["good_latest"]["event_id"] == 2
+
+
+def test_browse_tree_handles_cycles_and_diamonds(spark):
+    """The address space is a reference GRAPH: a cycle must terminate
+    with each node emitted ONCE at its shallowest depth, and a diamond
+    (two parents) must emit the child once, not twice."""
+    from opcua_ingestion_engine_spark.operators.browse import browse_tree
+
+    rows = [
+        # cycle: root -> A -> B -> A
+        (0, None, "root", "root", "Object"),
+        (0, "root", "A", "A", "Object"),
+        (0, "A", "B", "B", "Object"),
+        (0, "B", "A", "A", "Object"),
+        # diamond: root -> C, root -> D, C -> E, D -> E
+        (0, "root", "C", "C", "Object"),
+        (0, "root", "D", "D", "Object"),
+        (0, "C", "E", "E", "Variable"),
+        (0, "D", "E", "E", "Variable"),
+    ]
+    nodes = spark.createDataFrame(
+        rows,
+        "conn_id int, parent_id string, node_id string, "
+        "display_name string, node_class string",
+    )
+    excl = spark.createDataFrame([], "conn_id int, folder string")
+    out = browse_tree(nodes, excl).collect()
+    ids = [r["node_id"] for r in out]
+    assert sorted(ids) == ["A", "B", "C", "D", "E", "root"]  # each once
+    depth = {r["node_id"]: r["depth"] for r in out}
+    assert depth == {"root": 0, "A": 1, "C": 1, "D": 1, "B": 2, "E": 2}
+
+
+def test_jstree_write_recovers_stale_lock(spark, tmp_path):
+    """A crashed writer's orphan .tmp must not wedge the export forever:
+    fresh locks still skip (live contention), stale locks are reclaimed."""
+    import os
+    import time
+
+    from opcua_ingestion_engine_spark.operators.browse import (
+        browse_tree, jstree_write,
+    )
+
+    nodes = spark.createDataFrame(
+        [(0, None, "root", "root", "Object")],
+        "conn_id int, parent_id string, node_id string, "
+        "display_name string, node_class string",
+    )
+    excl = spark.createDataFrame([], "conn_id int, folder string")
+    tree = browse_tree(nodes, excl)
+    out = str(tmp_path)
+
+    tmp = os.path.join(out, "connection-0.json.tmp")
+    open(tmp, "w").close()
+    # fresh lock: live contention, skip
+    assert jstree_write(tree, 0, out) is None
+    # stale lock: reclaimed, write succeeds
+    os.utime(tmp, (time.time() - 7200, time.time() - 7200))
+    path = jstree_write(tree, 0, out)
+    assert path and os.path.exists(path) and not os.path.exists(tmp)
+
+
+def test_jstree_export_rejects_orphan_parents(spark):
+    """Exporting a slice that lost a parent must fail loudly, never
+    silently promote the orphan to a root."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators.browse import (
+        browse_tree, jstree_export,
+    )
+
+    nodes = spark.createDataFrame(
+        [(0, None, "root", "root", "Object"),
+         (0, "root", "A", "A", "Object"),
+         (0, "A", "B", "B", "Variable")],
+        "conn_id int, parent_id string, node_id string, "
+        "display_name string, node_class string",
+    )
+    excl = spark.createDataFrame([], "conn_id int, folder string")
+    tree = browse_tree(nodes, excl)
+    assert len(jstree_export(tree, 0)) == 1  # full tree: fine
+    with _pytest.raises(ValueError, match="not in the exported slice"):
+        jstree_export(tree.filter(F.col("depth") >= 1), 0)
+
+
+def test_lang_id_works_without_ground_truth_column(spark):
+    from opcua_ingestion_engine_spark.operators.text import lang_id
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat is a cat"), (2, "der hund und die katze ist")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs, extra=()).collect()}
+    assert out == {1: "en", 2: "de"}
