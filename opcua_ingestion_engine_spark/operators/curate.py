@@ -93,7 +93,10 @@ def curate_corpus_clustered(
         survivors, block_col="lang", text_col=text_col, threshold=near_threshold
     )
     comp = connected_components(pairs)  # (node, component); paired docs only
-    cluster_reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
+    # connected_components labels each component with its MINIMUM node id
+    # (its documented contract), so the representatives are simply the
+    # distinct labels — no min-per-group re-aggregation needed
+    cluster_reps = comp.select(F.col("component").alias("doc_id")).distinct()
     singles = reps.join(
         comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
     )

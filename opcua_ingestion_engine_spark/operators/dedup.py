@@ -229,6 +229,50 @@ def _lcg(seed: int):
         yield state >> 2
 
 
+def banded_buckets(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, bucket) rows of the banded signature — THE shared
+    bucketing expression: the batch candidate generator and the
+    streaming-incremental index both call this, so their bucket rows are
+    byte-identical by construction, never by parallel editing.
+
+    Geometry guard: a band reading past the signature end would getItem
+    NULLs, and ``F.hash`` of all-NULLs is the CONSTANT seed (42) — every
+    document would silently share one bucket per overflowing band,
+    collapsing the corpus into the all-pairs blowup this module exists
+    to avoid. Signature length is checked per row; the mismatch fails
+    the job loudly instead.
+    """
+    guarded = F.when(
+        F.size("signature") >= bands * rows_per_band, F.col("signature")
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"signature too short for {bands}x{rows_per_band} banding: "),
+            F.size("signature").cast("string"),
+            F.lit(" hashes"),
+        ))
+    )
+    return signatures.select(
+        "doc_id",
+        guarded.alias("_sig"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[
+                        F.col("_sig").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 32,
@@ -254,21 +298,7 @@ def lsh_candidate_pairs(
     corpora where the O(k^2) in-task expansion would blow up; skipped
     buckets lose their candidates, so cap only above the exact-dup scale.
     """
-    banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.hash(*[
-                        F.col("signature").getItem(b * rows_per_band + r)
-                        for r in range(rows_per_band)
-                    ]).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = banded_buckets(signatures, bands, rows_per_band)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -342,6 +372,11 @@ def minhash_neardup_pairs(
       no O(cached-plans) sameResult scans on later queries — same
       rationale as ingest.prepare_stream.)
     """
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"band geometry {bands}x{rows_per_band} needs "
+            f"{bands * rows_per_band} hashes, got num_hashes={num_hashes}"
+        )
     shingle_expr = F.array_distinct(word_ngrams(F.col(text_col), n))
     sh = docs.select("doc_id", shingle_expr.alias("shingles"))
     sig = minhash_signatures(sh, num_hashes)

@@ -154,19 +154,6 @@ def _hyperplane_values(plane_idx: int, dim: int) -> list[float]:
     return comps
 
 
-def _hyperplane(plane_idx: int, dim: int):
-    """The same hyperplane as an array<double> literal column (used by the
-    expression-side signature in lsh_signature)."""
-    return F.array(*[F.lit(v) for v in _hyperplane_values(plane_idx, dim)])
-
-
-def lsh_signature(vec, planes: list) -> list:
-    """Sign bit per hyperplane."""
-    return [
-        F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in planes
-    ]
-
-
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -269,7 +256,12 @@ def _centroid_matrix(embeddings: DataFrame, n_cells: int, lloyd_iters: int,
     cent = np.array([r["u"] for r in seeds], dtype=np.float64)  # (k, dim)
 
     for _ in range(lloyd_iters):
-        planes = cent  # capture for the UDF closure
+        # SNAPSHOT the centroids for the UDF closure — cent is mutated
+        # in place by the update loop below, and only collect()'s eager
+        # serialization keeps an aliased capture correct; a copy makes
+        # the round's assignment independent of evaluation order (same
+        # discipline as _pq_codebooks' books.copy())
+        planes = cent.copy()
 
         @pandas_udf("int")
         def nearest_cell(vecs: pd.Series) -> pd.Series:

@@ -38,17 +38,27 @@ def upsert_matched(
 
     ``incoming`` must be key-unique (pre-reduce with latest-per-key A2,
     as the serialized reference upserts do implicitly). Implemented as a
-    left join of current onto incoming + per-column coalesce — one shuffle
-    co-partitioned on the key (or a broadcast when the incoming batch is
-    small, which is the streaming micro-batch case: let AQE decide).
+    left join of current onto incoming + matched-marker CASE per SET
+    column — one shuffle co-partitioned on the key (or a broadcast when
+    the incoming batch is small, which is the streaming micro-batch
+    case: let AQE decide). MATCHED is the join marker, never value
+    nullability: SQL's WHEN MATCHED UPDATE overwrites every SET column
+    together, so a matched row with a NULL incoming value writes NULL
+    (per-column coalesce would keep stale values and update the columns
+    inconsistently).
     """
     inc = incoming.select(
-        *keys, *[F.col(c).alias(f"_new_{c}") for c in set_cols]
+        *keys,
+        *[F.col(c).alias(f"_new_{c}") for c in set_cols],
+        F.lit(True).alias("_m"),
     )
     out = current.join(inc, keys, "left")
+    matched = F.col("_m").isNotNull()
     for c in set_cols:
-        out = out.withColumn(c, F.coalesce(F.col(f"_new_{c}"), F.col(c)))
-    return out.drop(*[f"_new_{c}" for c in set_cols])
+        out = out.withColumn(
+            c, F.when(matched, F.col(f"_new_{c}")).otherwise(F.col(c))
+        )
+    return out.drop("_m", *[f"_new_{c}" for c in set_cols])
 
 
 def insert_if_missing(current: DataFrame, seeds: DataFrame, keys: list[str]) -> DataFrame:
@@ -103,13 +113,20 @@ def upsert_values(
         "measure_name",
         F.col("scaled_value").alias("_v"),
         format_modvalues_ts("received_ts").alias("_ts"),
+        F.lit(True).alias("_m"),
     )
     out = current.join(inc, ["device", "measure_name"], "left")
+    # MATCHED is decided by the join marker, never by value nullability:
+    # SQL's WHEN MATCHED UPDATE overwrites every SET column together, so
+    # a matched row with a NULL incoming value writes NULL (coalesce
+    # would silently keep the stale value while last_updated advanced —
+    # a row claiming freshness it does not have).
+    matched = F.col("_m").isNotNull()
     return (
-        out.withColumn("tag_value", F.coalesce("_v", "tag_value"))
-        .withColumn("measure_value", F.coalesce("_v", "measure_value"))
-        .withColumn("last_updated", F.coalesce("_ts", "last_updated"))
-        .drop("_v", "_ts")
+        out.withColumn("tag_value", F.when(matched, F.col("_v")).otherwise(F.col("tag_value")))
+        .withColumn("measure_value", F.when(matched, F.col("_v")).otherwise(F.col("measure_value")))
+        .withColumn("last_updated", F.when(matched, F.col("_ts")).otherwise(F.col("last_updated")))
+        .drop("_v", "_ts", "_m")
     )
 
 
@@ -222,9 +239,25 @@ def compact_small_files(
     import os
     import shutil
 
+    # Hive-partitioned layouts are REFUSED, not silently flattened: a
+    # coalesce rewrite would mix all partition values into flat files —
+    # destroying directory pruning and leaving partition=... readers
+    # finding nothing. Compact such tables per partition directory.
+    parts = [
+        d for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if parts:
+        raise ValueError(
+            f"{path} is hive-partitioned ({parts[0]}, ...) — compact each "
+            "partition directory individually; a whole-table rewrite "
+            "would flatten the partitioning"
+        )
     files = [
         f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     ]
+    if not files:
+        return 0  # nothing to compact (schema inference would fail anyway)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     tmp = path.rstrip("/") + ".compact_tmp"

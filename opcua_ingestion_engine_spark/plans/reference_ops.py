@@ -534,15 +534,19 @@ def _sink_inputs(spark, sf_dir):
     "q_s9_upsert_matched",
     C.with_fixture_ctes(_SINK_BASE_SQL + """
         SELECT c.device, c.device_type, c.tag_name,
-               coalesce(l.scaled_value, c.tag_value) AS tag_value,
+               CASE WHEN l.m THEN l.scaled_value ELSE c.tag_value END
+                   AS tag_value,
                c.measure_name,
-               coalesce(l.scaled_value, c.measure_value) AS measure_value,
+               CASE WHEN l.m THEN l.scaled_value ELSE c.measure_value END
+                   AS measure_value,
                c.source_unit, c.destination_unit,
-               coalesce(strftime(l.received_ts, '%Y-%m-%dT%H:%M:%S.%f'),
-                        c.last_updated) AS last_updated,
+               CASE WHEN l.m
+                    THEN strftime(l.received_ts, '%Y-%m-%dT%H:%M:%S.%f')
+                    ELSE c.last_updated END AS last_updated,
                c.logging
         FROM current_tbl c
-        LEFT JOIN latest l USING (device, measure_name)
+        LEFT JOIN (SELECT *, TRUE AS m FROM latest) l
+            USING (device, measure_name)
     """),
     "S9/J6 — MERGE WHEN MATCHED UPDATE: batch of latest updates applied "
     "onto the seeded modvalues table (ModifyMeasure, "

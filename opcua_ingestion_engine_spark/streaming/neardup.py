@@ -22,11 +22,20 @@ doc arrives — so the union of emissions over any batch split equals the
 batch pipeline's output (pinned by
 test_incremental_neardup_matches_batch).
 
-Both states grow append-only and are localCheckpoint'ed per batch
-(linear plans, same discipline as the replay merge sink); a real
+Both states grow append-only; only each batch's INCREMENT is eagerly
+localCheckpoint'ed (the running unions stay lazy over those checkpointed
+leaves — re-checkpointing the whole accumulated state per batch would
+copy O(batches^2) historical rows over the stream's life). A real
 deployment writes them as bucketed tables (bucket key: (band, bucket)
 for the index) so the per-batch candidate join is exchange-free on the
 stored side.
+
+Redelivery: ``foreachBatch`` is at-least-once — a fully processed
+micro-batch can re-execute after a failure before the checkpoint
+commit, with the SAME batch_id. ``process_batch`` therefore skips a
+batch_id it has already processed, and the new-vs-index path drops
+self-pairs (a redelivered doc meets itself in the index at jaccard
+1.0). Both are pinned by the redelivery test in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -54,35 +63,30 @@ class IncrementalNearDupSink:
         self.num_hashes = num_hashes
         self.bands = bands
         self.rows_per_band = rows_per_band
+        if bands * rows_per_band > num_hashes:
+            raise ValueError(
+                f"band geometry {bands}x{rows_per_band} needs "
+                f"{bands * rows_per_band} hashes, got num_hashes={num_hashes}"
+            )
         self.index: DataFrame | None = None     # (band, bucket, doc_id)
         self.shingles: DataFrame | None = None  # (doc_id, shingles)
         self.pairs: DataFrame | None = None     # (doc_a, doc_b, jaccard)
         self.batches_seen = 0
-
-    def _banded(self, sig: DataFrame) -> DataFrame:
-        r = self.rows_per_band
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[
-                            F.col("signature").getItem(b * r + i) for i in range(r)
-                        ]).alias("bucket"),
-                    )
-                    for b in range(self.bands)
-                ])
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.bucket")
+        self._done_batch_ids: set[int] = set()
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        if batch_id in self._done_batch_ids:
+            return  # at-least-once redelivery of a committed batch
         sh_new = batch_docs.select(
             "doc_id",
             F.array_distinct(D.word_ngrams(F.col("text"), self.n)).alias("shingles"),
         ).localCheckpoint(eager=True)
         sig_new = D.minhash_signatures(sh_new, self.num_hashes)
-        banded_new = self._banded(sig_new).localCheckpoint(eager=True)
+        # the SAME bucketing expression as batch lsh_candidate_pairs —
+        # shared code, so incremental and batch bucket rows cannot drift
+        banded_new = D.banded_buckets(
+            sig_new, self.bands, self.rows_per_band
+        ).localCheckpoint(eager=True)
 
         # new-vs-old: same (band, bucket) against the accumulated index
         cands = None
@@ -96,6 +100,10 @@ class IncrementalNearDupSink:
             # larger id
             cands = (
                 old.join(new, ["band", "bucket"])
+                # drop self-pairs: a doc already present in the index (a
+                # duplicate id, or redelivery racing the guard) meets
+                # itself at jaccard 1.0 otherwise
+                .filter(F.col("_o") != F.col("_n"))
                 .select(
                     F.least("_o", "_n").alias("doc_a"),
                     F.greatest("_o", "_n").alias("doc_b"),
@@ -143,13 +151,18 @@ class IncrementalNearDupSink:
             .localCheckpoint(eager=True)
         )
 
+        # running unions stay LAZY over the per-batch checkpointed
+        # increments (sh_new/banded_new/verified): linear O(batch) work
+        # per batch; eagerly re-checkpointing the accumulated state here
+        # would copy every historical row again each batch (O(batches^2))
         self.pairs = (
             verified if self.pairs is None else self.pairs.unionByName(verified)
         )
         self.index = (
             banded_new
             if self.index is None
-            else self.index.unionByName(banded_new).localCheckpoint(eager=True)
+            else self.index.unionByName(banded_new)
         )
-        self.shingles = store.localCheckpoint(eager=True)
+        self.shingles = store
         self.batches_seen += 1
+        self._done_batch_ids.add(batch_id)

@@ -43,7 +43,12 @@ def write_replay_batches(
     """Split the update stream into ``num_batches`` files by received_ts
     order (ntile), one parquet file per micro-batch. Returns file paths."""
     w = W.orderBy("received_ts", "event_id")
-    batched = updates.withColumn("_b", F.ntile(num_batches).over(w))
+    # materialize the ntile assignment ONCE: the per-batch filter loop
+    # below would otherwise re-run the full single-partition window sort
+    # num_batches times (one whole-stream sort per file written)
+    batched = updates.withColumn(
+        "_b", F.ntile(num_batches).over(w)
+    ).localCheckpoint(eager=True)
     paths = []
     for b in range(1, num_batches + 1):
         path = os.path.join(out_dir, f"batch_{b:04d}")

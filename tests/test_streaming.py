@@ -1003,3 +1003,28 @@ def test_incremental_corpus_build_batching_invariance(spark):
     before = sink2.digests.count()
     sink2.process_batch(docs, 1)  # full replay
     assert sink2.digests.count() == before  # no digest re-admitted
+
+
+def test_incremental_neardup_redelivery_is_idempotent(spark):
+    """foreachBatch is at-least-once: re-executing a committed batch with
+    the same batch_id must not emit self-pairs, duplicate pairs, or
+    double-append state."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.streaming.neardup import (
+        IncrementalNearDupSink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    sink = IncrementalNearDupSink(threshold=0.2)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    pairs_before = sorted(tuple(r) for r in sink.pairs.collect())
+    index_before = sink.index.count()
+
+    sink.process_batch(b1, 1)  # redelivery of a committed batch
+    assert sorted(tuple(r) for r in sink.pairs.collect()) == pairs_before
+    assert sink.index.count() == index_before
+    assert not any(a == b for a, b, _ in pairs_before)

@@ -656,3 +656,43 @@ def test_lang_id_works_without_ground_truth_column(spark):
     )
     out = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs, extra=()).collect()}
     assert out == {1: "en", 2: "de"}
+
+
+def test_upsert_matched_null_value_overwrites(spark, current_tbl):
+    """MERGE WHEN MATCHED overwrites every SET column together: a matched
+    row with a NULL incoming value writes NULL and still advances
+    last_updated — per-column coalesce would keep the stale value under
+    a fresh timestamp."""
+    from opcua_ingestion_engine_spark.operators.sink import upsert_values
+
+    inc = spark.createDataFrame(
+        [("d1", "click", None, ts("2024-01-01T00:00:05"))],
+        "device string, measure_name string, scaled_value double, "
+        "received_ts timestamp",
+    )
+    out = {(r["device"], r["measure_name"]): r
+           for r in upsert_values(current_tbl, inc).collect()}
+    row = out[("d1", "click")]
+    assert row["tag_value"] is None and row["measure_value"] is None
+    assert row["last_updated"].startswith("2024-01-01T00:00:05")
+    assert out[("d2", "click")]["tag_value"] == 2.0  # unmatched untouched
+
+
+def test_compact_refuses_partitioned_and_handles_empty(spark, tmp_path):
+    from opcua_ingestion_engine_spark.operators import sink
+
+    # hive-partitioned table: refuse, never flatten
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, event_date string"
+    )
+    p = str(tmp_path / "parts")
+    ev.write.partitionBy("event_date").parquet(p)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        sink.compact_small_files(spark, p)
+    # content untouched by the refusal
+    assert spark.read.parquet(p).count() == 2
+
+    # empty directory: no-op, not a schema-inference crash
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert sink.compact_small_files(spark, str(empty)) == 0
