@@ -66,9 +66,15 @@ _DIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _memo_ckpt(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    k = (app, sf_dir, key)
     df = _DIM_CACHE.get(k)
     if df is None:
+        # evict dead-session entries on miss: keys under a different
+        # applicationId reference checkpointed frames of stopped sessions
+        # and would otherwise pin driver memory for process lifetime
+        for stale in [kk for kk in _DIM_CACHE if kk[0] != app]:
+            del _DIM_CACHE[stale]
         df = build().localCheckpoint(eager=True)
         _DIM_CACHE[k] = df
     return df
@@ -106,12 +112,17 @@ def opc_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag_name = F.concat(F.col("event_type"), F.lit("_raw"))
     return ev.select(
         F.col("event_id"),
+        # The connection is a property of the DEVICE (user_id % 100), so
+        # updates ride the connection the device catalog assigns — deriving
+        # it from the raw user_id made users 3/103/203 deliver DEV-003's
+        # traffic over three different connections, contradicting
+        # site_devices (and silently distorting per-connection staleness).
         F.concat(
             F.lit("opc.tcp://10.10.100."),
-            (F.col("user_id") % 3 + 1).cast("string"),
+            (F.col("user_id") % 100 % 3 + 1).cast("string"),
             F.lit(":62541"),
         ).alias("server_url"),
-        (F.col("user_id") % 3).cast("int").alias("conn_id"),
+        (F.col("user_id") % 100 % 3).cast("int").alias("conn_id"),
         # X6 node-id concat (OpcSubscribeService.cs:232)
         F.concat(F.lit("ns=2;s="), device, F.lit("/"), tag_name).alias("node_id"),
         device.alias("daq_name"),
@@ -132,8 +143,8 @@ def opc_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_OPC_UPDATES = """
     SELECT
         event_id,
-        'opc.tcp://10.10.100.' || CAST(user_id % 3 + 1 AS VARCHAR) || ':62541' AS server_url,
-        CAST(user_id % 3 AS INT) AS conn_id,
+        'opc.tcp://10.10.100.' || CAST(user_id % 100 % 3 + 1 AS VARCHAR) || ':62541' AS server_url,
+        CAST(user_id % 100 % 3 AS INT) AS conn_id,
         'ns=2;s=DEV-' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0')
             || '/' || event_type || '_raw' AS node_id,
         'DEV-' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0') AS daq_name,

@@ -95,17 +95,29 @@ class ConnectionConfigStore:
         # mid-_write: fail loudly with the recovery pointer instead of
         # reading empty.
         import os
+        import time
 
-        if not os.path.exists(self.path):
-            for leftover in (self.path + ".bak", self.path + ".tmp"):
-                if os.path.exists(leftover):
-                    raise RuntimeError(
-                        f"config store {self.path} missing but {leftover} "
-                        "exists — crashed mid-swap; restore by renaming "
-                        "the .bak (complete previous version) into place"
-                    )
-            return self.spark.createDataFrame([], STORE_SCHEMA)
-        return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
+        # The two-rename swap in _write has a window where the path does
+        # not exist. In-process readers serialize with writers via the
+        # store lock (load() takes it); an EXTERNAL reader racing the
+        # swap retries briefly — a live writer completes the second
+        # rename in milliseconds, so only a genuine crash leaves the
+        # missing-path + leftover state standing after the retries.
+        for _ in range(20):
+            if os.path.exists(self.path):
+                return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
+            if not (os.path.exists(self.path + ".bak")
+                    or os.path.exists(self.path + ".tmp")):
+                return self.spark.createDataFrame([], STORE_SCHEMA)
+            time.sleep(0.05)  # mid-swap window — wait it out
+        for leftover in (self.path + ".bak", self.path + ".tmp"):
+            if os.path.exists(leftover):
+                raise RuntimeError(
+                    f"config store {self.path} missing but {leftover} "
+                    "exists — crashed mid-swap; restore by renaming "
+                    "the .bak (complete previous version) into place"
+                )
+        return self.spark.createDataFrame([], STORE_SCHEMA)
 
     def _write(self, df: DataFrame) -> None:
         # Write-new + swap, never overwrite-in-place: mode("overwrite")
@@ -170,18 +182,24 @@ class ConnectionConfigStore:
         """GET — all connections; passwords decrypted for the DTO exactly
         as the reference does (ClientController.cs:81). Empty store gets
         the injected default row (OpcuaHelperService.cs:72-86) — returned,
-        not persisted, same as the reference."""
-        cur = self._read()
+        not persisted, same as the reference. Takes the store lock: the
+        threaded HTTP server serves GETs concurrently with mutations, and
+        an unlocked read could land inside _write's swap window."""
         pw = self._decrypt(F.col("encrypted_password")) if decrypt else F.lit(None)
-        rows = [
-            r.asDict()
-            for r in cur.select(
-                "conn_id", "connection_name", "url", "max_search", "timeout_ms",
-                "username", pw.alias("password"), "browse_exclusion_folders",
-            )
-            .orderBy("conn_id")
-            .collect()
-        ]
+        # collect() INSIDE the lock — the DataFrame is lazy, so the file
+        # read happens at collect time, and only then is the swap window
+        # actually excluded
+        with self._lock:
+            rows = [
+                r.asDict()
+                for r in self._read().select(
+                    "conn_id", "connection_name", "url", "max_search",
+                    "timeout_ms", "username", pw.alias("password"),
+                    "browse_exclusion_folders",
+                )
+                .orderBy("conn_id")
+                .collect()
+            ]
         if not rows:
             return [dict(DEFAULT_CONNECTION, conn_id=0)]
         return rows

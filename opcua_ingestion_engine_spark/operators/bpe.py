@@ -124,12 +124,19 @@ def bpe_train(
 
         needle = F.concat(F.lit(" "), F.lit(f"{left} {right}"), F.lit(" "))
         padded = F.concat(F.lit(" "), F.col("seg"), F.lit(" "))
-        state = state.withColumn(
-            "seg",
-            F.when(padded.contains(needle), apply_merge(F.col("seg"))).otherwise(
-                F.col("seg")
-            ),
-        ).localCheckpoint(eager=True)
+        # filter + union, NOT a when()-gated UDF: Catalyst extracts Python
+        # UDFs out of conditionals and evaluates them for EVERY row before
+        # the CASE picks a branch, so the gate would not skip any work —
+        # splitting the frame really does run the UDF only on rows
+        # containing the chosen pair (usually a small fraction of the
+        # vocabulary per round)
+        hit = state.filter(padded.contains(needle))
+        miss = state.filter(~padded.contains(needle))
+        state = (
+            hit.withColumn("seg", apply_merge(F.col("seg")))
+            .unionByName(miss)
+            .localCheckpoint(eager=True)
+        )
     return merges
 
 

@@ -85,9 +85,15 @@ def _parse_document(
         # (observed as a 5x-retry flake). Also what S6 hot-reload needs —
         # a re-read must see the new content, not the listing cache.
         spark.catalog.refreshByPath(path)
+        # PIN the bytes the validation saw: returning the lazy plan would
+        # re-read the file on every downstream action, so a rewrite racing
+        # the caller could hand downstream a DIFFERENT (possibly torn)
+        # parse than the one validated here — the exact TOCTOU this retry
+        # loop exists to close. localCheckpoint materializes the validated
+        # parse (config-sized: one row).
         parsed = _read_json_text(spark, path).select(
             F.from_json("value", schema).alias("doc")
-        )
+        ).localCheckpoint(eager=True)
         if parsed.filter(F.col("doc").isNotNull()).count() > 0:
             return parsed
         time.sleep(backoff_s * (attempt + 1))

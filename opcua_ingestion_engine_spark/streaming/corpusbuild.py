@@ -62,8 +62,15 @@ class IncrementalCorpusBuildSink:
         )
         self.digests: DataFrame | None = None
         self.manifest: DataFrame | None = None
+        self._done_batch_ids: set[int] = set()
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        # at-least-once redelivery guard: the digest state already makes a
+        # replayed batch admit nothing new, but the append-only manifest
+        # would still duplicate its rows — skip committed batch_ids like
+        # the sibling sinks
+        if batch_id in self._done_batch_ids:
+            return
         hashed = batch_docs.withColumn("_dig", F.sha2(F.col("text"), 256))
         w = W.partitionBy("_dig").orderBy("doc_id")
         dd = (
@@ -110,6 +117,7 @@ class IncrementalCorpusBuildSink:
             if self.manifest is None
             else self.manifest.unionByName(clean)
         ).localCheckpoint(eager=True)
+        self._done_batch_ids.add(batch_id)
 
     def result(self) -> DataFrame:
         assert self.manifest is not None, "no batches processed"

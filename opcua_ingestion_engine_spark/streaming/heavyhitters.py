@@ -50,8 +50,14 @@ class IncrementalHeavyHittersSink:
         self.sketch: Counter = Counter()
         self.docs: DataFrame | None = None
         self.batches_seen = 0
+        self._done_batch_ids: set[int] = set()
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        # at-least-once redelivery guard: re-merging a committed batch
+        # would double-count the sketch AND double-append the corpus
+        # (same discipline as the near-dup and rollup sinks)
+        if batch_id in self._done_batch_ids:
+            return
         cap = self.capacity
         text_col = self.text_col
 
@@ -79,6 +85,7 @@ class IncrementalHeavyHittersSink:
                 eager=True
             )
         self.batches_seen += 1
+        self._done_batch_ids.add(batch_id)
 
     def result(self, min_frac: float) -> DataFrame:
         """Exact (token, cnt) for every token above ``min_frac`` of all

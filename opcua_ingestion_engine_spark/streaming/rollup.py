@@ -47,8 +47,15 @@ class IncrementalRollupSink:
         self.val_col = val_col
         self.minute: DataFrame | None = None
         self.batches_seen = 0
+        self._done_batch_ids: set[int] = set()
 
     def process_batch(self, batch_events: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a committed batch can re-execute
+        # with the same batch_id after a failure — merging it twice would
+        # double every n_points/val_sum it touched (same guard as the
+        # near-dup sink, pinned in tests/test_streaming.py)
+        if batch_id in self._done_batch_ids:
+            return
         partial = TS.rollup_minute(
             batch_events, self.key_col, self.ts_col, self.val_col
         )
@@ -62,6 +69,7 @@ class IncrementalRollupSink:
             )
         self.minute = merged.localCheckpoint(eager=True)
         self.batches_seen += 1
+        self._done_batch_ids.add(batch_id)
 
     def result(self) -> DataFrame:
         """The same (resolution, key, bucket_ts, n_points, val_sum,

@@ -54,7 +54,12 @@ def _make_liveness_fn(timeout_ms: int):
                 state.get if state.exists else (0, 0, 0)
             )
             # one-shot like the reference watchdog (AutoReset=false): no
-            # new timeout is armed, so a silent device emits 0 exactly once
+            # new timeout is armed, so a silent device emits 0 exactly
+            # once — and the state is REMOVED: its useful work is done,
+            # and keeping it would grow the state store without bound
+            # under device churn (a returning device simply rebuilds from
+            # its next update)
+            state.remove()
             yield pd.DataFrame(
                 {
                     "daq_name": [daq_name],
@@ -137,8 +142,13 @@ def heartbeat_refresh(
     ``online_devices``: single-column (device) frame — broadcast semi-join
     (J7's lock set), then a projection; no shuffle of the snapshot.
     """
+    # distinct: the natural input (liveness output accumulated across
+    # micro-batches) can list a device more than once, and a non-unique
+    # broadcast side would fan out every snapshot row of that device
     marked = snapshot.join(
-        F.broadcast(online_devices.select("device").withColumn("_hb", F.lit(1))),
+        F.broadcast(
+            online_devices.select("device").distinct().withColumn("_hb", F.lit(1))
+        ),
         "device",
         "left",
     )
@@ -214,6 +224,8 @@ def make_liveness_processor(timeout_ms: int = WATCHDOG_TIMEOUT_MS):
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             (daq_name,) = key
             last = tuple(self._best.get()) if self._best.exists() else (0, 0, 0)
+            # same one-shot + reclaim semantics as the applyInPandas form
+            self._best.clear()
             yield pd.DataFrame(
                 {
                     "daq_name": [daq_name],
