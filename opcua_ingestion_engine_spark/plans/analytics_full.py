@@ -708,7 +708,10 @@ def q_tpch_q21(spark, sf_dir):
     "decimal-exact average on both engines",
 )
 def q_tpch_q22(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
+    # customer is referenced twice (threshold aggregate + row side) —
+    # checkpoint it so the plan scans the table once, same treatment as
+    # q11/q15's doubly-referenced frames
+    c = _t(spark, sf_dir, "customer").localCheckpoint(eager=False)
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     avgbal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (

@@ -17,7 +17,12 @@ from ..functions.timefmt import format_modvalues_ts
 from ..operators import ingest
 from .registry import register
 
-DEC = "decimal(18,6)"
+# Value-domain precision for the X1-X3 SCALING arithmetic — deliberately
+# decimal(18,6), NOT the decimal(38,6) the analytics modules use for
+# order-independent float-parity SUMS: the scaling multiply must match
+# the operators' apply_scaling types exactly. Named distinctly so the
+# two recipes cannot be cross-pasted under one name.
+DEC_SCALE = "decimal(18,6)"
 
 
 def _upd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +215,7 @@ def q_x1(spark, sf_dir):
     return _upd(spark, sf_dir).select(
         "event_id",
         slope_intercept(
-            F.col("value").cast(DEC),
+            F.col("value").cast(DEC_SCALE),
             F.lit("2.5").cast("decimal(10,4)"),
             F.lit("1.0").cast("decimal(10,4)"),
         )
@@ -242,7 +247,7 @@ def q_x2(spark, sf_dir):
     return _upd(spark, sf_dir).select(
         "event_id",
         point_slope_params(
-            F.col("value").cast(DEC), d("0.0"), d("100.0"), d("-1.0"), d("1.0")
+            F.col("value").cast(DEC_SCALE), d("0.0"), d("100.0"), d("-1.0"), d("1.0")
         )
         .cast("double")
         .alias("scaled"),
@@ -279,7 +284,7 @@ def q_x3(spark, sf_dir):
         "event_id",
         "measure_name",
         apply_scaling(
-            F.col("value").cast(DEC),
+            F.col("value").cast(DEC_SCALE),
             F.col("scale_mode"),
             F.col("slope"),
             F.col("offset"),

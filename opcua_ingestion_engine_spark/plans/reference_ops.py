@@ -232,13 +232,17 @@ def q_f8(spark, sf_dir):
         FROM site_devices d
         JOIN sos_templates t
           ON t.device_type = d.device_type AND t.template_name = d.daq_template
+        JOIN opc_connections c ON c.connection_name = d.server
         WHERE d.monitored AND d.protocol = 'OPCUA'
           AND EXISTS (
             SELECT 1 FROM opc_updates u
             WHERE u.daq_name = d.daq_name AND u.measure_name = t.measure_name)
     """),
     "F9 — row-existence probe as a left-semi join "
-    "(OpcSubscribeService.cs:661-678)",
+    "(OpcSubscribeService.cs:661-678). The oracle mirrors the FULL "
+    "subscription_plan derivation including the connections inner join "
+    "(a device whose server has no connection row subscribes nothing), "
+    "so the row-dropping semantics are pinned, not fixture luck",
 )
 def q_f9(spark, sf_dir):
     plan = ingest.subscription_plan(
@@ -441,17 +445,23 @@ def q_a3(spark, sf_dir):
 @register(
     "q_a4_rowcount_effects",
     C.with_fixture_ctes("""
-        SELECT CAST(count(*) AS BIGINT) AS n_good,
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN status_code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
                CAST(sum(CASE WHEN status_code <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         FROM opc_updates
     """),
     "A4 — affected-row counts gating commits "
-    "(OpcSubscribeService.cs:363-369,736-737)",
+    "(OpcSubscribeService.cs:363-369,736-737): n_good counts the GOOD "
+    "branch only (n_good + n_bad = n_total — the previous form counted "
+    "every row as good, a shared-mistake both engines agreed on)",
 )
 def q_a4(spark, sf_dir):
     u = _upd(spark, sf_dir)
     return u.agg(
-        F.count("*").alias("n_good"),
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("status_code") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
         F.sum(F.when(F.col("status_code") != 0, 1).otherwise(0))
         .cast("long")
         .alias("n_bad"),
@@ -492,7 +502,7 @@ _SINK_BASE_SQL = """
 """
 
 
-def _sink_inputs(spark, sf_dir):
+def _sink_inputs(spark, sf_dir, with_latest: bool = True):
     dev = ingest.monitored_devices(_dev(spark, sf_dir))
     tpl = C.sos_templates(spark)
     plan = dev.join(
@@ -513,6 +523,11 @@ def _sink_inputs(spark, sf_dir):
         F.lit(ingest.EPOCH_TS_TEXT).alias("last_updated"),
         F.lit("instant").alias("logging"),
     )
+    if not with_latest:
+        # S11 needs only the seeded current table — building (and eagerly
+        # checkpointing) the latest-per-key frame would launch a full
+        # fact-stream scan + wide aggregation for a frame it discards
+        return current, None
     # O(points) — materialized because the MERGE-shaped consumers reference
     # it twice (rows + key set for the anti join); lazy it costs a second
     # full fact scan (plan audit: q_s10 showed 2 events scans without it).
@@ -626,7 +641,7 @@ def q_s10(spark, sf_dir):
     "OpcSubscribeService.cs:715-739)",
 )
 def q_s11(spark, sf_dir):
-    current, _ = _sink_inputs(spark, sf_dir)
+    current, _ = _sink_inputs(spark, sf_dir, with_latest=False)
     online = ingest.monitored_devices(_dev(spark, sf_dir)).select(
         F.col("daq_name").alias("device"),
         "device_type",
@@ -737,10 +752,12 @@ def q_x5(spark, sf_dir):
         FROM site_devices d
         JOIN sos_templates t
           ON t.device_type = d.device_type AND t.template_name = d.daq_template
+        JOIN opc_connections c ON c.connection_name = d.server
         WHERE d.monitored AND d.protocol = 'OPCUA'
     """),
     "X6 — '{PointNodeId}/{Prefix}{TagName}' monitored-item node id "
-    "(OpcSubscribeService.cs:232)",
+    "(OpcSubscribeService.cs:232); oracle includes subscription_plan's "
+    "connections inner join so its row-dropping is pinned",
 )
 def q_x6(spark, sf_dir):
     plan = ingest.subscription_plan(
@@ -824,11 +841,15 @@ def q_x10(spark, sf_dir):
     C.with_fixture_ctes("""
         SELECT DISTINCT server_url,
                regexp_extract(server_url, '^[a-z.]+://([^:/]+)', 1) AS host,
-               CAST(regexp_extract(server_url, ':(\\d+)$', 1) AS INT) AS port
+               TRY_CAST(nullif(regexp_extract(server_url, ':(\\d+)$', 1), '')
+                        AS INT) AS port
         FROM opc_updates
     """),
     "X11 — URL host/port parse for the TCP probe "
-    "(OpcSubscribeService.cs:852-855)",
+    "(OpcSubscribeService.cs:852-855). A port-less URL yields NULL in "
+    "BOTH engines (Spark's cast of the empty match is NULL; the oracle "
+    "needs TRY_CAST + nullif — a bare CAST('' AS INT) hard-errors in "
+    "DuckDB instead of producing a comparable row)",
 )
 def q_x11(spark, sf_dir):
     u = _upd(spark, sf_dir).select("server_url").distinct()

@@ -78,14 +78,17 @@ def q_join_left(spark, sf_dir):
     SELECT c.c_custkey, o.o_orderkey
     FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
     """,
-    "[EXT] right outer join — the build side is the preserved side, so "
-    "Spark plans it as BroadcastHashJoin RightOuter with the stream-side "
-    "fact probing a broadcast customer dim",
+    "[EXT] right outer join. Planning constraint worth stating honestly: "
+    "the PRESERVED side of an outer hash join cannot be the broadcast "
+    "build side, so 'keep every dim row' right-outers cannot broadcast "
+    "the dim — Spark builds the LEFT (fact) side when it fits and falls "
+    "back to a shuffle join at scale (a broadcast(dim) hint here is "
+    "unsatisfiable and silently ignored, which is why none is given).",
 )
 def q_join_right(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "right").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
         "c_custkey", "o_orderkey"
     )
 

@@ -232,16 +232,20 @@ def q_agg_pivot_event_types(spark, sf_dir):
     "grand total in one pass",
 )
 def q_agg_grouping_sets(spark, sf_dir):
+    # native DataFrame groupingSets — no temp-view mutation of the shared
+    # session (the previous createOrReplaceTempView form left a session-
+    # global view behind on every invocation)
     c = C.load_table(spark, sf_dir, "customer")
     n = C.load_table(spark, sf_dir, "nation")
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    j.createOrReplaceTempView("_gs_cust_nation")
-    return spark.sql("""
-        SELECT n_nationkey, c_mktsegment, count(*) AS n,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acctbal_sum
-        FROM _gs_cust_nation
-        GROUP BY GROUPING SETS ((n_nationkey), (c_mktsegment), ())
-    """)
+    return j.groupingSets(
+        [["n_nationkey"], ["c_mktsegment"], []], "n_nationkey", "c_mktsegment"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("acctbal_sum"),
+    )
 
 
 @register(
