@@ -72,8 +72,14 @@ def quality_metrics(
         n_tokens.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
         (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
-        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
-        (n_upper.cast("double") / n_chars.cast("double")).alias("upper_ratio"),
+        # clamped denominator: empty text has n_chars = 0 and ANSI mode
+        # raises DIVIDE_BY_ZERO instead of returning NULL (the repo-wide
+        # total-arithmetic rule, see timeseries.rolling_zscore_anomalies);
+        # for the empty doc both ratios are 0/1 = 0.0 in both engines
+        (n_punct.cast("double")
+         / F.greatest(n_chars, F.lit(1)).cast("double")).alias("punct_ratio"),
+        (n_upper.cast("double")
+         / F.greatest(n_chars, F.lit(1)).cast("double")).alias("upper_ratio"),
     )
 
 
@@ -229,8 +235,10 @@ def sentiment_score(
     engine already vectorizes (same reasoning as X1-X3). The division is
     exact-int over double on both engines, so the oracle hash-matches.
     """
-    pos = positive or POSITIVE_LEXICON
-    neg = negative or NEGATIVE_LEXICON
+    # explicit None check: an explicitly-passed EMPTY lexicon means
+    # "score zero hits for this polarity", not "use the default"
+    pos = positive if positive is not None else POSITIVE_LEXICON
+    neg = negative if negative is not None else NEGATIVE_LEXICON
     t = F.col(text_col)
     n_pos = stopword_hits(t, pos)
     n_neg = stopword_hits(t, neg)

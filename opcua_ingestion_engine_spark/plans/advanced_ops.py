@@ -204,7 +204,10 @@ def q_agg_approx_percentile(spark, sf_dir):
 def q_e4_pattern_extract(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     def n(pat):
-        return F.size(F.regexp_extract_all("text", F.lit(pat))).cast("long")
+        # idx=0 (whole match): the default group index 1 CRASHES on
+        # group-less patterns like [A-Z][a-z]+ and would count the
+        # decimal-part group for the numeric pattern
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
     return d.select(
         "doc_id",
         n(r"[0-9]+(\.[0-9]+)?").alias("n_numbers"),

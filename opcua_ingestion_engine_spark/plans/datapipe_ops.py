@@ -11,6 +11,7 @@ from pyspark.sql import functions as F  # noqa: F401 (parity with sibling module
 
 from .. import catalog as C
 from ..operators import datapipe as DP
+from ..operators.text import LANG_STOPWORDS as _T_STOPWORDS
 from .registry import register
 
 
@@ -22,6 +23,9 @@ _SALT = "split-v1"
 _SAMPLE_SALT = "sample-v1"
 _RATES = {"en": 0.25, "de": 1.0, "fr": 0.5}
 _DEFAULT_RATE = 0.1
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in _T_STOPWORDS["en"])
 
 
 def _sql_bucket(salt: str) -> str:
@@ -125,9 +129,12 @@ def q_e8_pack(spark, sf_dir):
     return DP.pack_chunks(_docs(spark, sf_dir), max_tokens=2048)
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_PII_PHONE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+# The oracle embeds the SAME pattern objects the operator executes
+# (operators/text.PII_PATTERNS) — an independent literal copy here would
+# silently keep checking the old pattern after an operator-side edit.
+from ..operators.text import PII_PATTERNS as _PII  # noqa: E402
+
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _n, p, _r in _PII)
 
 
 @register(
@@ -476,11 +483,11 @@ def q_e8_global_shuffle(spark, sf_dir):
 
 @register(
     "q_e8_quality_topk",
-    """
+    f"""
     WITH scored AS (
         SELECT doc_id, source,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                        w -> w IN ({_SW_EN}))) AS DOUBLE)
                    / len(string_split(text, ' ')) AS score
         FROM documents
     )
@@ -553,10 +560,10 @@ _CORPUS_BUILD_SQL = f"""
           AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                   / len(string_split(text, ' ')) <= 12.0
           AND CAST(len(list_filter(string_split(text, ' '),
-                       w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                       w -> w IN ({_SW_EN}))) AS DOUBLE)
                   / len(string_split(text, ' ')) >= 0.005
           AND CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                   AS DOUBLE) / length(text) <= 0.2
+                   AS DOUBLE) / greatest(length(text), 1) <= 0.2
     ),
     bench AS (
         SELECT DISTINCT unnest(list_distinct({_sql_8grams()})) AS g

@@ -54,6 +54,14 @@ def _sql_shingles(t: str = "text") -> str:
     return f"list_distinct({_sql_positional_shingles(t)})"
 
 
+# EN stopword list interpolated from the OPERATOR constant — a literal
+# copy here would keep asserting the old list after an edit to
+# T.LANG_STOPWORDS (same rule as _HITS_SQL below).
+_SW_EN = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+_SQL_POS = ", ".join(f"'{w}'" for w in T.POSITIVE_LEXICON)
+_SQL_NEG = ", ".join(f"'{w}'" for w in T.NEGATIVE_LEXICON)
+
+
 # ---------------------------------------------------------------------------
 # E1 — exact dedup
 # ---------------------------------------------------------------------------
@@ -375,19 +383,19 @@ def q_e3_ivfpq(spark, sf_dir):
 
 @register(
     "q_e4_text_stats",
-    """
+    f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                / len(string_split(text, ' ')) AS mean_word_len,
            CAST(len(list_filter(string_split(text, ' '),
-                    w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                    w -> w IN ({_SW_EN}))) AS DOUBLE)
                / len(string_split(text, ' ')) AS stopword_ratio,
            CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                AS DOUBLE) / length(text) AS punct_ratio,
+                AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
-                AS DOUBLE) / length(text) AS upper_ratio
+                AS DOUBLE) / greatest(length(text), 1) AS upper_ratio
     FROM documents
     """,
     "E4 — per-document quality metrics (C4/Gopher-style filters): length, "
@@ -434,17 +442,17 @@ def q_e4_lang(spark, sf_dir):
 
 @register(
     "q_e4_quality_filter",
-    """
+    f"""
     WITH m AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                    / len(string_split(text, ' ')) AS mean_word_len,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                        w -> w IN ({_SW_EN}))) AS DOUBLE)
                    / len(string_split(text, ' ')) AS stopword_ratio,
                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                    AS DOUBLE) / length(text) AS punct_ratio
+                    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
         FROM documents
     )
     SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio
@@ -487,13 +495,13 @@ def q_e4_winnowing(spark, sf_dir):
 
 @register(
     "q_e4_sentiment",
-    """
+    f"""
     WITH m AS (
         SELECT doc_id,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ('fast','big'))) AS BIGINT) AS n_pos,
+                        w -> w IN ({_SQL_POS}))) AS BIGINT) AS n_pos,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ('slow','small'))) AS BIGINT) AS n_neg,
+                        w -> w IN ({_SQL_NEG}))) AS BIGINT) AS n_neg,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         FROM documents
     )
@@ -520,10 +528,10 @@ def q_e4_sentiment(spark, sf_dir):
                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                    / len(string_split(text, ' ')) AS mean_word_len,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                        w -> w IN ({_SW_EN}))) AS DOUBLE)
                    / len(string_split(text, ' ')) AS stopword_ratio,
                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                    AS DOUBLE) / length(text) AS punct_ratio
+                    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
         FROM documents
     ),
     s1 AS (
@@ -574,10 +582,10 @@ def q_e7_curation(spark, sf_dir):
                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                    / len(string_split(text, ' ')) AS mean_word_len,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ('the','a','is','and','of'))) AS DOUBLE)
+                        w -> w IN ({_SW_EN}))) AS DOUBLE)
                    / len(string_split(text, ' ')) AS stopword_ratio,
                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                    AS DOUBLE) / length(text) AS punct_ratio
+                    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
         FROM documents
     ),
     s1 AS (
