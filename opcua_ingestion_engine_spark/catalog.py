@@ -61,22 +61,35 @@ LIVENESS_WINDOW_S = 60
 # the device catalog re-runs that scan; VERDICT r1 flagged exactly this).
 # Keyed by applicationId so a stopped/recreated session never sees stale
 # checkpointed RDDs. Only O(devices)-sized dimensions belong here — never
-# the fact stream.
-_DIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# the fact stream. Values carry the owning session so eviction can ask
+# "is that context actually stopped?" rather than "is it a different app?"
+# — two LIVE SparkSessions (parallel test fixtures) must not wipe each
+# other's cache on every miss.
+_DIM_CACHE: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_stopped(sess: SparkSession) -> bool:
+    try:
+        sc = sess.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True  # unreachable JVM handle == dead session
 
 
 def _memo_ckpt(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     app = spark.sparkContext.applicationId
     k = (app, sf_dir, key)
-    df = _DIM_CACHE.get(k)
-    if df is None:
-        # evict dead-session entries on miss: keys under a different
-        # applicationId reference checkpointed frames of stopped sessions
-        # and would otherwise pin driver memory for process lifetime
-        for stale in [kk for kk in _DIM_CACHE if kk[0] != app]:
-            del _DIM_CACHE[stale]
-        df = build().localCheckpoint(eager=True)
-        _DIM_CACHE[k] = df
+    hit = _DIM_CACHE.get(k)
+    if hit is not None:
+        return hit[1]
+    # Evict only entries whose owning context is STOPPED: those reference
+    # checkpointed frames of dead sessions and would pin driver memory for
+    # process lifetime. Entries of other live sessions stay cached.
+    for stale in [kk for kk, (sess, _) in _DIM_CACHE.items()
+                  if kk[0] != app and _session_stopped(sess)]:
+        del _DIM_CACHE[stale]
+    df = build().localCheckpoint(eager=True)
+    _DIM_CACHE[k] = (spark, df)
     return df
 
 

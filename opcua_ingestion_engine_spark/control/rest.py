@@ -110,13 +110,27 @@ class ConnectionConfigStore:
                     or os.path.exists(self.path + ".tmp")):
                 return self.spark.createDataFrame([], STORE_SCHEMA)
             time.sleep(0.05)  # mid-swap window — wait it out
-        for leftover in (self.path + ".bak", self.path + ".tmp"):
-            if os.path.exists(leftover):
-                raise RuntimeError(
-                    f"config store {self.path} missing but {leftover} "
-                    "exists — crashed mid-swap; restore by renaming "
-                    "the .bak (complete previous version) into place"
-                )
+        # A slow writer can complete its swap between the loop's last
+        # existence check and here — re-check the data path once before
+        # concluding anything from the leftovers, else a live store reads
+        # as empty (or as a phantom crash).
+        if os.path.exists(self.path):
+            return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
+        if os.path.exists(self.path + ".bak"):
+            raise RuntimeError(
+                f"config store {self.path} missing but {self.path}.bak "
+                "exists — crashed mid-swap after demoting the previous "
+                "version; restore by renaming the .bak (complete previous "
+                "version) back into place, or roll forward by renaming the "
+                ".tmp (complete new version, also present in this state)"
+            )
+        if os.path.exists(self.path + ".tmp"):
+            raise RuntimeError(
+                f"config store {self.path} missing but {self.path}.tmp "
+                "exists — crashed mid-swap before the new version was "
+                "promoted; the .tmp is the complete NEW table: rename it "
+                "into place to roll forward (or delete it to start empty)"
+            )
         return self.spark.createDataFrame([], STORE_SCHEMA)
 
     def _write(self, df: DataFrame) -> None:

@@ -244,11 +244,44 @@ def jstree_write(
             age = 0.0  # holder just finished; treat as live contention
         if age <= stale_lock_s:
             return None  # concurrent browse job in flight — reference skips
-        try:  # orphan from a crashed writer — reclaim and retry once
-            os.unlink(tmp)
-            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except (FileNotFoundError, FileExistsError):
+        # Orphan from a crashed writer — reclaim via an ATOMIC quarantine
+        # rename, then retry the exclusive claim once. A bare
+        # unlink + O_EXCL pair is two steps: recoverer A could unlink,
+        # claim, and start writing, then recoverer B unlink A's live tmp
+        # and claim its own — after which A's os.replace publishes B's
+        # half-written JSON. os.replace is atomic, so exactly one
+        # recoverer moves the stale file aside; losers see
+        # FileNotFoundError and back off.
+        import threading
+
+        quarantined = f"{tmp}.stale.{os.getpid()}.{threading.get_ident()}"
+        try:
+            os.replace(tmp, quarantined)
+        except FileNotFoundError:
             return None  # lost the reclaim race to another recoverer
+        # Our age check predates the replace — another recoverer may have
+        # already reclaimed AND re-created the lock in between, in which
+        # case we just moved a LIVE writer's fresh lock aside. Re-check on
+        # the quarantined inode: if it is fresh, restore it (same inode —
+        # the holder's open fd and final rename stay valid) and back off.
+        try:
+            fresh = time.time() - os.path.getmtime(quarantined) <= stale_lock_s
+        except FileNotFoundError:
+            return None
+        if fresh:
+            try:
+                os.replace(quarantined, tmp)
+            except FileNotFoundError:
+                pass
+            return None
+        try:
+            os.unlink(quarantined)  # confirmed-stale debris is ours to drop
+        except FileNotFoundError:
+            pass
+        try:
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None  # a fresh writer claimed between our steps
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(jstree_export(tree, conn_id), f, indent=2)

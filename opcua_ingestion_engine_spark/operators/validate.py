@@ -54,9 +54,12 @@ def check_constraints(
     A uniqueness rule's violations are ``count(*) - count_distinct``
     over the key columns: the number of surplus duplicate rows.
     """
+    # coalesce(..., 0): over an EMPTY batch sum() yields NULL, which would
+    # NULL-propagate into n_violations/passed — an empty ingest must pass
+    # every predicate rule cleanly (0 rows -> 0 violations).
     aggs = [
-        F.sum(
-            F.when(cond, F.lit(0)).otherwise(F.lit(1))
+        F.coalesce(
+            F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
         ).cast("long").alias(f"_r{i}")
         for i, (_name, cond) in enumerate(rules)
     ]
@@ -69,15 +72,19 @@ def check_constraints(
         )
         names = names + [f"unique({','.join(unique_cols)})"]
     row = df.agg(*aggs)
-    pairs = []
+    # explode over an array of structs, not create_map: two rules sharing a
+    # name would crash create_map under spark.sql.mapKeyDedupPolicy=EXCEPTION
+    # (or silently drop a row under LAST_WIN); structs keep every rule row.
+    structs = []
     for i, name in enumerate(names):
         col = "_uniq" if unique_cols and i == len(names) - 1 else f"_r{i}"
-        pairs.extend([F.lit(name), F.col(col)])
-    return (
-        row.select(
-            F.explode(
-                F.create_map(*pairs)
-            ).alias("rule", "n_violations")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("rule"), F.col(col).alias("n_violations")
+            )
         )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.rule", "kv.n_violations")
         .withColumn("passed", F.col("n_violations") == 0)
     )

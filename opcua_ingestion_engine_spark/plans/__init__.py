@@ -28,65 +28,69 @@ from . import datapipe_ops  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Flagship first — unchanged from rounds 1-2.
+    # Flagship first — unchanged from rounds 1-4.
     "q_flagship_modvalues",
-    # Reference-core IDs that had no driver row in round 2 (S3/S4/S8/T3/X1-X3).
+    # Reference-core IDs (S3/S8/X1 kept as canaries; S4/T3/X2/X3 rotated out
+    # in round 5 after two consecutive driver-green rounds — they remain
+    # pytest-pinned).
     "q_s3_template_scan",
-    "q_s4_device_scan",
     "q_s8_default_injection",
-    "q_t3_heartbeat_refresh",
     "q_x1_slope_intercept",
-    "q_x2_point_slope_general",
-    "q_x3_scale_dispatch",
-    # LLM-pipeline operators E1-E7 (every oracle-checked entry).
+    # LLM-pipeline operators E1-E7. Round-5 rotation: the six long-stable
+    # E4 text canaries (lang_id/winnowing/sentiment/token_count/fingerprint/
+    # pattern_extract) and jaccard/curation_clustered step out (all were
+    # driver-green in rounds 3-4 and stay oracle-parity-tested in pytest);
+    # the round-3 families that never had a driver row step in.
     "q_e1_exact_dedup",
-    "q_e2_jaccard_neardup",
     "q_e2_dedup_clusters",
     "q_e2_embedding_neardup",
     "q_e3_ann_cosine_topk",
+    "q_e3_domain_diversity",
     "q_e4_text_stats",
-    "q_e4_lang_id",
     "q_e4_quality_filter",
-    "q_e4_winnowing",
-    "q_e4_sentiment",
-    "q_e4_token_count",
-    "q_e4_fingerprint",
-    "q_e4_pattern_extract",
+    "q_e4_pii_redact",
+    "q_e4_repetition",
+    "q_e4_unigram_logprob",
+    "q_e4_token_entropy",
+    "q_e4_heavy_hitters",
+    "q_e4_incremental_heavy_hitters",
     "q_e5_multimodal_meta",
     "q_e5_frame_sample",
     "q_e6_timeseries_similarity",
     "q_e7_curation_pipeline",
-    "q_e7_curation_clustered",
-    # Headline TPC-H.
+    # Headline TPC-H (q3/q6/q18/q21 rotated out after two driver-green
+    # rounds; q1/q5 stay as the complex-agg and 6-way-join canaries).
     "q_tpch_q1_pricing_summary",
-    "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier_volume",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q18_large_volume_customer",
-    "q_tpch_q21_waiting_suppliers",
-    # Time-series join trio + window/streaming-analogue extensions.
+    # Time-series join trio + window extensions (range_frame gets its first
+    # driver row; ntile_dist/tumbling rotate out).
     "q_asof_join_purchase_view",
     "q_range_join_purchase_errors",
     "q_w_sessionize",
-    "q_w_ntile_dist",
-    "q_t10_tumbling_window",
-    # E8 capstone: the composed corpus build (exact dedup -> quality ->
-    # decontamination -> split manifest) — displaces the top-k sort rep,
-    # which stays pytest- and contract-checked.
-    "q_e8_corpus_build",
-    # Round-3 operator families, one oracle-checked representative each
-    # (displacing the second/third sort/set reps, which stay pytest- and
-    # contract-checked): exact heavy hitters (MG sketch + verify), the
-    # continuous-aggregate cascade, and the windowed funnel.
-    "q_e4_heavy_hitters",
+    "q_w_range_frame",
+    "q_agg_mode_per_group",
+    # Telemetry-analytics family (round 3) — first driver rows for the
+    # z-score anomaly envelope, OHLC downsample, cohort retention, and the
+    # incremental continuous-aggregate rollup.
+    "q_t_anomaly_zscore",
+    "q_t_downsample_ohlc",
+    "q_t_cohort_retention",
+    "q_t_incremental_rollup",
     "q_t_multires_rollup",
-    # E8 dataset-assembly family (new in round 3) — driver-checked from
-    # its first round.
+    "q_t_funnel_conversion",
+    # E8 dataset-assembly family — round-3 training-mix completions get
+    # their first driver rows alongside the established members.
+    "q_e8_corpus_build",
+    "q_e8_incremental_corpus_build",
+    "q_e8_domain_mix",
+    "q_e8_global_shuffle",
+    "q_e8_quality_topk",
+    "q_e8_epoch_expand",
+    "q_e8_split_leakage",
     "q_e8_split_assignment",
     "q_e8_stratified_sample",
     "q_e8_contamination",
     "q_e8_pack_chunks",
-    "q_t_funnel_conversion",
     # Core sample that was driver-green in round 2 (regression canaries).
     "q_f1_monitored_devices",
     "q_f3_staleness_filter",

@@ -260,3 +260,54 @@ def test_crash_mid_swap_is_detected_not_read_as_empty(spark, tmp_path):
     # recovery per the error message: rename .bak into place
     os.rename(path + ".bak", path)
     assert store.load()[0]["connection_name"] == "plant-a"
+
+
+def test_read_rechecks_path_after_retry_loop(spark, tmp_path, monkeypatch):
+    """A slow writer that completes its swap AFTER the reader's retry loop
+    must not make _read return an empty store: the post-loop existence
+    re-check has to pick up the just-promoted table (ADVICE r3 #2)."""
+    import os
+    import time as _time
+
+    from opcua_ingestion_engine_spark.control import ConnectionConfigStore
+
+    path = str(tmp_path / "connections")
+    store = ConnectionConfigStore(spark, path, KEY)
+    assert store.add(DTO)
+
+    # Freeze the mid-swap state: data moved aside, a .tmp leftover keeps
+    # the retry loop spinning.
+    os.rename(path, path + ".hold")
+    os.mkdir(path + ".tmp")
+
+    calls = {"n": 0}
+    real_sleep = _time.sleep
+
+    def finishing_sleep(s):
+        calls["n"] += 1
+        if calls["n"] == 20:  # the loop's final sleep: writer finishes now
+            os.rmdir(path + ".tmp")
+            os.rename(path + ".hold", path)
+        real_sleep(0)  # don't actually wait out 20 x 50ms
+
+    monkeypatch.setattr(_time, "sleep", finishing_sleep)
+    rows = store.load()
+    assert calls["n"] >= 20
+    assert [r["connection_name"] for r in rows] == [DTO["connection_name"]]
+
+
+def test_read_tmp_only_leftover_names_roll_forward(spark, tmp_path, monkeypatch):
+    """Crash after writing .tmp but before promotion (fresh store): the
+    error must say the .tmp is the COMPLETE NEW table, not point at a
+    nonexistent .bak."""
+    import os
+    import time as _time
+
+    from opcua_ingestion_engine_spark.control import ConnectionConfigStore
+
+    path = str(tmp_path / "connections")
+    store = ConnectionConfigStore(spark, path, KEY)
+    os.mkdir(path + ".tmp")
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="roll forward"):
+        store._read()

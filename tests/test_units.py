@@ -735,3 +735,147 @@ def test_text_operators_survive_hostile_inputs(spark):
          for r in sentiment_score(docs.filter("doc_id = 3"),
                                   positive=[], negative=["only"]).collect()}
     assert s[3] == (0, "negative")
+
+
+def test_check_constraints_empty_batch_passes_cleanly(spark):
+    """An EMPTY ingest batch must pass every predicate rule with
+    n_violations=0 / passed=True — sum() over zero rows yields NULL, and
+    without the coalesce that NULL propagated into the quality gate
+    (ADVICE r3 #1: the one operator that could emit a wrong answer)."""
+    from opcua_ingestion_engine_spark.operators import validate as V
+
+    empty = spark.createDataFrame([], "k long, ck long, v double")
+    got = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in V.check_constraints(
+            empty, [V.not_null("ck"), V.in_range("v", 0, 50)], unique_cols=["k"]
+        ).collect()
+    }
+    assert got == {
+        "not_null(ck)": (0, True),
+        "in_range(v,0,50)": (0, True),
+        "unique(k)": (0, True),
+    }
+
+
+def test_check_constraints_duplicate_rule_names_keep_both_rows(spark):
+    """Two rules sharing a name must emit two report rows — the old
+    create_map unpivot crashed under mapKeyDedupPolicy=EXCEPTION (or
+    silently dropped one count under LAST_WIN)."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import validate as V
+
+    df = spark.createDataFrame([(1, None), (2, 5)], "k long, ck long")
+    rows = V.check_constraints(
+        df,
+        [("dup_rule", F.col("ck").isNotNull()), ("dup_rule", F.col("k") > 0)],
+    ).collect()
+    assert [(r["rule"], r["n_violations"], r["passed"]) for r in rows] == [
+        ("dup_rule", 1, False),
+        ("dup_rule", 0, True),
+    ]
+
+
+def test_jstree_stale_reclaim_single_winner(spark, tmp_path):
+    """Two recoverers racing one stale lock: the atomic quarantine-rename
+    guarantees exactly one publishes and the published JSON is complete
+    (ADVICE r3 #3 — unlink+O_EXCL let one writer publish the other's
+    half-written file)."""
+    import json
+    import os
+    import threading
+    import time
+
+    from opcua_ingestion_engine_spark.operators.browse import (
+        browse_tree, jstree_write,
+    )
+
+    nodes = spark.createDataFrame(
+        [(0, None, "root", "root", "Object"), (0, "root", "A", "A", "Variable")],
+        "conn_id int, parent_id string, node_id string, "
+        "display_name string, node_class string",
+    )
+    excl = spark.createDataFrame([], "conn_id int, folder string")
+    tree = browse_tree(nodes, excl).localCheckpoint(eager=True)
+    out = str(tmp_path)
+    tmp = os.path.join(out, "connection-0.json.tmp")
+    open(tmp, "w").close()
+    os.utime(tmp, (time.time() - 7200, time.time() - 7200))
+
+    barrier = threading.Barrier(2)
+    results = [None, None]
+
+    def recover(i):
+        barrier.wait()
+        results[i] = jstree_write(tree, 0, out)
+
+    threads = [threading.Thread(target=recover, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    published = [r for r in results if r is not None]
+    assert len(published) == 1
+    with open(published[0]) as f:
+        roots = json.load(f)  # complete, parseable JSON
+    assert [n["id"] for n in roots] == ["root"]
+    assert [c["id"] for c in roots[0]["children"]] == ["A"]
+    # no stale/quarantine debris left behind
+    assert [p for p in os.listdir(out) if ".tmp" in p or ".stale" in p] == []
+
+
+def test_dim_cache_evicts_only_stopped_sessions():
+    """Two LIVE SparkSessions must not wipe each other's dimension memo on
+    every cache miss; only entries owned by a STOPPED context are evicted
+    (ADVICE r3 #4)."""
+    from opcua_ingestion_engine_spark import catalog as C
+
+    class FakeJsc:
+        def __init__(self, stopped):
+            self._stopped = stopped
+
+        def sc(self):
+            return self
+
+        def isStopped(self):
+            return self._stopped
+
+    class FakeContext:
+        def __init__(self, app):
+            self.applicationId = app
+            self._jsc = FakeJsc(False)
+
+        def stop(self):
+            self._jsc = None
+
+    class FakeSession:
+        def __init__(self, app):
+            self.sparkContext = FakeContext(app)
+
+    class FakeDF:
+        def localCheckpoint(self, eager=True):
+            return self
+
+    saved = dict(C._DIM_CACHE)
+    C._DIM_CACHE.clear()
+    try:
+        a, b = FakeSession("app-A"), FakeSession("app-B")
+        builds = {"n": 0}
+
+        def build():
+            builds["n"] += 1
+            return FakeDF()
+
+        df_a = C._memo_ckpt(a, "sf", "dims", build)
+        # B's miss must NOT evict live A's entry…
+        C._memo_ckpt(b, "sf", "dims", build)
+        assert C._memo_ckpt(a, "sf", "dims", build) is df_a  # still cached
+        assert builds["n"] == 2
+        # …but once A's context stops, B's next miss evicts A's entries.
+        a.sparkContext.stop()
+        C._memo_ckpt(b, "sf", "other", build)
+        assert all(k[0] != "app-A" for k in C._DIM_CACHE)
+    finally:
+        C._DIM_CACHE.clear()
+        C._DIM_CACHE.update(saved)
