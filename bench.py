@@ -56,6 +56,135 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def streaming_main() -> None:
+    """``bench.py --streaming`` — measure the replayer against BASELINE.md's
+    streaming-emulation envelope (>=0.2 updates/point/s sustained, queue-10
+    burst absorbed, final state == batch flagship) and emit ONE JSON line
+    plus STREAMBENCH.json next to this file.
+
+    Protocol: split the sf-dir update stream into 16 micro-batch files
+    (untimed setup), then time (a) the Structured Streaming run through the
+    foreachBatch merge sink and (b) the final-snapshot materialization
+    (state convergence). The sustained pass must equal the one-shot batch
+    flagship output exactly. The queue-10 burst pass must equal a SHED
+    BATCH ORACLE — the same drop-oldest bound applied per micro-batch in
+    batch mode, then merged — because the reference's queue drop happens
+    in the OPC server BEFORE the client's staleness/quality handling
+    (OpcSubscribeService.cs:236-237 vs :558-585): at sf0.1 density
+    (~12 updates/node/batch) the bound really drops rows, and a dropped
+    good value shadowed by newer stale/bad rows legitimately changes the
+    final state vs the unshed run (measured: 7 of ~500 points). Equality
+    against the shed oracle pins stream semantics == batch semantics
+    without pretending shedding is invisible at every density."""
+    import shutil
+    import tempfile
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import ingest
+    from opcua_ingestion_engine_spark.session import get_spark
+    from opcua_ingestion_engine_spark.streaming import replay
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    updates = C.opc_updates(spark, SF_DIR)
+    devices = C.site_devices(spark, SF_DIR)
+    templates = C.sos_templates(spark)
+    connections = C.opc_client_connections(spark)
+    n_updates = updates.count()
+
+    batch_rows = sorted(
+        map(tuple, ingest.modvalues_snapshot(
+            updates, devices, templates, connections
+        ).collect())
+    )
+
+    work = tempfile.mkdtemp(prefix="streambench_")
+    try:
+        src_dir = os.path.join(work, "stream_src")
+        n_batches = 16
+        batch_paths = replay.write_replay_batches(updates, src_dir, n_batches)
+
+        # Shed batch oracle for the burst pass: identical per-micro-batch
+        # drop-oldest applied in batch mode, merged by the same
+        # order-insensitive reducer (via modvalues_snapshot on the union).
+        shed_union = None
+        for p in batch_paths:
+            b = replay.shed_to_queue_bound(
+                spark.read.schema(updates.schema).parquet(p), 10
+            )
+            shed_union = b if shed_union is None else shed_union.unionByName(b)
+        shed_oracle_rows = sorted(
+            map(tuple, ingest.modvalues_snapshot(
+                shed_union, devices, templates, connections
+            ).collect())
+        )
+
+        results = {}
+        for label, queue_size, oracle in (
+            ("sustained", None, batch_rows),
+            ("queue10_burst", 10, shed_oracle_rows),
+        ):
+            sink = replay.ModvaluesMergeSink(
+                devices, templates, connections, queue_size
+            )
+            ckpt = os.path.join(work, f"ckpt_{label}")
+            t0 = time.perf_counter()
+            replay.run_replay_stream(spark, updates.schema, src_dir, ckpt, sink)
+            stream_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            stream_rows = sorted(map(tuple, sink.snapshot().collect()))
+            converge_s = time.perf_counter() - t0
+            assert sink.batches_seen == n_batches, sink.batches_seen
+            # the correctness gate: stream == its batch oracle, bit for bit
+            assert stream_rows == oracle, (
+                f"{label}: stream snapshot diverged from its batch oracle"
+            )
+            n_points = sink.state.count()
+            results[label] = {
+                "stream_sec": round(stream_s, 3),
+                "converge_sec": round(converge_s, 3),
+                "updates_per_sec": round(n_updates / stream_s, 1),
+                "updates_per_point_per_sec": round(
+                    n_updates / stream_s / n_points, 3
+                ),
+                "n_points": n_points,
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    envelope = 0.2  # BASELINE.md: reference max sustained ingest per point
+    sustained = results["sustained"]["updates_per_point_per_sec"]
+    artifact = {
+        "metric": "streaming_replay_updates_per_point_per_sec",
+        "value": sustained,
+        "unit": "updates/point/s",
+        "sf": _sf_of(SF_DIR),
+        "n_updates": n_updates,
+        "n_microbatches": 16,
+        "baseline_envelope": envelope,
+        "envelope_ratio": round(sustained / envelope, 1),
+        # asserted above: sustained == unshed batch flagship, burst ==
+        # per-micro-batch shed batch oracle (see streaming_main docstring)
+        "final_state_matches_batch_oracle": True,
+        "passes": results,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "STREAMBENCH.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact))
+
+
 def main() -> None:
     from opcua_ingestion_engine_spark.session import get_spark
     from opcua_ingestion_engine_spark import plans
@@ -81,14 +210,6 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    sf = 0.1
-    tail = os.path.basename(SF_DIR.rstrip("/"))
-    if tail.startswith("sf"):
-        try:
-            sf = float(tail[2:])
-        except ValueError:
-            pass
-
     print(
         json.dumps(
             {
@@ -96,11 +217,14 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf,
+                "sf": _sf_of(SF_DIR),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--streaming" in sys.argv[1:]:
+        streaming_main()
+    else:
+        main()

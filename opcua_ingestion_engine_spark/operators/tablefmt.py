@@ -1,33 +1,45 @@
-"""Minimal versioned-table layer: time travel + atomic commits on plain
-parquet, closing the gap the missing Delta/Iceberg jars leave.
+"""Minimal versioned-table layer: time travel + atomic commits +
+optimistic multi-writer concurrency on plain parquet, closing the gap
+the missing Delta/Iceberg jars leave.
 
-The reference upserts into one mutable PostgreSQL table; a Spark
-deployment wants MERGE with snapshot isolation. Without a table-format
-jar in the environment, this module provides the smallest layout that
-gives the load-bearing guarantees:
+The reference upserts into one mutable PostgreSQL table and serializes
+concurrent upserts via row locks (``Services/OpcSubscribeService.cs:608-612``);
+a Spark deployment wants MERGE with snapshot isolation. Without a
+table-format jar in the environment, this module provides the smallest
+layout that gives the load-bearing guarantees:
 
 - **Immutable versions**: every commit writes a fresh parquet directory
-  ``data/v{N}/`` plus a manifest ``_versions/v{N}.json``; nothing is
-  ever rewritten in place.
-- **Atomic visibility**: readers resolve the ``_latest`` pointer file,
-  which is updated by ``os.replace`` (atomic on POSIX) strictly AFTER
-  the data and manifest are durable. A crash anywhere mid-commit leaves
-  the pointer on the previous version — readers never see a torn table,
-  and the orphan data directory is harmless (reclaimed by ``vacuum``).
+  ``data/v{N}-{token}/`` plus a manifest ``_versions/v{N}.json``;
+  nothing is ever rewritten in place. The per-attempt ``token`` keeps
+  two concurrent writers from ever sharing a data directory.
+- **Atomic commit point (manifest CAS)**: a version is committed the
+  instant its manifest file is created, and creation is a true
+  compare-and-swap — the manifest is fully written to a temp file and
+  then ``os.link``ed to ``_versions/v{N}.json``. ``link`` is atomic and
+  fails with EEXIST if another writer claimed N first, so exactly one
+  writer wins each version, the chain of parents is linear, and a
+  manifest can never exist half-written. Data is durable strictly
+  BEFORE the claim, so any visible manifest points at complete data.
+- **Multi-writer MERGE**: ``commit_merge`` runs an optimistic loop —
+  read the latest snapshot, apply the caller's merge function, attempt
+  the CAS; on losing the race it REBASES by re-reading the new snapshot
+  and re-running the merge (the equivalent of the reference's row-lock
+  retry). Two interleaved writers both commit; neither update is lost.
 - **Time travel**: ``read_version(spark, root, version=k)`` reads any
   retained snapshot; the manifest records the parent version so history
   is a chain.
-- **Idempotent redelivery**: the version number is recomputed from the
-  pointer at commit time, so replaying a crashed commit simply writes
-  the same next version again (the deterministic-merge property pinned
-  by tests/test_persisted_state.py makes the bytes equal too).
+- **Crash safety**: a crash before the manifest claim leaves an orphan
+  data directory (invisible, reclaimed by ``vacuum``); a crash after
+  the claim leaves a fully committed version. ``_latest`` is kept as an
+  advisory cache for external tooling, but visibility derives from the
+  manifest directory alone — a stale or torn pointer cannot tear reads.
 
 At 100 TB the same layout holds: the manifest is one small JSON per
-commit, the pointer swap is one rename, and data directories are
-written by the cluster in parallel. What a real table format adds on
-top — concurrent WRITERS via optimistic manifest CAS, file-level
-deletes — is out of scope for this single-writer engine (documented,
-not simulated).
+commit, the CAS is one metadata link on the (driver-local or
+object-store-locked) manifest path, and data directories are written by
+the cluster in parallel. This is the same commit protocol shape as
+Delta's ``_delta_log/N.json`` mutual-exclusion write, minus file-level
+deletes and compaction.
 """
 
 from __future__ import annotations
@@ -35,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,25 +60,36 @@ def _pointer_path(root: str) -> str:
     return os.path.join(root, "_latest")
 
 
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_versions_dir(root), f"v{version:05d}.json")
+
+
 def latest_version(root: str) -> int | None:
-    """The committed version the pointer names, or None for an empty
-    table. Only the pointer decides visibility — orphan data/manifests
-    from crashed commits are invisible."""
+    """The newest committed version, or None for an empty table.
+    Derived from the manifest directory — the set of committed versions —
+    never from the advisory ``_latest`` pointer: manifests are created
+    atomically with complete contents, so this can't observe a torn
+    commit. Orphan data dirs from crashed commits are invisible."""
+    vdir = _versions_dir(root)
     try:
-        with open(_pointer_path(root)) as f:
-            return int(f.read().strip())
+        names = os.listdir(vdir)
     except FileNotFoundError:
         return None
+    versions = [
+        int(n[1:-5]) for n in names
+        if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions) if versions else None
 
 
-def commit_version(df: DataFrame, root: str) -> int:
-    """Write ``df`` as the next version and atomically publish it.
-    Ordering is the crash-safety contract: (1) data parquet, (2)
-    manifest json, (3) pointer replace — a crash between any two steps
-    leaves the previous version live."""
-    parent = latest_version(root)
+def _try_commit(df: DataFrame, root: str, parent: int | None) -> int | None:
+    """One optimistic commit attempt on top of ``parent``: write data to a
+    unique directory, then CAS-claim the next manifest. Returns the
+    committed version, or None if another writer claimed it first (the
+    loser's data directory is removed; vacuum would also reclaim it)."""
     version = 0 if parent is None else parent + 1
-    data_dir = os.path.join(root, "data", f"v{version:05d}")
+    token = uuid.uuid4().hex[:8]
+    data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
     df.write.mode("overwrite").parquet(data_dir)
 
     os.makedirs(_versions_dir(root), exist_ok=True)
@@ -75,17 +99,68 @@ def commit_version(df: DataFrame, root: str) -> int:
         "data": os.path.relpath(data_dir, root),
         "schema": df.schema.jsonValue(),
     }
-    man_path = os.path.join(_versions_dir(root), f"v{version:05d}.json")
-    tmp = man_path + ".tmp"
+    man_path = _manifest_path(root, version)
+    tmp = f"{man_path}.{token}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, man_path)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+    except FileExistsError:
+        os.unlink(tmp)
+        shutil.rmtree(data_dir, ignore_errors=True)  # lost the race
+        return None
+    os.unlink(tmp)
 
-    ptr_tmp = _pointer_path(root) + ".tmp"
+    # Advisory pointer for external tooling; correctness never reads it.
+    ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
     with open(ptr_tmp, "w") as f:
         f.write(str(version))
     os.replace(ptr_tmp, _pointer_path(root))
     return version
+
+
+def commit_version(df: DataFrame, root: str, max_retries: int = 20) -> int:
+    """Write ``df`` as the next version and atomically publish it.
+    Under concurrency this retries the CAS with the next free version
+    number (content unchanged — for read-modify-write upserts that must
+    not lose racing updates, use ``commit_merge``)."""
+    for _ in range(max_retries):
+        v = _try_commit(df, root, latest_version(root))
+        if v is not None:
+            return v
+    raise RuntimeError(
+        f"commit_version lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
+def commit_merge(
+    spark: SparkSession,
+    root: str,
+    merge_fn,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic MERGE: ``merge_fn(current: DataFrame | None) ->
+    DataFrame`` is applied to the latest committed snapshot and the
+    result committed via the manifest CAS. On losing the race the merge
+    is REBASED: re-read the new latest snapshot, re-run ``merge_fn``,
+    retry — so two interleaved writers both land and neither's rows are
+    lost (the reference's row-lock serialization, done optimistically).
+    """
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        current = read_version(spark, root, parent) if parent is not None else None
+        v = _try_commit(merge_fn(current), root, parent)
+        if v is not None:
+            return v
+    raise RuntimeError(
+        f"commit_merge lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
 
 
 def read_version(
@@ -98,9 +173,8 @@ def read_version(
         version = latest_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed version at {root}")
-    man_path = os.path.join(_versions_dir(root), f"v{version:05d}.json")
     try:
-        with open(man_path) as f:
+        with open(_manifest_path(root, version)) as f:
             manifest = json.load(f)
     except FileNotFoundError:
         raise ValueError(
@@ -128,8 +202,9 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
     manifests first, then data directories — a reader holding an old
     manifest between the two deletes fails loudly on the manifest (gone)
     rather than silently reading half a data directory. Also reclaims
-    orphan data directories from crashed commits (data written, pointer
-    never advanced). Returns the removed version numbers."""
+    orphan data directories from crashed commits and lost CAS attempts
+    (data written, manifest never claimed). Returns the removed version
+    numbers."""
     live = latest_version(root)
     if live is None:
         return []
@@ -141,11 +216,11 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
         v = m["version"]
         if v in retained:
             continue
-        os.remove(os.path.join(_versions_dir(root), f"v{v:05d}.json"))
+        os.remove(_manifest_path(root, v))
         shutil.rmtree(os.path.join(root, m["data"]), ignore_errors=True)
         removed.append(v)
-    # orphans: data dirs with no manifest (crashed commits past the live
-    # version) — invisible to readers, safe to reclaim
+    # orphans: data dirs with no manifest (crashed or CAS-losing commits)
+    # — invisible to readers, safe to reclaim
     data_root = os.path.join(root, "data")
     manifested = {m["data"] for m in history(root)}
     if os.path.isdir(data_root):

@@ -17,8 +17,15 @@ its sink is a per-update Postgres upsert. The Spark-first equivalents:
   semantics without row locks).
 - **Backpressure (T7)**: optional queue-10 drop-oldest per point per
   micro-batch, mirroring the MonitoredItem bounded queue
-  (``OpcSubscribeService.cs:236-237``). With LWW state this is pure load
-  shedding — it never changes the final snapshot (pinned by test).
+  (``OpcSubscribeService.cs:236-237``). The bound applies BEFORE the
+  client-side staleness/quality handling, as in the reference (the OPC
+  server's queue overflows first, ``:558-585`` filter later). With LWW
+  state the shed stream equals the identically-shed batch bit-for-bit
+  (``bench.py --streaming`` pins this at sf0.1); it equals the UNSHED
+  batch only while the per-node newest-10 window still contains the
+  latest valid good value — true at low per-batch density (the pinned
+  fixture test), measurably not at sf0.1 (~12 updates/node/batch: 7 of
+  ~500 points keep an older value whose newer shadows were stale/bad).
 
 Determinism: everything is keyed on the fixture's ``received_ts`` logical
 clock (SURVEY.md §7 risk 1 — operators never read the wall clock), so
@@ -126,6 +133,31 @@ class ModvaluesMergeSink:
         )
 
 
+def run_replay_stream(
+    spark: SparkSession,
+    schema,
+    src_dir: str,
+    ckpt_dir: str,
+    sink: ModvaluesMergeSink,
+) -> None:
+    """Run the Structured Streaming leg alone (file source,
+    maxFilesPerTrigger=1, availableNow) over already-written batch files —
+    split out of ``replay_modvalues`` so ``bench.py --streaming`` can time
+    the stream without the one-time file-splitting setup."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "batch_*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def replay_modvalues(
     spark: SparkSession,
     updates: DataFrame,
@@ -142,19 +174,6 @@ def replay_modvalues(
     src_dir = os.path.join(work_dir, "stream_src")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     write_replay_batches(updates, src_dir, num_batches)
-    schema = updates.schema
-
     sink = ModvaluesMergeSink(devices, templates, connections, queue_size)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src_dir, "batch_*"))
-    )
-    query = (
-        stream.writeStream.foreachBatch(sink.process_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    run_replay_stream(spark, updates.schema, src_dir, ckpt_dir, sink)
     return sink
