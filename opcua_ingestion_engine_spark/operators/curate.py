@@ -13,15 +13,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import jaccard_pairs
+from .dedup import jaccard_pairs, minhash_neardup_pairs
 from .graph import connected_components
 from .text import quality_filter
+
+
+def _neardup_pairs(survivors, text_col, near_threshold, max_doc_freq, candidates):
+    """Near-dup pair stage shared by both curation modes.
+
+    ``candidates="exact"`` is the ground-truth inverted-index join —
+    right at oracle/test scale, Theta(sum df^2) once the shingle space
+    saturates (the sf1 sweep measured 28.9M candidate pairs / 53 s from
+    50k docs of the 31-word-vocab fixtures, and prefix filtering cannot
+    help there — no rare shingles exist). ``candidates="minhash"`` is
+    the 100 TB path: banded-LSH candidates + exact-Jaccard verify, so
+    every emitted pair is true (no false positives) and recall follows
+    the band S-curve (~0.99 at jaccard 0.5 with the 32x3 default);
+    candidates scale with true similarity, not shingle co-occurrence.
+    The minhash path is unblocked (no language blocking) — it can also
+    surface cross-language near-dups the blocked exact path skips.
+    """
+    if candidates == "minhash":
+        return minhash_neardup_pairs(
+            survivors, text_col=text_col, threshold=near_threshold
+        )
+    if candidates != "exact":
+        raise ValueError(f"candidates must be 'exact' or 'minhash', got {candidates!r}")
+    return jaccard_pairs(
+        survivors, block_col="lang", text_col=text_col,
+        threshold=near_threshold, max_doc_freq=max_doc_freq,
+    )
 
 
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
     near_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    candidates: str = "exact",
 ) -> DataFrame:
     """Curate a document corpus: drop low-quality docs (E4 gates), collapse
     exact duplicates to their lowest-doc_id representative (E1), then drop
@@ -54,8 +83,8 @@ def curate_corpus(
         .localCheckpoint(eager=False)
     )
     survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
-    pairs = jaccard_pairs(
-        survivors, block_col="lang", text_col=text_col, threshold=near_threshold
+    pairs = _neardup_pairs(
+        survivors, text_col, near_threshold, max_doc_freq, candidates
     )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return reps.join(drop, "doc_id", "left_anti").select(
@@ -67,6 +96,8 @@ def curate_corpus_clustered(
     docs: DataFrame,
     text_col: str = "text",
     near_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    candidates: str = "exact",
 ) -> DataFrame:
     """Cluster-mode curation: same quality gate (E4) and exact-dedup (E1)
     stages as ``curate_corpus``, but near-duplicates are resolved by
@@ -89,8 +120,8 @@ def curate_corpus_clustered(
         .localCheckpoint(eager=False)
     )
     survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
-    pairs = jaccard_pairs(
-        survivors, block_col="lang", text_col=text_col, threshold=near_threshold
+    pairs = _neardup_pairs(
+        survivors, text_col, near_threshold, max_doc_freq, candidates
     )
     comp = connected_components(pairs)  # (node, component); paired docs only
     # connected_components labels each component with its MINIMUM node id

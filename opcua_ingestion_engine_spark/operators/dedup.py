@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .text import word_ngrams
 
@@ -71,6 +72,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     max_doc_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """E2 (exact verify path) — blocked word-n-gram Jaccard via an
     inverted shingle index.
@@ -80,28 +82,32 @@ def jaccard_pairs(
     trades recall for cost: cross-block near-dups are invisible to it,
     which is exactly why the LSH path doesn't block.
 
-    Shape: explode each doc's distinct shingles into postings, self-join
-    the posting lists on (block, shingle), and COUNT shared shingles per
-    pair — |A∩B| emerges from a groupBy, no shingle array ever rides
-    through a pair row. jaccard = c / (|A|+|B|-c) with the division in
-    double over exact ints (engine-identical). Requires threshold > 0:
-    pairs sharing no shingle never surface (their jaccard is 0).
+    Shape (default): explode each doc's distinct shingles into postings,
+    self-join the posting lists on (block, shingle), and COUNT shared
+    shingles per pair — |A∩B| emerges from a groupBy, no shingle array
+    ever rides through a pair row. jaccard = c / (|A|+|B|-c) with the
+    division in double over exact ints (engine-identical). Requires
+    threshold > 0: pairs sharing no shingle never surface (jaccard 0).
 
-    Scale: the shuffle key is the SHINGLE (high cardinality, skew only for
-    stopword-like shingles — AQE skew-split absorbs moderate cases; at
-    extreme scale set ``max_doc_freq`` to cap posting lists by document
-    frequency: a shingle shared by >N docs contributes O(N^2) pair rows
-    while carrying almost no Jaccard signal, exactly the stopword-shingle
-    skew profile. The cap UNDERCOUNTS intersections (documented
-    approximation — scores only drop, never rise, so precision of the
-    >= threshold cut is preserved; recall on planted near-dups is pinned
-    in pytest). Default None = exact. The
-    alternatives are strictly worse: an array-carrying pair join moves
-    O(pairs) shingle arrays through an exchange and evaluates an
-    O(|A|+|B|) intersect per pair — measured 65-100s at sf0.1 vs 4.6s for
-    this form (14-22x), and a per-pair size-ratio prefilter made it
-    SLOWER (the predicate lands in the join condition, evaluated per
-    buffered pair in the merge loop, outside whole-stage codegen).
+    Scale: the shuffle key is the SHINGLE; candidate volume is
+    Theta(sum df^2) — quadratic in corpus size once the shingle space
+    saturates. Three levers, all output-documented:
+    - ``prefix_filter=True``: LOSSLESS AllPairs/PPJoin prefix pruning +
+      exact array verify (identical output, pinned by pytest). Wins on
+      power-law vocabularies (real text: vast df=1 tails); measured a
+      ~2x PESSIMIZATION on this repo's saturated 31-word-vocab fixtures
+      — see the inline comment for the numbers. Off by default.
+    - ``max_doc_freq=N``: cap posting lists by document frequency.
+      UNDERCOUNTS intersections (documented approximation — scores only
+      drop, never rise, so >= threshold precision is preserved; recall
+      on planted near-dups is pinned in pytest). Default None = exact.
+    - Neither lever helps a saturated shingle space with many mid-df
+      shingles; there the scale path is MinHash banding
+      (``minhash_neardup_pairs``) whose candidates scale with true
+      similarity, not shingle co-occurrence.
+    An array-carrying join over ALL pairs was measured 65-100s at sf0.1
+    vs 4.6s for the posting-count form (14-22x) — arrays only ever ride
+    on PRUNED candidate sets.
     """
     assert threshold > 0, "inverted-index jaccard requires threshold > 0"
     block = F.col(block_col) if block_col is not None else F.lit(1)
@@ -113,8 +119,67 @@ def jaccard_pairs(
         block.alias("_block"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
     ).localCheckpoint(eager=True)
-    post = s.select("_block", "doc_id", F.explode("shingles").alias("sh"))
+    post = s.select(
+        "_block", "doc_id",
+        F.explode("shingles").alias("sh"),
+        F.size("shingles").alias("_n"),
+    )
+    if prefix_filter:
+        # PREFIX FILTERING (AllPairs/PPJoin family — Bayardo et al.
+        # WWW'07, Xiao et al. WWW'08) — LOSSLESS candidate pruning for
+        # power-law-vocabulary corpora. Order each doc's shingles by
+        # GLOBAL rarity (document frequency asc, shingle asc) and index
+        # only its first p = n - ceil(threshold*n) + 1. Completeness:
+        # J(A,B) >= t implies c >= ceil(t * max(|A|,|B|)), and a pair
+        # whose rarity-ordered prefixes of these lengths are disjoint
+        # cannot reach that overlap — so every qualifying pair collides
+        # on some prefix shingle; candidates are then verified EXACTLY
+        # on their full shingle arrays. Output is identical to the
+        # default join (a pytest pins it); only the candidate set
+        # changes size. On real text (vast df=1 tails) prefixes collapse
+        # the Theta(sum df^2) candidate blowup; on THIS repo's synthetic
+        # fixtures it is a measured pessimization — the 31-word vocab
+        # saturates the trigram space (min df ~9 at sf0.1), so prefixes
+        # only halved the 28.9M sf1 candidates while adding a window +
+        # array-carrying verify (sf0.1 q_e7: 1.7s -> 3.3s). Hence
+        # opt-in, default False; the scale path for saturated spaces is
+        # MinHash banding (minhash_neardup_pairs).
+        dfreq = post.groupBy("_block", "sh").agg(F.count("*").alias("_df"))
+        w = W.partitionBy("doc_id").orderBy("_df", "sh")
+        prefix = (
+            post.join(dfreq, ["_block", "sh"])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                <= F.col("_n") - F.ceil(F.col("_n") * F.lit(float(threshold))) + 1
+            )
+        )
+        ca = prefix.select(F.col("doc_id").alias("doc_a"), "_block", "sh")
+        cb = prefix.select(F.col("doc_id").alias("doc_b"), "_block", "sh")
+        cand = (
+            ca.join(cb, ["_block", "sh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        va = s.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sha"))
+        vb = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+        c = F.size(F.array_intersect("_sha", "_shb"))
+        return (
+            cand.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .withColumn(
+                "jaccard",
+                c.cast("double")
+                / (F.size("_sha") + F.size("_shb") - c).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
     if max_doc_freq is not None:
+        # Capped path: excluding high-df shingles UNDERCOUNTS
+        # intersections (documented approximation; scores only drop).
         df_counts = (
             post.groupBy("_block", "sh")
             .agg(F.count("*").alias("_df"))

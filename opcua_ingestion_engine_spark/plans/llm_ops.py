@@ -644,6 +644,24 @@ def q_e7_curation_clustered(spark, sf_dir):
 
 
 @register(
+    "q_e7_curation_minhash",
+    None,  # engine-native hashing in the LSH stage — rows-only; equality
+    # with the exact mode on planted dups is pinned in pytest
+    "[EXT] curation pipeline, 100 TB mode: same quality gate + exact dedup, "
+    "but the near-dup stage uses banded MinHash-LSH candidates + exact "
+    "verify instead of the inverted-index all-pairs join. The exact join's "
+    "candidate volume is Theta(sum df^2) — measured 28.9M pairs / 53 s at "
+    "sf1 on the saturated 31-word-vocab fixtures, where neither prefix "
+    "filtering nor df caps can prune (no rare shingles) — while LSH "
+    "candidates scale with true similarity (sf1: ~16 s end-to-end)",
+)
+def q_e7_curation_minhash(spark, sf_dir):
+    from ..operators.curate import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir), candidates="minhash")
+
+
+@register(
     "q_e4_token_count",
     r"""
     SELECT doc_id,

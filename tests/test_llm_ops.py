@@ -839,3 +839,55 @@ def test_audio_energy_hash_invariances(spark):
         for r in hamming_neardup_pairs(hdf, "phash").collect()
     }
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """prefix_filter=True (AllPairs/PPJoin pruning + array verify) must
+    produce EXACTLY the default posting-count join's pairs — the pruning
+    is a plan change, never a result change."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    docs = C.load_table(spark, "/root/testdata/sf0.001", "documents")
+    for thr in (0.2, 0.5):
+        base = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in D.jaccard_pairs(docs, threshold=thr).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in D.jaccard_pairs(
+                docs, threshold=thr, prefix_filter=True
+            ).collect()
+        }
+        assert base == pref and len(base) > 0, (thr, len(base), len(pref))
+
+
+def test_curation_minhash_mode_matches_exact_on_planted(spark):
+    """The 100 TB curation mode (MinHash-banded candidates + exact verify)
+    must keep/drop the same documents as the exact mode on a corpus whose
+    near-dups are comfortably above threshold (band recall ~1 there);
+    both modes share every other stage."""
+    from opcua_ingestion_engine_spark.operators.curate import (
+        curate_corpus, curate_corpus_clustered,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight while stars shine bright "
+            "above the quiet sleeping town")
+    mut = base.replace("quiet", "noisy")  # ~1 of 28 tokens -> jaccard ~0.9
+    other = ("completely different content about solar panel telemetry "
+             "ingestion with device heartbeats and subscription queues "
+             "reporting measurements every five seconds for all devices")
+    rows = [
+        (1, base, "en"), (2, base, "en"),     # exact dup of 1
+        (3, mut, "en"),                       # near dup of 1
+        (4, other, "en"), (5, other + " extra trailing tokens", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    for fn in (curate_corpus, curate_corpus_clustered):
+        exact = {r["doc_id"] for r in fn(docs).collect()}
+        mh = {r["doc_id"] for r in fn(docs, candidates="minhash").collect()}
+        assert exact == mh, (fn.__name__, exact, mh)
+        assert 1 in exact and 2 not in exact and 3 not in exact
