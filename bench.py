@@ -46,6 +46,7 @@ HEADLINE = [
     "q_t_multires_rollup",
     "q_e7_curation_pipeline",
     "q_e3_ann_cosine_topk",
+    "q_e3_ivfpq_from_index",
     "q_e4_text_stats",
     "q_e6_timeseries_similarity",
     "q_b1_browse_tree",

@@ -211,3 +211,134 @@ def test_image_neardup_max_bucket_bounds_identical_image_cluster(spark):
     # uncapped: the megacluster alone contributes 60*59/2 pairs
     full = hamming_neardup_pairs(hashes, "phash", same_key="fmt").count()
     assert full >= 60 * 59 // 2
+
+
+# ---------------------------------------------------------------------------
+# Temporal-operator hot-key stress (VERDICT r4 #8): one device/user owns
+# 50% of all events. The per-key window operators must stay correct (the
+# hot partition is processed by one task — that's the contract of a
+# per-key sort, not a defect) and the plans must stay free of cartesian
+# blowups.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hot_key_events(spark):
+    """20k events: user 42 owns 10k (50%) with value spikes planted every
+    500 events and a 1h gap every 1000; 50 cold users own 200 each."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for i in range(10_000):
+        rows.append((
+            eid,
+            base + datetime.timedelta(seconds=7 * i + (i // 1000) * 3600),
+            42,
+            types[i % 4],
+            5000.0 if i % 500 == 0 and i > 0 else 50.0,
+        ))
+        eid += 1
+    for u in range(50):
+        for i in range(200):
+            rows.append((
+                eid,
+                base + datetime.timedelta(seconds=61 * i + u),
+                100 + u,
+                types[(i + u) % 4],
+                50.0,
+            ))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).localCheckpoint(eager=True)
+    return df
+
+
+def _no_cartesian(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_hot_key_matches_model(spark, hot_key_events):
+    """Backward as-of join under a 50%-hot key: every purchase must attach
+    the latest view at-or-before it — verified row-for-row against a
+    bisect model over the full 20k-event fixture."""
+    import bisect
+    from collections import defaultdict
+
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    ev = hot_key_events
+    left = ev.filter("event_type = 'purchase'")
+    right = ev.filter("event_type = 'view'")
+    out = TS.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"view_event": "event_id"}, tiebreak="event_id",
+    )
+    _no_cartesian(out)
+
+    views = defaultdict(list)
+    for r in right.select("user_id", "ts", "event_id").collect():
+        views[r["user_id"]].append((r["ts"], r["event_id"]))
+    for v in views.values():
+        v.sort()
+    expect = {}
+    for r in left.select("user_id", "ts", "event_id").collect():
+        vs = views[r["user_id"]]
+        i = bisect.bisect_right(vs, (r["ts"], float("inf")))
+        expect[r["event_id"]] = vs[i - 1][1] if i else None
+    got = {r["event_id"]: r["view_event"] for r in out.collect()}
+    # 2500 hot purchases (i % 4 == 2) + 50 cold users x 50 purchases
+    assert got == expect and len(got) == 5000
+
+
+def test_sessionize_hot_key_gap_structure(spark, hot_key_events):
+    """Gap sessionization with the hot user's planted 1h gaps: exactly 10
+    sessions of 1000 events each for the hot key, one session per cold
+    user, correct in one per-key sort."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    sess = TS.sessionize(
+        hot_key_events.select("user_id", "ts", "event_id"),
+        key="user_id", ts="ts", tiebreak="event_id", gap_s=1800,
+    )
+    _no_cartesian(sess)
+    per = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    hot = sorted((r["session_id"], r["n"]) for r in per if r["user_id"] == 42)
+    assert hot == [(i, 1000) for i in range(10)], hot[:12]
+    cold = [(r["user_id"], r["n"]) for r in per if r["user_id"] != 42]
+    assert len(cold) == 50 and all(n == 200 for _, n in cold)
+
+
+def test_rolling_zscore_hot_key_flags_planted_spikes(spark, hot_key_events):
+    """Rolling z-score over the hot key: exactly the 19 planted 5000.0
+    spikes flag (each preceded by a zero-spread window of 50.0s — the
+    +Infinity envelope branch); no cold-user row flags."""
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    out = TS.rolling_zscore_anomalies(hot_key_events)
+    _no_cartesian(out)
+    rows = out.collect()
+    assert all(r["user_id"] == 42 and r["value"] == 5000.0 for r in rows)
+    assert len(rows) == 19, len(rows)
+
+
+def test_funnel_hot_key_counts_each_user_once(spark, hot_key_events):
+    """The ordered funnel must count the 10k-event hot user exactly once
+    per step — per-user window mins, no per-key event-list blowup. Every
+    user (hot + 50 cold) completes view -> click -> purchase."""
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+
+    out = TS.funnel_counts(hot_key_events)
+    _no_cartesian(out)
+    got = {r["step_name"]: r["n_users"] for r in out.collect()}
+    assert got == {"view": 51, "click": 51, "purchase": 51}, got
