@@ -87,9 +87,20 @@ def shed_to_queue_bound(batch: DataFrame, queue_size: int = 10) -> DataFrame:
 class ModvaluesMergeSink:
     """foreachBatch sink: folds micro-batches into the per-point state.
 
-    State lives as an eagerly localCheckpoint'ed DataFrame (micro-batch
-    state is O(configured points); in production this materialization is a
-    Delta MERGE INTO a keyed table partitioned by hash(device)).
+    Ephemeral mode (default): state lives as an eagerly
+    localCheckpoint'ed DataFrame (micro-batch state is O(configured
+    points)).
+
+    Durable mode (``state_root`` set): every micro-batch lands as a
+    versioned-table commit through ``tablefmt.commit_merge`` — the
+    manifest-CAS MERGE INTO analogue. This buys, with tests pinning
+    each: (a) RESTART RECOVERY — a fresh sink on the same root resumes
+    from the last committed snapshot; (b) REDELIVERY SAFETY — the
+    max/max LWW reducer is idempotent, so a re-processed micro-batch
+    commits a new version with an identical snapshot; (c) MULTI-WRITER
+    safety — a concurrent committer forces a CAS rebase, not a lost
+    update (the reference's row-locked upsert,
+    ``Services/OpcSubscribeService.cs:608-641``, done optimistically).
     """
 
     def __init__(
@@ -98,15 +109,24 @@ class ModvaluesMergeSink:
         templates: DataFrame,
         connections: DataFrame,
         queue_size: int | None = None,
+        state_root: str | None = None,
     ):
         self.devices = devices
         self.templates = templates
         self.connections = connections
         self.queue_size = queue_size
+        self.state_root = state_root
         self.state: DataFrame | None = None
         self.mon = None
         self.tpl = None
         self.batches_seen = 0
+        if state_root is not None:
+            from ..operators import tablefmt as TF
+
+            spark = devices.sparkSession
+            if TF.latest_version(state_root) is not None:
+                # restart recovery: resume from the committed snapshot
+                self.state = TF.read_version(spark, state_root)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.queue_size is not None:
@@ -116,11 +136,25 @@ class ModvaluesMergeSink:
         )
         if self.mon is None:
             self.mon, self.tpl = mon, tpl
-        incoming = ingest.perpoint_state(joined)
-        merged = ingest.merge_perpoint_states(self.state, incoming)
-        # pin each state version: truncates lineage so state cost stays
-        # O(points), not O(batches x plan-depth)
-        self.state = merged.localCheckpoint(eager=True)
+        # eager: commit_merge may re-run the merge on a CAS rebase, and
+        # the ephemeral path's checkpoint would otherwise re-derive the
+        # whole prepare/perpoint lineage there
+        incoming = ingest.perpoint_state(joined).localCheckpoint(eager=True)
+        if self.state_root is not None:
+            from ..operators import tablefmt as TF
+
+            spark = batch.sparkSession
+            TF.commit_merge(
+                spark,
+                self.state_root,
+                lambda current: ingest.merge_perpoint_states(current, incoming),
+            )
+            self.state = TF.read_version(spark, self.state_root)
+        else:
+            merged = ingest.merge_perpoint_states(self.state, incoming)
+            # pin each state version: truncates lineage so state cost
+            # stays O(points), not O(batches x plan-depth)
+            self.state = merged.localCheckpoint(eager=True)
         self.batches_seen += 1
 
     def snapshot(self, liveness_window_s: int = 60) -> DataFrame:
@@ -167,13 +201,15 @@ def replay_modvalues(
     work_dir: str,
     num_batches: int = 8,
     queue_size: int | None = None,
+    state_root: str | None = None,
 ) -> ModvaluesMergeSink:
     """End-to-end replay: write micro-batch files, run a real Structured
     Streaming query (file source, maxFilesPerTrigger=1, availableNow)
-    through the merge sink, and return the sink holding the final state."""
+    through the merge sink, and return the sink holding the final state.
+    ``state_root`` switches the sink to durable versioned-table state."""
     src_dir = os.path.join(work_dir, "stream_src")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     write_replay_batches(updates, src_dir, num_batches)
-    sink = ModvaluesMergeSink(devices, templates, connections, queue_size)
+    sink = ModvaluesMergeSink(devices, templates, connections, queue_size, state_root)
     run_replay_stream(spark, updates.schema, src_dir, ckpt_dir, sink)
     return sink

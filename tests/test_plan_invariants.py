@@ -43,6 +43,10 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # reads a persisted compressed table instead of re-encoding in-plan
     "q_e3_pq_ann": (0, 0, {"embeddings": 3}),
     "q_e3_ivfpq_ann": (0, 0, {"embeddings": 3}),
+    # served from the PERSISTED codes table: the corpus-sized pass reads
+    # the index parquet (not `embeddings`); the two embeddings scans are
+    # the broadcast-sized query slice + the candidate-only rerank fetch
+    "q_e3_ivfpq_from_index": (0, 0, {"embeddings": 2}),
     "q_e4_repetition": (0, 0, {"documents": 2}),
     # static plan expands the minute->hour->day cascade into 3 branches,
     # but at runtime the hour/day branches are ReusedExchange of the
@@ -75,6 +79,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
     "q_e7_curation_pipeline": (0, 1, {}),
+    # same state-sized reps-vs-drop anti join as the exact pipeline; the
+    # LSH stage adds a second documents pass (signature + verify prune)
+    "q_e7_curation_minhash": (0, 1, {"documents": 2}),
     "q_f8_online_probe": (1, 0, {}),
     "q_flagship_modvalues": (1, 0, {}),
     "q_j5_venn_reconcile": (0, 1, {}),

@@ -1028,3 +1028,53 @@ def test_incremental_neardup_redelivery_is_idempotent(spark):
     assert sorted(tuple(r) for r in sink.pairs.collect()) == pairs_before
     assert sink.index.count() == index_before
     assert not any(a == b for a, b, _ in pairs_before)
+
+
+def test_durable_state_restart_redelivery_and_versions(spark, fixtures, tmp_path):
+    """Durable sink mode (state committed per micro-batch through the
+    tablefmt manifest CAS): (1) a RESTART mid-stream — new sink object,
+    same state root — resumes from the committed snapshot and the final
+    state still equals the batch flagship; (2) REDELIVERING an already-
+    merged batch commits a new version whose snapshot is IDENTICAL (the
+    LWW reducer is idempotent); (3) the version chain is linear."""
+    from opcua_ingestion_engine_spark.operators import ingest, tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming import replay
+
+    batch = ingest.modvalues_snapshot(
+        fixtures["updates"], fixtures["devices"],
+        fixtures["templates"], fixtures["connections"],
+    )
+    root = str(tmp_path / "durable_state")
+    src = str(tmp_path / "src")
+    paths = replay.write_replay_batches(fixtures["updates"], src, 4)
+    schema = fixtures["updates"].schema
+
+    def mk_sink():
+        return replay.ModvaluesMergeSink(
+            fixtures["devices"], fixtures["templates"],
+            fixtures["connections"], state_root=root,
+        )
+
+    sink_a = mk_sink()
+    for i, p in enumerate(paths[:2]):
+        sink_a.process_batch(spark.read.schema(schema).parquet(p), i)
+    assert TF.latest_version(root) == 1
+
+    # (1) restart: fresh sink resumes from the committed snapshot
+    sink_b = mk_sink()
+    assert sink_b.state is not None
+    for i, p in enumerate(paths[2:], start=2):
+        sink_b.process_batch(spark.read.schema(schema).parquet(p), i)
+    assert _rows(sink_b.snapshot()) == _rows(batch)
+
+    # (2) redelivery: re-merging batch 2 must not change the snapshot
+    before = _rows(sink_b.snapshot())
+    sink_b.process_batch(spark.read.schema(schema).parquet(paths[2]), 99)
+    assert _rows(sink_b.snapshot()) == before
+    # a new version was still committed (at-least-once durability)...
+    assert TF.latest_version(root) == 4
+    # (3) ...and the chain is linear
+    hist = TF.history(root)
+    assert [(m["version"], m["parent"]) for m in hist] == [
+        (v, None if v == 0 else v - 1) for v in range(5)
+    ]
