@@ -85,9 +85,11 @@ def _memo_ckpt(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     # Evict only entries whose owning context is STOPPED: those reference
     # checkpointed frames of dead sessions and would pin driver memory for
     # process lifetime. Entries of other live sessions stay cached.
+    # pop, not del: two live sessions can run this eviction concurrently
+    # over the same snapshot of stale keys (the dict has no lock)
     for stale in [kk for kk, (sess, _) in _DIM_CACHE.items()
                   if kk[0] != app and _session_stopped(sess)]:
-        del _DIM_CACHE[stale]
+        _DIM_CACHE.pop(stale, None)
     df = build().localCheckpoint(eager=True)
     _DIM_CACHE[k] = (spark, df)
     return df

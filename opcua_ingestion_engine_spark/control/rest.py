@@ -125,11 +125,23 @@ class ConnectionConfigStore:
                 ".tmp (complete new version, also present in this state)"
             )
         if os.path.exists(self.path + ".tmp"):
+            # Only a _SUCCESS marker proves the tmp write COMMITTED — a
+            # crash mid-parquet-write leaves a partial .tmp, and telling
+            # the operator to promote that would install a torn store.
+            if os.path.exists(os.path.join(self.path + ".tmp", "_SUCCESS")):
+                raise RuntimeError(
+                    f"config store {self.path} missing but {self.path}.tmp "
+                    "exists and is COMPLETE (_SUCCESS present) — crashed "
+                    "after the write, before promotion; rename the .tmp "
+                    "into place to roll forward (or delete it to start "
+                    "empty)"
+                )
             raise RuntimeError(
                 f"config store {self.path} missing but {self.path}.tmp "
-                "exists — crashed mid-swap before the new version was "
-                "promoted; the .tmp is the complete NEW table: rename it "
-                "into place to roll forward (or delete it to start empty)"
+                "exists and is INCOMPLETE (no _SUCCESS) — either a crash "
+                "mid-write or a first-ever write still in flight; if no "
+                "writer is alive, delete the .tmp to start empty — do NOT "
+                "rename it into place"
             )
         return self.spark.createDataFrame([], STORE_SCHEMA)
 

@@ -217,78 +217,87 @@ def jstree_write(
     (OpcuaHelperFunctions.cs:13-20 — jstree_export already emits lowercase
     keys), indented JSON, and the temp-file guard against concurrent jobs
     (:160-171): the writer claims ``<name>.json.tmp`` exclusively, writes,
-    then atomically renames. Returns the final path, or None when another
-    job holds the temp file.
+    then atomically publishes. Returns the final path, or None when
+    another job holds the lock.
 
-    Stale-lock recovery (deviation from the reference, which can wedge
-    here): a temp file older than ``stale_lock_s`` is an orphan from a
-    crashed writer — no live job holds a lock that long — so it is
-    reclaimed and the claim retried once; without this, one hard crash
-    between claim and rename makes every future export of the
-    connection return None forever.
+    Concurrency design (deviation from the reference, which can wedge or
+    tear here): the ``.tmp`` file is ONLY a lock marker — content is
+    written to a per-writer UNIQUE file and published with one
+    ``os.replace`` of that complete file. Consequences, each pinned by
+    test: (a) a half-written export can never become visible, no matter
+    how lock reclaims interleave — only complete per-writer files are
+    ever renamed onto the final path; (b) a stolen lock cannot crash a
+    live writer — its publish path doesn't go through the lock file, and
+    the lock release tolerates the marker having been reclaimed; (c) a
+    lock older than ``stale_lock_s`` is an orphan from a crashed writer
+    and is reclaimed via an ATOMIC quarantine rename (exactly one
+    recoverer wins; a recoverer that discovers it quarantined a FRESH
+    marker — its age check raced another recoverer's reclaim — restores
+    it and backs off). Worst-case pathological interleave: two writers
+    both publish, each atomically and complete; last one wins.
     """
     import json
     import os
+    import threading
     import time
 
     name = name or f"connection-{conn_id}"
     os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, f"{name}.json.tmp")
+    lock = os.path.join(out_dir, f"{name}.json.tmp")
     final = os.path.join(out_dir, f"{name}.json")
-    try:
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    token = f"{os.getpid()}.{threading.get_ident()}"
+
+    def _claim() -> bool:
         try:
-            age = time.time() - os.path.getmtime(tmp)
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
+
+    if not _claim():
+        try:
+            age = time.time() - os.path.getmtime(lock)
         except FileNotFoundError:
             age = 0.0  # holder just finished; treat as live contention
         if age <= stale_lock_s:
             return None  # concurrent browse job in flight — reference skips
-        # Orphan from a crashed writer — reclaim via an ATOMIC quarantine
-        # rename, then retry the exclusive claim once. A bare
-        # unlink + O_EXCL pair is two steps: recoverer A could unlink,
-        # claim, and start writing, then recoverer B unlink A's live tmp
-        # and claim its own — after which A's os.replace publishes B's
-        # half-written JSON. os.replace is atomic, so exactly one
-        # recoverer moves the stale file aside; losers see
-        # FileNotFoundError and back off.
-        import threading
-
-        quarantined = f"{tmp}.stale.{os.getpid()}.{threading.get_ident()}"
+        quarantined = f"{lock}.stale.{token}"
         try:
-            os.replace(tmp, quarantined)
+            os.replace(lock, quarantined)
         except FileNotFoundError:
             return None  # lost the reclaim race to another recoverer
         # Our age check predates the replace — another recoverer may have
-        # already reclaimed AND re-created the lock in between, in which
-        # case we just moved a LIVE writer's fresh lock aside. Re-check on
-        # the quarantined inode: if it is fresh, restore it (same inode —
-        # the holder's open fd and final rename stay valid) and back off.
+        # reclaimed AND re-created the marker in between, so re-check on
+        # the quarantined inode: fresh means we stole a live writer's
+        # marker — put it back (same inode) and back off.
         try:
             fresh = time.time() - os.path.getmtime(quarantined) <= stale_lock_s
         except FileNotFoundError:
             return None
         if fresh:
             try:
-                os.replace(quarantined, tmp)
-            except FileNotFoundError:
+                os.replace(quarantined, lock)
+            except OSError:
                 pass
             return None
         try:
             os.unlink(quarantined)  # confirmed-stale debris is ours to drop
         except FileNotFoundError:
             pass
-        try:
-            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not _claim():
             return None  # a fresh writer claimed between our steps
+
+    content = os.path.join(out_dir, f"{name}.json.{token}.content")
     try:
-        with os.fdopen(fd, "w") as f:
+        with open(content, "w") as f:
             json.dump(jstree_export(tree, conn_id), f, indent=2)
-        os.replace(tmp, final)
+        os.replace(content, final)  # our own complete file — atomic publish
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        for leftover in (content, lock):
+            try:
+                os.unlink(leftover)
+            except FileNotFoundError:
+                pass  # content published; lock possibly reclaimed — fine
     return final
 
 

@@ -110,6 +110,15 @@ def jaccard_pairs(
     on PRUNED candidate sets.
     """
     assert threshold > 0, "inverted-index jaccard requires threshold > 0"
+    if prefix_filter and max_doc_freq is not None:
+        # the prefix branch verifies on FULL arrays, so the cap's
+        # documented undercount semantics cannot apply there — refuse
+        # loudly rather than silently ignore one of the two requests
+        raise ValueError(
+            "prefix_filter and max_doc_freq are mutually exclusive: "
+            "prefix filtering is lossless (full-array verify), the df "
+            "cap is a deliberate undercount — pick one"
+        )
     block = F.col(block_col) if block_col is not None else F.lit(1)
     # Materialize the shingled input once — consumed by both join sides
     # and the size dimension; left lazy the shingle projection is

@@ -185,26 +185,36 @@ def read_version(
 
 
 def history(root: str) -> list[dict]:
-    """All retained manifests, oldest first."""
+    """All retained manifests, oldest first — ordered by the PARSED
+    version number, not the filename (lexical order breaks past the
+    v%05d padding width)."""
     vdir = _versions_dir(root)
     if not os.path.isdir(vdir):
         return []
     out = []
-    for name in sorted(os.listdir(vdir)):
-        if name.endswith(".json"):
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
             with open(os.path.join(vdir, name)) as f:
                 out.append(json.load(f))
+    out.sort(key=lambda m: m["version"])
     return out
 
 
-def vacuum(root: str, keep: int = 2) -> list[int]:
+def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the live one):
     manifests first, then data directories — a reader holding an old
     manifest between the two deletes fails loudly on the manifest (gone)
     rather than silently reading half a data directory. Also reclaims
-    orphan data directories from crashed commits and lost CAS attempts
-    (data written, manifest never claimed). Returns the removed version
-    numbers."""
+    orphan data directories and manifest .tmp files from crashed commits
+    and lost CAS attempts, but ONLY ones older than ``orphan_grace_s``:
+    under the multi-writer protocol an unmanifested data directory may
+    be a concurrent commit IN FLIGHT (data written, CAS link microseconds
+    away) — reclaiming it would let that commit succeed while pointing
+    at deleted data. The grace period (Delta's vacuum retention, in
+    miniature) makes that race require an hour-long stall; pass 0 only
+    when no writer can be live. Returns the removed version numbers."""
+    import time
+
     live = latest_version(root)
     if live is None:
         return []
@@ -219,13 +229,33 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
         os.remove(_manifest_path(root, v))
         shutil.rmtree(os.path.join(root, m["data"]), ignore_errors=True)
         removed.append(v)
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return time.time() - os.path.getmtime(p) >= orphan_grace_s
+        except OSError:
+            return False  # vanished mid-scan — someone else owns it
+
     # orphans: data dirs with no manifest (crashed or CAS-losing commits)
-    # — invisible to readers, safe to reclaim
+    # — invisible to readers; reclaim only past the grace window
     data_root = os.path.join(root, "data")
     manifested = {m["data"] for m in history(root)}
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join("data", name)
-            if rel not in manifested:
-                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            full = os.path.join(data_root, name)
+            if rel not in manifested and _old_enough(full):
+                shutil.rmtree(full, ignore_errors=True)
+    # manifest .tmp debris: a writer killed between the CAS link and its
+    # tmp unlink leaves v*.json.<token>.tmp behind forever otherwise
+    vdir = _versions_dir(root)
+    if os.path.isdir(vdir):
+        for name in os.listdir(vdir):
+            if name.endswith(".tmp"):
+                full = os.path.join(vdir, name)
+                if _old_enough(full):
+                    try:
+                        os.unlink(full)
+                    except OSError:
+                        pass
     return removed

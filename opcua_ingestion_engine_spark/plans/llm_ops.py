@@ -378,21 +378,32 @@ def q_e3_ivfpq(spark, sf_dir):
 
 
 # Serving geometry for the persisted-index query + its recall pin + the
-# bench headline row. nprobe 12/16 cells with a 40-candidate exact rerank
-# holds recall@5 >= 0.9 (pinned in tests/test_llm_ops.py).
+# bench headline row. nprobe 14/16 cells with a 200-candidate exact
+# rerank holds recall@5 >= 0.9 (measured 0.98 at sf0.01 / 0.94 at sf0.1;
+# pinned in tests/test_llm_ops.py).
 IVFPQ_INDEX_GEOMETRY = {"n_cells": 16, "m": 8, "ksub": 32}
 IVFPQ_SERVE = {"k": 5, "nprobe": 14, "rerank": 200}
 
 
 def ivfpq_index_path(sf_dir: str) -> str:
     """Deterministic per-corpus index location OUTSIDE the repo tree.
-    Training is deterministic, so a missing index is rebuilt identically
+    The cache tag fingerprints the SOURCE DATA (embeddings parquet
+    mtime + size) as well as the path and geometry, so regenerating the
+    corpus at the same path invalidates the cached index instead of
+    silently serving neighbors from stale codes. Training is
+    deterministic, so a missing index is rebuilt identically
     (ivfpq_topk_from_index == in-plan ivfpq_topk, pinned by test)."""
     import hashlib
+    import os
     import tempfile
 
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fingerprint = "absent"
     tag = hashlib.md5(
-        f"{sf_dir}|{sorted(IVFPQ_INDEX_GEOMETRY.items())}".encode()
+        f"{sf_dir}|{fingerprint}|{sorted(IVFPQ_INDEX_GEOMETRY.items())}".encode()
     ).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/spark_graft_ivfpq_{tag}"
 
@@ -405,7 +416,7 @@ def ivfpq_index_path(sf_dir: str) -> str:
     "(codes table repartitioned by cell + .npy quantizer tensors): the "
     "corpus-sized work is one cell-pruned scan of the codes parquet "
     "(a fraction of the vector bytes at m=8), vectors read only for the "
-    "40-candidate exact rerank; recall@5 >= 0.9 at nprobe=12/16",
+    "200-candidate exact rerank; recall@5 >= 0.9 at nprobe=14/16",
 )
 def q_e3_ivfpq_from_index(spark, sf_dir):
     import os

@@ -54,16 +54,18 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"{name}: {table.num_rows} rows")
 
 
-def _stride(col: pa.ChunkedArray, round_to: int = 1) -> int:
-    m = int(pa.compute.max(col).as_py())
-    s = 10 ** len(str(m))
-    return s if s % round_to == 0 else s * round_to
-
-
 def tile_keyed(name: str, key_cols: dict[str, int], mult: int, out: str) -> None:
     """Write ``mult`` copies of the table, offsetting each column in
-    ``key_cols`` by copy_index * stride (per-column stride)."""
+    ``key_cols`` by copy_index * stride (per-column stride). Strides are
+    hard-coded by the caller; the guard below keeps a future base-table
+    growth from silently colliding keys across copies."""
     t = _read(name)
+    for c, stride in key_cols.items():
+        mx = int(pa.compute.max(t.column(c)).as_py())
+        assert mx < stride, (
+            f"{name}.{c}: max key {mx} >= stride {stride} — copies would "
+            "collide; raise the stride"
+        )
     copies = []
     for i in range(mult):
         cols = {}
@@ -167,6 +169,10 @@ def synth_embeddings(mult: int, out: str, seed: int = 43) -> None:
         np.float32
     )
     new_labels[-n_dup:] = new_labels[src_idx]
+    # the source embeddings are unit-norm (verified: min=mean=max=1.0 at
+    # sf0.1) — normalize so the decade doesn't drift the norm
+    # distribution the ANN/quantization geometry depends on
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     _write(out, "embeddings", pa.table({
         "vec_id": pa.array(range(1, n + 1), pa.int64()),
         "embedding": pa.array([v for v in vecs.tolist()],

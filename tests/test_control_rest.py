@@ -296,10 +296,13 @@ def test_read_rechecks_path_after_retry_loop(spark, tmp_path, monkeypatch):
     assert [r["connection_name"] for r in rows] == [DTO["connection_name"]]
 
 
-def test_read_tmp_only_leftover_names_roll_forward(spark, tmp_path, monkeypatch):
-    """Crash after writing .tmp but before promotion (fresh store): the
-    error must say the .tmp is the COMPLETE NEW table, not point at a
-    nonexistent .bak."""
+def test_read_tmp_only_leftover_distinguishes_complete_from_torn(
+    spark, tmp_path, monkeypatch
+):
+    """Crash around the .tmp write (fresh store): a COMPLETE tmp
+    (_SUCCESS present) may be promoted to roll forward; a tmp WITHOUT
+    _SUCCESS is torn (crash mid-parquet-write) and the error must say so
+    — advising promotion there would install a torn config store."""
     import os
     import time as _time
 
@@ -307,7 +310,12 @@ def test_read_tmp_only_leftover_names_roll_forward(spark, tmp_path, monkeypatch)
 
     path = str(tmp_path / "connections")
     store = ConnectionConfigStore(spark, path, KEY)
-    os.mkdir(path + ".tmp")
     monkeypatch.setattr(_time, "sleep", lambda s: None)
+
+    os.mkdir(path + ".tmp")  # no _SUCCESS: torn or still being written
+    with pytest.raises(RuntimeError, match="INCOMPLETE"):
+        store._read()
+
+    open(os.path.join(path + ".tmp", "_SUCCESS"), "w").close()
     with pytest.raises(RuntimeError, match="roll forward"):
         store._read()

@@ -371,3 +371,39 @@ def test_versioned_table_two_writers_both_commit(spark, tmp_path):
     assert [(m["version"], m["parent"]) for m in TF.history(root)] == [
         (0, None), (1, 0), (2, 1),
     ]
+
+
+def test_vacuum_grace_spares_inflight_commits(spark, tmp_path):
+    """vacuum must NOT reclaim a fresh unmanifested data directory — it
+    may be a concurrent commit between its data write and its CAS link
+    (reclaiming it would commit a manifest pointing at deleted data).
+    Past the grace window (or with grace 0) it is crash debris and goes;
+    same rule for manifest .tmp files a killed writer leaves behind."""
+    import os
+    import time
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "grace_table")
+    df = spark.createDataFrame([("a", 1)], "key string, val int")
+    TF.commit_version(df, root)
+
+    orphan = os.path.join(root, "data", "v00001-inflight")
+    df.write.mode("overwrite").parquet(orphan)
+    man_tmp = os.path.join(root, "_versions", "v00001.json.dead.tmp")
+    with open(man_tmp, "w") as f:
+        f.write("{}")
+
+    TF.vacuum(root, keep=1)  # default grace: both fresh -> both survive
+    assert os.path.exists(orphan) and os.path.exists(man_tmp)
+
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(man_tmp, (old, old))
+    TF.vacuum(root, keep=1)  # now past the grace window -> reclaimed
+    assert not os.path.exists(orphan) and not os.path.exists(man_tmp)
+
+    # grace 0: immediate reclaim (single-writer maintenance mode)
+    df.write.mode("overwrite").parquet(orphan)
+    TF.vacuum(root, keep=1, orphan_grace_s=0)
+    assert not os.path.exists(orphan)
