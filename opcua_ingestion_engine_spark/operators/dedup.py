@@ -623,3 +623,82 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 15,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """E2 (substring level) — find every maximal token span of a document
+    that is part of some ``k``-token window occurring ``min_repeats``+
+    times across the WHOLE corpus (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": document-level dedup
+    misses boilerplate/license/template spans repeated across otherwise
+    distinct documents; span-level dedup removes them).
+
+    Returns (doc_id, span_start, span_end) in token positions
+    [start, end), overlapping/adjacent windows merged into maximal
+    spans (gaps-and-islands over a per-doc window). A trim step is then
+    a slice of the token array per span — deliberately left to the
+    caller, which may prefer to drop, mask, or count instead.
+
+    Scale shape: one explode to positional k-gram windows (n_tokens
+    rows per doc), one map-side-combined groupBy on the window DIGEST
+    (md5 — 16 bytes rides the shuffle, never the k-token string; md5 is
+    engine-portable so the DuckDB oracle reproduces it exactly), one
+    semi join back to postings on the digest, and one per-doc window
+    for the interval merge. No pairwise work at any stage — cost is
+    linear in corpus tokens + Theta(sum over repeated windows), the
+    same profile as the contamination n-gram index.
+    """
+    # Project the token array ONCE per row before the window transform —
+    # referencing split(text) inside the lambda would re-evaluate the
+    # split per generated window. Docs shorter than k have no window and
+    # are filtered BEFORE the sequence: sequence(0, n-k) with n < k
+    # would generate a DESCENDING [0, -1] (Spark picks step -1 when
+    # stop < start) — bogus windows.
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= k)
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - k),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.concat_ws(" ", F.slice("_w", i + 1, k))).alias("g"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc_id", "win.start", "win.g")
+    hot = (
+        wins.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_repeats)
+        .select("g")
+    )
+    spans = wins.join(hot, "g", "left_semi").select(
+        "doc_id", "start", (F.col("start") + k).alias("end")
+    )
+    byd = W.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("end").over(byd.rowsBetween(W.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(
+                prev_max.isNull() | (F.col("start") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(byd))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )

@@ -186,6 +186,64 @@ def q_e2_incremental(spark, sf_dir):
 
 
 @register(
+    "q_e2_repeated_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 15
+    ),
+    wins AS (
+        SELECT doc_id, u.s AS start,
+               md5(array_to_string(w[u.s + 1 : u.s + 15], ' ')) AS g
+        FROM toks,
+             LATERAL unnest(list_transform(range(0, len(w) - 15 + 1),
+                                           i -> {'s': i})) AS t(u)
+    ),
+    hot AS (
+        SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+    ),
+    spans AS (
+        SELECT w.doc_id, w.start, w.start + 15 AS end_
+        FROM wins w JOIN hot USING (g)
+    ),
+    marked AS (
+        SELECT doc_id, start, end_,
+               CASE WHEN max(end_) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR start > max(end_) OVER (PARTITION BY doc_id
+                        ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT doc_id, start, end_,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    )
+    SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+           CAST(max(end_) AS INT) AS span_end
+    FROM islands GROUP BY doc_id, island
+    """,
+    "E2 (substring level) — maximal token spans covered by a 15-token "
+    "window repeated >= 2x corpus-wide (Lee et al. span dedup: doc-level "
+    "dedup misses boilerplate repeated across distinct documents). "
+    "Positional window -> md5 digest (16-byte shuffle key, "
+    "engine-portable) -> frequency semi join -> gaps-and-islands merge "
+    "per doc; linear in corpus tokens, no pairwise stage",
+)
+def q_e2_repeated_spans(spark, sf_dir):
+    out = D.repeated_spans(_docs(spark, sf_dir), k=15, min_repeats=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+@register(
     "q_e2_embedding_neardup",
     """
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)

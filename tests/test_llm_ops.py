@@ -923,3 +923,29 @@ def test_ivfpq_index_served_recall_and_rebuild_identity(spark):
     got = {(a, b) for a, b, _ in first}
     recall = len(brute & got) / len(brute)
     assert recall >= 0.9, f"index-served recall {recall:.2f} below 0.9"
+
+
+def test_repeated_spans_finds_exactly_the_planted_boilerplate(spark):
+    """Span-level dedup: three distinct docs sharing a 20-token license
+    header must each report EXACTLY the header span [0, 20) — windows
+    straddling into the unique tails are not corpus-repeated, short docs
+    produce no windows, and a fully unique doc reports nothing."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    rows = [
+        (1, header + " " + " ".join(f"a{i}" for i in range(30))),
+        (2, header + " " + " ".join(f"b{i}" for i in range(30))),
+        (3, header + " " + " ".join(f"c{i}" for i in range(30))),
+        (4, " ".join(f"u{i}" for i in range(40))),   # unique: no spans
+        (5, "too short"),                            # < k tokens: no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in D.repeated_spans(docs, k=15, min_repeats=2).collect()
+    )
+    assert got == [(1, 0, 20), (2, 0, 20), (3, 0, 20)], got
+
+    # raising min_repeats above the plant count silences the report
+    assert D.repeated_spans(docs, k=15, min_repeats=4).count() == 0

@@ -48,6 +48,11 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # the broadcast-sized query slice + the candidate-only rerank fetch
     "q_e3_ivfpq_from_index": (0, 0, {"embeddings": 2}),
     "q_e4_repetition": (0, 0, {"documents": 2}),
+    # window-frequency pass + postings pass over the same positional
+    # k-gram lineage (same inverted-index two-scan shape as
+    # contamination; re-scanning the pruned text column beats
+    # materializing corpus-token-sized postings)
+    "q_e2_repeated_spans": (0, 0, {"documents": 2}),
     # static plan expands the minute->hour->day cascade into 3 branches,
     # but at runtime the hour/day branches are ReusedExchange of the
     # finer level (verified on the executed plan) — ONE scan executes
