@@ -702,3 +702,49 @@ def repeated_spans(
         )
         .select("doc_id", "span_start", "span_end")
     )
+
+
+def trim_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 15,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """E2 (substring level, apply step) — remove every corpus-repeated
+    span found by :func:`repeated_spans` from each document. Returns
+    (doc_id, text, n_tokens_removed): the trimmed text (whitespace
+    re-joined surviving tokens, original order) and how many tokens the
+    trim dropped — the deployable form of Lee-et-al span dedup.
+
+    Scale shape: the span report is output-sized (repeated regions
+    only), grouped per doc into a spans array that rides a hash join
+    back to the corpus; the trim itself is a per-row higher-order
+    filter over token positions (codegen, no Python). Docs without
+    repeated spans pass through untouched via the left join's NULL arm.
+    """
+    spans = repeated_spans(docs, text_col, k, min_repeats)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = (
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+        .join(sp, "doc_id", "left")
+    )
+    indexed = F.transform(
+        "_w", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            "_spans",
+            lambda b: (s["i"] >= b["span_start"]) & (s["i"] < b["span_end"]),
+        ),
+    )
+    surviving = F.when(F.col("_spans").isNull(), F.col("_w")).otherwise(
+        F.transform(kept, lambda s: s["t"])
+    )
+    return toks.select(
+        "doc_id",
+        F.concat_ws(" ", surviving).alias(text_col),
+        (F.size("_w") - F.size(surviving)).cast("long").alias("n_tokens_removed"),
+    )

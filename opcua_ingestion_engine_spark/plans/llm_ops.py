@@ -244,6 +244,63 @@ def q_e2_repeated_spans(spark, sf_dir):
 
 
 @register(
+    "q_e2_span_trim",
+    """
+    WITH toks0 AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    wins AS (
+        SELECT toks.doc_id, u.s AS start,
+               md5(array_to_string(w[u.s + 1 : u.s + 15], ' ')) AS g
+        FROM (SELECT * FROM toks0 WHERE len(w) >= 15) toks,
+             LATERAL unnest(list_transform(range(0, len(w) - 15 + 1),
+                                           i -> {'s': i})) AS t(u)
+    ),
+    hot AS (
+        SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+    ),
+    spans AS (
+        SELECT w.doc_id, w.start, w.start + 15 AS end_
+        FROM wins w JOIN hot USING (g)
+    ),
+    agg AS (
+        SELECT doc_id, list({'s': start, 'e': end_}) AS sps
+        FROM spans GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT k.doc_id, k.w, a.sps FROM toks0 k LEFT JOIN agg a USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id, w,
+               CASE WHEN sps IS NULL THEN w
+                    ELSE list_transform(
+                           list_filter(
+                             list_transform(range(1, len(w) + 1),
+                                            i -> {'t': w[i], 'i': i - 1}),
+                             x -> len(list_filter(
+                                    sps, b -> x.i >= b.s AND x.i < b.e)) = 0),
+                           x -> x.t)
+               END AS surv
+        FROM joined
+    )
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws
+           -- gives '' for a fully-trimmed doc — align on ''
+           coalesce(array_to_string(surv, ' '), '') AS text,
+           CAST(len(w) - len(surv) AS BIGINT) AS n_tokens_removed
+    FROM kept
+    """,
+    "E2 (substring level, apply step) — trim every corpus-repeated "
+    "15-token-window span from each document; returns the cleaned text "
+    "and tokens-removed count. Span report is output-sized and joins "
+    "back to the corpus; the trim is a codegen higher-order filter over "
+    "token positions (no Python)",
+)
+def q_e2_span_trim(spark, sf_dir):
+    return D.trim_repeated_spans(_docs(spark, sf_dir), k=15, min_repeats=2)
+
+
+@register(
     "q_e2_embedding_neardup",
     """
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)

@@ -949,3 +949,22 @@ def test_repeated_spans_finds_exactly_the_planted_boilerplate(spark):
 
     # raising min_repeats above the plant count silences the report
     assert D.repeated_spans(docs, k=15, min_repeats=4).count() == 0
+
+
+def test_trim_repeated_spans_removes_only_the_boilerplate(spark):
+    """The apply step must excise exactly the planted header tokens and
+    leave unique docs byte-identical with n_tokens_removed=0."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    tail = {d: " ".join(f"{d}x{i}" for i in range(30)) for d in (1, 2, 3)}
+    rows = [(d, header + " " + tail[d]) for d in (1, 2, 3)]
+    rows.append((4, " ".join(f"u{i}" for i in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in D.trim_repeated_spans(docs, k=15, min_repeats=2).collect()
+    }
+    for d in (1, 2, 3):
+        assert got[d] == (tail[d], 20), got[d]
+    assert got[4][1] == 0 and got[4][0].startswith("u0 u1")

@@ -53,6 +53,10 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # contamination; re-scanning the pruned text column beats
     # materializing corpus-token-sized postings)
     "q_e2_repeated_spans": (0, 0, {"documents": 2}),
+    # the span report's two inverted-index passes + the trim's own
+    # corpus re-join (the report is output-sized; the corpus must be
+    # read once more to rewrite it)
+    "q_e2_span_trim": (0, 0, {"documents": 3}),
     # static plan expands the minute->hour->day cascade into 3 branches,
     # but at runtime the hour/day branches are ReusedExchange of the
     # finer level (verified on the executed plan) — ONE scan executes
