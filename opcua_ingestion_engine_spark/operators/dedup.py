@@ -659,10 +659,25 @@ def repeated_spans(
     # are filtered BEFORE the sequence: sequence(0, n-k) with n < k
     # would generate a DESCENDING [0, -1] (Spark picks step -1 when
     # stop < start) — bogus windows.
+    wins = positional_windows(docs, text_col, k)
+    hot = (
+        wins.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_repeats)
+        .select("g")
+    )
+    return merge_window_spans(wins.join(hot, "g", "left_semi"), k)
+
+
+def positional_windows(
+    docs: DataFrame, text_col: str = "text", k: int = 15
+) -> DataFrame:
+    """(doc_id, start, g): md5 digest of every positional k-token window.
+    Shared by the batch span report and its streaming-incremental twin."""
     toks = docs.select(
         "doc_id", F.split(F.col(text_col), " ").alias("_w")
     ).filter(F.size("_w") >= k)
-    wins = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -674,13 +689,12 @@ def repeated_spans(
             )
         ).alias("win"),
     ).select("doc_id", "win.start", "win.g")
-    hot = (
-        wins.groupBy("g")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_repeats)
-        .select("g")
-    )
-    spans = wins.join(hot, "g", "left_semi").select(
+
+
+def merge_window_spans(hot_wins: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, start) hot windows into maximal
+    [span_start, span_end) token spans."""
+    spans = hot_wins.select(
         "doc_id", "start", (F.col("start") + k).alias("end")
     )
     byd = W.partitionBy("doc_id").orderBy("start")

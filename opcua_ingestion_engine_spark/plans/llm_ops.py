@@ -185,9 +185,10 @@ def q_e2_incremental(spark, sf_dir):
     return sink.pairs
 
 
-@register(
-    "q_e2_repeated_spans",
-    """
+# Shared by the batch span report and its streaming-incremental twin —
+# the sink's accumulated report equals the batch answer under any
+# batching (window counts are additive), so both check against this SQL.
+_REPEATED_SPANS_SQL = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
         WHERE len(string_split(text, ' ')) >= 15
@@ -226,7 +227,12 @@ def q_e2_incremental(spark, sf_dir):
     SELECT doc_id, CAST(min(start) AS INT) AS span_start,
            CAST(max(end_) AS INT) AS span_end
     FROM islands GROUP BY doc_id, island
-    """,
+    """
+
+
+@register(
+    "q_e2_repeated_spans",
+    _REPEATED_SPANS_SQL,
     "E2 (substring level) — maximal token spans covered by a 15-token "
     "window repeated >= 2x corpus-wide (Lee et al. span dedup: doc-level "
     "dedup misses boilerplate repeated across distinct documents). "
@@ -237,6 +243,31 @@ def q_e2_incremental(spark, sf_dir):
 def q_e2_repeated_spans(spark, sf_dir):
     out = D.repeated_spans(_docs(spark, sf_dir), k=15, min_repeats=2)
     return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+@register(
+    "q_e2_incremental_spans",
+    _REPEATED_SPANS_SQL,
+    "E2 (substring level, streaming-incremental form, batch-driven here) "
+    "— documents fed in 3 id-interleaved waves through "
+    "streaming/spans.py's maintained window index (per-batch work "
+    "O(batch): postings append as checkpointed frames, only the "
+    "digest-count state re-folds); window counts are additive, so the "
+    "accumulated report equals the batch operator under any batching "
+    "and shares its DuckDB oracle",
+)
+def q_e2_incremental_spans(spark, sf_dir):
+    from ..streaming.spans import IncrementalSpanDedupSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sink = IncrementalSpanDedupSink(k=15, min_repeats=2)
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    return sink.result().select(
         "doc_id",
         F.col("span_start").cast("int").alias("span_start"),
         F.col("span_end").cast("int").alias("span_end"),

@@ -968,3 +968,33 @@ def test_trim_repeated_spans_removes_only_the_boilerplate(spark):
     for d in (1, 2, 3):
         assert got[d] == (tail[d], 20), got[d]
     assert got[4][1] == 0 and got[4][0].startswith("u0 u1")
+
+
+def test_incremental_spans_equal_batch_under_any_batching(spark):
+    """The maintained window index must report EXACTLY the batch span
+    answer regardless of how documents are batched (window counts are
+    additive) — including dups split across batches, which a per-batch
+    recompute would miss entirely."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    rows = [(d, header + " " + " ".join(f"{d}t{i}" for i in range(25)))
+            for d in range(1, 7)]
+    rows.append((7, " ".join(f"u{i}" for i in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(map(tuple, D.repeated_spans(docs, k=15).collect()))
+    assert len(expect) == 6  # every header doc reports its span
+
+    for n_waves, keyer in ((2, lambda d: d % 2), (3, lambda d: d % 3)):
+        sink = IncrementalSpanDedupSink(k=15)
+        import pyspark.sql.functions as F_
+
+        for w in range(n_waves):
+            sink.process_batch(
+                docs.filter(F_.col("doc_id") % n_waves == w), w
+            )
+        got = sorted(map(tuple, sink.result().collect()))
+        assert got == expect, (n_waves, got[:3])
