@@ -41,13 +41,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pattern_extract) and jaccard/curation_clustered step out (all were
     # driver-green in rounds 3-4 and stay oracle-parity-tested in pytest);
     # the round-3 families that never had a driver row step in.
+    # Round-5 substring-dedup family (new this round): first driver rows
+    # for the span report, its apply step, and the incremental twin —
+    # displacing q_e4_text_stats / q_e4_quality_filter / q_e8_pack_chunks
+    # (driver-green rounds 3-4, still oracle-parity-tested in pytest).
     "q_e1_exact_dedup",
+    "q_e2_repeated_spans",
+    "q_e2_span_trim",
+    "q_e2_incremental_spans",
     "q_e2_dedup_clusters",
     "q_e2_embedding_neardup",
     "q_e3_ann_cosine_topk",
     "q_e3_domain_diversity",
-    "q_e4_text_stats",
-    "q_e4_quality_filter",
     "q_e4_pii_redact",
     "q_e4_repetition",
     "q_e4_unigram_logprob",
@@ -90,7 +95,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_e8_split_assignment",
     "q_e8_stratified_sample",
     "q_e8_contamination",
-    "q_e8_pack_chunks",
     # Core sample that was driver-green in round 2 (regression canaries).
     "q_f1_monitored_devices",
     "q_f3_staleness_filter",

@@ -39,9 +39,21 @@ class IncrementalSpanDedupSink:
         self.min_repeats = min_repeats
         self._postings: list[DataFrame] = []  # per-batch checkpointed frames
         self._counts: DataFrame | None = None  # (g, cnt)
+        self._seen: DataFrame | None = None  # doc_id redelivery guard
         self.batches_seen = 0
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        # Redelivery guard: window counts are ADDITIVE, not idempotent —
+        # unlike the LWW merge sinks, re-processing a delivered doc would
+        # double its windows and inflate frequencies. Drop already-seen
+        # doc_ids (state is O(docs) bare ids). Distinct DOCS with equal
+        # text keep counting separately — those are real corpus repeats.
+        if self._seen is not None:
+            docs = docs.join(self._seen, "doc_id", "left_anti")
+        ids = docs.select("doc_id").distinct()
+        self._seen = (
+            ids if self._seen is None else self._seen.unionByName(ids)
+        ).localCheckpoint(eager=True)
         wins = positional_windows(docs, k=self.k).localCheckpoint(eager=True)
         self._postings.append(wins)
         bc = wins.groupBy("g").agg(F.count("*").alias("cnt"))

@@ -998,3 +998,20 @@ def test_incremental_spans_equal_batch_under_any_batching(spark):
             )
         got = sorted(map(tuple, sink.result().collect()))
         assert got == expect, (n_waves, got[:3])
+
+
+def test_incremental_spans_redelivery_is_idempotent(spark):
+    """Window counts are additive, so a redelivered micro-batch must be
+    dropped by the seen-doc guard — without it, a doc repeated by
+    at-least-once delivery would fake corpus-level repetition."""
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    solo = (1, " ".join(f"only{i}" for i in range(30)))
+    docs = spark.createDataFrame([solo], "doc_id long, text string")
+    sink = IncrementalSpanDedupSink(k=15)
+    sink.process_batch(docs, 0)
+    sink.process_batch(docs, 0)  # redelivery of the same batch
+    # one UNIQUE doc delivered twice: no span may appear
+    assert sink.result().count() == 0
