@@ -653,12 +653,6 @@ def repeated_spans(
     linear in corpus tokens + Theta(sum over repeated windows), the
     same profile as the contamination n-gram index.
     """
-    # Project the token array ONCE per row before the window transform —
-    # referencing split(text) inside the lambda would re-evaluate the
-    # split per generated window. Docs shorter than k have no window and
-    # are filtered BEFORE the sequence: sequence(0, n-k) with n < k
-    # would generate a DESCENDING [0, -1] (Spark picks step -1 when
-    # stop < start) — bogus windows.
     wins = positional_windows(docs, text_col, k)
     hot = (
         wins.groupBy("g")
@@ -674,6 +668,12 @@ def positional_windows(
 ) -> DataFrame:
     """(doc_id, start, g): md5 digest of every positional k-token window.
     Shared by the batch span report and its streaming-incremental twin."""
+    # Project the token array ONCE per row before the window transform —
+    # referencing split(text) inside the lambda re-evaluates the split
+    # per generated window (measured 2x at sf1). Docs shorter than k
+    # have no window and are filtered BEFORE the sequence: with n < k,
+    # sequence(0, n-k) generates a DESCENDING [0, -1] (Spark picks step
+    # -1 when stop < start) — bogus windows.
     toks = docs.select(
         "doc_id", F.split(F.col(text_col), " ").alias("_w")
     ).filter(F.size("_w") >= k)

@@ -5,10 +5,11 @@ corpus; this sink maintains the SAME window index across micro-batches —
 the shape a continuously-ingesting pipeline runs:
 
 - Per batch: compute the batch's positional k-token window digests once
-  (one pass over the batch), append the postings to the accumulated
-  index, and fold the batch's per-digest counts into the count state.
-  Per-batch work is O(batch): postings are kept as a LIST of per-batch
-  checkpointed frames (never re-materialized), and only the count state
+  (ONE evaluation of the batch frame), append the postings to the
+  accumulated index, and fold the batch's per-digest counts into the
+  count state. Per-batch work is O(batch): postings are kept as a list
+  of per-batch checkpointed frames (compacted every ``fold_every``
+  batches so plan depth stays bounded), and only the count state
   (O(distinct windows) rows of 16-byte digest + count) is re-folded.
 - ``result()`` joins the accumulated postings against the hot digests
   (total count >= min_repeats) and merges islands — the identical final
@@ -16,10 +17,25 @@ the shape a continuously-ingesting pipeline runs:
   answer under ANY batching (window counts are additive; pinned by
   pytest and by sharing the batch query's DuckDB oracle).
 
+Redelivery discipline (same contract as the sibling incremental sinks,
+but counts are ADDITIVE, not idempotent, so it is load-bearing here):
+
+- a batch_id already fully processed is SKIPPED outright (foreachBatch
+  re-runs a failed batch with the same id);
+- state is mutated ONLY after every Spark job for the batch succeeded —
+  a mid-batch failure leaves the sink exactly as before the attempt, so
+  the retry re-processes cleanly instead of half-counting (mutating the
+  seen-guard first would permanently drop the batch's docs on retry);
+- within a batch, duplicate doc_ids are collapsed, and doc_ids seen in
+  PRIOR batches are dropped (source-level at-least-once duplicates) —
+  distinct docs with equal text still count separately, as real corpus
+  repeats should.
+
 State size honesty: the posting index is corpus-token-sized — it IS the
 inverted window index a span-dedup deployment persists (same class as
 the contamination n-gram index), not per-key streaming state; the count
-state is distinct-window-sized. Neither ever rides a driver collect.
+and seen states are distinct-window- and doc-count-sized. Nothing ever
+rides a driver collect.
 """
 
 from __future__ import annotations
@@ -34,41 +50,63 @@ class IncrementalSpanDedupSink:
     """foreachBatch sink: feed micro-batches of (doc_id, text) rows via
     ``process_batch``; read the accumulated span report via ``result``."""
 
-    def __init__(self, k: int = 15, min_repeats: int = 2):
+    def __init__(self, k: int = 15, min_repeats: int = 2, fold_every: int = 32):
         self.k = k
         self.min_repeats = min_repeats
+        self.fold_every = fold_every
         self._postings: list[DataFrame] = []  # per-batch checkpointed frames
         self._counts: DataFrame | None = None  # (g, cnt)
-        self._seen: DataFrame | None = None  # doc_id redelivery guard
+        self._seen: DataFrame | None = None  # doc_id source-dup guard
+        self._done_batch_ids: set[int] = set()
         self.batches_seen = 0
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
-        # Redelivery guard: window counts are ADDITIVE, not idempotent —
-        # unlike the LWW merge sinks, re-processing a delivered doc would
-        # double its windows and inflate frequencies. Drop already-seen
-        # doc_ids (state is O(docs) bare ids). Distinct DOCS with equal
-        # text keep counting separately — those are real corpus repeats.
+        if batch_id in self._done_batch_ids:
+            return  # foreachBatch retry of a fully-processed batch
+        docs = docs.dropDuplicates(["doc_id"])
         if self._seen is not None:
             docs = docs.join(self._seen, "doc_id", "left_anti")
-        ids = docs.select("doc_id").distinct()
-        self._seen = (
-            ids if self._seen is None else self._seen.unionByName(ids)
-        ).localCheckpoint(eager=True)
+
+        # --- all Spark jobs first; NO sink state is touched until every
+        # one has succeeded, so a mid-batch failure retries cleanly ---
         wins = positional_windows(docs, k=self.k).localCheckpoint(eager=True)
-        self._postings.append(wins)
         bc = wins.groupBy("g").agg(F.count("*").alias("cnt"))
         if self._counts is None:
-            merged = bc
+            folded = bc
         else:
-            merged = (
+            folded = (
                 self._counts.unionByName(bc)
                 .groupBy("g")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        # checkpoint per batch: keeps the count-state plan linear instead
-        # of a per-batch-deepening union/agg chain
-        self._counts = merged.localCheckpoint(eager=True)
+        new_counts = folded.localCheckpoint(eager=True)
+        # seen-ids derive from the WINDOWS frame (no second evaluation of
+        # the batch); docs shorter than k emit no windows, so re-seeing
+        # them later is harmless — they can never contribute counts
+        ids = wins.select("doc_id").distinct()
+        new_seen = (
+            ids if self._seen is None else self._seen.unionByName(ids)
+        ).localCheckpoint(eager=True)
+
+        # --- commit (plain attribute writes; no Spark failure possible) ---
+        self._postings.append(wins)
+        self._counts = new_counts
+        self._seen = new_seen
+        self._done_batch_ids.add(batch_id)
         self.batches_seen += 1
+        if len(self._postings) >= self.fold_every:
+            # compact: result()'s union must not grow one plan node per
+            # micro-batch for the stream's lifetime (a thousands-deep
+            # left-deep Union tree slows or overflows Catalyst analysis)
+            self._postings = [
+                self._union_postings().localCheckpoint(eager=True)
+            ]
+
+    def _union_postings(self) -> DataFrame:
+        out = self._postings[0]
+        for p in self._postings[1:]:
+            out = out.unionByName(p)
+        return out
 
     def result(self) -> DataFrame:
         if not self._postings:
@@ -76,7 +114,6 @@ class IncrementalSpanDedupSink:
         hot = (
             self._counts.filter(F.col("cnt") >= self.min_repeats).select("g")
         )
-        postings = self._postings[0]
-        for p in self._postings[1:]:
-            postings = postings.unionByName(p)
-        return merge_window_spans(postings.join(hot, "g", "left_semi"), self.k)
+        return merge_window_spans(
+            self._union_postings().join(hot, "g", "left_semi"), self.k
+        )

@@ -1015,3 +1015,57 @@ def test_incremental_spans_redelivery_is_idempotent(spark):
     sink.process_batch(docs, 0)  # redelivery of the same batch
     # one UNIQUE doc delivered twice: no span may appear
     assert sink.result().count() == 0
+
+
+def test_incremental_spans_batch_id_retry_and_postings_compaction(spark):
+    """(1) A foreachBatch retry (same batch_id) after the batch fully
+    committed is a no-op; (2) a retry after a FAILED attempt still
+    ingests the batch (state mutates only after every job succeeds);
+    (3) compaction keeps the postings list bounded without changing the
+    report."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    rows = [(d, header + " " + " ".join(f"{d}t{i}" for i in range(25)))
+            for d in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(map(tuple, D.repeated_spans(docs, k=15).collect()))
+
+    sink = IncrementalSpanDedupSink(k=15, fold_every=2)  # force compaction
+    for w in range(4):
+        b = docs.filter(f"doc_id = {w + 1}")
+        sink.process_batch(b, w)
+        sink.process_batch(b, w)  # committed-batch retry: no-op
+    assert sink.batches_seen == 4
+    assert len(sink._postings) <= 2  # compacted at fold_every=2
+    assert sorted(map(tuple, sink.result().collect())) == expect
+
+    # failed-attempt retry: simulate by delivering a NEW batch_id whose
+    # docs were never committed (the guard keys on batch_id + seen ids
+    # derived only from committed windows)
+    extra = spark.createDataFrame(
+        [(9, header + " " + " ".join(f"9t{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    sink.process_batch(extra, 99)
+    all_docs = docs.unionByName(extra)
+    expect_all = sorted(map(tuple, D.repeated_spans(all_docs, k=15).collect()))
+    assert sorted(map(tuple, sink.result().collect())) == expect_all
+
+
+def test_incremental_spans_within_batch_duplicates_collapse(spark):
+    """Two copies of a UNIQUE doc inside one micro-batch (producer retry)
+    must not fake corpus repetition — in-batch doc_id dedup runs before
+    windowing."""
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    solo = (1, " ".join(f"only{i}" for i in range(30)))
+    docs = spark.createDataFrame([solo, solo], "doc_id long, text string")
+    sink = IncrementalSpanDedupSink(k=15)
+    sink.process_batch(docs, 0)
+    assert sink.result().count() == 0
