@@ -40,11 +40,13 @@ HEADLINE = [
     "q_w_sessionize",
     "q_e2_minhash_neardup",
     "q_e2_simhash_neardup",
+    "q_e2_repeated_spans",
     "q_e8_contamination",
     "q_e8_corpus_build",
     "q_e4_heavy_hitters",
     "q_t_multires_rollup",
     "q_e7_curation_pipeline",
+    "q_e7_curation_minhash",
     "q_e3_ann_cosine_topk",
     "q_e3_ivfpq_from_index",
     "q_e4_text_stats",
