@@ -737,6 +737,15 @@ def trim_repeated_spans(
     repeated spans pass through untouched via the left join's NULL arm.
     """
     spans = repeated_spans(docs, text_col, k, min_repeats)
+    return apply_spans(docs, spans, text_col)
+
+
+def apply_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Excise the given (doc_id, span_start, span_end) token spans from
+    each document. Shared by the batch trim and the incremental sink's
+    trim-on-read — both produce (doc_id, text, n_tokens_removed)."""
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

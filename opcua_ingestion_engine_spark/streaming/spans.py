@@ -43,7 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import merge_window_spans, positional_windows
+from ..operators.dedup import (
+    apply_spans,
+    merge_window_spans,
+    positional_windows,
+)
 
 
 class IncrementalSpanDedupSink:
@@ -117,3 +121,12 @@ class IncrementalSpanDedupSink:
         return merge_window_spans(
             self._union_postings().join(hot, "g", "left_semi"), self.k
         )
+
+    def trim(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Trim-on-read: excise the CURRENT corpus-repeated spans from
+        ``docs`` (any doc set — typically the accumulated corpus, or one
+        shard of it). Equals the batch ``trim_repeated_spans`` whenever
+        the sink has ingested the same corpus (pinned by pytest), and
+        strictly monotone as more batches arrive: frequencies only grow,
+        so a span once reported never un-reports."""
+        return apply_spans(docs, self.result(), text_col)

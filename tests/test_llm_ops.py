@@ -1069,3 +1069,28 @@ def test_incremental_spans_within_batch_duplicates_collapse(spark):
     sink = IncrementalSpanDedupSink(k=15)
     sink.process_batch(docs, 0)
     assert sink.result().count() == 0
+
+
+def test_incremental_sink_trim_equals_batch_trim(spark):
+    """trim-on-read from the maintained index must equal the one-shot
+    batch trim once the sink has ingested the same corpus."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    rows = [(d, header + " " + " ".join(f"{d}t{i}" for i in range(25)))
+            for d in range(1, 6)]
+    rows.append((6, " ".join(f"u{i}" for i in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(map(tuple, D.trim_repeated_spans(docs, k=15).collect()))
+
+    sink = IncrementalSpanDedupSink(k=15)
+    for w in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == w), w)
+    got = sorted(map(tuple, sink.trim(docs).collect()))
+    assert got == expect
+    # the unique doc survives untouched; all header docs lost 20 tokens
+    removed = {d: n for d, _t, n in got}
+    assert removed == {1: 20, 2: 20, 3: 20, 4: 20, 5: 20, 6: 0}, removed
