@@ -7,10 +7,12 @@ the shape a continuously-ingesting pipeline runs:
 - Per batch: compute the batch's positional k-token window digests once
   (ONE evaluation of the batch frame), append the postings to the
   accumulated index, and fold the batch's per-digest counts into the
-  count state. Per-batch work is O(batch): postings are kept as a list
-  of per-batch checkpointed frames (compacted every ``fold_every``
-  batches so plan depth stays bounded), and only the count state
-  (O(distinct windows) rows of 16-byte digest + count) is re-folded.
+  count state. Postings are kept as LSM-style tiers of checkpointed
+  frames: each batch enters at level 0 and equal-level tiers merge
+  pairwise (binary-counter discipline), so plan depth is O(log batches)
+  and amortized per-batch compaction work is O(batch * log batches) —
+  never a full-index rewrite. The count state (O(distinct windows) rows
+  of 16-byte digest + count) re-folds per batch.
 - ``result()`` joins the accumulated postings against the hot digests
   (total count >= min_repeats) and merges islands — the identical final
   computation as the batch operator, so the report EQUALS the batch
@@ -54,11 +56,10 @@ class IncrementalSpanDedupSink:
     """foreachBatch sink: feed micro-batches of (doc_id, text) rows via
     ``process_batch``; read the accumulated span report via ``result``."""
 
-    def __init__(self, k: int = 15, min_repeats: int = 2, fold_every: int = 32):
+    def __init__(self, k: int = 15, min_repeats: int = 2):
         self.k = k
         self.min_repeats = min_repeats
-        self.fold_every = fold_every
-        self._postings: list[DataFrame] = []  # per-batch checkpointed frames
+        self._postings: list[tuple[int, DataFrame]] = []  # (level, frame) tiers
         self._counts: DataFrame | None = None  # (g, cnt)
         self._seen: DataFrame | None = None  # doc_id source-dup guard
         self._done_batch_ids: set[int] = set()
@@ -93,22 +94,33 @@ class IncrementalSpanDedupSink:
         ).localCheckpoint(eager=True)
 
         # --- commit (plain attribute writes; no Spark failure possible) ---
-        self._postings.append(wins)
+        self._postings.append((0, wins))
         self._counts = new_counts
         self._seen = new_seen
         self._done_batch_ids.add(batch_id)
         self.batches_seen += 1
-        if len(self._postings) >= self.fold_every:
-            # compact: result()'s union must not grow one plan node per
-            # micro-batch for the stream's lifetime (a thousands-deep
-            # left-deep Union tree slows or overflows Catalyst analysis)
-            self._postings = [
-                self._union_postings().localCheckpoint(eager=True)
-            ]
+        # LSM binary-counter compaction: merge equal-level tiers pairwise.
+        # A level-L tier holds ~2^L batches, so a batch is re-merged only
+        # when its tier promotes — O(log batches) times over the stream's
+        # life — and the tier count (result()'s union width) stays
+        # O(log batches). A single full-index re-checkpoint per window
+        # would instead cost O(corpus) per compaction (quadratic total).
+        # Non-destructive: the merge checkpoint is a Spark job and may
+        # fail — build the merged tier FIRST, splice only on success, so
+        # a compaction failure leaves every committed tier intact (the
+        # pending merge simply retries on the next batch's loop).
+        while (
+            len(self._postings) >= 2
+            and self._postings[-1][0] == self._postings[-2][0]
+        ):
+            lvl, a = self._postings[-1]
+            _, b = self._postings[-2]
+            merged = a.unionByName(b).localCheckpoint(eager=True)
+            self._postings[-2:] = [(lvl + 1, merged)]
 
     def _union_postings(self) -> DataFrame:
-        out = self._postings[0]
-        for p in self._postings[1:]:
+        out = self._postings[0][1]
+        for _, p in self._postings[1:]:
             out = out.unionByName(p)
         return out
 

@@ -1012,9 +1012,55 @@ def test_incremental_spans_redelivery_is_idempotent(spark):
     docs = spark.createDataFrame([solo], "doc_id long, text string")
     sink = IncrementalSpanDedupSink(k=15)
     sink.process_batch(docs, 0)
-    sink.process_batch(docs, 0)  # redelivery of the same batch
-    # one UNIQUE doc delivered twice: no span may appear
+    sink.process_batch(docs, 0)  # same-batch_id retry: batch-id guard
+    # SOURCE-level redelivery arrives under a NEW batch_id — only the
+    # seen-doc_id anti-join can catch this one (deleting that join must
+    # fail this assert, not just the same-id case above)
+    sink.process_batch(docs, 1)
     assert sink.result().count() == 0
+
+
+def test_incremental_spans_failed_attempt_leaves_state_untouched(spark, monkeypatch):
+    """Commit atomicity under a REAL mid-batch failure: if a Spark job of
+    the attempt raises, NO sink state may have changed (same batch_id
+    retry must then ingest the batch normally) — mutating the seen-guard
+    before the jobs would permanently drop the batch's docs."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.streaming import spans as SP
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(d, header + " " + " ".join(f"{d}t{i}" for i in range(25)))
+         for d in (1, 2)],
+        "doc_id long, text string",
+    )
+    sink = SP.IncrementalSpanDedupSink(k=15)
+
+    # patch the CONCRETE DataFrame class (Spark 4's classic subclass
+    # overrides the pyspark.sql.dataframe base the instances never call)
+    df_cls = type(docs)
+    real_ckpt = df_cls.localCheckpoint
+    boom = {"armed": True}
+
+    def failing_ckpt(self, eager=True):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected executor loss")
+        return real_ckpt(self, eager)
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", failing_ckpt)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(docs, 7)
+    # nothing committed: no postings, no counts, no seen ids, id not done
+    assert sink._postings == [] and sink._counts is None
+    assert sink._seen is None and 7 not in sink._done_batch_ids
+
+    # foreachBatch retries the SAME batch_id: must ingest normally now
+    sink.process_batch(docs, 7)
+    expect = sorted(map(tuple, D.repeated_spans(docs, k=15).collect()))
+    assert sorted(map(tuple, sink.result().collect())) == expect and expect
 
 
 def test_incremental_spans_batch_id_retry_and_postings_compaction(spark):
@@ -1034,13 +1080,14 @@ def test_incremental_spans_batch_id_retry_and_postings_compaction(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     expect = sorted(map(tuple, D.repeated_spans(docs, k=15).collect()))
 
-    sink = IncrementalSpanDedupSink(k=15, fold_every=2)  # force compaction
+    sink = IncrementalSpanDedupSink(k=15)
     for w in range(4):
         b = docs.filter(f"doc_id = {w + 1}")
         sink.process_batch(b, w)
         sink.process_batch(b, w)  # committed-batch retry: no-op
     assert sink.batches_seen == 4
-    assert len(sink._postings) <= 2  # compacted at fold_every=2
+    # LSM binary counter: 4 batches collapse to ONE level-2 tier
+    assert [lvl for lvl, _ in sink._postings] == [2], sink._postings
     assert sorted(map(tuple, sink.result().collect())) == expect
 
     # failed-attempt retry: simulate by delivering a NEW batch_id whose
