@@ -524,9 +524,11 @@ def q_e3_ivfpq(spark, sf_dir):
 
 
 # Serving geometry for the persisted-index query + its recall pin + the
-# bench headline row. nprobe 14/16 cells with a 200-candidate exact
-# rerank holds recall@5 >= 0.9 (measured 0.98 at sf0.01 / 0.94 at sf0.1;
-# pinned in tests/test_llm_ops.py).
+# bench headline row. NOTE rerank counts candidates PER RESULT SLOT
+# (ivfpq_search: take = k * rerank), so k=5/rerank=200 exact-reranks up
+# to 1000 ADC candidates per query — that depth is what holds recall@5
+# >= 0.9 against this corpus's coarse m=8/ksub=32 codes (measured 0.98
+# at sf0.01 / 0.94 at sf0.1; pinned in tests/test_llm_ops.py).
 IVFPQ_INDEX_GEOMETRY = {"n_cells": 16, "m": 8, "ksub": 32}
 IVFPQ_SERVE = {"k": 5, "nprobe": 14, "rerank": 200}
 
@@ -562,7 +564,8 @@ def ivfpq_index_path(sf_dir: str) -> str:
     "(codes table repartitioned by cell + .npy quantizer tensors): the "
     "corpus-sized work is one cell-pruned scan of the codes parquet "
     "(a fraction of the vector bytes at m=8), vectors read only for the "
-    "200-candidate exact rerank; recall@5 >= 0.9 at nprobe=14/16",
+    "exact rerank of up to k*rerank=1000 ADC candidates; recall@5 >= 0.9 "
+    "at nprobe=14/16",
 )
 def q_e3_ivfpq_from_index(spark, sf_dir):
     import os

@@ -896,7 +896,8 @@ def test_curation_minhash_mode_matches_exact_on_planted(spark):
 def test_ivfpq_index_served_recall_and_rebuild_identity(spark):
     """The persisted-index IVF-PQ query (bench headline row) must hold
     recall@5 >= 0.9 vs exact brute force at its pinned serving geometry
-    (nprobe=14/16 cells, 200-candidate exact rerank — measured 0.98 at
+    (nprobe=14/16 cells, rerank=200 per slot = up to 1000 exact-reranked
+    candidates — measured 0.98 at
     sf0.01 / 0.94 at sf0.1), and a rebuilt index must serve identical
     results (training is deterministic)."""
     import shutil
