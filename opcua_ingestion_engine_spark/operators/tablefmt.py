@@ -82,11 +82,15 @@ def latest_version(root: str) -> int | None:
     return max(versions) if versions else None
 
 
-def _try_commit(df: DataFrame, root: str, parent: int | None) -> int | None:
+def _try_commit(
+    df: DataFrame, root: str, parent: int | None, app: dict | None = None
+) -> int | None:
     """One optimistic commit attempt on top of ``parent``: write data to a
     unique directory, then CAS-claim the next manifest. Returns the
     committed version, or None if another writer claimed it first (the
-    loser's data directory is removed; vacuum would also reclaim it)."""
+    loser's data directory is removed; vacuum would also reclaim it).
+    ``app`` is caller-owned JSON metadata recorded in the manifest (e.g.
+    a streaming sink's batch_id for exact-once commit dedup)."""
     version = 0 if parent is None else parent + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
@@ -98,6 +102,7 @@ def _try_commit(df: DataFrame, root: str, parent: int | None) -> int | None:
         "parent": parent,
         "data": os.path.relpath(data_dir, root),
         "schema": df.schema.jsonValue(),
+        "app": app or {},
     }
     man_path = _manifest_path(root, version)
     tmp = f"{man_path}.{token}.tmp"
@@ -121,13 +126,15 @@ def _try_commit(df: DataFrame, root: str, parent: int | None) -> int | None:
     return version
 
 
-def commit_version(df: DataFrame, root: str, max_retries: int = 20) -> int:
+def commit_version(
+    df: DataFrame, root: str, max_retries: int = 20, app: dict | None = None
+) -> int:
     """Write ``df`` as the next version and atomically publish it.
     Under concurrency this retries the CAS with the next free version
     number (content unchanged — for read-modify-write upserts that must
     not lose racing updates, use ``commit_merge``)."""
     for _ in range(max_retries):
-        v = _try_commit(df, root, latest_version(root))
+        v = _try_commit(df, root, latest_version(root), app)
         if v is not None:
             return v
     raise RuntimeError(
@@ -142,6 +149,7 @@ def commit_merge(
     root: str,
     merge_fn,
     max_retries: int = 20,
+    app: dict | None = None,
 ) -> int:
     """Optimistic MERGE: ``merge_fn(current: DataFrame | None) ->
     DataFrame`` is applied to the latest committed snapshot and the
@@ -149,11 +157,12 @@ def commit_merge(
     is REBASED: re-read the new latest snapshot, re-run ``merge_fn``,
     retry — so two interleaved writers both land and neither's rows are
     lost (the reference's row-lock serialization, done optimistically).
+    ``app`` metadata lands in the winning manifest.
     """
     for _ in range(max_retries):
         parent = latest_version(root)
         current = read_version(spark, root, parent) if parent is not None else None
-        v = _try_commit(merge_fn(current), root, parent)
+        v = _try_commit(merge_fn(current), root, parent, app)
         if v is not None:
             return v
     raise RuntimeError(

@@ -120,15 +120,27 @@ class ModvaluesMergeSink:
         self.mon = None
         self.tpl = None
         self.batches_seen = 0
+        self._committed_batch_ids: set[int] = set()
         if state_root is not None:
             from ..operators import tablefmt as TF
 
             spark = devices.sparkSession
             if TF.latest_version(state_root) is not None:
-                # restart recovery: resume from the committed snapshot
+                # restart recovery: resume from the committed snapshot,
+                # and reload which batch_ids already landed so a replayed
+                # batch is SKIPPED instead of committing a duplicate
+                # (harmless under LWW, but version history stays 1:1
+                # with processed batches — exact-once commits)
                 self.state = TF.read_version(spark, state_root)
+                self._committed_batch_ids = {
+                    m["app"]["batch_id"]
+                    for m in TF.history(state_root)
+                    if "batch_id" in m.get("app", {})
+                }
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.state_root is not None and batch_id in self._committed_batch_ids:
+            return  # replayed batch already committed to the state table
         if self.queue_size is not None:
             batch = shed_to_queue_bound(batch, self.queue_size)
         joined, mon, tpl = ingest.prepare_stream(
@@ -148,8 +160,10 @@ class ModvaluesMergeSink:
                 spark,
                 self.state_root,
                 lambda current: ingest.merge_perpoint_states(current, incoming),
+                app={"batch_id": batch_id},
             )
             self.state = TF.read_version(spark, self.state_root)
+            self._committed_batch_ids.add(batch_id)
         else:
             merged = ingest.merge_perpoint_states(self.state, incoming)
             # pin each state version: truncates lineage so state cost

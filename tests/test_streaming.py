@@ -1067,14 +1067,25 @@ def test_durable_state_restart_redelivery_and_versions(spark, fixtures, tmp_path
         sink_b.process_batch(spark.read.schema(schema).parquet(p), i)
     assert _rows(sink_b.snapshot()) == _rows(batch)
 
-    # (2) redelivery: re-merging batch 2 must not change the snapshot
+    # (2a) SAME-batch_id replay (the Structured Streaming retry case) is
+    # skipped outright via the manifest-recorded batch ids — no new
+    # version, snapshot unchanged
     before = _rows(sink_b.snapshot())
+    sink_b.process_batch(spark.read.schema(schema).parquet(paths[3]), 3)
+    assert TF.latest_version(root) == 3 and _rows(sink_b.snapshot()) == before
+    # (2b) same data under a NEW batch_id (source-level duplicate) still
+    # merges idempotently: new version, identical snapshot
     sink_b.process_batch(spark.read.schema(schema).parquet(paths[2]), 99)
     assert _rows(sink_b.snapshot()) == before
-    # a new version was still committed (at-least-once durability)...
     assert TF.latest_version(root) == 4
-    # (3) ...and the chain is linear
+    # (2c) a RESTARTED sink reloads the committed batch ids from the
+    # manifests, so replaying an old batch after restart is also a no-op
+    sink_c = mk_sink()
+    sink_c.process_batch(spark.read.schema(schema).parquet(paths[1]), 1)
+    assert TF.latest_version(root) == 4
+    # (3) the chain is linear, and every manifest records its batch_id
     hist = TF.history(root)
     assert [(m["version"], m["parent"]) for m in hist] == [
         (v, None if v == 0 else v - 1) for v in range(5)
     ]
+    assert [m["app"]["batch_id"] for m in hist] == [0, 1, 2, 3, 99]
