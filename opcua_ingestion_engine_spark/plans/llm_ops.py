@@ -274,9 +274,10 @@ def q_e2_incremental_spans(spark, sf_dir):
     )
 
 
-@register(
-    "q_e2_span_trim",
-    """
+# Shared by the one-shot batch trim and the streaming-incremental
+# trim-on-read (the sink's maintained index yields the same hot-window
+# set once it has ingested the same corpus — window counts are additive).
+_SPAN_TRIM_SQL = """
     WITH toks0 AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -320,7 +321,12 @@ def q_e2_incremental_spans(spark, sf_dir):
            coalesce(array_to_string(surv, ' '), '') AS text,
            CAST(len(w) - len(surv) AS BIGINT) AS n_tokens_removed
     FROM kept
-    """,
+    """
+
+
+@register(
+    "q_e2_span_trim",
+    _SPAN_TRIM_SQL,
     "E2 (substring level, apply step) — trim every corpus-repeated "
     "15-token-window span from each document; returns the cleaned text "
     "and tokens-removed count. Span report is output-sized and joins "
@@ -329,6 +335,27 @@ def q_e2_incremental_spans(spark, sf_dir):
 )
 def q_e2_span_trim(spark, sf_dir):
     return D.trim_repeated_spans(_docs(spark, sf_dir), k=15, min_repeats=2)
+
+
+@register(
+    "q_e2_incremental_span_trim",
+    _SPAN_TRIM_SQL,
+    "E2 (substring level, streaming trim-on-read, batch-driven here) — "
+    "documents fed in 3 id-interleaved waves through streaming/spans.py's "
+    "maintained window index, then the CURRENT corpus trimmed against the "
+    "accumulated span report (the deployment shape: the index ingests "
+    "continuously; consumers trim any shard on read). Window counts are "
+    "additive, so once the sink has seen the corpus the hot-window set "
+    "equals the one-shot batch computation and this shares its oracle",
+)
+def q_e2_incremental_span_trim(spark, sf_dir):
+    from ..streaming.spans import IncrementalSpanDedupSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sink = IncrementalSpanDedupSink(k=15, min_repeats=2)
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    return sink.trim(docs)
 
 
 @register(
