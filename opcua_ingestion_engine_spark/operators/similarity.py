@@ -228,8 +228,91 @@ def lsh_bucket_topk(
     )
 
 
+# Quantizer-training sample budget (vectors). Training cost must not
+# scale with the corpus: k-means needs only enough points to estimate
+# k (or ksub) cell means, so production ANN systems train on a bounded
+# sample and encode the full corpus distributed (FAISS trains IVF/PQ on
+# ~max(10k, 256*k) points regardless of index size). 32768 x dim=64
+# doubles = 16 MB of driver memory, and at the fixture scales the
+# sample covers the whole corpus. Measured at sf10 (500k vectors): the
+# full-corpus distributed Lloyd path costs ~8 corpus passes (two per
+# round per quantizer, each shuffling a dim-exploded frame) = 76.6 s
+# index build; the sampled path trains in one bounded top-k scan +
+# driver numpy, leaving encode as the only corpus-scale pass.
+DEFAULT_TRAIN_SAMPLE = 32768
+
+
+def _hash_sample(
+    embeddings: DataFrame,
+    n: int,
+    id_col: str,
+    vec_col: str,
+    normalize: bool = True,
+) -> "np.ndarray | None":
+    """Deterministic bounded training sample: the ``n`` corpus vectors
+    with the smallest xxhash64(id) — the same replay-stable ordering the
+    distributed Lloyd seeds use, so ``sample[:k]`` IS the seed set and a
+    rebuild collects the identical sample (no RNG state). None if empty."""
+    vec = unit_vector(F.col(vec_col)) if normalize else F.col(vec_col)
+    rows = (
+        embeddings.select(F.col(id_col).alias("_id"), vec.alias("u"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n)
+        .select("u")
+        .collect()
+    )
+    if not rows:
+        return None
+    return np.array([r["u"] for r in rows], dtype=np.float64)
+
+
+def _lloyd_spherical(sample: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Driver-side spherical k-means over a bounded sample — the same
+    update rule as the distributed rounds in ``_centroid_matrix``
+    (max-inner-product assignment, renormalized mean, empty cells keep
+    their previous centroid), so switching the training backend changes
+    only WHERE the arithmetic runs, not its semantics."""
+    cent = sample[: min(k, len(sample))].copy()
+    for _ in range(iters):
+        cells = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = cells == c
+            if mask.any():
+                m = sample[mask].mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def _lloyd_pq(sample: "np.ndarray", m: int, ksub: int, iters: int) -> "np.ndarray":
+    """Driver-side PQ codebook training over a bounded sample — mirrors
+    the distributed rounds in ``_pq_codebooks``: assignment via the
+    shared ``_assign_codes`` (euclidean argmin), plain-mean update,
+    empty (sub, code) cells keep their previous centroid."""
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub_dim = dim // m
+    seed = sample[: min(ksub, len(sample))]
+    books = np.stack(
+        [seed[:, s * sub_dim : (s + 1) * sub_dim].copy() for s in range(m)]
+    )
+    for _ in range(iters):
+        codes = _assign_codes(sample, books)
+        for s in range(m):
+            x = sample[:, s * sub_dim : (s + 1) * sub_dim]
+            for c in range(books.shape[1]):
+                mask = codes[:, s] == c
+                if mask.any():
+                    books[s, c] = x[mask].mean(axis=0)
+    return books
+
+
 def _centroid_matrix(embeddings: DataFrame, n_cells: int, lloyd_iters: int,
-                     id_col: str, vec_col: str) -> np.ndarray:
+                     id_col: str, vec_col: str,
+                     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+                     ) -> np.ndarray:
     """IVF coarse quantizer training — deterministic distributed k-means.
 
     Init: the n_cells corpus vectors with the smallest xxhash64(id) (a
@@ -239,8 +322,19 @@ def _centroid_matrix(embeddings: DataFrame, n_cells: int, lloyd_iters: int,
     the mean-update is posexplode -> groupBy(cell, dim).avg — elementwise
     means as plain codegen'd aggregates. Only the k x dim centroid matrix
     ever reaches the driver (true-config-sized, per SURVEY §7 risk 7).
+
+    Default path (``train_sample`` set): train on the bounded
+    ``_hash_sample`` driver-side (``_lloyd_spherical`` — identical update
+    rule) so training cost is corpus-size-independent; pass
+    ``train_sample=None`` for the full-corpus distributed rounds.
     """
     from pyspark.sql.functions import pandas_udf
+
+    if train_sample is not None:
+        sample = _hash_sample(embeddings, train_sample, id_col, vec_col)
+        if sample is None:
+            return None
+        return _lloyd_spherical(sample, n_cells, lloyd_iters)
 
     unit = embeddings.select(
         F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("u")
@@ -295,6 +389,7 @@ def ivf_topk(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """E3 scale path (IVF variant) — inverted-file ANN: train a coarse
     quantizer (deterministic k-means, `_centroid_matrix`), assign each
@@ -314,7 +409,8 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col,
+                            train_sample)
     if cent is None:  # empty corpus
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int"
@@ -712,6 +808,7 @@ def _pq_codebooks(
     id_col: str,
     vec_col: str,
     normalize: bool = True,
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
 ) -> np.ndarray:
     """PQ codebook training — one distributed k-means over all ``m``
     subspaces at once, returned as an (m, ksub, sub_dim) array.
@@ -725,8 +822,20 @@ def _pq_codebooks(
     assignment array — so the round costs one shuffle of dim rows per
     vector regardless of m. Only the m*ksub*sub_dim codebook tensor
     (config-sized) reaches the driver.
+
+    Default path (``train_sample`` set): train on the bounded
+    ``_hash_sample`` driver-side (``_lloyd_pq`` — identical update rule
+    via the shared ``_assign_codes``); ``train_sample=None`` runs the
+    full-corpus distributed rounds above.
     """
     from pyspark.sql.functions import pandas_udf
+
+    if train_sample is not None:
+        sample = _hash_sample(embeddings, train_sample, id_col, vec_col,
+                              normalize=normalize)
+        if sample is None:
+            return None
+        return _lloyd_pq(sample, m, ksub, lloyd_iters)
 
     vec = unit_vector(F.col(vec_col)) if normalize else F.col(vec_col)
     unit = embeddings.select(F.col(id_col).alias("_id"), vec.alias("u"))
@@ -808,6 +917,7 @@ def pq_topk(
     rerank: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """E3 scale path (product-quantization variant) — asymmetric-distance
     ANN over a compressed corpus.
@@ -901,11 +1011,23 @@ def _exact_rerank(
     """Exact rerank of a broadcast-sized (query_id, neighbor_id) candidate
     set: true cosine via the strict-order JVM dot, so rerank ordering
     matches the exact path bit-for-bit. Shared by the PQ and IVF-PQ ANN
-    variants."""
+    variants.
+
+    The corpus is pruned to the candidate neighbor ids (broadcast
+    semi-join) BEFORE normalization: ``unit_vector`` is an interpreted
+    higher-order expression, and evaluating it corpus-wide just to feed
+    a candidate-sized hash join dominated the whole serve path at scale
+    (measured at sf10: 55 s of a 59 s search normalizing 200k vectors
+    for a 9k-candidate rerank; 3.4 s after the prune — same discipline
+    as ``embedding_neardup_lsh``'s verify stage)."""
     q_df = queries.select(
         F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("q_vec")
     )
-    c_df = embeddings.select(
+    # cand now feeds two consumers (the id prune and the scored join) —
+    # a lazy checkpoint materializes the candidate scan once, not twice
+    cand = cand.localCheckpoint(eager=False)
+    needed = cand.select(F.col("neighbor_id").alias(id_col)).distinct()
+    c_df = embeddings.join(F.broadcast(needed), id_col, "left_semi").select(
         F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("c_vec")
     )
     scored = (
@@ -932,6 +1054,7 @@ def ivfpq_train_encode(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
 ):
     """IVF-PQ index construction: train the coarse quantizer, train PQ
     codebooks on RESIDUALS (x - centroid), and encode the corpus in one
@@ -941,7 +1064,8 @@ def ivfpq_train_encode(
     (None, None, None) on an empty corpus."""
     from pyspark.sql.functions import pandas_udf
 
-    cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col,
+                            train_sample)
     if cent is None:  # empty corpus
         return None, None, None
 
@@ -961,10 +1085,25 @@ def ivfpq_train_encode(
     books = _pq_codebooks(
         resid_df, m, ksub, lloyd_iters,
         id_col="neighbor_id", vec_col="resid", normalize=False,
+        train_sample=train_sample,
     )
-    # one fused pass: cell assignment + residual + codes from the raw
-    # vectors (re-joining codes to the cell column would duplicate the
-    # residual subtree — two corpus scans for what one map computes)
+    return cent, books, ivfpq_encode(embeddings, cent, books, id_col, vec_col)
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    cent: "np.ndarray",
+    books: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FROZEN quantizers — one fused pass: cell
+    assignment + residual + sub-codes from the raw vectors (re-joining
+    codes to the cell column would duplicate the residual subtree — two
+    corpus scans for what one map computes). Per-row deterministic given
+    (cent, books), which is what lets an incrementally-built codes table
+    equal the one-shot build (pinned by the incremental-index tests)."""
+
     def encode_with_cell(batches):
         for pdf in batches:
             v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -979,17 +1118,15 @@ def ivfpq_train_encode(
                 }
             )
 
-    codes = embeddings.select(id_col, vec_col).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInPandas(
         encode_with_cell, "neighbor_id long, cell int, codes array<int>"
     )
-    return cent, books, codes
 
 
-def ivfpq_search(
+def ivfpq_adc_candidates(
     codes: DataFrame,
     cent,
     books,
-    embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 8,
@@ -997,16 +1134,20 @@ def ivfpq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ search over a built (or loaded) index: the ADC scan reads
-    ONLY the codes table — ``embeddings`` is touched exclusively by the
-    broadcast-sized exact rerank of candidates (and never by the scan,
-    which is the point of storing codes)."""
+    """The corpus-sized half of an IVF-PQ search: ADC-score the codes
+    table against the (broadcast-sized) query set and reduce to the
+    top-(k*rerank) candidates per query. Reads ONLY codes — never an
+    embedding column (the plan property a deployment relies on; pinned
+    by test over this function's plan, since the downstream rerank
+    checkpoint truncates the visible lineage). Returns
+    (query_id, neighbor_id); ``ivfpq_search`` composes this with the
+    shared exact rerank."""
     m = books.shape[0]
 
     q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
     if not q_rows:
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int"
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
@@ -1019,7 +1160,7 @@ def ivfpq_search(
     for qi in range(len(qids)):
         for c in np.argsort(-qc[qi])[:nprobe]:
             probe.setdefault(int(c), []).append((qi, float(qc[qi, c])))
-    bc = embeddings.sparkSession.sparkContext.broadcast((qids, luts, probe))
+    bc = codes.sparkSession.sparkContext.broadcast((qids, luts, probe))
     take = max(k + 1, k * rerank)
     sub_idx = np.arange(m)
 
@@ -1075,11 +1216,33 @@ def ivfpq_search(
     w_adc = W.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
     )
-    cand = (
+    return (
         local.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("r", F.row_number().over(w_adc))
         .filter(F.col("r") <= take)
         .select("query_id", "neighbor_id")
+    )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    cent,
+    books,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search over a built (or loaded) index: the ADC candidate
+    scan (``ivfpq_adc_candidates``) reads ONLY the codes table —
+    ``embeddings`` is touched exclusively by the broadcast-sized exact
+    rerank of candidates (and never by the scan, which is the point of
+    storing codes)."""
+    cand = ivfpq_adc_candidates(
+        codes, cent, books, queries, k, nprobe, rerank, id_col, vec_col
     )
     return _exact_rerank(cand, embeddings, queries, k, id_col, vec_col)
 
@@ -1096,6 +1259,7 @@ def ivfpq_topk(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """E3 scale path (IVF+PQ composition) — the production ANN layout:
     an inverted file prunes the scan to ``nprobe`` cells, and within
@@ -1124,7 +1288,8 @@ def ivfpq_topk(
     the knobs trade recall for scan fraction exactly as here.
     """
     cent, books, codes = ivfpq_train_encode(
-        embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col
+        embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col,
+        train_sample,
     )
     if cent is None:  # empty corpus
         return embeddings.sparkSession.createDataFrame(
@@ -1145,6 +1310,7 @@ def ivfpq_write_index(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
 ) -> None:
     """Persist an IVF-PQ index: the codes table as parquet REPARTITIONED
     BY CELL (searches prune whole files by the probed cells' min/max
@@ -1155,7 +1321,8 @@ def ivfpq_write_index(
     import os
 
     cent, books, codes = ivfpq_train_encode(
-        embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col
+        embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col,
+        train_sample,
     )
     if cent is None:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")

@@ -565,7 +565,12 @@ def q_e3_ivfpq(spark, sf_dir):
 # to 1000 ADC candidates per query — that depth is what holds recall@5
 # >= 0.9 against this corpus's coarse m=8/ksub=32 codes (measured 0.98
 # at sf0.01 / 0.94 at sf0.1; pinned in tests/test_llm_ops.py).
-IVFPQ_INDEX_GEOMETRY = {"n_cells": 16, "m": 8, "ksub": 32}
+# train_sample participates in the cache tag: switching the training
+# backend (sampled driver-side vs full-corpus distributed) changes the
+# quantizer tensors, so a cached index built the other way must not be
+# served against in-plan rebuilds.
+IVFPQ_INDEX_GEOMETRY = {"n_cells": 16, "m": 8, "ksub": 32,
+                        "train_sample": 32768}
 IVFPQ_SERVE = {"k": 5, "nprobe": 14, "rerank": 200}
 
 

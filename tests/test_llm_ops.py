@@ -204,6 +204,47 @@ def test_ann_ivfpq_recall_vs_brute_force(spark):
     assert ivfpq == ivfpq2
 
 
+def test_quantizer_training_sampled_default_and_distributed_fallback(spark):
+    """Training cost must be corpus-size-independent by default: the
+    sampled driver-side path (a) collects AT MOST train_sample vectors,
+    (b) is deterministic across rebuilds, and (c) the distributed
+    full-corpus fallback (train_sample=None) still trains a working
+    quantizer — recall vs brute force holds on both paths."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+
+    # (a) the sample honors its budget and keeps the seed prefix rule
+    sample = S._hash_sample(emb, 64, "vec_id", "embedding")
+    assert sample.shape[0] == 64
+    seeds = S._hash_sample(emb, 16, "vec_id", "embedding")
+    assert np.array_equal(sample[:16], seeds)
+
+    # (b) rebuild determinism of the sampled trainers
+    c1 = S._centroid_matrix(emb, 16, 2, "vec_id", "embedding")
+    c2 = S._centroid_matrix(emb, 16, 2, "vec_id", "embedding")
+    assert np.array_equal(c1, c2)
+    b1 = S._pq_codebooks(emb, m=8, ksub=32, lloyd_iters=2,
+                         id_col="vec_id", vec_col="embedding")
+    assert b1.shape == (8, 32, 8)
+
+    # (c) the distributed fallback still converges to a usable quantizer
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    dist = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, q, k=5, nprobe=8,
+                            train_sample=None).collect()
+    }
+    assert len(brute & dist) / len(brute) >= 0.6
+
+
 def test_pq_encode_roundtrip_error_bounded(spark):
     """Quantization sanity: reconstructing a vector from its sub-codes
     recovers most of its norm (codebooks trained on the same corpus)."""
@@ -572,9 +613,18 @@ def test_ivfpq_persisted_index_matches_inplan(spark, tmp_path):
 
     # the codes scan reads 3 small columns, not vectors: every scan of the
     # index directory must project codes, and no scan of it may read an
-    # embedding-typed column
-    plan = from_index._jdf.queryExecution().explainString(
-        from_index._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+    # embedding-typed column. Asserted over the ADC candidate stage's own
+    # plan — the full search checkpoints the candidate set before the
+    # rerank (one materialization for its two consumers), which truncates
+    # the visible lineage above it.
+    import numpy as np
+
+    cent = np.load(idx + "/cent.npy")
+    books = np.load(idx + "/books.npy")
+    codes = spark.read.parquet(idx + "/codes")
+    cand = S.ivfpq_adc_candidates(codes, cent, books, q, k=5)
+    plan = cand._jdf.queryExecution().explainString(
+        cand._sc._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted")
     )
     idx_scan_schemas = [
@@ -583,6 +633,18 @@ def test_ivfpq_persisted_index_matches_inplan(spark, tmp_path):
     ]
     assert idx_scan_schemas, plan
     assert all("embedding" not in l for l in idx_scan_schemas)
+    # and the post-checkpoint serve plan must not re-scan the index dir
+    # with an embedding-typed column either (vacuously true when the
+    # codes scan sits behind the checkpoint)
+    full_plan = from_index._jdf.queryExecution().explainString(
+        from_index._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert all(
+        "embedding" not in l
+        for l in full_plan.splitlines()
+        if "ReadSchema" in l and "codes" in l
+    )
 
     # empty corpus refuses to build (an empty index is a config error)
     import pytest as _pytest
