@@ -621,6 +621,32 @@ def q_e3_ivfpq_from_index(spark, sf_dir):
     return out.withColumnRenamed("rank", "nn_rank")
 
 
+@register(
+    "q_e3_incremental_ann_index",
+    None,  # data-dependent quantizers — rows-only; equality to the
+    # one-shot build + restart/redelivery/upsert pinned in pytest
+    "E3 (streaming-incremental form, batch-driven here) — vectors fed in "
+    "3 id-interleaved waves through streaming/annindex.py's maintained "
+    "IVF-PQ index (quantizers trained on the first wave and FROZEN, "
+    "per-batch encode committed via the manifest-CAS versioned table), "
+    "then served at the standard geometry. Encode is per-row "
+    "deterministic given the frozen quantizers, so the accumulated codes "
+    "table equals the one-shot build over the same corpus",
+)
+def q_e3_incremental_ann_index(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.annindex import IncrementalAnnIndexSink
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_annsink_")
+    sink = IncrementalAnnIndexSink(root, **IVFPQ_INDEX_GEOMETRY)
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+    out = sink.search(emb, emb.filter(F.col("vec_id") < 10), **IVFPQ_SERVE)
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
 # ---------------------------------------------------------------------------
 # E4 — text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,222 @@
+"""Streaming-incremental ANN index maintenance (E3, deployment form).
+
+``ivfpq_write_index`` builds an index in one shot; a continuously
+ingesting pipeline instead APPENDS vectors as they arrive. This sink
+maintains a serveable IVF-PQ index across micro-batches by composing
+three existing layers:
+
+- quantizer training (``operators/similarity``): trained ONCE on the
+  first batch's bounded hash-sample and then FROZEN — the standard
+  IVF-PQ operating discipline (FAISS trains once and re-trains only by
+  offline rebuild; retraining per batch would re-encode the whole
+  corpus and make old codes incomparable). The frozen tensors are
+  persisted next to the index with a create-exclusive link, so exactly
+  one trainer wins and every writer encodes with the SAME quantizers —
+  a CAS loser discards its tensors and adopts the winner's.
+- encoding (``ivfpq_encode``): per-row deterministic given the frozen
+  quantizers, so the incrementally-built codes table equals the
+  one-shot build over the same corpus (pinned by pytest).
+- the versioned-table layer (``operators/tablefmt``): every batch lands
+  as a manifest-CAS commit of (current codes \\ re-ingested ids) ∪ new
+  codes — ids UPSERT rather than duplicate. This buys restart recovery
+  (a fresh sink resumes from the committed snapshot and re-loads which
+  batch_ids landed), exact-once redelivery (a replayed batch_id is
+  skipped), multi-writer safety (CAS rebase, not lost update), and time
+  travel (searches can be served from any retained index version).
+
+Scale shape: per batch, ONE encode pass over the batch plus a
+codes-sized merge (the rewrite cost of plain-parquet versioning; a
+file-level table format would make it an append — documented trade).
+Searches read the committed codes table and never re-encode the corpus.
+
+Quantizer staleness is real and documented: if the vector distribution
+drifts far from the first batch, recall decays and the answer is an
+offline rebuild (``ivfpq_write_index``) plus a pointer swap — the same
+operational playbook as every IVF deployment.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import tablefmt as TF
+from ..operators import similarity as S
+
+
+def _quantizer_path(index_root: str) -> str:
+    return os.path.join(index_root, "quantizers.npz")
+
+
+def _load_quantizers(index_root: str):
+    with np.load(_quantizer_path(index_root)) as z:
+        return z["cent"], z["books"]
+
+
+def ann_index_search(
+    spark: SparkSession,
+    index_root: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank: int = 20,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a search from a maintained index — any process, no sink
+    instance needed. ``vectors`` supplies the true vectors for the exact
+    rerank only (candidate-sized read); ``version`` time-travels to an
+    earlier committed index state (the rerank still reads CURRENT
+    vectors — pass a matching vector snapshot if ids were re-ingested
+    with new values since that version)."""
+    cent, books = _load_quantizers(index_root)
+    codes = TF.read_version(spark, os.path.join(index_root, "codes"), version)
+    return S.ivfpq_search(
+        codes, cent, books, vectors, queries, k, nprobe, rerank,
+        id_col, vec_col,
+    )
+
+
+class IncrementalAnnIndexSink:
+    """foreachBatch sink: feed micro-batches of (id, vector) rows via
+    ``process_batch``; serve searches from the committed index via
+    ``search`` (or module-level ``ann_index_search``)."""
+
+    def __init__(
+        self,
+        index_root: str,
+        n_cells: int = 16,
+        m: int = 8,
+        ksub: int = 32,
+        lloyd_iters: int = 2,
+        train_sample: "int | None" = S.DEFAULT_TRAIN_SAMPLE,
+        quantizers=None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.index_root = index_root
+        self.codes_root = os.path.join(index_root, "codes")
+        self.geometry = dict(
+            n_cells=n_cells, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
+            train_sample=train_sample,
+        )
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._cent, self._books = quantizers if quantizers else (None, None)
+        self.batches_seen = 0
+        # restart recovery: adopt the persisted quantizers and re-load
+        # which batch_ids already committed, so a replayed batch after a
+        # restart is skipped exactly like an in-process redelivery
+        if os.path.exists(_quantizer_path(index_root)):
+            self._cent, self._books = _load_quantizers(index_root)
+        self._committed_batch_ids: set[int] = {
+            man["app"]["batch_id"]
+            for man in TF.history(self.codes_root)
+            if "batch_id" in man.get("app", {})
+        }
+
+    # -- quantizer lifecycle -------------------------------------------------
+
+    def _ensure_quantizers(self, batch: DataFrame) -> None:
+        if self._cent is not None:
+            self._persist_quantizers()  # caller-provided tensors: publish
+            return
+        cent = S._centroid_matrix(
+            batch, self.geometry["n_cells"], self.geometry["lloyd_iters"],
+            self.id_col, self.vec_col,
+            train_sample=self.geometry["train_sample"],
+        )
+        if cent is None:
+            return  # empty first batch — train on the next non-empty one
+        # residuals of the training batch seed the PQ codebooks, same
+        # construction as ivfpq_train_encode
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def resid(vecs: pd.Series) -> pd.Series:
+            v = np.vstack(vecs.to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cells = np.argmax(v @ cent.T, axis=1)
+            return pd.Series(list(v - cent[cells]))
+
+        resid_df = batch.select(
+            F.col(self.id_col).alias("_rid"), resid(F.col(self.vec_col)).alias("r")
+        )
+        books = S._pq_codebooks(
+            resid_df, self.geometry["m"], self.geometry["ksub"],
+            self.geometry["lloyd_iters"], id_col="_rid", vec_col="r",
+            normalize=False, train_sample=self.geometry["train_sample"],
+        )
+        self._cent, self._books = cent, books
+        self._persist_quantizers()
+
+    def _persist_quantizers(self) -> None:
+        final = _quantizer_path(self.index_root)
+        if os.path.exists(final):
+            # another writer (or a prior run) already published — adopt
+            # THEIRS so every code in the table shares one quantizer set
+            self._cent, self._books = _load_quantizers(self.index_root)
+            return
+        os.makedirs(self.index_root, exist_ok=True)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, cent=self._cent, books=self._books)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # CAS: exactly one trainer publishes
+        except FileExistsError:
+            self._cent, self._books = _load_quantizers(self.index_root)
+        os.unlink(tmp)
+
+    # -- ingest ---------------------------------------------------------------
+
+    def process_batch(self, vectors: DataFrame, batch_id: int) -> None:
+        if batch_id in self._committed_batch_ids:
+            return  # foreachBatch redelivery of a committed batch
+        vectors = vectors.dropDuplicates([self.id_col])
+        self._ensure_quantizers(vectors)
+        if self._cent is None:
+            return  # still no quantizers => batch was empty
+        # eager: commit_merge re-runs the merge on a CAS rebase, and the
+        # encode must not be re-derived (or re-randomized) there
+        codes = S.ivfpq_encode(
+            vectors, self._cent, self._books, self.id_col, self.vec_col
+        ).localCheckpoint(eager=True)
+
+        def upsert(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return codes
+            return current.join(
+                codes.select("neighbor_id"), "neighbor_id", "left_anti"
+            ).unionByName(codes)
+
+        TF.commit_merge(
+            vectors.sparkSession, self.codes_root, upsert,
+            app={"batch_id": batch_id},
+        )
+        self._committed_batch_ids.add(batch_id)
+        self.batches_seen += 1
+
+    # -- serve ----------------------------------------------------------------
+
+    def search(
+        self,
+        vectors: DataFrame,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 8,
+        rerank: int = 20,
+        version: int | None = None,
+    ) -> DataFrame:
+        return ann_index_search(
+            vectors.sparkSession, self.index_root, vectors, queries,
+            k, nprobe, rerank, version, self.id_col, self.vec_col,
+        )

@@ -407,3 +407,100 @@ def test_vacuum_grace_spares_inflight_commits(spark, tmp_path):
     df.write.mode("overwrite").parquet(orphan)
     TF.vacuum(root, keep=1, orphan_grace_s=0)
     assert not os.path.exists(orphan)
+
+
+def test_incremental_ann_index_equals_oneshot_and_recovers(spark, tmp_path):
+    """The maintained IVF-PQ index (streaming/annindex.py): vectors fed
+    in 3 id-interleaved waves with FIXED quantizers must produce exactly
+    the one-shot codes table (encode is per-row deterministic), searches
+    served from it must equal ivfpq_search over the one-shot build, a
+    replayed batch_id must not add a version, and a fresh sink on the
+    same root must resume (restart recovery) and UPSERT re-ingested ids
+    instead of duplicating them."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+        ann_index_search,
+    )
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    cent, books, oneshot_codes = S.ivfpq_train_encode(emb)
+
+    root = str(tmp_path / "ann_index")
+    sink = IncrementalAnnIndexSink(root, quantizers=(cent, books))
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    got = _rows(TF.read_version(spark, root + "/codes"))
+    assert got == _rows(oneshot_codes)
+
+    # served search == in-plan search over the one-shot build
+    q = emb.filter(F.col("vec_id") < 10)
+    served = _rows(sink.search(emb, q, k=5, nprobe=14, rerank=200))
+    inplan = _rows(
+        S.ivfpq_search(oneshot_codes, cent, books, emb, q,
+                       k=5, nprobe=14, rerank=200)
+    )
+    assert served == inplan and len(served) == 50
+
+    # redelivery: same batch_id again — no new version committed
+    v_before = TF.latest_version(root + "/codes")
+    sink.process_batch(emb.filter(F.col("vec_id") % 3 == 0), 0)
+    assert TF.latest_version(root + "/codes") == v_before
+
+    # restart recovery: a FRESH sink adopts the persisted quantizers and
+    # committed batch ids; a replayed batch is skipped across restart too
+    sink2 = IncrementalAnnIndexSink(root)
+    assert np.array_equal(sink2._cent, cent)
+    sink2.process_batch(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    assert TF.latest_version(root + "/codes") == v_before
+
+    # upsert: re-ingest one id with a DIFFERENT vector under a new batch
+    # id — the codes row is replaced, never duplicated
+    one = emb.filter(F.col("vec_id") == 7).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    sink2.process_batch(one, 99)
+    snap = TF.read_version(spark, root + "/codes")
+    assert snap.count() == emb.count()
+    assert snap.filter(F.col("neighbor_id") == 7).count() == 1
+    new_row = snap.filter(F.col("neighbor_id") == 7).collect()[0]
+    old_row = oneshot_codes.filter(F.col("neighbor_id") == 7).collect()[0]
+    assert tuple(new_row) != tuple(old_row)
+    # and time travel still serves the pre-upsert index
+    pre = TF.read_version(spark, root + "/codes", v_before)
+    assert _rows(pre.filter(F.col("neighbor_id") == 7)) == [tuple(old_row)]
+
+
+def test_incremental_ann_index_self_training_recall(spark, tmp_path):
+    """Self-training path: quantizers trained on the FIRST wave only and
+    frozen; later waves are encoded against them. Recall vs brute force
+    must still clear the same bar as the one-shot index at the serve
+    geometry (the fixture is near-isotropic, so a first-wave sample is
+    representative — the documented staleness trade)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+    )
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path / "ann_index_self")
+    sink = IncrementalAnnIndexSink(root)
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sink.search(emb, q, k=5, nprobe=14, rerank=200).collect()
+    }
+    assert len(brute & got) / len(brute) >= 0.9

@@ -47,6 +47,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # the index parquet (not `embeddings`); the two embeddings scans are
     # the broadcast-sized query slice + the candidate-only rerank fetch
     "q_e3_ivfpq_from_index": (0, 0, {"embeddings": 2}),
+    # served from the incrementally-maintained versioned codes table —
+    # same serve shape as from_index (query slice + candidate rerank)
+    "q_e3_incremental_ann_index": (0, 0, {"embeddings": 2}),
     "q_e4_repetition": (0, 0, {"documents": 2}),
     # window-frequency pass + postings pass over the same positional
     # k-gram lineage (same inverted-index two-scan shape as
