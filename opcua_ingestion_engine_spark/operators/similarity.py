@@ -940,7 +940,8 @@ def pq_topk(
     Returns (query_id, neighbor_id, rank); recall vs brute force is
     pinned in tests/test_llm_ops.py.
     """
-    books = _pq_codebooks(embeddings, m, ksub, lloyd_iters, id_col, vec_col)
+    books = _pq_codebooks(embeddings, m, ksub, lloyd_iters, id_col, vec_col,
+                          train_sample=train_sample)
     if books is None:  # empty corpus
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int"

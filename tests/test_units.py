@@ -879,3 +879,49 @@ def test_dim_cache_evicts_only_stopped_sessions():
     finally:
         C._DIM_CACHE.clear()
         C._DIM_CACHE.update(saved)
+
+
+def test_driver_lloyd_helpers_mirror_distributed_semantics():
+    """Pure-numpy properties of the sampled quantizer trainers
+    (operators/similarity): deterministic, k clamped to the sample,
+    empty cells retain their previous centroid (never NaN), spherical
+    centroids stay unit-norm, and PQ codebooks keep the (m, ksub,
+    sub_dim) layout with means in the data's convex hull."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    sample = rng.normal(size=(200, 16))
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+
+    c1 = S._lloyd_spherical(sample, k=8, iters=3)
+    c2 = S._lloyd_spherical(sample.copy(), k=8, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert not np.isnan(c1).any()
+
+    # k larger than the sample clamps instead of indexing out of range
+    small = S._lloyd_spherical(sample[:5], k=8, iters=2)
+    assert small.shape == (5, 16)
+
+    # a far-away seed that captures no points must survive untouched:
+    # plant an isolated direction as seed 0 by prepending it
+    iso = np.zeros(16)
+    iso[0] = -1.0
+    planted = np.vstack([iso, sample[sample[:, 0] > 0.2]])
+    cents = S._lloyd_spherical(planted, k=4, iters=2)
+    assert not np.isnan(cents).any()
+
+    b1 = S._lloyd_pq(sample, m=4, ksub=16, iters=3)
+    b2 = S._lloyd_pq(sample.copy(), m=4, ksub=16, iters=3)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (4, 16, 4)
+    assert not np.isnan(b1).any()
+    lo, hi = sample.min(), sample.max()
+    assert (b1 >= lo - 1e-12).all() and (b1 <= hi + 1e-12).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        S._lloyd_pq(sample, m=5, ksub=8, iters=1)
