@@ -196,7 +196,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in plans.QUERIES]
+    # SPARK_GRAFT_BENCH_SKIP: comma-separated query names to exclude —
+    # used by the scale sweeps to drop rows whose cost is a DOCUMENTED
+    # cliff kept only as ground truth (e.g. exact-Jaccard curation is
+    # Theta(sum df^2): ~48 s at sf1 and ~100x that at sf10, where the
+    # production answer is the minhash row that stays in the sweep).
+    # The driver's per-round run sets nothing and measures the full set.
+    skip = set(filter(None, os.environ.get(
+        "SPARK_GRAFT_BENCH_SKIP", "").split(",")))
+    names = [n for n in HEADLINE if n in plans.QUERIES and n not in skip]
     # Warm-up: JVM JIT + codegen + parquet footer caches.
     _materialize(plans.QUERIES["q_flagship_modvalues"].fn(spark, SF_DIR))
 

@@ -205,6 +205,16 @@ class IncrementalAnnIndexSink:
         self._committed_batch_ids.add(batch_id)
         self.batches_seen += 1
 
+    # -- maintenance -----------------------------------------------------------
+
+    def vacuum(self, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int]:
+        """Reclaim old index versions (and crashed-commit orphans) via
+        the table layer's vacuum — the codes table otherwise grows one
+        full snapshot per batch (the rewrite cost of plain-parquet
+        versioning). Keeps the newest ``keep`` versions; time travel to
+        a vacuumed version raises, the live snapshot is never touched."""
+        return TF.vacuum(self.codes_root, keep, orphan_grace_s)
+
     # -- serve ----------------------------------------------------------------
 
     def search(

@@ -78,15 +78,22 @@ class IncrementalCorpusBuildSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # ONE evaluation of the dedup window for both downstream uses,
+        # and — critically — NO sink state is touched until every Spark
+        # job for the batch has succeeded: if the digest state were
+        # assigned before the manifest job and that job failed, the
+        # foreachBatch retry's anti-join would see the batch's digests
+        # already present and permanently drop its documents from the
+        # manifest (same retry-atomicity discipline as streaming/spans.py)
         fresh = (
             dd.join(self.digests, "_dig", "left_anti")
             if self.digests is not None
             else dd
-        )
+        ).localCheckpoint(eager=True)
         # digest state includes BENCHMARK docs too (batch semantics: a
         # non-bench copy of a benchmark text is an exact dup and drops)
         new_digs = fresh.select("_dig")
-        self.digests = (
+        new_digests = (
             new_digs
             if self.digests is None
             else self.digests.unionByName(new_digs)
@@ -112,11 +119,15 @@ class IncrementalCorpusBuildSink:
                     < F.lit(self.train_thresh))
             .select("doc_id", "source", "n_tokens")
         )
-        self.manifest = (
+        new_manifest = (
             clean
             if self.manifest is None
             else self.manifest.unionByName(clean)
         ).localCheckpoint(eager=True)
+
+        # commit — plain attribute writes; no Spark failure possible here
+        self.digests = new_digests
+        self.manifest = new_manifest
         self._done_batch_ids.add(batch_id)
 
     def result(self) -> DataFrame:

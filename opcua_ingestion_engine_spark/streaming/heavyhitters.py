@@ -75,15 +75,22 @@ class IncrementalHeavyHittersSink:
         merged = Counter(self.sketch)
         for r in part_rows:
             merged[r["token"]] += r["cnt"]
-        self.sketch = mg_trim(merged, self.capacity)
 
+        # all Spark jobs BEFORE any state mutation: if the corpus-state
+        # checkpoint failed after the sketch were already assigned, the
+        # foreachBatch retry would re-merge the batch's counts into the
+        # updated sketch and double-count (same retry-atomicity
+        # discipline as the spans and corpus-build sinks)
         batch_state = batch_docs.select("doc_id", text_col)
-        if self.docs is None:
-            self.docs = batch_state.localCheckpoint(eager=True)
-        else:
-            self.docs = self.docs.unionByName(batch_state).localCheckpoint(
-                eager=True
-            )
+        new_docs = (
+            batch_state
+            if self.docs is None
+            else self.docs.unionByName(batch_state)
+        ).localCheckpoint(eager=True)
+
+        # commit — plain attribute writes; no Spark failure possible here
+        self.sketch = mg_trim(merged, self.capacity)
+        self.docs = new_docs
         self.batches_seen += 1
         self._done_batch_ids.add(batch_id)
 

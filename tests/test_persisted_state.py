@@ -504,3 +504,32 @@ def test_incremental_ann_index_self_training_recall(spark, tmp_path):
         for r in sink.search(emb, q, k=5, nprobe=14, rerank=200).collect()
     }
     assert len(brute & got) / len(brute) >= 0.9
+
+
+def test_incremental_ann_index_vacuum_bounds_versions(spark, tmp_path):
+    """Index maintenance: vacuum reclaims old code-table versions (one
+    full snapshot accrues per batch) without touching the live one —
+    searches still serve, vacuumed versions raise on time travel."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+    )
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path / "ann_vac")
+    sink = IncrementalAnnIndexSink(root)
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    assert TF.latest_version(root + "/codes") == 2
+    removed = sink.vacuum(keep=1, orphan_grace_s=0)
+    assert removed == [0, 1]  # keep=1 retains only the live v2
+    # live snapshot unharmed: full corpus still indexed and serveable
+    assert TF.read_version(spark, root + "/codes").count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 3)
+    assert sink.search(emb, q, k=5, nprobe=14, rerank=200).count() == 15
+    with _pytest.raises(ValueError, match="vacuum"):
+        TF.read_version(spark, root + "/codes", 0)

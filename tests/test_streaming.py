@@ -1089,3 +1089,94 @@ def test_durable_state_restart_redelivery_and_versions(spark, fixtures, tmp_path
         (v, None if v == 0 else v - 1) for v in range(5)
     ]
     assert [m["app"]["batch_id"] for m in hist] == [0, 1, 2, 3, 99]
+
+
+def test_incremental_corpus_build_failed_attempt_leaves_state_untouched(
+    spark, monkeypatch
+):
+    """Commit atomicity under a REAL mid-batch failure: if any Spark job
+    of the attempt raises, NO sink state may have changed — assigning the
+    digest state before the manifest job would make the retry's
+    anti-join drop the batch's documents from the manifest forever."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.streaming.corpusbuild import (
+        IncrementalCorpusBuildSink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    ).filter(F.col("doc_id") < 120)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    clean = IncrementalCorpusBuildSink(bench)
+    clean.process_batch(docs, 0)
+    want = sorted(tuple(r) for r in clean.result().collect())
+    assert want
+
+    sink = IncrementalCorpusBuildSink(bench)
+    df_cls = type(docs)
+    real_ckpt = df_cls.localCheckpoint
+    boom = {"left": 2}
+
+    def failing_ckpt(self, eager=True):
+        if boom["left"] > 0:
+            boom["left"] -= 1
+            raise RuntimeError("injected executor loss")
+        return real_ckpt(self, eager)
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", failing_ckpt)
+    import pytest as _pytest
+
+    # two consecutive failed attempts, each dying at the first
+    # checkpoint job of the batch
+    for _ in range(2):
+        with _pytest.raises(RuntimeError, match="injected"):
+            sink.process_batch(docs, 7)
+        assert sink.digests is None and sink.manifest is None
+        assert 7 not in sink._done_batch_ids
+
+    # the foreachBatch retry of the SAME batch_id must now ingest fully
+    sink.process_batch(docs, 7)
+    assert sorted(tuple(r) for r in sink.result().collect()) == want
+
+
+def test_incremental_heavy_hitters_failed_attempt_no_double_count(
+    spark, monkeypatch
+):
+    """Commit atomicity: if the corpus-state checkpoint job fails, the
+    driver-side MG sketch must NOT already hold the batch's counts —
+    else the foreachBatch retry of the same batch_id double-counts every
+    token of the batch."""
+    from opcua_ingestion_engine_spark.streaming.heavyhitters import (
+        IncrementalHeavyHittersSink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sink = IncrementalHeavyHittersSink(capacity=50)
+
+    df_cls = type(docs)
+    real_ckpt = df_cls.localCheckpoint
+    boom = {"armed": True}
+
+    def failing_ckpt(self, eager=True):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected executor loss")
+        return real_ckpt(self, eager)
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", failing_ckpt)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(docs, 3)
+    assert sink.sketch == {} and sink.docs is None
+    assert 3 not in sink._done_batch_ids
+
+    sink.process_batch(docs, 3)  # the retry must count each token ONCE
+    assert sink.sketch["alpha"] == 6
+    got = {r["token"]: r["cnt"] for r in sink.result(0.2).collect()}
+    assert got == {"alpha": 6, "beta": 6, "gamma": 6}
