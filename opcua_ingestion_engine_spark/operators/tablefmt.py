@@ -34,12 +34,18 @@ layout that gives the load-bearing guarantees:
   advisory cache for external tooling, but visibility derives from the
   manifest directory alone — a stale or torn pointer cannot tear reads.
 
+- **Append-structured commits**: ``commit_append`` writes only the new
+  rows and publishes a manifest listing the parent's data directories
+  plus the new tail — O(batch) write amplification for append-only
+  workloads, with ``vacuum`` reclaiming a shared directory only when no
+  retained manifest references it.
+
 At 100 TB the same layout holds: the manifest is one small JSON per
 commit, the CAS is one metadata link on the (driver-local or
 object-store-locked) manifest path, and data directories are written by
 the cluster in parallel. This is the same commit protocol shape as
-Delta's ``_delta_log/N.json`` mutual-exclusion write, minus file-level
-deletes and compaction.
+Delta's ``_delta_log/N.json`` mutual-exclusion write (add-file entries
+included, via the append form), minus file-level deletes and compaction.
 """
 
 from __future__ import annotations
@@ -144,6 +150,82 @@ def commit_version(
     )
 
 
+def _data_list(manifest: dict) -> list[str]:
+    """A manifest's data directories, oldest first. Rewrite commits
+    store one directory (str); append commits store the parent's list
+    plus their own tail directory (list) — both forms read the same."""
+    data = manifest["data"]
+    return data if isinstance(data, list) else [data]
+
+
+def commit_append(
+    df: DataFrame, root: str, max_retries: int = 20, app: dict | None = None
+) -> int:
+    """Append-structured commit: write ONLY ``df``'s rows as a new data
+    directory and publish a manifest that lists the parent's data
+    directories plus the new tail — the log-structured alternative to
+    ``commit_version``'s full rewrite, for append-only workloads
+    (event logs, an ANN codes table under monotone ids, the
+    contamination-index postings). Write amplification per commit is
+    O(batch), not O(table); readers union the listed directories (same
+    shape as a file-level table format's add-file log). The CAS, crash
+    safety, rebase-on-lose, and time-travel semantics are identical to
+    the rewrite path; ``vacuum`` understands shared directories and
+    never reclaims one still referenced by a retained manifest.
+
+    The appended frame must match the table's committed schema exactly
+    (an append cannot evolve the schema — that is a rewrite)."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            v = _try_commit(df, root, None, app)
+            if v is not None:
+                return v
+            continue
+        with open(_manifest_path(root, parent)) as f:
+            pm = json.load(f)
+        if pm["schema"] != df.schema.jsonValue():
+            raise ValueError(
+                "commit_append schema mismatch: appended frame must match "
+                "the committed table schema exactly (appends cannot evolve "
+                "the schema — use commit_version for a rewrite)"
+            )
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
+        df.write.mode("overwrite").parquet(data_dir)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "data": _data_list(pm) + [os.path.relpath(data_dir, root)],
+            "schema": pm["schema"],
+            "app": app or {},
+        }
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(data_dir, ignore_errors=True)  # lost — rebase
+            continue
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"commit_append lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
 def commit_merge(
     spark: SparkSession,
     root: str,
@@ -190,7 +272,9 @@ def read_version(
             f"version {version} not present at {root} (never committed, "
             "or removed by vacuum)"
         )
-    return spark.read.parquet(os.path.join(root, manifest["data"]))
+    return spark.read.parquet(
+        *[os.path.join(root, p) for p in _data_list(manifest)]
+    )
 
 
 def history(root: str) -> list[dict]:
@@ -227,16 +311,22 @@ def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int
     live = latest_version(root)
     if live is None:
         return []
-    retained = {
-        m["version"] for m in history(root)[-keep:]
-    } | {live}
+    hist = history(root)
+    retained = {m["version"] for m in hist[-keep:]} | {live}
+    # append commits SHARE data directories across versions: a dir may
+    # only be reclaimed once NO retained manifest references it
+    retained_paths = {
+        p for m in hist if m["version"] in retained for p in _data_list(m)
+    }
     removed = []
-    for m in history(root):
+    for m in hist:
         v = m["version"]
         if v in retained:
             continue
         os.remove(_manifest_path(root, v))
-        shutil.rmtree(os.path.join(root, m["data"]), ignore_errors=True)
+        for p in _data_list(m):
+            if p not in retained_paths:
+                shutil.rmtree(os.path.join(root, p), ignore_errors=True)
         removed.append(v)
 
     def _old_enough(p: str) -> bool:
@@ -248,7 +338,7 @@ def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int
     # orphans: data dirs with no manifest (crashed or CAS-losing commits)
     # — invisible to readers; reclaim only past the grace window
     data_root = os.path.join(root, "data")
-    manifested = {m["data"] for m in history(root)}
+    manifested = {p for m in history(root) for p in _data_list(m)}
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join("data", name)

@@ -98,9 +98,13 @@ class IncrementalAnnIndexSink:
         lloyd_iters: int = 2,
         train_sample: "int | None" = S.DEFAULT_TRAIN_SAMPLE,
         quantizers=None,
+        mode: str = "upsert",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ):
+        if mode not in ("upsert", "append"):
+            raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
+        self.mode = mode
         self.index_root = index_root
         self.codes_root = os.path.join(index_root, "codes")
         self.geometry = dict(
@@ -190,18 +194,38 @@ class IncrementalAnnIndexSink:
         codes = S.ivfpq_encode(
             vectors, self._cent, self._books, self.id_col, self.vec_col
         ).localCheckpoint(eager=True)
+        spark = vectors.sparkSession
 
-        def upsert(current: DataFrame | None) -> DataFrame:
-            if current is None:
-                return codes
-            return current.join(
-                codes.select("neighbor_id"), "neighbor_id", "left_anti"
-            ).unionByName(codes)
+        if self.mode == "append":
+            # Append-structured commits: O(batch) write amplification via
+            # tablefmt.commit_append instead of the upsert's full-table
+            # rewrite. An id seen in a PRIOR commit is a source-level
+            # at-least-once duplicate and is DROPPED (the same discipline
+            # as the other sinks' seen-guards) — appends never shadow; a
+            # deployment that re-ingests ids with new vectors runs upsert
+            # mode (or an offline rebuild).
+            if TF.latest_version(self.codes_root) is not None:
+                current_ids = TF.read_version(spark, self.codes_root).select(
+                    "neighbor_id"
+                )
+                codes = codes.join(
+                    current_ids, "neighbor_id", "left_anti"
+                ).localCheckpoint(eager=True)
+            TF.commit_append(
+                codes, self.codes_root, app={"batch_id": batch_id}
+            )
+        else:
+            def upsert(current: DataFrame | None) -> DataFrame:
+                if current is None:
+                    return codes
+                return current.join(
+                    codes.select("neighbor_id"), "neighbor_id", "left_anti"
+                ).unionByName(codes)
 
-        TF.commit_merge(
-            vectors.sparkSession, self.codes_root, upsert,
-            app={"batch_id": batch_id},
-        )
+            TF.commit_merge(
+                spark, self.codes_root, upsert,
+                app={"batch_id": batch_id},
+            )
         self._committed_batch_ids.add(batch_id)
         self.batches_seen += 1
 

@@ -533,3 +533,125 @@ def test_incremental_ann_index_vacuum_bounds_versions(spark, tmp_path):
     assert sink.search(emb, q, k=5, nprobe=14, rerank=200).count() == 15
     with _pytest.raises(ValueError, match="vacuum"):
         TF.read_version(spark, root + "/codes", 0)
+
+
+def test_commit_append_log_structured_rounds(spark, tmp_path):
+    """commit_append: each commit writes ONLY its batch directory (write
+    amplification O(batch), not O(table)); readers union the manifest's
+    directory list; time travel sees each prefix; vacuum never reclaims
+    a directory still referenced by a retained manifest; appends cannot
+    evolve the schema."""
+    import os
+
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "log_table")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    assert TF.commit_append(mk(0, 5), root) == 0
+    assert TF.commit_append(mk(5, 8), root) == 1
+    assert TF.commit_append(mk(8, 10), root) == 2
+
+    # one data dir per commit, shared across manifests
+    data_dirs = os.listdir(os.path.join(root, "data"))
+    assert len(data_dirs) == 3
+    assert TF.read_version(spark, root).count() == 10
+    assert sorted(
+        r["k"] for r in TF.read_version(spark, root, 1).collect()
+    ) == list(range(8))
+    hist = TF.history(root)
+    assert [len(TF._data_list(m)) for m in hist] == [1, 2, 3]
+
+    # schema evolution is refused
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        TF.commit_append(spark.range(3).select(F.col("id").alias("k")), root)
+
+    # vacuum: v0 dropped, but its directory is shared by live v2 — all
+    # three dirs must survive; the live read is untouched
+    removed = TF.vacuum(root, keep=2, orphan_grace_s=0)
+    assert removed == [0]
+    assert len(os.listdir(os.path.join(root, "data"))) == 3
+    assert TF.read_version(spark, root).count() == 10
+
+    # a REWRITE commit (compaction) then vacuum(keep=1): the rewrite's
+    # single dir is live; every append-era dir is now unreferenced and
+    # must be reclaimed
+    TF.commit_version(TF.read_version(spark, root), root)
+    removed = TF.vacuum(root, keep=1, orphan_grace_s=0)
+    assert sorted(removed) == [1, 2]
+    assert len(os.listdir(os.path.join(root, "data"))) == 1
+    assert TF.read_version(spark, root).count() == 10
+
+
+def test_commit_append_two_writers_rebase(spark, tmp_path):
+    """Two interleaved appenders must both land (CAS loser rebases onto
+    the winner's manifest) and the union holds both batches."""
+    import threading
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "log_race")
+    TF.commit_append(
+        spark.range(0, 4).select(F.col("id").alias("k")), root
+    )
+
+    errs = []
+
+    def appender(lo, hi):
+        try:
+            TF.commit_append(
+                spark.range(lo, hi).select(F.col("id").alias("k")), root
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(4, 7))
+    t2 = threading.Thread(target=appender, args=(7, 12))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert TF.latest_version(root) == 2
+    assert sorted(
+        r["k"] for r in TF.read_version(spark, root).collect()
+    ) == list(range(12))
+
+
+def test_incremental_ann_index_append_mode(spark, tmp_path):
+    """Append-mode sink: disjoint waves land as O(batch) append commits
+    (one new data dir per batch) and the final index equals the one-shot
+    build; a redelivered overlapping row is dropped, never duplicated or
+    shadowed."""
+    import os
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+    )
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    cent, books, oneshot_codes = S.ivfpq_train_encode(emb)
+
+    root = str(tmp_path / "ann_append")
+    sink = IncrementalAnnIndexSink(
+        root, quantizers=(cent, books), mode="append"
+    )
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    assert _rows(TF.read_version(spark, root + "/codes")) == _rows(
+        oneshot_codes
+    )
+    assert len(os.listdir(os.path.join(root, "codes", "data"))) == 3
+
+    # a NEW batch overlapping already-ingested ids: the duplicates are
+    # dropped as source-level redelivery; nothing duplicates or shadows
+    sink.process_batch(emb.filter(F.col("vec_id") < 30), 9)
+    snap = TF.read_version(spark, root + "/codes")
+    assert snap.count() == emb.count()
+    assert snap.groupBy("neighbor_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
