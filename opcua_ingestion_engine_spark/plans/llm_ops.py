@@ -325,6 +325,38 @@ _SPAN_TRIM_SQL = """
 
 
 @register(
+    "q_e2_durable_spans",
+    _REPEATED_SPANS_SQL,
+    "E2 (substring level, DURABLE streaming form, batch-driven here) — "
+    "documents fed in 3 id-interleaved waves through the span sink's "
+    "durable mode: window postings land as an append-structured "
+    "versioned table (tablefmt.commit_append — O(batch) write "
+    "amplification, the manifest's directory list replaces the "
+    "in-memory LSM tiers) plus an O(docs) seen table; the report is "
+    "computed from the committed state alone, so it equals the batch "
+    "operator under any batching and shares its oracle",
+)
+def q_e2_durable_spans(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.spans import IncrementalSpanDedupSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="spark_graft_spansink_")
+    sink = IncrementalSpanDedupSink(k=15, min_repeats=2, state_root=root)
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    # a FRESH instance proves the report derives from the committed
+    # tables alone (restart recovery), not this process's memory
+    served = IncrementalSpanDedupSink(k=15, min_repeats=2, state_root=root)
+    return served.result().select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+@register(
     "q_e2_span_trim",
     _SPAN_TRIM_SQL,
     "E2 (substring level, apply step) — trim every corpus-repeated "

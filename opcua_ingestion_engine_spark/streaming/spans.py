@@ -54,21 +54,87 @@ from ..operators.dedup import (
 
 class IncrementalSpanDedupSink:
     """foreachBatch sink: feed micro-batches of (doc_id, text) rows via
-    ``process_batch``; read the accumulated span report via ``result``."""
+    ``process_batch``; read the accumulated span report via ``result``.
 
-    def __init__(self, k: int = 15, min_repeats: int = 2):
+    Durable mode (``state_root`` set): the window postings land as an
+    APPEND-STRUCTURED versioned table (``tablefmt.commit_append`` —
+    postings are append-only by construction, so each batch pays
+    O(batch) write amplification and the manifest's directory list IS
+    the tier structure the ephemeral mode maintains in memory), plus an
+    O(docs) ``seen`` table for the source-duplicate guard. Counts are
+    derived AT READ TIME from the postings table (one groupBy over the
+    same data ``result`` must scan anyway), so a batch needs exactly
+    two sub-commits. Each sub-commit carries the batch_id in its
+    manifest and is independently skipped on retry; the seen commit
+    goes LAST, so a crash between the two leaves a retry that
+    recomputes the identical windows (the guard hasn't admitted the
+    batch yet) and completes only the missing commit — exact-once per
+    table, restart-safe from the manifests alone."""
+
+    def __init__(
+        self, k: int = 15, min_repeats: int = 2, state_root: str | None = None
+    ):
         self.k = k
         self.min_repeats = min_repeats
+        self.state_root = state_root
         self._postings: list[tuple[int, DataFrame]] = []  # (level, frame) tiers
         self._counts: DataFrame | None = None  # (g, cnt)
         self._seen: DataFrame | None = None  # doc_id source-dup guard
         self._done_batch_ids: set[int] = set()
         self.batches_seen = 0
+        if state_root is not None:
+            import os
+
+            from ..operators import tablefmt as TF
+
+            self._postings_root = os.path.join(state_root, "postings")
+            self._seen_root = os.path.join(state_root, "seen")
+            self._postings_done = {
+                m["app"]["batch_id"]
+                for m in TF.history(self._postings_root)
+                if "batch_id" in m.get("app", {})
+            }
+            self._seen_done = {
+                m["app"]["batch_id"]
+                for m in TF.history(self._seen_root)
+                if "batch_id" in m.get("app", {})
+            }
+            # a batch is fully durable only when BOTH sub-commits landed
+            self._done_batch_ids = self._postings_done & self._seen_done
+            self.batches_seen = len(self._done_batch_ids)
+
+    def _process_batch_durable(self, docs: DataFrame, batch_id: int) -> None:
+        from ..operators import tablefmt as TF
+
+        spark = docs.sparkSession
+        if self._seen_done:
+            seen = TF.read_version(spark, self._seen_root)
+            docs = docs.join(seen, "doc_id", "left_anti")
+        wins = positional_windows(docs, k=self.k).localCheckpoint(eager=True)
+        if batch_id not in self._postings_done:
+            TF.commit_append(
+                wins, self._postings_root, app={"batch_id": batch_id}
+            )
+            self._postings_done.add(batch_id)
+        # seen LAST: until it lands, a retry recomputes identical windows
+        # (docs shorter than k emit none and re-seeing them is harmless)
+        if batch_id not in self._seen_done:
+            TF.commit_append(
+                wins.select("doc_id").distinct(),
+                self._seen_root,
+                app={"batch_id": batch_id},
+            )
+            self._seen_done.add(batch_id)
+        self._done_batch_ids.add(batch_id)
+        self.batches_seen += 1
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         if batch_id in self._done_batch_ids:
             return  # foreachBatch retry of a fully-processed batch
         docs = docs.dropDuplicates(["doc_id"])
+        if self.state_root is not None:
+            self._process_batch_durable(docs, batch_id)
+            return
         if self._seen is not None:
             docs = docs.join(self._seen, "doc_id", "left_anti")
 
@@ -125,6 +191,26 @@ class IncrementalSpanDedupSink:
         return out
 
     def result(self) -> DataFrame:
+        if self.state_root is not None:
+            from pyspark.sql import SparkSession
+
+            from ..operators import tablefmt as TF
+
+            if not self._done_batch_ids:
+                raise RuntimeError("no batches processed yet")
+            spark = SparkSession.getActiveSession()
+            postings = TF.read_version(spark, self._postings_root)
+            # counts derive at read time from the same postings scan the
+            # report needs anyway — no separate count state to maintain
+            hot = (
+                postings.groupBy("g")
+                .agg(F.count("*").alias("cnt"))
+                .filter(F.col("cnt") >= self.min_repeats)
+                .select("g")
+            )
+            return merge_window_spans(
+                postings.join(hot, "g", "left_semi"), self.k
+            )
         if not self._postings:
             raise RuntimeError("no batches processed yet")
         hot = (

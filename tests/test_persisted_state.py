@@ -655,3 +655,82 @@ def test_incremental_ann_index_append_mode(spark, tmp_path):
     assert snap.groupBy("neighbor_id").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_durable_span_sink_restart_crash_and_equality(spark, tmp_path, monkeypatch):
+    """Durable span-dedup state (postings as an append-structured
+    versioned table + O(docs) seen table): (1) waves fed through the
+    durable sink produce the batch operator's exact report and each
+    batch appends ONE postings directory; (2) a RESTART resumes from
+    the manifests and a replayed committed batch is fully skipped;
+    (3) a crash BETWEEN the postings and seen sub-commits retries to
+    the correct state — no duplicate postings, nothing lost; (4)
+    trim-on-read equals the batch trim."""
+    import os
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 150)
+    want = _rows(D.repeated_spans(docs, k=15))
+    assert want
+
+    root = str(tmp_path / "span_state")
+    sink = IncrementalSpanDedupSink(k=15, state_root=root)
+    sink.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    sink.process_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)
+
+    # (2) restart mid-stream: a fresh sink resumes from the manifests
+    sink2 = IncrementalSpanDedupSink(k=15, state_root=root)
+    assert sink2.batches_seen == 2
+    v_post = TF.latest_version(root + "/postings")
+    sink2.process_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay
+    assert TF.latest_version(root + "/postings") == v_post
+
+    # (3) crash between the two sub-commits of wave 2: the seen commit
+    # fails once; postings already landed. The same-batch retry must
+    # skip the postings append (no duplicates) and land only seen.
+    real_append = TF.commit_append
+    boom = {"armed": False}
+
+    def failing_append(df, root_, **kw):
+        if boom["armed"] and root_.endswith("/seen"):
+            boom["armed"] = False
+            raise RuntimeError("injected crash before seen commit")
+        return real_append(df, root_, **kw)
+
+    monkeypatch.setattr(TF, "commit_append", failing_append)
+    import pytest as _pytest
+
+    boom["armed"] = True
+    wave2 = docs.filter(F.col("doc_id") % 3 == 2)
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink2.process_batch(wave2, 2)
+    assert 2 in sink2._postings_done and 2 not in sink2._seen_done
+    assert 2 not in sink2._done_batch_ids
+
+    sink2.process_batch(wave2, 2)  # foreachBatch retry completes it
+    # (1) report equals the one-shot batch operator; one dir per batch
+    assert _rows(sink2.result()) == want
+    assert len(os.listdir(os.path.join(root, "postings", "data"))) == 3
+
+    # postings carry no duplicate (doc_id, start) rows after the crash
+    p = TF.read_version(spark, root + "/postings")
+    assert p.groupBy("doc_id", "start").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+    # (4) trim-on-read from durable state == batch trim
+    got_trim = _rows(sink2.trim(docs))
+    assert got_trim == _rows(D.trim_repeated_spans(docs, k=15))
+
+    # a THIRD sink instance (fresh process) serves the same report
+    sink3 = IncrementalSpanDedupSink(k=15, state_root=root)
+    assert sink3.batches_seen == 3
+    assert _rows(sink3.result()) == want
