@@ -226,6 +226,28 @@ def commit_append(
     )
 
 
+def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
+    """Maintenance for append-built tables: commit the current snapshot
+    as ONE rewrite version, collapsing the manifest's directory list
+    (and its per-directory small files) back to a single directory.
+    Readers are never blocked — the compacted version publishes through
+    the same CAS, and the next ``vacuum`` reclaims the append-era
+    directories once no retained manifest references them. Run on a
+    cadence (every N appends) exactly like Delta OPTIMIZE.
+
+    Built on ``commit_merge`` (identity merge), NOT ``commit_version``:
+    losing the CAS to a concurrent append must REBASE onto the new
+    snapshot — re-committing the stale pre-append snapshot would
+    silently drop the racer's rows."""
+
+    def _identity(current: DataFrame | None) -> DataFrame:
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        return current
+
+    return commit_merge(spark, root, _identity, app=app or {"compaction": True})
+
+
 def commit_merge(
     spark: SparkSession,
     root: str,

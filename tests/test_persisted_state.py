@@ -734,3 +734,32 @@ def test_durable_span_sink_restart_crash_and_equality(spark, tmp_path, monkeypat
     sink3 = IncrementalSpanDedupSink(k=15, state_root=root)
     assert sink3.batches_seen == 3
     assert _rows(sink3.result()) == want
+
+
+def test_compact_collapses_append_dirs_without_losing_rows(spark, tmp_path):
+    """compact(): one rewrite version collapses the append log; vacuum
+    then reclaims the append-era dirs; content identical throughout. An
+    empty table refuses to compact."""
+    import os
+
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "compact_me")
+    with _pytest.raises(FileNotFoundError):
+        TF.compact(spark, root)
+
+    for lo, hi in ((0, 4), (4, 9), (9, 12)):
+        TF.commit_append(
+            spark.range(lo, hi).select(F.col("id").alias("k")), root
+        )
+    v = TF.compact(spark, root)
+    assert v == 3
+    assert len(TF._data_list(TF.history(root)[-1])) == 1
+    TF.vacuum(root, keep=1, orphan_grace_s=0)
+    assert len(os.listdir(os.path.join(root, "data"))) == 1
+    assert sorted(
+        r["k"] for r in TF.read_version(spark, root).collect()
+    ) == list(range(12))
+    assert TF.history(root)[-1]["app"] == {"compaction": True}
