@@ -184,11 +184,24 @@ def commit_append(
             continue
         with open(_manifest_path(root, parent)) as f:
             pm = json.load(f)
-        if pm["schema"] != df.schema.jsonValue():
+        # compare column names + types, NOT nullability: nullable flags
+        # are plan-shape-dependent advisory metadata (the same logical
+        # frame built through a different join arm flips them), and
+        # parquet unions across files with differing nullability read
+        # fine — while a name/type drift would corrupt the table
+        committed = [
+            (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
+        ]
+        appended = [
+            (f_["name"], f_["type"])
+            for f_ in df.schema.jsonValue()["fields"]
+        ]
+        if committed != appended:
             raise ValueError(
                 "commit_append schema mismatch: appended frame must match "
-                "the committed table schema exactly (appends cannot evolve "
-                "the schema — use commit_version for a rewrite)"
+                "the committed table's column names and types (appends "
+                "cannot evolve the schema — use commit_version for a "
+                f"rewrite); committed={committed} appended={appended}"
             )
         version = parent + 1
         token = uuid.uuid4().hex[:8]

@@ -44,13 +44,57 @@ class IncrementalHeavyHittersSink:
     ``process_batch``; ask for the exact heavy-hitter set any time via
     ``result``."""
 
-    def __init__(self, capacity: int = 1000, text_col: str = "text"):
+    def __init__(
+        self,
+        capacity: int = 1000,
+        text_col: str = "text",
+        state_root: str | None = None,
+    ):
         self.capacity = capacity
         self.text_col = text_col
+        self.state_root = state_root
         self.sketch: Counter = Counter()
         self.docs: DataFrame | None = None
         self.batches_seen = 0
         self._done_batch_ids: set[int] = set()
+        if state_root is not None:
+            import os
+
+            from pyspark.sql import SparkSession
+
+            from ..operators import tablefmt as TF
+
+            # durable mode: docs are an append-structured table, the
+            # O(capacity) sketch its own (tiny) rewrite table. Restart
+            # reloads both plus the committed batch ids; a batch is
+            # fully durable only when BOTH sub-commits landed (docs
+            # FIRST, sketch LAST — on a crash between them the retry
+            # re-merges the batch counts into the OLD persisted sketch,
+            # which is the correct base, and skips the docs append).
+            self._docs_root = os.path.join(state_root, "docs")
+            self._sketch_root = os.path.join(state_root, "sketch")
+            self._docs_done = {
+                m["app"]["batch_id"]
+                for m in TF.history(self._docs_root)
+                if "batch_id" in m.get("app", {})
+            }
+            self._sketch_done = {
+                m["app"]["batch_id"]
+                for m in TF.history(self._sketch_root)
+                if "batch_id" in m.get("app", {})
+            }
+            self._done_batch_ids = self._docs_done & self._sketch_done
+            self.batches_seen = len(self._done_batch_ids)
+            spark = SparkSession.getActiveSession()
+            if TF.latest_version(self._docs_root) is not None:
+                self.docs = TF.read_version(spark, self._docs_root)
+            if TF.latest_version(self._sketch_root) is not None:
+                self.sketch = Counter({
+                    r["token"]: r["cnt"]
+                    for r in TF.read_version(
+                        spark, self._sketch_root
+                    ).collect()
+                })
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         # at-least-once redelivery guard: re-merging a committed batch
@@ -76,12 +120,42 @@ class IncrementalHeavyHittersSink:
         for r in part_rows:
             merged[r["token"]] += r["cnt"]
 
+        batch_state = batch_docs.select("doc_id", text_col)
+
+        if self.state_root is not None:
+            from ..operators import tablefmt as TF
+
+            spark = batch_docs.sparkSession
+            trimmed = mg_trim(merged, self.capacity)
+            if batch_id not in self._docs_done:
+                TF.commit_append(
+                    batch_state, self._docs_root, app={"batch_id": batch_id}
+                )
+                self._docs_done.add(batch_id)
+            # sketch LAST: its commit is the batch's durability point —
+            # a crash between the two retries by re-merging the batch
+            # counts into the OLD persisted sketch (the correct base)
+            # and skipping the already-landed docs append
+            if batch_id not in self._sketch_done:
+                TF.commit_version(
+                    spark.createDataFrame(
+                        sorted(trimmed.items()), "token string, cnt long"
+                    ),
+                    self._sketch_root,
+                    app={"batch_id": batch_id},
+                )
+                self._sketch_done.add(batch_id)
+            self.sketch = trimmed
+            self.docs = TF.read_version(spark, self._docs_root)
+            self.batches_seen += 1
+            self._done_batch_ids.add(batch_id)
+            return
+
         # all Spark jobs BEFORE any state mutation: if the corpus-state
         # checkpoint failed after the sketch were already assigned, the
         # foreachBatch retry would re-merge the batch's counts into the
         # updated sketch and double-count (same retry-atomicity
         # discipline as the spans and corpus-build sinks)
-        batch_state = batch_docs.select("doc_id", text_col)
         new_docs = (
             batch_state
             if self.docs is None

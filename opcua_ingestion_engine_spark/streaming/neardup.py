@@ -57,7 +57,9 @@ class IncrementalNearDupSink:
         num_hashes: int = 96,
         bands: int = 32,
         rows_per_band: int = 3,
+        state_root: str | None = None,
     ):
+        self.state_root = state_root
         self.threshold = threshold
         self.n = n
         self.num_hashes = num_hashes
@@ -73,6 +75,49 @@ class IncrementalNearDupSink:
         self.pairs: DataFrame | None = None     # (doc_a, doc_b, jaccard)
         self.batches_seen = 0
         self._done_batch_ids: set[int] = set()
+        if state_root is not None:
+            import os
+
+            from pyspark.sql import SparkSession
+
+            from ..operators import tablefmt as TF
+
+            # durable mode: all three state frames are append-only by
+            # construction, so each lands as an append-structured table.
+            # Sub-commit order shingles -> index -> pairs (pairs LAST =
+            # the batch's durability point); each is batch_id-guarded in
+            # its own manifests. A retry after a crash between commits
+            # recomputes IDENTICAL increments: the candidate set is
+            # least/greatest-normalized and distinct'd, so an index that
+            # already contains the batch yields the same pairs, and the
+            # shingle store is read from the table alone once its append
+            # landed (never table + in-flight union = doubled rows).
+            self._roots = {
+                k: os.path.join(state_root, k)
+                for k in ("shingles", "index", "pairs")
+            }
+            self._sub_done = {
+                k: {
+                    m["app"]["batch_id"]
+                    for m in TF.history(r)
+                    if "batch_id" in m.get("app", {})
+                }
+                for k, r in self._roots.items()
+            }
+            self._done_batch_ids = (
+                self._sub_done["shingles"]
+                & self._sub_done["index"]
+                & self._sub_done["pairs"]
+            )
+            self.batches_seen = len(self._done_batch_ids)
+            spark = SparkSession.getActiveSession()
+            for attr, key in (
+                ("shingles", "shingles"), ("index", "index"), ("pairs", "pairs")
+            ):
+                if TF.latest_version(self._roots[key]) is not None:
+                    setattr(
+                        self, attr, TF.read_version(spark, self._roots[key])
+                    )
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         if batch_id in self._done_batch_ids:
@@ -134,12 +179,29 @@ class IncrementalNearDupSink:
         cands = nn if cands is None else cands.unionByName(nn)
         cands = cands.distinct()
 
-        # exact-Jaccard verify against the (old + new) shingle store
-        store = (
-            sh_new
-            if self.shingles is None
-            else self.shingles.unionByName(sh_new)
-        )
+        # exact-Jaccard verify against the (old + new) shingle store.
+        # Durable retry: once the shingles append landed, the table
+        # ALREADY holds the batch — union it again and every verify row
+        # (hence every appended pair) would double.
+        if (
+            self.state_root is not None
+            and batch_id in self._sub_done["shingles"]
+        ):
+            # re-READ the table: the in-memory frame predates the
+            # landed append (the commit block that refreshes it never
+            # ran on the failed attempt), and verifying against a store
+            # missing the batch's shingles would drop its pairs
+            from ..operators import tablefmt as TF
+
+            store = TF.read_version(
+                batch_docs.sparkSession, self._roots["shingles"]
+            )
+        else:
+            store = (
+                sh_new
+                if self.shingles is None
+                else self.shingles.unionByName(sh_new)
+            )
         a = store.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
         b = store.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
         verified = (
@@ -150,6 +212,25 @@ class IncrementalNearDupSink:
             .select("doc_a", "doc_b", "jaccard")
             .localCheckpoint(eager=True)
         )
+
+        if self.state_root is not None:
+            from ..operators import tablefmt as TF
+
+            spark = batch_docs.sparkSession
+            for key, frame in (
+                ("shingles", sh_new), ("index", banded_new), ("pairs", verified)
+            ):
+                if batch_id not in self._sub_done[key]:
+                    TF.commit_append(
+                        frame, self._roots[key], app={"batch_id": batch_id}
+                    )
+                    self._sub_done[key].add(batch_id)
+            self.shingles = TF.read_version(spark, self._roots["shingles"])
+            self.index = TF.read_version(spark, self._roots["index"])
+            self.pairs = TF.read_version(spark, self._roots["pairs"])
+            self.batches_seen += 1
+            self._done_batch_ids.add(batch_id)
+            return
 
         # running unions stay LAZY over the per-batch checkpointed
         # increments (sh_new/banded_new/verified): linear O(batch) work

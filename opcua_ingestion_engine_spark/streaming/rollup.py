@@ -34,20 +34,47 @@ from ..operators import timeseries as TS
 class IncrementalRollupSink:
     """foreachBatch sink: feed micro-batches of (key, ts, value) events
     via ``process_batch``; read the full multi-resolution rollup any
-    time via ``result``."""
+    time via ``result``.
+
+    Durable mode (``state_root`` set): the minute state commits per
+    micro-batch through ``tablefmt.commit_merge`` — one manifest-CAS
+    commit per batch carrying the batch_id. The rollup merge is
+    ADDITIVE (unlike the modvalues LWW reducer), so the
+    manifest-recorded batch-id skip is load-bearing: re-merging a
+    replayed batch would double every n_points/val_sum it touched. A
+    restart reloads both the snapshot and the committed batch ids from
+    the manifests alone; a crash mid-commit leaves no manifest, so the
+    retry merges cleanly (single-commit atomicity)."""
 
     def __init__(
         self,
         key_col: str = "user_id",
         ts_col: str = "ts",
         val_col: str = "value",
+        state_root: str | None = None,
     ):
         self.key_col = key_col
         self.ts_col = ts_col
         self.val_col = val_col
+        self.state_root = state_root
         self.minute: DataFrame | None = None
         self.batches_seen = 0
         self._done_batch_ids: set[int] = set()
+        if state_root is not None:
+            from pyspark.sql import SparkSession
+
+            from ..operators import tablefmt as TF
+
+            if TF.latest_version(state_root) is not None:
+                self.minute = TF.read_version(
+                    SparkSession.getActiveSession(), state_root
+                )
+                self._done_batch_ids = {
+                    m["app"]["batch_id"]
+                    for m in TF.history(state_root)
+                    if "batch_id" in m.get("app", {})
+                }
+                self.batches_seen = len(self._done_batch_ids)
 
     def process_batch(self, batch_events: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a committed batch can re-execute
@@ -59,6 +86,28 @@ class IncrementalRollupSink:
         partial = TS.rollup_minute(
             batch_events, self.key_col, self.ts_col, self.val_col
         )
+        if self.state_root is not None:
+            from ..operators import tablefmt as TF
+
+            # eager: commit_merge may re-run the merge on a CAS rebase —
+            # the batch's partial buckets must not be re-derived there
+            partial = partial.localCheckpoint(eager=True)
+
+            def merge(current: DataFrame | None) -> DataFrame:
+                if current is None:
+                    return partial
+                return TS.rollup_up(
+                    current.unionByName(partial), "minute", self.key_col
+                )
+
+            spark = batch_events.sparkSession
+            TF.commit_merge(
+                spark, self.state_root, merge, app={"batch_id": batch_id}
+            )
+            self.minute = TF.read_version(spark, self.state_root)
+            self.batches_seen += 1
+            self._done_batch_ids.add(batch_id)
+            return
         if self.minute is None:
             merged = partial
         else:

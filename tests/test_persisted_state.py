@@ -763,3 +763,181 @@ def test_compact_collapses_append_dirs_without_losing_rows(spark, tmp_path):
         r["k"] for r in TF.read_version(spark, root).collect()
     ) == list(range(12))
     assert TF.history(root)[-1]["app"] == {"compaction": True}
+
+
+def test_durable_rollup_restart_redelivery_and_crash(spark, tmp_path, monkeypatch):
+    """Durable continuous aggregate: (1) waves through the durable sink
+    equal the batch cascade; (2) a restart resumes from the manifests
+    and a replayed batch is SKIPPED (the additive merge makes the guard
+    load-bearing — without it every touched bucket doubles); (3) a
+    failed commit leaves no state, and the retry merges cleanly."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming.rollup import (
+        IncrementalRollupSink,
+    )
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    want = _rows(TS.multires_rollup(ev))
+
+    root = str(tmp_path / "rollup_state")
+    sink = IncrementalRollupSink(state_root=root)
+    sink.process_batch(ev.filter(F.col("event_id") % 3 == 0), 0)
+
+    # (3) crash: the commit itself fails once — no manifest, no state
+    real = TF.commit_merge
+    boom = {"armed": True}
+
+    def failing_merge(spark_, root_, fn, **kw):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected commit failure")
+        return real(spark_, root_, fn, **kw)
+
+    monkeypatch.setattr(TF, "commit_merge", failing_merge)
+    import pytest as _pytest
+
+    wave1 = ev.filter(F.col("event_id") % 3 == 1)
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(wave1, 1)
+    assert TF.latest_version(root) == 0 and 1 not in sink._done_batch_ids
+    sink.process_batch(wave1, 1)  # retry lands cleanly
+    assert TF.latest_version(root) == 1
+
+    # (2) restart: fresh sink resumes; replayed committed batch skipped
+    sink2 = IncrementalRollupSink(state_root=root)
+    assert sink2.batches_seen == 2
+    sink2.process_batch(wave1, 1)  # replay — must NOT double buckets
+    assert TF.latest_version(root) == 1
+    sink2.process_batch(ev.filter(F.col("event_id") % 3 == 2), 2)
+
+    # (1) equality with the one-shot batch cascade
+    assert _rows(sink2.result()) == want and want
+
+    # a third instance serves the same cascade from disk alone
+    sink3 = IncrementalRollupSink(state_root=root)
+    assert _rows(sink3.result()) == want
+
+
+def test_durable_heavy_hitters_restart_crash_and_equality(
+    spark, tmp_path, monkeypatch
+):
+    """Durable heavy hitters (docs as an append table + the O(capacity)
+    sketch as its own rewrite table): waves == batch answer; restart
+    resumes from manifests; a crash BETWEEN the docs and sketch commits
+    retries to the correct state (docs skip, sketch lands on the OLD
+    base — no double count)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators import text as T
+    from opcua_ingestion_engine_spark.streaming.heavyhitters import (
+        IncrementalHeavyHittersSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = _rows(T.frequent_tokens(docs, min_frac=0.01, capacity=600))
+    assert want
+
+    root = str(tmp_path / "hh_state")
+    sink = IncrementalHeavyHittersSink(capacity=600, state_root=root)
+    sink.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+
+    # crash between the docs append and the sketch commit of wave 1
+    real_cv = TF.commit_version
+    boom = {"armed": True}
+
+    def failing_cv(df, root_, **kw):
+        if boom["armed"] and root_.endswith("/sketch"):
+            boom["armed"] = False
+            raise RuntimeError("injected crash before sketch commit")
+        return real_cv(df, root_, **kw)
+
+    monkeypatch.setattr(TF, "commit_version", failing_cv)
+    import pytest as _pytest
+
+    wave1 = docs.filter(F.col("doc_id") % 3 == 1)
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(wave1, 1)
+    assert 1 in sink._docs_done and 1 not in sink._sketch_done
+    sink.process_batch(wave1, 1)  # retry: docs skipped, sketch lands
+    assert TF.latest_version(root + "/docs") == 1
+
+    # restart + replay skip + final wave; a fresh instance answers
+    sink2 = IncrementalHeavyHittersSink(capacity=600, state_root=root)
+    assert sink2.batches_seen == 2
+    v_docs = TF.latest_version(root + "/docs")
+    sink2.process_batch(wave1, 1)  # replay of a fully committed batch
+    assert TF.latest_version(root + "/docs") == v_docs
+    sink2.process_batch(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    assert _rows(sink2.result(0.01)) == want
+
+    sink3 = IncrementalHeavyHittersSink(capacity=600, state_root=root)
+    assert _rows(sink3.result(0.01)) == want
+
+
+def test_durable_neardup_restart_crash_and_equality(spark, tmp_path, monkeypatch):
+    """Durable near-dup (shingles/index/pairs as three append tables,
+    pairs LAST): waves == the batch MinHash pipeline; a crash between
+    the index and pairs appends retries to the exact state (no doubled
+    pairs — the store is read from the table alone once its append
+    landed); restart resumes and a replayed batch is skipped."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.neardup import (
+        IncrementalNearDupSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_neardup_pairs(docs, threshold=0.2).collect()
+    )
+    assert want
+
+    root = str(tmp_path / "nd_state")
+    sink = IncrementalNearDupSink(threshold=0.2, state_root=root)
+    sink.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+
+    # crash between the index append and the pairs append of wave 1
+    real_append = TF.commit_append
+    boom = {"armed": True}
+
+    def failing_append(df, root_, **kw):
+        if boom["armed"] and root_.endswith("/pairs"):
+            boom["armed"] = False
+            raise RuntimeError("injected crash before pairs commit")
+        return real_append(df, root_, **kw)
+
+    monkeypatch.setattr(TF, "commit_append", failing_append)
+    import pytest as _pytest
+
+    wave1 = docs.filter(F.col("doc_id") % 3 == 1)
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(wave1, 1)
+    assert 1 in sink._sub_done["shingles"] and 1 in sink._sub_done["index"]
+    assert 1 not in sink._sub_done["pairs"]
+    sink.process_batch(wave1, 1)  # retry completes only the pairs append
+
+    # restart: fresh sink resumes; replay of a committed batch skipped
+    sink2 = IncrementalNearDupSink(threshold=0.2, state_root=root)
+    assert sink2.batches_seen == 2
+    v = TF.latest_version(root + "/pairs")
+    sink2.process_batch(wave1, 1)
+    assert TF.latest_version(root + "/pairs") == v
+    sink2.process_batch(docs.filter(F.col("doc_id") % 3 == 2), 2)
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"]) for r in sink2.pairs.collect()
+    )
+    assert got == want
+    # no doubled pair rows anywhere in the table
+    assert sink2.pairs.groupBy("doc_a", "doc_b").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+    sink3 = IncrementalNearDupSink(threshold=0.2, state_root=root)
+    assert sorted((r["doc_a"], r["doc_b"]) for r in sink3.pairs.collect()) == want
