@@ -663,3 +663,41 @@ def q_e8_incremental_corpus_build(spark, sf_dir):
             i,
         )
     return sink.result()
+
+
+@register(
+    "q_e8_durable_corpus_build",
+    _CORPUS_BUILD_SQL,
+    "E8 capstone (DURABLE streaming form, batch-driven here) — the "
+    "corpus build maintained across 3 doc_id-ordered micro-batches "
+    "through the sink's durable mode: the training manifest and the "
+    "content-digest dedup guard each land as append-structured "
+    "versioned tables (tablefmt.commit_append, batch_id-guarded "
+    "sub-commits, digests LAST so a mid-batch crash retries to the "
+    "exact state). The manifest is served by a FRESH sink instance — "
+    "restart recovery from the committed tables alone — and equals the "
+    "one-shot batch answer, sharing its oracle.",
+)
+def q_e8_durable_corpus_build(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.corpusbuild import IncrementalCorpusBuildSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = hi // 3 + 1
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_corpussink_")
+    sink = IncrementalCorpusBuildSink(bench, state_root=root)
+    for i in range(3):
+        sink.process_batch(
+            docs.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            ),
+            i,
+        )
+    # a FRESH instance proves the manifest derives from the committed
+    # tables alone (restart recovery), not this process's memory
+    served = IncrementalCorpusBuildSink(bench, state_root=root)
+    return served.result()

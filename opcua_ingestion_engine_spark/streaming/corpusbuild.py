@@ -25,6 +25,19 @@ doc_id order (deployment: monotonically increasing ids), first-seen ==
 min-id and the final manifest EQUALS the batch answer row for row —
 pinned by the shared DuckDB oracle on the registered query and by
 tests/test_streaming.py under different batchings.
+
+Durable mode (``state_root`` set): both state frames are append-only by
+construction, so each lands as an append-structured versioned table
+(``tablefmt.commit_append`` — O(batch) write amplification): the
+training ``manifest`` (doc_id, source, n_tokens) and the content
+``digests`` (the 32-byte sha256 manifest a deployment keeps anyway).
+Each sub-commit carries the batch_id in its manifest and is
+independently skipped on retry; the digest commit goes LAST because the
+digest table is the cross-batch dedup GUARD — until it lands, a retry's
+anti-join recomputes the IDENTICAL fresh set (admission is a pure
+function of the batch text), skips the already-landed manifest append,
+and completes only the missing digest commit. Exact-once per table,
+restart-recoverable from the manifests alone.
 """
 
 from __future__ import annotations
@@ -49,10 +62,12 @@ class IncrementalCorpusBuildSink:
         bench_mod: int = 97,
         train: float = 0.8,
         salt: str = "split-v1",
+        state_root: str | None = None,
     ):
         self.bench_mod = bench_mod
         self.train_thresh = frac_hex(train)
         self.salt = salt
+        self.state_root = state_root
         self.grams = F.array_distinct(word_ngrams(F.col("text"), n))
         self.bench = (
             bench_docs.select(F.explode(self.grams).alias("g"))
@@ -63,6 +78,90 @@ class IncrementalCorpusBuildSink:
         self.digests: DataFrame | None = None
         self.manifest: DataFrame | None = None
         self._done_batch_ids: set[int] = set()
+        self.batches_seen = 0
+        if state_root is not None:
+            import os
+
+            from ..operators import tablefmt as TF
+
+            self._roots = {
+                k: os.path.join(state_root, k)
+                for k in ("manifest", "digests")
+            }
+            self._sub_done = {
+                k: {
+                    m["app"]["batch_id"]
+                    for m in TF.history(r)
+                    if "batch_id" in m.get("app", {})
+                }
+                for k, r in self._roots.items()
+            }
+            # a batch is fully durable only when BOTH sub-commits landed
+            self._done_batch_ids = (
+                self._sub_done["manifest"] & self._sub_done["digests"]
+            )
+            self.batches_seen = len(self._done_batch_ids)
+
+    def _admit(self, fresh: DataFrame) -> DataFrame:
+        """The per-batch admission plan on the cross-batch-deduped docs:
+        quality gates -> benchmark-gram decontamination -> split filter.
+        A pure function of the batch text, so a durable-mode retry that
+        recomputes ``fresh`` identically also recomputes the identical
+        manifest increment."""
+        cand = quality_filter(
+            fresh.drop("_dig"), extra=("text", "source")
+        ).filter(F.col("doc_id") % self.bench_mod != 0)
+        flags = (
+            cand.select(
+                "doc_id", "source", "n_tokens",
+                F.explode(self.grams).alias("g"),
+            )
+            .join(self.bench, "g", "left")
+            .groupBy("doc_id", "source", "n_tokens")
+            .agg(
+                F.coalesce(F.bool_or("_hit"), F.lit(False)).alias("_contam")
+            )
+        )
+        return (
+            flags.filter(~F.col("_contam"))
+            .filter(_bucket_hex(F.col("doc_id"), self.salt)
+                    < F.lit(self.train_thresh))
+            .select("doc_id", "source", "n_tokens")
+        )
+
+    def _process_batch_durable(self, dd: DataFrame, batch_id: int) -> None:
+        from ..operators import tablefmt as TF
+
+        spark = dd.sparkSession
+        # the dedup guard is the digest TABLE, not this process's memory:
+        # a retry after a crash between the two sub-commits reads a table
+        # that does not yet contain the batch, so ``fresh`` recomputes
+        # identically and the already-landed manifest append is skipped
+        # by its batch_id guard
+        if TF.latest_version(self._roots["digests"]) is not None:
+            digs = TF.read_version(spark, self._roots["digests"])
+            fresh = dd.join(digs, "_dig", "left_anti")
+        else:
+            fresh = dd
+        fresh = fresh.localCheckpoint(eager=True)
+        if batch_id not in self._sub_done["manifest"]:
+            TF.commit_append(
+                self._admit(fresh),
+                self._roots["manifest"],
+                app={"batch_id": batch_id},
+            )
+            self._sub_done["manifest"].add(batch_id)
+        # digests LAST: until the guard admits the batch, a retry
+        # recomputes the identical increments from the table state alone
+        if batch_id not in self._sub_done["digests"]:
+            TF.commit_append(
+                fresh.select("_dig"),
+                self._roots["digests"],
+                app={"batch_id": batch_id},
+            )
+            self._sub_done["digests"].add(batch_id)
+        self._done_batch_ids.add(batch_id)
+        self.batches_seen += 1
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         # at-least-once redelivery guard: the digest state already makes a
@@ -78,6 +177,9 @@ class IncrementalCorpusBuildSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if self.state_root is not None:
+            self._process_batch_durable(dd, batch_id)
+            return
         # ONE evaluation of the dedup window for both downstream uses,
         # and — critically — NO sink state is touched until every Spark
         # job for the batch has succeeded: if the digest state were
@@ -99,26 +201,7 @@ class IncrementalCorpusBuildSink:
             else self.digests.unionByName(new_digs)
         ).localCheckpoint(eager=True)
 
-        cand = quality_filter(
-            fresh.drop("_dig"), extra=("text", "source")
-        ).filter(F.col("doc_id") % self.bench_mod != 0)
-        flags = (
-            cand.select(
-                "doc_id", "source", "n_tokens",
-                F.explode(self.grams).alias("g"),
-            )
-            .join(self.bench, "g", "left")
-            .groupBy("doc_id", "source", "n_tokens")
-            .agg(
-                F.coalesce(F.bool_or("_hit"), F.lit(False)).alias("_contam")
-            )
-        )
-        clean = (
-            flags.filter(~F.col("_contam"))
-            .filter(_bucket_hex(F.col("doc_id"), self.salt)
-                    < F.lit(self.train_thresh))
-            .select("doc_id", "source", "n_tokens")
-        )
+        clean = self._admit(fresh)
         new_manifest = (
             clean
             if self.manifest is None
@@ -129,7 +212,17 @@ class IncrementalCorpusBuildSink:
         self.digests = new_digests
         self.manifest = new_manifest
         self._done_batch_ids.add(batch_id)
+        self.batches_seen += 1
 
     def result(self) -> DataFrame:
+        if self.state_root is not None:
+            from pyspark.sql import SparkSession
+
+            from ..operators import tablefmt as TF
+
+            if TF.latest_version(self._roots["manifest"]) is None:
+                raise RuntimeError("no batches processed yet")
+            spark = SparkSession.getActiveSession()
+            return TF.read_version(spark, self._roots["manifest"])
         assert self.manifest is not None, "no batches processed"
         return self.manifest

@@ -941,3 +941,93 @@ def test_durable_neardup_restart_crash_and_equality(spark, tmp_path, monkeypatch
 
     sink3 = IncrementalNearDupSink(threshold=0.2, state_root=root)
     assert sorted((r["doc_a"], r["doc_b"]) for r in sink3.pairs.collect()) == want
+
+
+def test_durable_corpus_build_restart_crash_and_equality(
+    spark, tmp_path, monkeypatch
+):
+    """Durable corpus build (training manifest + content digests as two
+    append tables, digests LAST — the digest table is the cross-batch
+    dedup guard): (1) ordered waves through the durable sink equal the
+    one-shot batch capstone; (2) a crash between the manifest and
+    digest sub-commits retries to the exact state — the retry
+    recomputes the identical fresh set from the table-state guard and
+    completes only the missing digest commit, no doubled manifest rows;
+    (3) a restart resumes from the manifests and a replayed committed
+    batch is fully skipped; (4) a fresh instance serves the same
+    manifest."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark import plans
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.corpusbuild import (
+        IncrementalCorpusBuildSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    want = {
+        tuple(r)
+        for r in plans.QUERIES["q_e8_corpus_build"].fn(spark, SF_SMOKE).collect()
+    }
+    assert want
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = hi // 3 + 1
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    def wave(i):
+        return docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+
+    root = str(tmp_path / "corpus_state")
+    sink = IncrementalCorpusBuildSink(bench, state_root=root)
+    sink.process_batch(wave(0), 0)
+
+    # (2) crash between the manifest append and the digest append of
+    # wave 1: the guard hasn't admitted the batch, so the retry must
+    # recompute identical admissions, SKIP the landed manifest append,
+    # and land only the digests
+    real_append = TF.commit_append
+    boom = {"armed": True}
+
+    def failing_append(df, root_, **kw):
+        if boom["armed"] and root_.endswith("/digests"):
+            boom["armed"] = False
+            raise RuntimeError("injected crash before digest commit")
+        return real_append(df, root_, **kw)
+
+    monkeypatch.setattr(TF, "commit_append", failing_append)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(wave(1), 1)
+    assert 1 in sink._sub_done["manifest"]
+    assert 1 not in sink._sub_done["digests"]
+    assert 1 not in sink._done_batch_ids
+    v_man = TF.latest_version(root + "/manifest")
+    sink.process_batch(wave(1), 1)  # retry completes only the digests
+    assert TF.latest_version(root + "/manifest") == v_man
+
+    # (3) restart mid-stream: a fresh sink resumes from the manifests
+    sink2 = IncrementalCorpusBuildSink(bench, state_root=root)
+    assert sink2.batches_seen == 2
+    v_dig = TF.latest_version(root + "/digests")
+    sink2.process_batch(wave(1), 1)  # replay of a committed batch
+    assert TF.latest_version(root + "/digests") == v_dig
+    sink2.process_batch(wave(2), 2)
+
+    # (1) manifest equals the one-shot batch capstone; no doubled rows
+    got = {tuple(r) for r in sink2.result().collect()}
+    assert got == want
+    assert sink2.result().groupBy("doc_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    # digest table holds each content hash exactly once
+    digs = TF.read_version(spark, root + "/digests")
+    assert digs.groupBy("_dig").count().filter(F.col("count") > 1).count() == 0
+
+    # (4) a THIRD instance (fresh process) serves the same manifest
+    sink3 = IncrementalCorpusBuildSink(bench, state_root=root)
+    assert sink3.batches_seen == 3
+    assert {tuple(r) for r in sink3.result().collect()} == want
