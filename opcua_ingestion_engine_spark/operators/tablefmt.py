@@ -261,6 +261,35 @@ def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
     return commit_merge(spark, root, _identity, app=app or {"compaction": True})
 
 
+def maybe_compact(
+    spark: SparkSession, root: str, max_dirs: int | None = 64,
+    app: dict | None = None,
+) -> int | None:
+    """The compaction CADENCE: compact only when the live manifest's
+    data-directory list has reached ``max_dirs`` entries. Append-only
+    sinks call this after every batch; the amortized cost profile is the
+    LSM discipline the ephemeral span sink runs in memory — reads union
+    at most ``max_dirs`` directories, and each row is rewritten once per
+    ``max_dirs`` appends, so per-batch amortized compaction work is
+    O(table/max_dirs). ``None`` disables. Returns the compacted version,
+    or None when below the threshold (including an empty table).
+
+    Deliberately does NOT vacuum: old manifests carry the batch_id
+    ledger durable sinks recover their redelivery guards from, and
+    reclaim policy (retention window) belongs to the operator, exactly
+    as in Delta's OPTIMIZE-vs-VACUUM split."""
+    if max_dirs is None:
+        return None
+    live = latest_version(root)
+    if live is None:
+        return None
+    with open(_manifest_path(root, live)) as f:
+        manifest = json.load(f)
+    if len(_data_list(manifest)) < max_dirs:
+        return None
+    return compact(spark, root, app=app)
+
+
 def commit_merge(
     spark: SparkSession,
     root: str,

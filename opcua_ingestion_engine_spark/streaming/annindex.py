@@ -101,10 +101,12 @@ class IncrementalAnnIndexSink:
         mode: str = "upsert",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        auto_compact: int | None = 64,
     ):
         if mode not in ("upsert", "append"):
             raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
         self.mode = mode
+        self.auto_compact = auto_compact
         self.index_root = index_root
         self.codes_root = os.path.join(index_root, "codes")
         self.geometry = dict(
@@ -214,6 +216,12 @@ class IncrementalAnnIndexSink:
             TF.commit_append(
                 codes, self.codes_root, app={"batch_id": batch_id}
             )
+            self._committed_batch_ids.add(batch_id)
+            self.batches_seen += 1
+            # maintenance after the durability point; never vacuums, so
+            # the manifests' batch_id ledger survives for recovery
+            TF.maybe_compact(spark, self.codes_root, self.auto_compact)
+            return
         else:
             def upsert(current: DataFrame | None) -> DataFrame:
                 if current is None:

@@ -63,7 +63,9 @@ class IncrementalCorpusBuildSink:
         train: float = 0.8,
         salt: str = "split-v1",
         state_root: str | None = None,
+        auto_compact: int | None = 64,
     ):
+        self.auto_compact = auto_compact
         self.bench_mod = bench_mod
         self.train_thresh = frac_hex(train)
         self.salt = salt
@@ -162,6 +164,10 @@ class IncrementalCorpusBuildSink:
             self._sub_done["digests"].add(batch_id)
         self._done_batch_ids.add(batch_id)
         self.batches_seen += 1
+        # maintenance after the durability point; never vacuums, so the
+        # manifests' batch_id ledger survives for restart recovery
+        for r in self._roots.values():
+            TF.maybe_compact(spark, r, self.auto_compact)
 
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         # at-least-once redelivery guard: the digest state already makes a

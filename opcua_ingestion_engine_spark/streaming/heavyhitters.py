@@ -49,10 +49,12 @@ class IncrementalHeavyHittersSink:
         capacity: int = 1000,
         text_col: str = "text",
         state_root: str | None = None,
+        auto_compact: int | None = 64,
     ):
         self.capacity = capacity
         self.text_col = text_col
         self.state_root = state_root
+        self.auto_compact = auto_compact
         self.sketch: Counter = Counter()
         self.docs: DataFrame | None = None
         self.batches_seen = 0
@@ -146,9 +148,13 @@ class IncrementalHeavyHittersSink:
                 )
                 self._sketch_done.add(batch_id)
             self.sketch = trimmed
-            self.docs = TF.read_version(spark, self._docs_root)
             self.batches_seen += 1
             self._done_batch_ids.add(batch_id)
+            # maintenance after the durability point (docs only — the
+            # sketch table is a rewrite, always one dir); never vacuums,
+            # so the manifests' batch_id ledger survives for recovery
+            TF.maybe_compact(spark, self._docs_root, self.auto_compact)
+            self.docs = TF.read_version(spark, self._docs_root)
             return
 
         # all Spark jobs BEFORE any state mutation: if the corpus-state

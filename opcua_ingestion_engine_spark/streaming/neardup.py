@@ -58,8 +58,10 @@ class IncrementalNearDupSink:
         bands: int = 32,
         rows_per_band: int = 3,
         state_root: str | None = None,
+        auto_compact: int | None = 64,
     ):
         self.state_root = state_root
+        self.auto_compact = auto_compact
         self.threshold = threshold
         self.n = n
         self.num_hashes = num_hashes
@@ -225,11 +227,15 @@ class IncrementalNearDupSink:
                         frame, self._roots[key], app={"batch_id": batch_id}
                     )
                     self._sub_done[key].add(batch_id)
+            self.batches_seen += 1
+            self._done_batch_ids.add(batch_id)
+            # maintenance after the durability point; never vacuums, so
+            # the manifests' batch_id ledger survives for recovery
+            for r in self._roots.values():
+                TF.maybe_compact(spark, r, self.auto_compact)
             self.shingles = TF.read_version(spark, self._roots["shingles"])
             self.index = TF.read_version(spark, self._roots["index"])
             self.pairs = TF.read_version(spark, self._roots["pairs"])
-            self.batches_seen += 1
-            self._done_batch_ids.add(batch_id)
             return
 
         # running unions stay LAZY over the per-batch checkpointed

@@ -72,11 +72,16 @@ class IncrementalSpanDedupSink:
     table, restart-safe from the manifests alone."""
 
     def __init__(
-        self, k: int = 15, min_repeats: int = 2, state_root: str | None = None
+        self,
+        k: int = 15,
+        min_repeats: int = 2,
+        state_root: str | None = None,
+        auto_compact: int | None = 64,
     ):
         self.k = k
         self.min_repeats = min_repeats
         self.state_root = state_root
+        self.auto_compact = auto_compact
         self._postings: list[tuple[int, DataFrame]] = []  # (level, frame) tiers
         self._counts: DataFrame | None = None  # (g, cnt)
         self._seen: DataFrame | None = None  # doc_id source-dup guard
@@ -127,6 +132,12 @@ class IncrementalSpanDedupSink:
             self._seen_done.add(batch_id)
         self._done_batch_ids.add(batch_id)
         self.batches_seen += 1
+        # maintenance AFTER the batch's durability point: a compaction
+        # failure loses nothing (the append log is the state; the next
+        # batch retries the cadence), and old manifests keep the
+        # batch_id ledger — maybe_compact never vacuums
+        for r in (self._postings_root, self._seen_root):
+            TF.maybe_compact(spark, r, self.auto_compact)
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         if batch_id in self._done_batch_ids:

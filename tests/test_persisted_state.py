@@ -1031,3 +1031,56 @@ def test_durable_corpus_build_restart_crash_and_equality(
     sink3 = IncrementalCorpusBuildSink(bench, state_root=root)
     assert sink3.batches_seen == 3
     assert {tuple(r) for r in sink3.result().collect()} == want
+
+
+def test_maybe_compact_cadence_and_sink_auto_compact(spark, tmp_path):
+    """Auto-compaction cadence: (1) maybe_compact is a no-op below the
+    directory threshold, compacts exactly at it, and None disables; (2)
+    a durable span sink with a tight cadence keeps its postings
+    directory list bounded while the report, the replay guard, and
+    restart recovery stay intact (compaction never vacuums, so the
+    batch_id ledger survives)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    # (1) cadence mechanics on a bare table
+    root = str(tmp_path / "cadence")
+    assert TF.maybe_compact(spark, root, 2) is None  # empty table
+    TF.commit_append(spark.range(0, 3).select(F.col("id").alias("k")), root)
+    assert TF.maybe_compact(spark, root, 2) is None  # 1 dir < 2
+    TF.commit_append(spark.range(3, 5).select(F.col("id").alias("k")), root)
+    assert TF.maybe_compact(spark, root, None) is None  # disabled
+    v = TF.maybe_compact(spark, root, 2)  # 2 dirs >= 2 -> compacts
+    assert v == 2
+    assert len(TF._data_list(TF.history(root)[-1])) == 1
+    assert sorted(
+        r["k"] for r in TF.read_version(spark, root).collect()
+    ) == list(range(5))
+    assert TF.maybe_compact(spark, root, 2) is None  # back below
+
+    # (2) a durable sink under a tight cadence
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 150)
+    want = _rows(D.repeated_spans(docs, k=15))
+    sroot = str(tmp_path / "span_state")
+    sink = IncrementalSpanDedupSink(k=15, state_root=sroot, auto_compact=2)
+    for i in range(4):
+        sink.process_batch(docs.filter(F.col("doc_id") % 4 == i), i)
+    post_root = sroot + "/postings"
+    # the live manifest's directory list stays under the cadence bound
+    assert len(TF._data_list(TF.history(post_root)[-1])) < 2 + 1
+    assert _rows(sink.result()) == want
+
+    # restart: the batch_id ledger survived compaction (manifests are
+    # never vacuumed by the cadence), so recovery and replay-skip hold
+    sink2 = IncrementalSpanDedupSink(k=15, state_root=sroot, auto_compact=2)
+    assert sink2.batches_seen == 4
+    v_post = TF.latest_version(post_root)
+    sink2.process_batch(docs.filter(F.col("doc_id") % 4 == 1), 1)
+    assert TF.latest_version(post_root) == v_post
+    assert _rows(sink2.result()) == want
