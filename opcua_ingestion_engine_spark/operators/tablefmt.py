@@ -56,6 +56,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _versions_dir(root: str) -> str:
@@ -339,6 +340,176 @@ def read_version(
     return spark.read.parquet(
         *[os.path.join(root, p) for p in _data_list(manifest)]
     )
+
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def snapshot_diff(
+    old: DataFrame | None,
+    new: DataFrame,
+    keys: list[str],
+    commit_version: int | None = None,
+) -> DataFrame:
+    """Keyed diff of two snapshots of the same table — the engine under
+    ``table_changes``, usable standalone on any pair of key-unique
+    frames. Emits one row per change in the table's column order plus
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage'; updates emit BOTH images, Delta-CDF-style) and,
+    when ``commit_version`` is given, a ``_commit_version`` column.
+
+    Shape at scale: each side collapses its non-key columns into ONE
+    struct, the sides meet in a single full-outer shuffle join on the
+    key columns, and the change classification is a codegen when-chain
+    over struct null-ness and null-safe struct equality — no second
+    pass, no Python. ``keys`` must be unique per snapshot (the upsert
+    invariant every ``commit_merge`` caller in this repo maintains);
+    duplicate keys would cross-multiply in the join.
+
+    ``old=None`` means "diff against the empty table": every row of
+    ``new`` is an insert.
+    """
+    cols = list(new.columns)
+    if not keys or any(k not in cols for k in keys):
+        raise ValueError(f"keys {keys} must be non-empty columns of {cols}")
+    if old is not None and list(old.columns) != cols:
+        raise ValueError(
+            f"snapshot columns differ: old={old.columns} new={cols}"
+        )
+    nonkeys = [c for c in cols if c not in keys]
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        # zero-non-key tables still need a present/absent marker the
+        # full-outer join can nullify — a constant stands in for the
+        # payload struct (struct() with no fields is not expressible)
+        payload = (
+            F.struct(*[F.col(c) for c in nonkeys]) if nonkeys else F.lit(0)
+        )
+        return df.select(*keys, payload.alias(tag))
+
+    n = _side(new, "_post")
+    if old is None:
+        j = n.withColumn("_pre", F.lit(None).cast(n.schema["_post"].dataType))
+    else:
+        j = _side(old, "_pre").join(n, keys, "full_outer")
+    pre, post = F.col("_pre"), F.col("_post")
+
+    def _tag(kind: str, img) -> F.Column:
+        return F.struct(F.lit(kind).alias("kind"), img.alias("img"))
+
+    changes = (
+        F.when(pre.isNull() & post.isNotNull(), F.array(_tag("insert", post)))
+        .when(post.isNull() & pre.isNotNull(), F.array(_tag("delete", pre)))
+        .when(
+            ~pre.eqNullSafe(post),
+            F.array(
+                _tag("update_preimage", pre), _tag("update_postimage", post)
+            ),
+        )
+        # unchanged rows fall through to NULL; explode() drops them
+    )
+    exploded = j.select(*keys, F.explode(changes).alias("_c"))
+    out_cols = [
+        F.col(c) if c in keys else F.col(f"_c.img.{c}").alias(c)
+        for c in cols
+    ] + [F.col("_c.kind").alias(CHANGE_TYPE_COL)]
+    out = exploded.select(*out_cols)
+    if commit_version is not None:
+        out = out.withColumn(
+            COMMIT_VERSION_COL, F.lit(commit_version).cast("bigint")
+        )
+    return out
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int | None,
+    v_to: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change feed for a versioned table: the rows a downstream
+    incremental consumer must apply to move from snapshot ``v_from``
+    (exclusive; None = the empty table) to ``v_to`` (inclusive; None =
+    latest). Delta calls this CDF / ``table_changes``; the reference's
+    consumers get the same effect from Postgres logical decoding on its
+    mutable table (``Services/OpcSubscribeService.cs`` upserts).
+
+    Two plans, picked from the manifests alone:
+
+    - **Append fast path** — when every step in ``(v_from, v_to]`` is a
+      retained append commit (its data list extends its parent's), the
+      changes ARE the tail directories: read only those, tag
+      ``insert``, stamp each row with its true per-commit version.
+      O(changes) I/O, zero joins, no ``keys`` needed — the shape that
+      matters at 100 TB, where the table is huge and the delta is not.
+    - **Keyed diff** — otherwise (rewrites/upserts/compactions in the
+      range, or intermediate manifests vacuumed), a ``snapshot_diff``
+      of the two endpoint snapshots: one full-outer shuffle on
+      ``keys``, updates as pre+post image pairs. Range-collapsed —
+      ``_commit_version`` is ``v_to`` for every row (a row upserted
+      twice in the range reports its net change once).
+    """
+    if v_to is None:
+        v_to = latest_version(root)
+        if v_to is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+    if v_from is not None and v_from > v_to:
+        raise ValueError(f"v_from={v_from} is newer than v_to={v_to}")
+
+    if v_from == v_to:
+        base = read_version(spark, root, v_to)
+        return (
+            base.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+            .withColumn(COMMIT_VERSION_COL, F.lit(0).cast("bigint"))
+            .limit(0)
+        )
+
+    # -- append fast path: every step's manifest retained + prefix-extends
+    steps = list(range(0 if v_from is None else v_from + 1, v_to + 1))
+    tails: list[tuple[int, list[str]]] = []
+    fast = True
+    prev_list: list[str] | None = None
+    for v in steps:
+        try:
+            with open(_manifest_path(root, v)) as f:
+                m = json.load(f)
+            if prev_list is None and v > 0:
+                with open(_manifest_path(root, v - 1)) as f:
+                    prev_list = _data_list(json.load(f))
+        except FileNotFoundError:
+            fast = False
+            break
+        prev = prev_list or []
+        cur = _data_list(m)
+        if cur[: len(prev)] != prev or len(cur) <= len(prev):
+            fast = False  # a rewrite/compaction step — not an append
+            break
+        tails.append((v, cur[len(prev):]))
+        prev_list = cur
+    if fast:
+        parts = [
+            spark.read.parquet(*[os.path.join(root, p) for p in dirs])
+            .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+            .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("bigint"))
+            for v, dirs in tails
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    if keys is None:
+        raise ValueError(
+            f"table_changes at {root} v{v_from}..v{v_to}: the range is not "
+            "pure retained appends (rewrite/upsert/compaction commits, or "
+            "vacuumed intermediate manifests) — pass keys= for a keyed "
+            "snapshot diff"
+        )
+    old = None if v_from is None else read_version(spark, root, v_from)
+    new = read_version(spark, root, v_to)
+    return snapshot_diff(old, new, keys, commit_version=v_to)
 
 
 def history(root: str) -> list[dict]:

@@ -701,3 +701,101 @@ def q_e8_durable_corpus_build(spark, sf_dir):
     # tables alone (restart recovery), not this process's memory
     served = IncrementalCorpusBuildSink(bench, state_root=root)
     return served.result()
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table change feed (operators/tablefmt.py snapshot_diff /
+# table_changes) — the CDC surface downstream incremental consumers read
+# instead of re-scanning snapshots. The reference's consumers get the
+# same effect from Postgres logical decoding over its mutable upsert
+# table (Services/OpcSubscribeService.cs:608-612); here it is derived
+# from the manifest chain: appends serve O(changes) from tail
+# directories, rewrites serve from ONE keyed full-outer diff.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tf_change_feed",
+    """
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+    ), v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT n.o_orderkey, n.o_orderstatus,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM v1 n LEFT JOIN v0 o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, 'delete', CAST(1 AS BIGINT)
+    FROM v0 o LEFT JOIN v1 n ON n.o_orderkey = o.o_orderkey
+    WHERE n.o_orderkey IS NULL
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, 'update_preimage', CAST(1 AS BIGINT)
+    FROM v0 o JOIN v1 n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    UNION ALL
+    SELECT n.o_orderkey, n.o_orderstatus, 'update_postimage',
+           CAST(1 AS BIGINT)
+    FROM v0 o JOIN v1 n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+    "Table-layer CDC, keyed-diff path — two committed snapshots of an "
+    "orders-derived upsert table (v1 drops the %5 keys, flips %7 keys' "
+    "status) diffed into a Delta-CDF-shaped change feed: inserts, "
+    "deletes, and update pre+post image pairs from ONE full-outer "
+    "shuffle on the key with a codegen null-safe struct compare. The "
+    "oracle rebuilds the same feed relationally from the two snapshot "
+    "definitions.",
+)
+def q_tf_change_feed(spark, sf_dir):
+    import tempfile
+
+    from ..operators import tablefmt as TF
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    v1 = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    TF.commit_version(v0, root)
+    TF.commit_version(v1, root)
+    return TF.table_changes(spark, root, 0, 1, keys=["o_orderkey"])
+
+
+@register(
+    "q_tf_change_feed_append",
+    """
+    SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type,
+           CAST(o_orderkey % 3 AS BIGINT) AS _commit_version
+    FROM orders
+    """,
+    "Table-layer CDC, append fast path — orders committed in three "
+    "append-structured batches (key % 3), then the full change feed "
+    "served from the manifests' tail directories alone: O(changes) "
+    "I/O, zero joins, per-commit version attribution (the oracle "
+    "recovers each row's commit from the batch predicate).",
+)
+def q_tf_change_feed_append(spark, sf_dir):
+    import tempfile
+
+    from ..operators import tablefmt as TF
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_cdcapp_")
+    for i in range(3):
+        TF.commit_append(
+            orders.filter(F.col("o_orderkey") % 3 == i), root
+        )
+    return TF.table_changes(spark, root, None)

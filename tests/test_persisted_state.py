@@ -1084,3 +1084,96 @@ def test_maybe_compact_cadence_and_sink_auto_compact(spark, tmp_path):
     sink2.process_batch(docs.filter(F.col("doc_id") % 4 == 1), 1)
     assert TF.latest_version(post_root) == v_post
     assert _rows(sink2.result()) == want
+
+
+def test_snapshot_diff_classification(spark):
+    """Keyed diff: insert/delete/update pre+post images, null-safe value
+    compare (NULL->NULL is unchanged, NULL<->value is an update), and
+    the old=None empty-table baseline."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k int, s string, x int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c2", 30), (4, "now", 40), (5, "e", 50)],
+        "k int, s string, x int",
+    )
+    got = {
+        tuple(r)
+        for r in TF.snapshot_diff(old, new, ["k"], commit_version=7).collect()
+    }
+    assert got == {
+        (1, "a", 10, "delete", 7),
+        (3, "c", 30, "update_preimage", 7),
+        (3, "c2", 30, "update_postimage", 7),
+        (4, None, 40, "update_preimage", 7),
+        (4, "now", 40, "update_postimage", 7),
+        (5, "e", 50, "insert", 7),
+    }
+    # k=2 (unchanged, with a NULL value on both sides) emitted nothing
+    assert TF.snapshot_diff(old, old, ["k"]).count() == 0
+    # empty-table baseline: everything inserts
+    base = _rows(TF.snapshot_diff(None, new, ["k"]))
+    assert len(base) == 4 and all(r[3] == "insert" for r in base)
+    # key-only table (no non-key columns): insert/delete still classify
+    ko = TF.snapshot_diff(
+        old.select("k"), new.select("k"), ["k"]
+    )
+    assert _rows(ko) == [(1, "delete"), (5, "insert")]
+    with pytest.raises(ValueError):
+        TF.snapshot_diff(old, new, ["nope"])
+    with pytest.raises(ValueError):
+        TF.snapshot_diff(old.select("k", "s"), new, ["k"])
+
+
+def test_table_changes_fast_path_and_fallback(spark, tmp_path):
+    """Change feed plan selection: pure-append ranges serve from the
+    tail directories ONLY (per-commit versions, no keys needed, and no
+    touch of the old data); rewrite steps or vacuumed intermediate
+    manifests fall back to the keyed endpoint diff."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "cdc")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 3), root)       # v0
+    TF.commit_append(mk(3, 5), root)       # v1
+    TF.commit_append(mk(5, 6), root)       # v2
+
+    # full-range feed from empty: every row insert, true per-commit version
+    feed = _rows(TF.table_changes(spark, root, None))
+    assert feed == sorted(
+        [(i, i * 10, "insert", 0 if i < 3 else (1 if i < 5 else 2))
+         for i in range(6)]
+    )
+    # sub-range (v0, v2]: only the two tails, no keys required
+    sub = _rows(TF.table_changes(spark, root, 0, 2))
+    assert sub == sorted(
+        [(i, i * 10, "insert", 1 if i < 5 else 2) for i in range(3, 6)]
+    )
+    # the fast path must not touch the v0 directory: the scan's input
+    # files are exactly the v1+v2 tails
+    v0_dir = TF._data_list(TF.history(root)[0])[0]
+    touched = TF.table_changes(spark, root, 0, 2).inputFiles()
+    assert touched and not any(v0_dir in p for p in touched)
+
+    # empty range
+    assert TF.table_changes(spark, root, 2, 2).count() == 0
+
+    # a rewrite step breaks the append chain -> keyed diff required
+    snap = TF.read_version(spark, root).filter(F.col("k") >= 3)
+    upd = snap.withColumn(
+        "v", F.when(F.col("k") == 3, F.lit(999)).otherwise(F.col("v"))
+    ).filter(F.col("k") != 5)
+    TF.commit_version(upd, root)          # v3: update k=3, delete k=5
+    with pytest.raises(ValueError):
+        TF.table_changes(spark, root, 2, 3)  # no keys -> loud
+    diff = _rows(TF.table_changes(spark, root, 2, 3, keys=["k"]))
+    assert (3, 30, "update_preimage", 3) in diff
+    assert (3, 999, "update_postimage", 3) in diff
+    assert (5, 50, "delete", 3) in diff
+    # k=4 unchanged across v2->v3 (both dirs retained) emits nothing
+    assert not any(r[0] == 4 for r in diff)
