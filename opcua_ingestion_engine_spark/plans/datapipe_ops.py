@@ -799,3 +799,74 @@ def q_tf_change_feed_append(spark, sf_dir):
             orders.filter(F.col("o_orderkey") % 3 == i), root
         )
     return TF.table_changes(spark, root, None)
+
+
+@register(
+    "q_tf_incremental_view",
+    """
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    "Incremental materialized view (operators/matview.py) — an "
+    "orders-derived source table committed three ways (initial rewrite, "
+    "pure append, then an upsert that deletes the %5 keys and moves the "
+    "%7 keys into a new status group with a price bump), with a "
+    "GROUP-BY-status COUNT/SUM view refreshed after EVERY commit from "
+    "the change feed alone: two refreshes ride the O(changes) append "
+    "fast path, the third folds a keyed endpoint diff with group-moving "
+    "updates. The oracle recomputes the aggregate from scratch over the "
+    "final snapshot definition — incremental must equal recompute at "
+    "hash level (DECIMAL(38,6) addends make the fold order-exact).",
+)
+def q_tf_incremental_view(spark, sf_dir):
+    import tempfile
+
+    from ..operators import tablefmt as TF
+    from ..operators.matview import MaterializedAggView
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = tempfile.mkdtemp(prefix="spark_graft_mv_src_")
+    view = MaterializedAggView(
+        src,
+        tempfile.mkdtemp(prefix="spark_graft_mv_view_"),
+        group_keys=["o_orderstatus"],
+        sum_cols=["o_totalprice"],
+        row_keys=["o_orderkey"],
+    )
+    TF.commit_version(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+    view.refresh(spark)
+    TF.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+    view.refresh(spark)
+    moved = F.col("o_orderkey") % 7 == 0
+    TF.commit_version(
+        orders.filter(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(moved, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(moved, F.col("o_totalprice") + 1000.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        src,
+    )
+    view.refresh(spark)
+    return view.result(spark).select(
+        "o_orderstatus",
+        "n",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )

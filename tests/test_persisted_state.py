@@ -1177,3 +1177,91 @@ def test_table_changes_fast_path_and_fallback(spark, tmp_path):
     assert (5, 50, "delete", 3) in diff
     # k=4 unchanged across v2->v3 (both dirs retained) emits nothing
     assert not any(r[0] == 4 for r in diff)
+
+
+def test_matview_incremental_equals_recompute(spark, tmp_path):
+    """The materialized view, advanced commit-by-commit from the change
+    feed (append fast path AND keyed diff with group-moving updates and
+    deletes), must equal a from-scratch aggregate of the final snapshot;
+    cursor rides the view manifest; no-op polls commit nothing; a fresh
+    instance (restart) resumes from the committed cursor."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.matview import (
+        MaterializedAggView,
+    )
+
+    src, vr = str(tmp_path / "src"), str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, g string, x double")
+    view = MaterializedAggView(
+        src, vr, group_keys=["g"], sum_cols=["x"], row_keys=["k"]
+    )
+    assert view.cursor() is None and view.refresh(spark) is None  # empty src
+
+    TF.commit_version(mk([(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0)]), src)
+    assert view.refresh(spark) == 0 and view.cursor() == 0
+    TF.commit_append(mk([(4, "b", 8.0), (5, None, 16.0)]), src)  # NULL group
+    assert view.refresh(spark) == 1 and view.cursor() == 1
+    assert view.refresh(spark) is None  # no-op poll: nothing committed
+    assert TF.latest_version(vr) == 1
+
+    # upsert: k=1 moves a->b, k=3 deleted, k=2 value bumped; group 'a'
+    # survives only via k=2
+    TF.commit_version(
+        mk([(1, "b", 1.0), (2, "a", 32.0), (4, "b", 8.0), (5, None, 16.0)]),
+        src,
+    )
+    fresh = MaterializedAggView(  # restart: new instance, same roots
+        src, vr, group_keys=["g"], sum_cols=["x"], row_keys=["k"]
+    )
+    assert fresh.cursor() == 1 and fresh.refresh(spark) == 2
+    got = {
+        tuple(r)
+        for r in fresh.result(spark)
+        .select("g", "n", F.col("sum_x").cast("double").alias("s"))
+        .collect()
+    }
+    assert got == {(None, 1, 16.0), ("a", 1, 32.0), ("b", 2, 9.0)}
+
+    # delete group 'a' entirely -> its row must LEAVE the view (n==0)
+    TF.commit_version(
+        mk([(1, "b", 1.0), (4, "b", 8.0), (5, None, 16.0)]), src
+    )
+    assert fresh.refresh(spark) == 3
+    assert not any(r["g"] == "a" for r in fresh.result(spark).collect())
+
+
+def test_matview_lost_cas_rebases_to_noop(spark, tmp_path, monkeypatch):
+    """A refresher that loses the manifest CAS to a racer must re-read
+    the advanced cursor and conclude no-op — never double-fold the same
+    change range."""
+    from opcua_ingestion_engine_spark.operators import matview as MV
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    src, vr = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k int, g string, x double")
+    TF.commit_version(df, src)
+    view = MV.MaterializedAggView(
+        src, vr, group_keys=["g"], sum_cols=["x"], row_keys=["k"]
+    )
+    real = TF._try_commit
+    state = {"raced": False}
+
+    def racing_commit(frame, root, parent, app=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # the racer lands the SAME range first...
+            racer = MV.MaterializedAggView(
+                src, vr, group_keys=["g"], sum_cols=["x"], row_keys=["k"]
+            )
+            assert racer.refresh(spark) == 0
+            # ...so this attempt must lose the CAS
+            assert real(frame, root, parent, app) is None
+            return None
+        return real(frame, root, parent, app)
+
+    monkeypatch.setattr(MV.TF, "_try_commit", racing_commit)
+    assert view.refresh(spark) is None  # rebased, saw cursor==target, no-op
+    assert TF.latest_version(vr) == 0  # exactly one fold committed
+    assert view.cursor() == 0
+    got = _rows(view.result(spark).select("g", "n"))
+    assert got == [("a", 1), ("b", 1)]
