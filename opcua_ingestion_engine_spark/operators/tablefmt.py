@@ -104,12 +104,14 @@ def _try_commit(
     df.write.mode("overwrite").parquet(data_dir)
 
     os.makedirs(_versions_dir(root), exist_ok=True)
+    rel = os.path.relpath(data_dir, root)
     manifest = {
         "version": version,
         "parent": parent,
-        "data": os.path.relpath(data_dir, root),
+        "data": rel,
         "schema": df.schema.jsonValue(),
         "app": app or {},
+        "stats": {rel: _dir_stats(root, rel)},
     }
     man_path = _manifest_path(root, version)
     tmp = f"{man_path}.{token}.tmp"
@@ -149,6 +151,93 @@ def commit_version(
         f"{root} — writer contention is pathological; raise max_retries "
         "or serialize writers upstream"
     )
+
+
+def _json_stat(v):
+    """Normalize one parquet-footer min/max into a JSON-storable value
+    whose Python ordering matches the column's ordering — ints/floats/
+    bools/strs as-is, datetimes as ISO strings (lexicographic ==
+    chronological for a fixed format). Unsupported types → None (the
+    column is skipped, never mis-pruned)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v if v is None else bool(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _dir_stats(root: str, rel_dir: str) -> dict[str, list]:
+    """Per-column [min, max] for one data directory, harvested from the
+    parquet FOOTERS the write already produced — no second Spark job,
+    the same add-file-stats discipline as Delta. Driver-side cost is
+    O(files in this directory) metadata reads, i.e. O(batch) per
+    commit, never O(table). Columns with missing/non-orderable
+    statistics are simply absent (readers must treat absence as
+    keep)."""
+    import pyarrow.parquet as pq
+
+    full = os.path.join(root, rel_dir)
+    agg: dict[str, list] = {}
+    try:
+        names = [n for n in os.listdir(full) if n.endswith(".parquet")]
+    except OSError:
+        return {}
+    for name in names:
+        try:
+            meta = pq.read_metadata(os.path.join(full, name))
+        except Exception:
+            return {}  # unreadable footer — publish no stats for the dir
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                path = col.path_in_schema
+                if "." in path:  # nested leaves don't map to a column
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[path] = None  # any gap poisons the column
+                    continue
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+                if lo is None or hi is None:
+                    agg[path] = None
+                    continue
+                cur = agg.get(path, ...)
+                if cur is None:
+                    continue
+                if cur is ...:
+                    agg[path] = [lo, hi]
+                else:
+                    try:
+                        agg[path] = [min(cur[0], lo), max(cur[1], hi)]
+                    except TypeError:
+                        agg[path] = None
+    return {c: v for c, v in agg.items() if v not in (None, ...)}
+
+
+def _keep_dir(stats: dict | None, prune: dict) -> bool:
+    """Directory-level interval test: drop only when the recorded
+    [min,max] of EVERY pruned column proves no overlap with its bound.
+    Missing stats (no entry, no dict at all) always keep — pruning is
+    an optimization, never a filter."""
+    if not stats:
+        return True
+    for col, (lo, hi) in prune.items():
+        rng = stats.get(col)
+        if not rng:
+            continue
+        try:
+            if lo is not None and rng[1] < _json_stat(lo):
+                return False
+            if hi is not None and rng[0] > _json_stat(hi):
+                return False
+        except TypeError:
+            continue  # incomparable bound/stat — keep, stay correct
+    return True
 
 
 def _data_list(manifest: dict) -> list[str]:
@@ -208,12 +297,18 @@ def commit_append(
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
         df.write.mode("overwrite").parquet(data_dir)
+        rel = os.path.relpath(data_dir, root)
+        # parent stats carry forward verbatim (those dirs are immutable);
+        # only the new tail's footers are read — O(batch) per commit
+        stats = dict(pm.get("stats") or {})
+        stats[rel] = _dir_stats(root, rel)
         manifest = {
             "version": version,
             "parent": parent,
-            "data": _data_list(pm) + [os.path.relpath(data_dir, root)],
+            "data": _data_list(pm) + [rel],
             "schema": pm["schema"],
             "app": app or {},
+            "stats": stats,
         }
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
