@@ -64,6 +64,10 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # but at runtime the hour/day branches are ReusedExchange of the
     # finer level (verified on the executed plan) — ONE scan executes
     "q_t_multires_rollup": (0, 0, {"events": 3}),
+    # the CDC keyed diff's endpoint comparison is a full-outer join —
+    # exactly the SMJ class the gate docstring allows; its two scans are
+    # committed temp tables, not fixture tables, so the budget is clean
+    "q_tf_change_feed": (0, 1, {}),
     # 1-row total-token-count broadcast; scans: MG sketch pass + exact
     # candidate recount + column-pruned size() totals
     "q_e4_heavy_hitters": (1, 0, {"documents": 3}),
