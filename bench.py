@@ -45,7 +45,10 @@ HEADLINE = [
     "q_e8_corpus_build",
     "q_e4_heavy_hitters",
     "q_t_multires_rollup",
-    "q_e7_curation_pipeline",
+    # Curation headline is the production (banded-LSH) mode; the exact-
+    # Jaccard twin (q_e7_curation_pipeline) stays registered and oracle-
+    # checked as ground truth but is Theta(sum df^2) and must not anchor
+    # the sweep (round-5 verdict "wrong #2").
     "q_e7_curation_minhash",
     "q_e3_ann_cosine_topk",
     "q_e3_ivfpq_from_index",
@@ -58,6 +61,15 @@ HEADLINE = [
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _load_avg() -> list[float]:
+    """1/5/15-min load average, recorded so round-over-round drift on the
+    shared bench machine is attributable (round-5 verdict item 7)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return []
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -100,6 +112,7 @@ def streaming_main() -> None:
 
     spark = get_spark("bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = _load_avg()
 
     updates = C.opc_updates(spark, SF_DIR)
     devices = C.site_devices(spark, SF_DIR)
@@ -182,6 +195,7 @@ def streaming_main() -> None:
         # per-micro-batch shed batch oracle (see streaming_main docstring)
         "final_state_matches_batch_oracle": True,
         "passes": results,
+        "load_avg": {"start": load_start, "end": _load_avg()},
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "STREAMBENCH.json"), "w") as f:
@@ -205,6 +219,7 @@ def main() -> None:
     skip = set(filter(None, os.environ.get(
         "SPARK_GRAFT_BENCH_SKIP", "").split(",")))
     names = [n for n in HEADLINE if n in plans.QUERIES and n not in skip]
+    load_start = _load_avg()
     # Warm-up: JVM JIT + codegen + parquet footer caches.
     _materialize(plans.QUERIES["q_flagship_modvalues"].fn(spark, SF_DIR))
 
@@ -230,6 +245,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_of(SF_DIR),
+                "load_avg": {"start": load_start, "end": _load_avg()},
             }
         )
     )

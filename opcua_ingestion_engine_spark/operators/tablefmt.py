@@ -272,8 +272,15 @@ def commit_append(
             if v is not None:
                 return v
             continue
-        with open(_manifest_path(root, parent)) as f:
-            pm = json.load(f)
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            # a concurrent writer advanced the table AND a concurrent
+            # vacuum reclaimed this parent manifest between our
+            # latest_version() and the read — rebase onto the new latest,
+            # exactly like a lost CAS
+            continue
         # compare column names + types, NOT nullability: nullable flags
         # are plan-shape-dependent advisory metadata (the same logical
         # frame built through a different join arm flips them), and
@@ -347,14 +354,23 @@ def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
     Built on ``commit_merge`` (identity merge), NOT ``commit_version``:
     losing the CAS to a concurrent append must REBASE onto the new
     snapshot — re-committing the stale pre-append snapshot would
-    silently drop the racer's rows."""
+    silently drop the racer's rows.
+
+    The manifest is stamped ``app.data_identical`` so ``table_changes``
+    knows this version changed the LAYOUT but not the DATA and serves
+    ranges spanning it as pass-through — without the marker every
+    change-feed range crossing a compaction would fall back to the
+    O(table) keyed endpoint diff just to discover zero net changes."""
 
     def _identity(current: DataFrame | None) -> DataFrame:
         if current is None:
             raise FileNotFoundError(f"no committed version at {root}")
         return current
 
-    return commit_merge(spark, root, _identity, app=app or {"compaction": True})
+    return commit_merge(
+        spark, root, _identity,
+        app={"compaction": True, "data_identical": True, **(app or {})},
+    )
 
 
 def maybe_compact(
@@ -415,11 +431,27 @@ def commit_merge(
 
 
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read the latest committed snapshot, or time-travel to ``version``.
     Raises FileNotFoundError for an empty table and ValueError for a
-    version that was never committed or has been vacuumed."""
+    version that was never committed or has been vacuumed.
+
+    ``prune={col: (lo, hi)}`` is DATA SKIPPING over the manifest's
+    per-directory footer stats (the same add-file-stats discipline as
+    Delta): a data directory is dropped from the scan only when its
+    recorded [min, max] for EVERY pruned column proves no overlap with
+    the bound (``lo``/``hi`` may each be None for a one-sided range).
+    Missing stats always keep — pruning is an I/O optimization, never a
+    filter: kept directories can still hold out-of-range rows, so the
+    caller applies the real predicate on top (and Catalyst then pushes
+    it into the remaining parquet scans). At 100 TB this is the manifest
+    half of partition pruning: a time-range read of an append-built
+    event table touches only the directories whose footer ranges
+    intersect, decided driver-side from the one small manifest JSON."""
     if version is None:
         version = latest_version(root)
         if version is None:
@@ -432,9 +464,19 @@ def read_version(
             f"version {version} not present at {root} (never committed, "
             "or removed by vacuum)"
         )
-    return spark.read.parquet(
-        *[os.path.join(root, p) for p in _data_list(manifest)]
-    )
+    dirs = _data_list(manifest)
+    if prune:
+        stats = manifest.get("stats") or {}
+        dirs = [p for p in dirs if _keep_dir(stats.get(p), prune)]
+        if not dirs:
+            # every directory provably out of range — an empty frame in
+            # the table's committed schema (no parquet path to scan)
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+    return spark.read.parquet(*[os.path.join(root, p) for p in dirs])
 
 
 CHANGE_TYPE_COL = "_change_type"
@@ -539,6 +581,11 @@ def table_changes(
       ``insert``, stamp each row with its true per-commit version.
       O(changes) I/O, zero joins, no ``keys`` needed — the shape that
       matters at 100 TB, where the table is huge and the delta is not.
+      A retained step whose manifest carries ``app.data_identical``
+      (``compact``/``maybe_compact``) is PASS-THROUGH: it rewrote the
+      layout, not the data, so it contributes zero changes and merely
+      resets the directory baseline — append→compact→append ranges stay
+      on the fast path instead of paying an O(table) diff for a no-op.
     - **Keyed diff** — otherwise (rewrites/upserts/compactions in the
       range, or intermediate manifests vacuumed), a ``snapshot_diff``
       of the two endpoint snapshots: one full-outer shuffle on
@@ -570,6 +617,15 @@ def table_changes(
         try:
             with open(_manifest_path(root, v)) as f:
                 m = json.load(f)
+        except FileNotFoundError:
+            fast = False
+            break
+        if (m.get("app") or {}).get("data_identical"):
+            # compaction: layout rewrite, zero data changes — contribute
+            # no tail, reset the baseline to the compacted directory list
+            prev_list = _data_list(m)
+            continue
+        try:
             if prev_list is None and v > 0:
                 with open(_manifest_path(root, v - 1)) as f:
                     prev_list = _data_list(json.load(f))
@@ -579,10 +635,19 @@ def table_changes(
         prev = prev_list or []
         cur = _data_list(m)
         if cur[: len(prev)] != prev or len(cur) <= len(prev):
-            fast = False  # a rewrite/compaction step — not an append
+            fast = False  # a rewrite/upsert step — not an append
             break
         tails.append((v, cur[len(prev):]))
         prev_list = cur
+    if fast and not tails:
+        # every step in the range was a data-identical layout rewrite —
+        # the net change feed is empty
+        base = read_version(spark, root, v_to)
+        return (
+            base.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+            .withColumn(COMMIT_VERSION_COL, F.lit(0).cast("bigint"))
+            .limit(0)
+        )
     if fast:
         parts = [
             spark.read.parquet(*[os.path.join(root, p) for p in dirs])
@@ -642,7 +707,10 @@ def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int
     if live is None:
         return []
     hist = history(root)
-    retained = {m["version"] for m in hist[-keep:]} | {live}
+    # keep=0 means "live only" — hist[-0:] would slice the WHOLE history
+    # and retain everything, the opposite of the caller's intent
+    newest = hist[len(hist) - keep:] if keep > 0 else []
+    retained = {m["version"] for m in newest} | {live}
     # append commits SHARE data directories across versions: a dir may
     # only be reclaimed once NO retained manifest references it
     retained_paths = {

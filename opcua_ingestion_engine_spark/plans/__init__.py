@@ -36,68 +36,69 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_s3_template_scan",
     "q_s8_default_injection",
     "q_x1_slope_intercept",
-    # LLM-pipeline operators E1-E7. Round-5 rotation: the six long-stable
-    # E4 text canaries (lang_id/winnowing/sentiment/token_count/fingerprint/
-    # pattern_extract) and jaccard/curation_clustered step out (all were
-    # driver-green in rounds 3-4 and stay oracle-parity-tested in pytest);
-    # the round-3 families that never had a driver row step in.
-    # Round-5 substring-dedup family (new this round): first driver rows
-    # for the span report, its apply step, and the incremental twin —
-    # displacing q_e4_text_stats / q_e4_quality_filter / q_e8_pack_chunks
-    # (driver-green rounds 3-4, still oracle-parity-tested in pytest).
-    "q_e1_exact_dedup",
+    # LLM-pipeline operators E1-E7. Round-6 rotation (per the round-5
+    # verdict): multi-round-green members step out (exact_dedup,
+    # dedup_clusters, embedding_neardup, repetition, pii_redact,
+    # token_entropy, contamination, split_assignment, stratified_sample,
+    # epoch_expand, curation_pipeline — all stay oracle-parity-tested in
+    # pytest); the never-driver-checked round-5 table-layer + durable-sink
+    # families step in for their first driver rows.
     "q_e2_repeated_spans",
     "q_e2_span_trim",
     "q_e2_incremental_spans",
-    "q_e2_dedup_clusters",
-    "q_e2_embedding_neardup",
+    "q_e2_durable_spans",
+    "q_e2_incremental_span_trim",
     "q_e3_ann_cosine_topk",
     "q_e3_domain_diversity",
-    "q_e4_pii_redact",
-    "q_e4_repetition",
     "q_e4_unigram_logprob",
-    "q_e4_token_entropy",
     "q_e4_heavy_hitters",
     "q_e4_incremental_heavy_hitters",
     "q_e5_multimodal_meta",
     "q_e5_frame_sample",
     "q_e6_timeseries_similarity",
-    "q_e7_curation_pipeline",
-    # Headline TPC-H (q3/q6/q18/q21 rotated out after two driver-green
-    # rounds; q1/q5 stay as the complex-agg and 6-way-join canaries).
+    # Versioned-table layer (round-5 code, first driver exposure round 6).
+    "q_tf_change_feed",
+    "q_tf_change_feed_append",
+    "q_tf_incremental_view",
+    # Headline TPC-H: q1/q5 stay as the complex-agg and 6-way-join
+    # canaries; the join-heaviest never-driver-checked body members
+    # (q7/q8/q9/q12/q14/q19) get their first slots per verdict item 5.
     "q_tpch_q1_pricing_summary",
     "q_tpch_q5_local_supplier_volume",
-    # Time-series join trio + window extensions (range_frame gets its first
-    # driver row; ntile_dist/tumbling rotate out).
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q12_priority_classes",
+    "q_tpch_q14_promo_effect",
+    "q_tpch_q19_disjunctive_revenue",
+    # Time-series joins, window/sort/set extensions — session window,
+    # top-k and one set op get their first driver rows (round-6 rotation).
     "q_asof_join_purchase_view",
     "q_range_join_purchase_errors",
     "q_w_sessionize",
     "q_w_range_frame",
     "q_agg_mode_per_group",
+    "q_t10_session_window",
+    "q_sort_topk_orders",
+    "q_set_intersect",
     # Telemetry-analytics family (round 3) — first driver rows for the
     # z-score anomaly envelope, OHLC downsample, cohort retention, and the
     # incremental continuous-aggregate rollup.
     "q_t_anomaly_zscore",
-    "q_t_downsample_ohlc",
-    "q_t_cohort_retention",
     "q_t_incremental_rollup",
-    "q_t_multires_rollup",
-    "q_t_funnel_conversion",
-    # E8 dataset-assembly family — round-3 training-mix completions get
-    # their first driver rows alongside the established members.
+    # Telemetry reports that never held a window slot (round-6 rotation).
+    "q_t_downtime_report",
+    "q_t4_server_watchdog_batch",
+    # E8 dataset-assembly family — round-5 entrants keep their slot for a
+    # second green round; the durable corpus build gets its first row.
     "q_e8_corpus_build",
     "q_e8_incremental_corpus_build",
+    "q_e8_durable_corpus_build",
     "q_e8_domain_mix",
     "q_e8_global_shuffle",
     "q_e8_quality_topk",
-    "q_e8_epoch_expand",
     "q_e8_split_leakage",
-    "q_e8_split_assignment",
-    "q_e8_stratified_sample",
-    "q_e8_contamination",
     # Core sample that was driver-green in round 2 (regression canaries).
-    "q_f1_monitored_devices",
-    "q_f3_staleness_filter",
     "q_a2_latest_per_key",
     "q_s9_upsert_matched",
     "q_b1_browse_tree",

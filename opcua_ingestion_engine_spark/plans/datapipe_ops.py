@@ -679,15 +679,14 @@ def q_e8_incremental_corpus_build(spark, sf_dir):
     "one-shot batch answer, sharing its oracle.",
 )
 def q_e8_durable_corpus_build(spark, sf_dir):
-    import tempfile
-
     from ..streaming.corpusbuild import IncrementalCorpusBuildSink
+    from .scratch import scratch_root
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
     hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     step = hi // 3 + 1
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    root = tempfile.mkdtemp(prefix="spark_graft_corpussink_")
+    root = scratch_root("corpussink")
     sink = IncrementalCorpusBuildSink(bench, state_root=root)
     for i in range(3):
         sink.process_batch(
@@ -752,9 +751,8 @@ def q_e8_durable_corpus_build(spark, sf_dir):
     "definitions.",
 )
 def q_tf_change_feed(spark, sf_dir):
-    import tempfile
-
     from ..operators import tablefmt as TF
+    from .scratch import scratch_root
 
     orders = C.load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
@@ -766,7 +764,7 @@ def q_tf_change_feed(spark, sf_dir):
             F.col("o_orderstatus")
         ),
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    root = scratch_root("cdc")
     TF.commit_version(v0, root)
     TF.commit_version(v1, root)
     return TF.table_changes(spark, root, 0, 1, keys=["o_orderkey"])
@@ -786,14 +784,13 @@ def q_tf_change_feed(spark, sf_dir):
     "recovers each row's commit from the batch predicate).",
 )
 def q_tf_change_feed_append(spark, sf_dir):
-    import tempfile
-
     from ..operators import tablefmt as TF
+    from .scratch import scratch_root
 
     orders = C.load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_cdcapp_")
+    root = scratch_root("cdcapp")
     for i in range(3):
         TF.commit_append(
             orders.filter(F.col("o_orderkey") % 3 == i), root
@@ -829,18 +826,17 @@ def q_tf_change_feed_append(spark, sf_dir):
     "hash level (DECIMAL(38,6) addends make the fold order-exact).",
 )
 def q_tf_incremental_view(spark, sf_dir):
-    import tempfile
-
     from ..operators import tablefmt as TF
     from ..operators.matview import MaterializedAggView
+    from .scratch import scratch_root
 
     orders = C.load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    src = tempfile.mkdtemp(prefix="spark_graft_mv_src_")
+    src = scratch_root("mv_src")
     view = MaterializedAggView(
         src,
-        tempfile.mkdtemp(prefix="spark_graft_mv_view_"),
+        scratch_root("mv_view"),
         group_keys=["o_orderstatus"],
         sum_cols=["o_totalprice"],
         row_keys=["o_orderkey"],

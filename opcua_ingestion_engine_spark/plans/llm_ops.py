@@ -337,12 +337,11 @@ _SPAN_TRIM_SQL = """
     "operator under any batching and shares its oracle",
 )
 def q_e2_durable_spans(spark, sf_dir):
-    import tempfile
-
     from ..streaming.spans import IncrementalSpanDedupSink
+    from .scratch import scratch_root
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="spark_graft_spansink_")
+    root = scratch_root("spansink")
     sink = IncrementalSpanDedupSink(k=15, min_repeats=2, state_root=root)
     for i in range(3):
         sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
@@ -666,12 +665,11 @@ def q_e3_ivfpq_from_index(spark, sf_dir):
     "table equals the one-shot build over the same corpus",
 )
 def q_e3_incremental_ann_index(spark, sf_dir):
-    import tempfile
-
     from ..streaming.annindex import IncrementalAnnIndexSink
+    from .scratch import scratch_root
 
     emb = _emb(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="spark_graft_annsink_")
+    root = scratch_root("annsink")
     sink = IncrementalAnnIndexSink(root, **IVFPQ_INDEX_GEOMETRY)
     for i in range(3):
         sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)

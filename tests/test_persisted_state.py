@@ -1265,3 +1265,153 @@ def test_matview_lost_cas_rebases_to_noop(spark, tmp_path, monkeypatch):
     assert view.cursor() == 0
     got = _rows(view.result(spark).select("g", "n"))
     assert got == [("a", 1), ("b", 1)]
+
+
+def test_vacuum_keep0_retains_live_only(spark, tmp_path):
+    """vacuum(keep=0) means 'live version only' — the hist[-0:] slice bug
+    retained EVERYTHING; pinned: all non-live manifests go, the live one
+    survives and still reads."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "k0")
+    for i in range(3):
+        TF.commit_version(spark.range(i, i + 2), root)  # v0..v2
+    removed = TF.vacuum(root, keep=0, orphan_grace_s=0)
+    assert sorted(removed) == [0, 1]
+    assert TF.latest_version(root) == 2
+    assert _rows(TF.read_version(spark, root)) == [(2,), (3,)]
+    with pytest.raises(ValueError):
+        TF.read_version(spark, root, 0)
+
+
+def test_commit_append_parent_manifest_vanished_rebases(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent writer advancing the table plus a concurrent vacuum
+    reclaiming the observed parent manifest between latest_version() and
+    the manifest read must REBASE (like a lost CAS), not raise
+    FileNotFoundError."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "vanish")
+    TF.commit_version(spark.range(0, 3), root)  # v0
+    TF.commit_version(spark.range(0, 4), root)  # v1
+    real = TF.latest_version
+    state = {"first": True}
+
+    def stale_then_real(r):
+        if state["first"]:
+            state["first"] = False
+            # simulate: we observed v0 as latest, then vacuum reclaimed it
+            import os
+
+            os.remove(TF._manifest_path(root, 0))
+            return 0
+        return real(r)
+
+    monkeypatch.setattr(TF, "latest_version", stale_then_real)
+    v = TF.commit_append(spark.range(4, 6), root)
+    assert v == 2
+    assert _rows(TF.read_version(spark, root)) == [(i,) for i in range(6)]
+
+
+def test_table_changes_skips_data_identical_compaction(spark, tmp_path):
+    """An append -> compact -> append range must stay on the O(changes)
+    fast path: the compaction manifest is stamped app.data_identical, so
+    the feed contributes only the true appends and never touches the
+    compacted full-table directory; a range of ONLY compactions is the
+    empty feed; a keyed fallback is never required."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "cdcskip")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 3), root)   # v0
+    TF.commit_append(mk(3, 5), root)   # v1
+    v = TF.compact(spark, root)        # v2: layout-only rewrite
+    assert v == 2
+    TF.commit_append(mk(5, 7), root)   # v3
+
+    # (v0, v3]: appends v1+v3 only, compaction contributes nothing —
+    # and NO keys needed (the old code's keyed-diff fallback would raise)
+    feed = _rows(TF.table_changes(spark, root, 0, 3))
+    assert feed == sorted(
+        [(i, i * 10, "insert", 1 if i < 5 else 3) for i in range(3, 7)]
+    )
+    # the compacted v2 directory (the whole table) is never scanned
+    v2_dirs = set(TF._data_list(TF.history(root)[2]))
+    v0v1_dirs = set(TF._data_list(TF.history(root)[1]))
+    compacted_only = v2_dirs - v0v1_dirs
+    assert compacted_only  # the compaction did write a fresh directory
+    touched = TF.table_changes(spark, root, 0, 3).inputFiles()
+    assert touched
+    for d in compacted_only:
+        assert not any(d in p for p in touched)
+
+    # compaction-only range == empty feed (schema intact)
+    only = TF.table_changes(spark, root, 1, 2)
+    assert only.count() == 0
+    assert only.columns == ["k", "v", "_change_type", "_commit_version"]
+
+    # full-from-empty still serves fast and attributes true versions
+    full = _rows(TF.table_changes(spark, root, None))
+    assert full == sorted(
+        [(i, i * 10, "insert", 0 if i < 3 else (1 if i < 5 else 3))
+         for i in range(7)]
+    )
+
+
+def test_read_version_prune_data_skipping(spark, tmp_path):
+    """Manifest-stats data skipping: prune= drops a data directory only
+    when its recorded [min,max] proves no overlap; missing stats keep;
+    kept dirs may still hold out-of-range rows (caller filters on top);
+    an all-pruned read returns an empty frame in the committed schema."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "prune")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 10), root)    # k in [0,9]
+    TF.commit_append(mk(10, 20), root)   # k in [10,19]
+    TF.commit_append(mk(20, 30), root)   # k in [20,29]
+
+    # one-sided range hits only the last directory
+    pruned = TF.read_version(spark, root, prune={"k": (25, None)})
+    assert pruned.inputFiles() and len(
+        {os.path.dirname(p) for p in pruned.inputFiles()}
+    ) == 1
+    # pruning is NOT a filter: the kept dir holds k=20..24 too
+    assert _rows(pruned) == [(i, i * 10) for i in range(20, 30)]
+    # the real predicate on top gives the exact answer
+    assert _rows(pruned.filter(F.col("k") >= 25)) == [
+        (i, i * 10) for i in range(25, 30)
+    ]
+
+    # two-sided interval keeps only the middle directory
+    mid = TF.read_version(spark, root, prune={"k": (12, 17)})
+    assert _rows(mid) == [(i, i * 10) for i in range(10, 20)]
+
+    # all pruned -> empty frame, committed schema preserved
+    none = TF.read_version(spark, root, prune={"k": (100, None)})
+    assert none.count() == 0 and none.columns == ["k", "v"]
+
+    # missing stats must KEEP: strip the stats block and re-read
+    live = TF.latest_version(root)
+    mp = TF._manifest_path(root, live)
+    with open(mp) as f:
+        m = json.load(f)
+    m["stats"] = {}
+    os.remove(mp)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    kept = TF.read_version(spark, root, prune={"k": (100, None)})
+    assert kept.count() == 30
+
+    # unknown column in prune: keeps everything (absent from stats)
+    allk = TF.read_version(spark, root, prune={"nope": (0, 1)})
+    assert allk.count() == 30
