@@ -31,6 +31,14 @@ synchronized with a source table committed through
   recompute bit-for-bit — incremental-equals-recompute is a hash-level
   test invariant, not an approximation. Groups whose live row count
   reaches zero are dropped from the view.
+- **Non-additive MIN/MAX via affected-group recompute.** ``min_cols``
+  / ``max_cols`` maintain extrema. Inserts fold monotonically
+  (``least``/``greatest`` with the stored value); a delete or update
+  that removes a value TYING the stored extremum makes the group
+  *dirty* — only dirty groups are re-aggregated, by a semi join of the
+  source snapshot against the (broadcast-sized) dirty-key set. Refresh
+  cost is O(changes) + O(rows of affected groups), never O(table)
+  arithmetic for clean groups; an append-only source never dirties.
 
 Scale shape: one shuffle over the CHANGES on the group keys, then one
 union+groupBy of (stored aggregate ∪ deltas) — the stored aggregate has
@@ -91,13 +99,22 @@ def _fold(
 
 
 class MaterializedAggView:
-    """An additive GROUP-BY view of a versioned source table, stored as
-    a versioned table of its own and advanced by ``refresh()``.
+    """A GROUP-BY view of a versioned source table, stored as a
+    versioned table of its own and advanced by ``refresh()``.
 
     ``row_keys`` are the SOURCE table's unique row keys — needed only
     when a refresh range includes rewrite/upsert commits (the keyed-diff
     path of ``table_changes``); pure-append sources may pass None.
-    View columns: ``group_keys + [count_col] + [f"sum_{c}" ...]``.
+    View columns: ``group_keys + [count_col] + [f"sum_{c}" ...] +
+    [f"min_{c}" ...] + [f"max_{c}" ...]``.
+
+    COUNT/SUM are additive and fold from the change feed alone. MIN/MAX
+    (``min_cols``/``max_cols``) are not: an insert folds monotonically,
+    but a removal that ties the stored extremum leaves the survivor
+    unknown without re-looking at the group — those groups (and ONLY
+    those) are re-aggregated against the source snapshot via a
+    broadcast semi join on the dirty keys. Averages are ``sum_c / n``
+    at read time — no extra state.
     """
 
     def __init__(
@@ -108,6 +125,8 @@ class MaterializedAggView:
         sum_cols: list[str] | None = None,
         row_keys: list[str] | None = None,
         count_col: str = "n",
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
     ):
         if not group_keys:
             raise ValueError("group_keys must be non-empty")
@@ -117,6 +136,8 @@ class MaterializedAggView:
         self.sum_cols = list(sum_cols or [])
         self.row_keys = list(row_keys) if row_keys else None
         self.count_col = count_col
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
 
     def cursor(self) -> int | None:
         """Last source version folded into the committed view (None =
@@ -129,6 +150,192 @@ class MaterializedAggView:
 
     def result(self, spark: SparkSession) -> DataFrame:
         return TF.read_version(spark, self.view_root)
+
+    def _fold_with_extrema(
+        self,
+        spark: SparkSession,
+        state: DataFrame | None,
+        changes: DataFrame,
+        target: int,
+    ) -> DataFrame:
+        """One refresh fold when MIN/MAX columns are maintained.
+
+        Shape: (1) per-group deltas over the CHANGES — count/sum signed
+        addends plus the gained-side and removed-side extrema; (2) pair
+        each group's stored row with its delta row via union+groupBy
+        (NULL group keys fold naturally — no null-safe join needed);
+        (3) clean groups take ``least``/``greatest`` of (stored, gained)
+        in pure column arithmetic; (4) groups whose REMOVED extremum ties
+        the stored one (and no gained value re-covers it) are *dirty* —
+        re-aggregated from the source snapshot through a broadcast semi
+        join on the dirty keys, O(affected groups' rows), and stitched
+        back with one broadcast left join. The paired frame is
+        group-cardinality and is localCheckpointed so the dirty test and
+        the final plan don't recompute the fold."""
+        keys = self.group_keys
+        n, dec = self.count_col, _DEC
+        gained = F.col(TF.CHANGE_TYPE_COL).isin("insert", "update_postimage")
+
+        aggs = [
+            F.sum(F.when(gained, F.lit(1)).otherwise(F.lit(-1)))
+            .cast("bigint").alias("_dn")
+        ]
+        for c in self.sum_cols:
+            addend = F.col(c).cast(dec)
+            aggs.append(
+                F.sum(F.when(gained, addend).otherwise(-addend))
+                .cast(dec).alias(f"_dsum_{c}")
+            )
+        for c in self.min_cols:
+            aggs.append(F.min(F.when(gained, F.col(c))).alias(f"_gmin_{c}"))
+            aggs.append(F.min(F.when(~gained, F.col(c))).alias(f"_rmin_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(F.when(gained, F.col(c))).alias(f"_gmax_{c}"))
+            aggs.append(F.max(F.when(~gained, F.col(c))).alias(f"_rmax_{c}"))
+        deltas = changes.groupBy(*keys).agg(*aggs)
+
+        # pair state and delta rows per group: tag columns, union, and
+        # take the single non-null value per side (each side contributes
+        # at most one row per group, so first(ignorenulls) is exact)
+        src_schema = changes.drop(
+            TF.CHANGE_TYPE_COL, TF.COMMIT_VERSION_COL
+        ).schema
+        svals = (
+            [F.col(n).alias("_sn")]
+            + [F.col(f"sum_{c}").alias(f"_ssum_{c}") for c in self.sum_cols]
+            + [F.col(f"min_{c}").alias(f"_smin_{c}") for c in self.min_cols]
+            + [F.col(f"max_{c}").alias(f"_smax_{c}") for c in self.max_cols]
+        )
+        dnames = [f.name for f in deltas.schema.fields if f.name not in keys]
+        if state is None:
+            state_side = None
+        else:
+            state_side = state.select(*keys, *svals).select(
+                "*", *[F.lit(None).cast(
+                    deltas.schema[c].dataType
+                ).alias(c) for c in dnames]
+            )
+        snames = [
+            ("_sn", "bigint"),
+            *[(f"_ssum_{c}", dec) for c in self.sum_cols],
+            *[(f"_smin_{c}", src_schema[c].dataType) for c in self.min_cols],
+            *[(f"_smax_{c}", src_schema[c].dataType) for c in self.max_cols],
+        ]
+        delta_side = deltas.select(
+            *keys,
+            *[F.lit(None).cast(t).alias(c) for c, t in snames],
+            *dnames,
+        )
+        both = (
+            delta_side if state_side is None
+            else state_side.unionByName(delta_side)
+        )
+        paired = both.groupBy(*keys).agg(
+            *[
+                F.first(c, ignorenulls=True).alias(c)
+                for c in [cn for cn, _ in snames] + dnames
+            ]
+        )
+
+        def _coal(c):
+            return F.coalesce(F.col(c), F.lit(0))
+
+        live = paired.withColumn(
+            n, (_coal("_sn") + _coal("_dn")).cast("bigint")
+        ).filter(F.col(n) != 0)
+        for c in self.sum_cols:
+            live = live.withColumn(
+                "sum_" + c,
+                (
+                    F.coalesce(F.col(f"_ssum_{c}"), F.lit(0).cast(dec))
+                    + F.coalesce(F.col(f"_dsum_{c}"), F.lit(0).cast(dec))
+                ).cast(dec),
+            )
+
+        # dirty: a removed value ties-or-beats the stored extremum (or
+        # the state never knew one) AND no gained value re-covers it —
+        # for min, "covers" means gained <= stored (the new extremum is
+        # the gained value no matter what the removal took away)
+        dirty_flags = []
+        for c in self.min_cols:
+            s, g, r = (
+                F.col(f"_smin_{c}"), F.col(f"_gmin_{c}"), F.col(f"_rmin_{c}")
+            )
+            flag = (
+                r.isNotNull()
+                & (s.isNull() | (r <= s))
+                & ~(g.isNotNull() & s.isNotNull() & (g <= s))
+            )
+            live = live.withColumn(f"_dirty_min_{c}", flag).withColumn(
+                f"min_{c}", F.least(s, g)
+            )
+            dirty_flags.append(F.col(f"_dirty_min_{c}"))
+        for c in self.max_cols:
+            s, g, r = (
+                F.col(f"_smax_{c}"), F.col(f"_gmax_{c}"), F.col(f"_rmax_{c}")
+            )
+            flag = (
+                r.isNotNull()
+                & (s.isNull() | (r >= s))
+                & ~(g.isNotNull() & s.isNotNull() & (g >= s))
+            )
+            live = live.withColumn(f"_dirty_max_{c}", flag).withColumn(
+                f"max_{c}", F.greatest(s, g)
+            )
+            dirty_flags.append(F.col(f"_dirty_max_{c}"))
+
+        out_cols = (
+            keys + [n]
+            + [f"sum_{c}" for c in self.sum_cols]
+            + [f"min_{c}" for c in self.min_cols]
+            + [f"max_{c}" for c in self.max_cols]
+        )
+        import functools
+        import operator
+
+        any_dirty = functools.reduce(operator.or_, dirty_flags)
+        # group-cardinality frame; checkpoint so the dirty probe and the
+        # committed plan don't re-run the fold (and the commit's plan
+        # doesn't re-read the change feed)
+        live = live.withColumn("_dirty", any_dirty).localCheckpoint(eager=True)
+
+        dirty_keys = live.filter(F.col("_dirty")).select(*keys)
+        if dirty_keys.limit(1).count() == 0:
+            return live.select(*out_cols)
+
+        source = TF.read_version(spark, self.source_root, target)
+        sem = functools.reduce(
+            operator.and_,
+            [source[k].eqNullSafe(dirty_keys[k]) for k in keys],
+        )
+        raggs = [
+            F.min(c).alias(f"_rcmin_{c}") for c in self.min_cols
+        ] + [F.max(c).alias(f"_rcmax_{c}") for c in self.max_cols]
+        recomputed = (
+            source.join(F.broadcast(dirty_keys), sem, "left_semi")
+            .groupBy(*keys).agg(*raggs)
+        )
+        cond = functools.reduce(
+            operator.and_,
+            [live[k].eqNullSafe(recomputed[k]) for k in keys],
+        )
+        joined = live.join(F.broadcast(recomputed), cond, "left")
+        fixed = [
+            F.when(
+                F.col(f"_dirty_min_{c}"), F.col(f"_rcmin_{c}")
+            ).otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
+            for c in self.min_cols
+        ] + [
+            F.when(
+                F.col(f"_dirty_max_{c}"), F.col(f"_rcmax_{c}")
+            ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+            for c in self.max_cols
+        ]
+        plain = [
+            live[c] for c in keys + [n] + [f"sum_{c}" for c in self.sum_cols]
+        ]
+        out = joined.select(*plain, *fixed)
+        return out.select(*out_cols)
 
     def refresh(self, spark: SparkSession, max_retries: int = 20) -> int | None:
         """Advance the view to the source's latest committed version.
@@ -145,17 +352,21 @@ class MaterializedAggView:
             changes = TF.table_changes(
                 spark, self.source_root, cur, target, keys=self.row_keys
             )
-            deltas = changes_to_deltas(
-                changes, self.group_keys, self.sum_cols, self.count_col
-            )
             state = (
                 TF.read_version(spark, self.view_root, parent)
                 if parent is not None
                 else None
             )
-            folded = _fold(
-                state, deltas, self.group_keys, self.sum_cols, self.count_col
-            )
+            if self.min_cols or self.max_cols:
+                folded = self._fold_with_extrema(spark, state, changes, target)
+            else:
+                deltas = changes_to_deltas(
+                    changes, self.group_keys, self.sum_cols, self.count_col
+                )
+                folded = _fold(
+                    state, deltas, self.group_keys, self.sum_cols,
+                    self.count_col,
+                )
             v = TF._try_commit(
                 folded, self.view_root, parent, app={"cursor": target}
             )

@@ -82,6 +82,15 @@ class IncrementalRollupSink:
         # double every n_points/val_sum it touched (same guard as the
         # near-dup sink, pinned in tests/test_streaming.py)
         if batch_id in self._done_batch_ids:
+            if self.state_root is not None:
+                from ..operators import tablefmt as TF
+
+                # the previous attempt may have crashed between its
+                # commit and its snapshot refresh — re-read so result()
+                # reflects the committed state (plan-only, no job)
+                self.minute = TF.read_version(
+                    batch_events.sparkSession, self.state_root
+                )
             return
         partial = TS.rollup_minute(
             batch_events, self.key_col, self.ts_col, self.val_col
@@ -101,12 +110,26 @@ class IncrementalRollupSink:
                 )
 
             spark = batch_events.sparkSession
-            TF.commit_merge(
-                spark, self.state_root, merge, app={"batch_id": batch_id}
-            )
-            self.minute = TF.read_version(spark, self.state_root)
-            self.batches_seen += 1
+            try:
+                TF.commit_merge(
+                    spark, self.state_root, merge, app={"batch_id": batch_id}
+                )
+            except Exception:
+                # the CAS may have landed before the raise (e.g. an OSError
+                # on the advisory-pointer write) — consult the MANIFEST
+                # ledger before letting an in-process foreachBatch retry
+                # re-merge an already-committed additive batch, which
+                # would double every n_points/val_sum it touched
+                if not any(
+                    m.get("app", {}).get("batch_id") == batch_id
+                    for m in TF.history(self.state_root)
+                ):
+                    raise
+            # record the commit BEFORE any post-commit work can raise:
+            # the redelivery guard must survive a read_version failure
             self._done_batch_ids.add(batch_id)
+            self.batches_seen += 1
+            self.minute = TF.read_version(spark, self.state_root)
             return
         if self.minute is None:
             merged = partial

@@ -118,11 +118,21 @@ def synth_documents(mult: int, out: str, seed: int = 42) -> None:
     docs: list[str] = []
     n_base = int(n * (1 - 2 * exact_rate))
     sampled_lens = rng.choice(lengths, size=n_base, replace=True)
+    # lang/source are assigned to the BASE docs up front so planted
+    # duplicates can carry their source doc's values: lang-blocked and
+    # source-blocked dedup paths (e.g. jaccard_pairs block_col='lang')
+    # must see the same planted structure as the sf0.1 fixtures, where
+    # a near-dup pair virtually always shares lang — independently
+    # resampled lang would make cross-lang pairs structurally invisible
+    # to blocked exact-Jaccard and skew exact-vs-minhash comparisons
+    doc_langs = list(rng.choice(lang_vals, size=n_base, p=lang_probs))
+    doc_srcs = list(rng.choice(src_vals, size=n_base, p=src_probs))
     for ln in sampled_lens:
         docs.append(" ".join(rng.choice(vocab, size=int(ln), p=probs)))
     # plant exact + near duplicates of already-generated docs
     while len(docs) < n:
-        src_doc = docs[int(rng.integers(0, n_base))]
+        si = int(rng.integers(0, n_base))
+        src_doc = docs[si]
         if rng.random() < 0.5:
             docs.append(src_doc)  # exact duplicate
         else:  # near duplicate: mutate ~10% of tokens
@@ -132,13 +142,17 @@ def synth_documents(mult: int, out: str, seed: int = 42) -> None:
             for j in idx:
                 ws[j] = str(rng.choice(vocab, p=probs))
             docs.append(" ".join(ws))
+        doc_langs.append(doc_langs[si])
+        doc_srcs.append(doc_srcs[si])
     perm = rng.permutation(n)
     docs = [docs[i] for i in perm]
+    doc_langs = [doc_langs[i] for i in perm]
+    doc_srcs = [doc_srcs[i] for i in perm]
     _write(out, "documents", pa.table({
         "doc_id": pa.array(range(1, n + 1), pa.int64()),
         "text": pa.array(docs, pa.string()),
-        "lang": pa.array(rng.choice(lang_vals, size=n, p=lang_probs), pa.string()),
-        "source": pa.array(rng.choice(src_vals, size=n, p=src_probs), pa.string()),
+        "lang": pa.array(doc_langs, pa.string()),
+        "source": pa.array(doc_srcs, pa.string()),
         "n_chars": pa.array([len(d) for d in docs], pa.int64()),
     }))
 

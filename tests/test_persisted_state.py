@@ -1415,3 +1415,194 @@ def test_read_version_prune_data_skipping(spark, tmp_path):
     # unknown column in prune: keeps everything (absent from stats)
     allk = TF.read_version(spark, root, prune={"nope": (0, 1)})
     assert allk.count() == 30
+
+
+def test_matview_min_max_delete_the_extremum(spark, tmp_path, monkeypatch):
+    """Non-additive MIN/MAX maintenance: inserts fold monotonically with
+    ZERO source reads; a commit that removes a group's max (or min)
+    marks only that group dirty and re-aggregates it via the source
+    snapshot; incremental equals full recompute after every commit,
+    including ties, group moves, and NULL groups/values."""
+    from opcua_ingestion_engine_spark.operators import matview as MV
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    src, vr = str(tmp_path / "src"), str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, g string, x double")
+    view = MV.MaterializedAggView(
+        src, vr, group_keys=["g"], sum_cols=["x"], row_keys=["k"],
+        min_cols=["x"], max_cols=["x"],
+    )
+
+    src_reads = {"n": 0}
+    real_read = TF.read_version
+
+    def counting_read(sp, root, version=None, prune=None):
+        if root == src:
+            src_reads["n"] += 1
+        return real_read(sp, root, version, prune)
+
+    monkeypatch.setattr(MV.TF, "read_version", counting_read)
+
+    def check():
+        got = {
+            tuple(r)
+            for r in view.result(spark).select(
+                "g", "n", F.col("sum_x").cast("double").alias("s"),
+                "min_x", "max_x",
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in real_read(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("s"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    # inserts only: extrema fold monotonically, source never re-read
+    TF.commit_version(
+        mk([(1, "a", 1.0), (2, "a", 5.0), (3, "b", 4.0), (4, None, 7.0)]),
+        src,
+    )
+    assert view.refresh(spark) == 0
+    assert src_reads["n"] == 0
+    check()
+    TF.commit_append(mk([(5, "a", 9.0), (6, "b", 2.0)]), src)
+    assert view.refresh(spark) == 1
+    assert src_reads["n"] == 0  # append range: still zero source reads
+    check()
+
+    # delete the max of 'a' (k=5, 9.0): the keyed endpoint diff reads
+    # the two source snapshots (+2), and ONLY the dirty-group recompute
+    # adds a third read (+1)
+    TF.commit_version(
+        mk([(1, "a", 1.0), (2, "a", 5.0), (3, "b", 4.0), (4, None, 7.0),
+            (6, "b", 2.0)]),
+        src,
+    )
+    assert view.refresh(spark) == 2
+    assert src_reads["n"] == 3
+    check()
+
+    # tie: two rows share b's min 2.0; removing one triggers a recompute
+    # (the tie count is not in the state) but must NOT change the value
+    TF.commit_append(mk([(7, "b", 2.0)]), src)
+    assert view.refresh(spark) == 3
+    assert src_reads["n"] == 3  # append range: no endpoint reads
+    TF.commit_version(
+        mk([(1, "a", 1.0), (2, "a", 5.0), (3, "b", 4.0), (4, None, 7.0),
+            (7, "b", 2.0)]),
+        src,
+    )
+    assert view.refresh(spark) == 4
+    assert src_reads["n"] == 6  # diff endpoints +2, tie recompute +1
+    check()
+
+    # removing b's max 4.0 while gaining 0.5 (covers min, not max) is
+    # dirty for max only -> one recompute read beyond the diff's two
+    TF.commit_version(
+        mk([(1, "a", 1.0), (2, "a", 5.0), (4, None, 7.0),
+            (7, "b", 2.0), (8, "b", 0.5)]),  # -k3 (b max), +k8 (new b min)
+        src,
+    )
+    assert view.refresh(spark) == 5
+    check()
+    assert src_reads["n"] == 9
+
+    # groups vanishing entirely (n==0) are NOT dirty — no recompute
+    # read, just the diff's two endpoint reads
+    TF.commit_version(mk([(4, None, 7.0), (9, "c", 3.0)]), src)
+    assert view.refresh(spark) == 6
+    assert src_reads["n"] == 11
+    check()
+    assert not any(r["g"] in ("a", "b") for r in view.result(spark).collect())
+
+    # restart recovery: a fresh instance resumes and stays exact
+    fresh = MV.MaterializedAggView(
+        src, vr, group_keys=["g"], sum_cols=["x"], row_keys=["k"],
+        min_cols=["x"], max_cols=["x"],
+    )
+    TF.commit_append(mk([(10, "c", -1.0)]), src)
+    assert fresh.refresh(spark) == 7
+    got = {
+        tuple(r)
+        for r in fresh.result(spark).select("g", "n", "min_x", "max_x").collect()
+    }
+    assert got == {(None, 1, 7.0, 7.0), ("c", 2, -1.0, 3.0)}
+
+
+def test_durable_rollup_post_commit_failure_no_double_merge(
+    spark, tmp_path, monkeypatch
+):
+    """The round-5 advisory window: a failure AFTER the manifest CAS
+    lands (inside commit_merge's post-commit tail, or in the snapshot
+    re-read) must not let an in-process foreachBatch retry re-merge the
+    committed additive batch. The retry consults the manifest ledger /
+    the recorded guard and converges to the exact batch answer."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming.rollup import (
+        IncrementalRollupSink,
+    )
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    want = _rows(TS.multires_rollup(ev))
+    root = str(tmp_path / "rollup_state")
+    sink = IncrementalRollupSink(state_root=root)
+    sink.process_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+
+    # (a) commit_merge commits FOR REAL, then raises (e.g. advisory
+    # pointer write failed) — the retry must see the ledger and skip
+    real_merge = TF.commit_merge
+    mode = {"fail": "post_commit"}
+
+    def wrapped_merge(spark_, root_, fn, **kw):
+        v = real_merge(spark_, root_, fn, **kw)
+        if mode["fail"] == "post_commit":
+            mode["fail"] = None
+            raise OSError("injected post-commit failure")
+        return v
+
+    monkeypatch.setattr(TF, "commit_merge", wrapped_merge)
+    wave1 = ev.filter(F.col("event_id") % 2 == 1)
+    sink.process_batch(wave1, 1)  # absorbed: ledger has batch 1
+    assert TF.latest_version(root) == 1
+    assert 1 in sink._done_batch_ids
+    sink.process_batch(wave1, 1)  # redelivery: skipped
+    assert TF.latest_version(root) == 1
+    assert _rows(sink.result()) == want and want
+
+    # (b) snapshot re-read after the commit raises once — the guard is
+    # already recorded, so the retry skips the merge and refreshes
+    root2 = str(tmp_path / "rollup_state2")
+    sink2 = IncrementalRollupSink(state_root=root2)
+    sink2.process_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+    real_read = TF.read_version
+    arm = {"fail": True}
+
+    def failing_read(sp, rt, version=None, prune=None):
+        # fail only the POST-commit snapshot refresh: commit_merge's own
+        # pre-merge read happens while the table is still at v0
+        if arm["fail"] and rt == root2 and TF.latest_version(root2) == 1:
+            arm["fail"] = False
+            raise OSError("injected read failure")
+        return real_read(sp, rt, version, prune)
+
+    monkeypatch.setattr(TF, "read_version", failing_read)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected read"):
+        sink2.process_batch(wave1, 1)
+    assert TF.latest_version(root2) == 1  # the merge DID commit
+    sink2.process_batch(wave1, 1)  # retry: no re-merge, snapshot refreshed
+    assert TF.latest_version(root2) == 1
+    assert _rows(sink2.result()) == want
