@@ -142,6 +142,96 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+) -> DataFrame:
+    """E3 filtered search — exact top-k cosine neighbors restricted to
+    corpus rows whose ``filter_col`` EQUALS the query's (the
+    pgvector/Qdrant "filtered ANN" shape: retrieval within a domain,
+    dedup within a language, same-tenant search). Filter-THEN-search:
+    the predicate prunes candidates before any scoring, never a
+    post-filter of an unfiltered top-k (which under-fills k whenever
+    the filter is selective).
+
+    Scale shape is ``brute_force_topk``'s: the broadcast-sized query
+    set (ids, vectors, filter values) rides to every executor; each
+    Arrow batch of the corpus is bucketed by filter value once, each
+    query group scores only its matching slice with one numpy matmul,
+    and only local top-(k+1) rows leave the executor, so the shuffle
+    carries O(batches x queries x k). SQL equality semantics: a NULL
+    filter value matches nothing on either side. Returns (query_id,
+    neighbor_id, rank) with the same deterministic ordering contract
+    as the exact path."""
+    q_rows = queries.select(id_col, vec_col, filter_col).collect()
+    q_rows = [r for r in q_rows if r[2] is not None]
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
+    by_val: dict = {}
+    for r in q_rows:
+        by_val.setdefault(r[2], []).append(r)
+    groups = []
+    for val, rows in by_val.items():
+        gq = np.array([r[0] for r in rows], dtype=np.int64)
+        gv = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        gv /= np.linalg.norm(gv, axis=1, keepdims=True)
+        groups.append((val, gq, gv))
+    bc = embeddings.sparkSession.sparkContext.broadcast(groups)
+    take = k + 1
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            fv = pdf[filter_col]
+            out_q, out_n, out_s = [], [], []
+            c_cache = None
+            for val, b_qids, b_q in bc.value:
+                mask = (fv == val).to_numpy(dtype=bool)
+                if not mask.any():
+                    continue
+                if c_cache is None:
+                    c_cache = np.vstack(
+                        pdf[vec_col].to_numpy()
+                    ).astype(np.float64)
+                    c_cache /= np.linalg.norm(
+                        c_cache, axis=1, keepdims=True
+                    )
+                sub, subids = c_cache[mask], ids[mask]
+                sims = sub @ b_q.T
+                for j in range(len(b_qids)):
+                    order = np.lexsort((subids, -sims[:, j]))[:take]
+                    out_q.append(np.full(len(order), b_qids[j]))
+                    out_n.append(subids[order])
+                    out_s.append(sims[order, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    local = embeddings.select(id_col, vec_col, filter_col).filter(
+        F.col(filter_col).isNotNull()
+    ).mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _hyperplane_values(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d = md5-derived
     value in [-1, 1). Computed driver-side (no RNG state to ship)."""

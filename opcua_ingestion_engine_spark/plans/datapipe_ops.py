@@ -799,6 +799,75 @@ def q_tf_change_feed_append(spark, sf_dir):
 
 
 @register(
+    "q_tf_minmax_view",
+    """
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 5 <> 0 AND o_totalprice < 250000.0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    "Materialized view with NON-additive MIN/MAX maintenance — an "
+    "orders-derived source committed three ways (initial rewrite, pure "
+    "append, then an upsert that deletes the %5 keys AND truncates "
+    "every price >= 250k — guaranteeing each group loses its stored "
+    "maximum — while moving %7 keys to a new status group), with a "
+    "per-status COUNT/MIN/MAX view refreshed after every commit. "
+    "Appends fold extrema monotonically with zero source reads; the "
+    "delete-the-max commit re-aggregates ONLY the dirty groups via a "
+    "broadcast semi join on the source snapshot. The oracle recomputes "
+    "from the final snapshot definition — incremental must equal "
+    "recompute exactly.",
+)
+def q_tf_minmax_view(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from ..operators.matview import MaterializedAggView
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = scratch_root("mv_minmax_src")
+    view = MaterializedAggView(
+        src,
+        scratch_root("mv_minmax_view"),
+        group_keys=["o_orderstatus"],
+        row_keys=["o_orderkey"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    TF.commit_version(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+    view.refresh(spark)
+    TF.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+    view.refresh(spark)
+    moved = F.col("o_orderkey") % 7 == 0
+    TF.commit_version(
+        orders.filter(
+            (F.col("o_orderkey") % 5 != 0)
+            & (F.col("o_totalprice") < 250000.0)
+        ).withColumn(
+            "o_orderstatus",
+            F.when(moved, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        ),
+        src,
+    )
+    view.refresh(spark)
+    return view.result(spark).select(
+        "o_orderstatus",
+        "n",
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )
+
+
+@register(
     "q_tf_incremental_view",
     """
     WITH final AS (

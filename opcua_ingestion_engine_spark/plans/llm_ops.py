@@ -487,6 +487,40 @@ def q_e3_brute(spark, sf_dir):
     )
 
 
+@register(
+    "q_e3_filtered_ann",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qv, cv) AS cos_sim
+        FROM q JOIN c ON cl = ql AND query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS nn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM ranked WHERE nn_rank <= 5
+    """,
+    "E3 (filtered search) — exact top-5 cosine neighbors restricted to "
+    "the query's OWN label (the pgvector/Qdrant filtered-ANN shape: "
+    "same-domain retrieval). Filter-THEN-search: candidates are pruned "
+    "by label before scoring, never a post-filter of unfiltered top-k. "
+    "Rank-only compare, same float-noise argument as the exact path.",
+)
+def q_e3_filtered(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.filtered_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "nn_rank").withColumn(
+        "nn_rank", F.col("nn_rank").cast("long")
+    )
+
+
 # Explicit 64-term left-associated chains: SQL `a+b+c` parses as
 # ((a+b)+c), exactly the fold order Spark's aggregate() uses, so the
 # double arithmetic is bit-identical across engines (list_cosine_

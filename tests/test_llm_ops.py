@@ -1204,3 +1204,39 @@ def test_incremental_sink_trim_equals_batch_trim(spark):
     # the unique doc survives untouched; all header docs lost 20 tokens
     removed = {d: n for d, _t, n in got}
     assert removed == {1: 20, 2: 20, 3: 20, 4: 20, 5: 20, 6: 0}, removed
+
+
+def test_filtered_topk_filters_before_search(spark):
+    """E3 filtered search: candidates are restricted to the query's
+    filter value BEFORE scoring (a post-filter of unfiltered top-k
+    would under-fill k); NULL filter values match nothing on either
+    side; result ordering is deterministic."""
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    # label 1: query 1 plus neighbors 11..16 at decreasing similarity;
+    # label 2: vectors 21..26 NEARER to query 1 than its own-label pool —
+    # a post-filter top-5 would be dominated by label 2 and then lose
+    # them all, returning < 5 own-label rows
+    def v(x, y):
+        import math
+
+        n = math.hypot(x, y)
+        return [x / n, y / n]
+
+    rows = [(1, v(1.0, 0.0), 1)]
+    rows += [(10 + i, v(1.0, 0.4 + 0.1 * i), 1) for i in range(1, 7)]
+    rows += [(20 + i, v(1.0, 0.001 * i), 2) for i in range(1, 7)]
+    rows += [(99, v(0.5, 0.5), None)]  # NULL label: never a candidate
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = S.filtered_topk(
+        emb, emb.filter(F.col("vec_id") == 1), k=5
+    ).collect()
+    assert len(out) == 5
+    assert [r["neighbor_id"] for r in out] == [11, 12, 13, 14, 15]
+    assert all(r["query_id"] == 1 for r in out)
+
+    # NULL-labeled query: matches nothing, contributes no rows
+    out2 = S.filtered_topk(emb, emb.filter(F.col("vec_id") == 99), k=5)
+    assert out2.count() == 0
