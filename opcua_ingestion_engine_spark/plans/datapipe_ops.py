@@ -771,6 +771,60 @@ def q_tf_change_feed(spark, sf_dir):
 
 
 @register(
+    "q_tf_pruned_read",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events
+    WHERE event_id >= (SELECT (max(event_id) + 1) * 7 // 10 FROM events)
+    GROUP BY event_type
+    """,
+    "Table-layer data skipping — events committed as four append batches "
+    "of contiguous event_id ranges, then an id-range aggregate served "
+    "through read_version(prune=): the manifest's per-directory parquet-"
+    "footer [min,max] stats drop every directory provably outside the "
+    "range driver-side (the Delta add-file-stats discipline), and the "
+    "real predicate runs on the one surviving directory. The oracle is "
+    "the plain filtered aggregate over the whole table — pruning is an "
+    "I/O optimization and must never change the answer.",
+)
+def q_tf_pruned_read(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    root = scratch_root("pruned_read")
+    for i in range(4):
+        TF.commit_append(
+            ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            root,
+        )
+    # scale-relative bound (top 30% of the id space) so the prune
+    # keeps exactly the tail directories at every SF
+    lo = (hi * 7) // 10
+    pruned = TF.read_version(spark, root, prune={"event_id": (lo, None)})
+    return (
+        pruned.filter(F.col("event_id") >= lo)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@register(
     "q_tf_change_feed_append",
     """
     SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type,
