@@ -1146,13 +1146,14 @@ def ivfpq_train_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+    carry_cols: "list[str] | None" = None,
 ):
     """IVF-PQ index construction: train the coarse quantizer, train PQ
     codebooks on RESIDUALS (x - centroid), and encode the corpus in one
     fused pass. Returns (cent, books, codes_df) — codes_df is
-    (neighbor_id, cell, codes), the compressed table a deployment
-    persists ONCE (``ivfpq_write_index``) and serves every search from;
-    (None, None, None) on an empty corpus."""
+    (neighbor_id, cell, codes [, carry_cols...]), the compressed table a
+    deployment persists ONCE (``ivfpq_write_index``) and serves every
+    search from; (None, None, None) on an empty corpus."""
     from pyspark.sql.functions import pandas_udf
 
     cent = _centroid_matrix(embeddings, n_cells, lloyd_iters, id_col, vec_col,
@@ -1178,7 +1179,9 @@ def ivfpq_train_encode(
         id_col="neighbor_id", vec_col="resid", normalize=False,
         train_sample=train_sample,
     )
-    return cent, books, ivfpq_encode(embeddings, cent, books, id_col, vec_col)
+    return cent, books, ivfpq_encode(
+        embeddings, cent, books, id_col, vec_col, carry_cols
+    )
 
 
 def ivfpq_encode(
@@ -1187,13 +1190,19 @@ def ivfpq_encode(
     books: "np.ndarray",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Encode vectors against FROZEN quantizers — one fused pass: cell
     assignment + residual + sub-codes from the raw vectors (re-joining
     codes to the cell column would duplicate the residual subtree — two
     corpus scans for what one map computes). Per-row deterministic given
     (cent, books), which is what lets an incrementally-built codes table
-    equal the one-shot build (pinned by the incremental-index tests)."""
+    equal the one-shot build (pinned by the incremental-index tests).
+
+    ``carry_cols`` rides small metadata columns (e.g. a label/tenant
+    key) on the codes rows so filtered searches can prune candidates in
+    the codes scan without ever touching the vector table."""
+    carry = list(carry_cols or [])
 
     def encode_with_cell(batches):
         for pdf in batches:
@@ -1201,16 +1210,21 @@ def ivfpq_encode(
             v /= np.linalg.norm(v, axis=1, keepdims=True)
             cells = np.argmax(v @ cent.T, axis=1)
             cc = _assign_codes(v - cent[cells], books)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cell": cells.astype(np.int32),
-                    "codes": list(cc),
-                }
-            )
+            out = {
+                "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "cell": cells.astype(np.int32),
+                "codes": list(cc),
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        encode_with_cell, "neighbor_id long, cell int, codes array<int>"
+    schema = "neighbor_id long, cell int, codes array<int>"
+    if carry:
+        types = dict(embeddings.dtypes)
+        schema += "".join(f", {c} {types[c]}" for c in carry)
+    return embeddings.select(id_col, vec_col, *carry).mapInPandas(
+        encode_with_cell, schema
     )
 
 
@@ -1224,6 +1238,7 @@ def ivfpq_adc_candidates(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: "str | None" = None,
 ) -> DataFrame:
     """The corpus-sized half of an IVF-PQ search: ADC-score the codes
     table against the (broadcast-sized) query set and reduce to the
@@ -1232,10 +1247,21 @@ def ivfpq_adc_candidates(
     by test over this function's plan, since the downstream rerank
     checkpoint truncates the visible lineage). Returns
     (query_id, neighbor_id); ``ivfpq_search`` composes this with the
-    shared exact rerank."""
+    shared exact rerank.
+
+    ``filter_col`` (carried on BOTH the codes rows — see
+    ``ivfpq_encode(carry_cols=...)`` — and the query frame) makes this a
+    FILTERED search: within each probed cell a query scores only the
+    rows whose value equals its own, so the top-(k*rerank) cut is taken
+    over eligible candidates — pre-filter semantics, not a post-filter
+    that under-fills k. NULL filter values match nothing (SQL
+    equality)."""
     m = books.shape[0]
 
-    q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
+    q_cols = [id_col, vec_col] + ([filter_col] if filter_col else [])
+    q_rows = queries.select(*q_cols).collect()  # broadcast-sized
+    if filter_col:
+        q_rows = [r for r in q_rows if r[2] is not None]
     if not q_rows:
         return codes.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long"
@@ -1243,6 +1269,7 @@ def ivfpq_adc_candidates(
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qfil = [r[2] for r in q_rows] if filter_col else None
     sub_dim = Q.shape[1] // m
     luts = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, sub_dim), books)
     # probe map: cell -> [(query_idx, q . c_cell offset), ...]
@@ -1251,16 +1278,20 @@ def ivfpq_adc_candidates(
     for qi in range(len(qids)):
         for c in np.argsort(-qc[qi])[:nprobe]:
             probe.setdefault(int(c), []).append((qi, float(qc[qi, c])))
-    bc = codes.sparkSession.sparkContext.broadcast((qids, luts, probe))
+    bc = codes.sparkSession.sparkContext.broadcast((qids, luts, probe, qfil))
     take = max(k + 1, k * rerank)
     sub_idx = np.arange(m)
+    scan_cols = ["neighbor_id", "cell", "codes"] + (
+        [filter_col] if filter_col else []
+    )
 
     def adc_scan(batches):
-        b_qids, b_luts, b_probe = bc.value
+        b_qids, b_luts, b_probe, b_qfil = bc.value
         for pdf in batches:
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             cells = pdf["cell"].to_numpy(dtype=np.int64)
             c = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            fvals = pdf[filter_col].to_numpy() if b_qfil is not None else None
             acc: dict[int, tuple[list, list]] = {}
             for cell, plist in b_probe.items():
                 mask = cells == cell
@@ -1269,12 +1300,20 @@ def ivfpq_adc_candidates(
                 rows = np.nonzero(mask)[0]
                 sub_codes = c[rows]
                 sub_ids = ids[rows]
+                sub_f = fvals[rows] if fvals is not None else None
                 for qi, offset in plist:
+                    if sub_f is not None:
+                        fmask = sub_f == b_qfil[qi]
+                        if not fmask.any():
+                            continue
+                        q_codes, q_ids = sub_codes[fmask], sub_ids[fmask]
+                    else:
+                        q_codes, q_ids = sub_codes, sub_ids
                     scores = offset + b_luts[qi][
-                        sub_idx[None, :], sub_codes
+                        sub_idx[None, :], q_codes
                     ].sum(axis=1)
                     qa = acc.setdefault(qi, ([], []))
-                    qa[0].append(sub_ids)
+                    qa[0].append(q_ids)
                     qa[1].append(scores)
             out_q, out_n, out_s = [], [], []
             for qi, (id_parts, sc_parts) in acc.items():
@@ -1301,7 +1340,7 @@ def ivfpq_adc_candidates(
                     }
                 )
 
-    local = codes.mapInPandas(
+    local = codes.select(*scan_cols).mapInPandas(
         adc_scan, "query_id long, neighbor_id long, adc_score double"
     )
     w_adc = W.partitionBy("query_id").orderBy(
@@ -1326,14 +1365,18 @@ def ivfpq_search(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: "str | None" = None,
 ) -> DataFrame:
     """IVF-PQ search over a built (or loaded) index: the ADC candidate
     scan (``ivfpq_adc_candidates``) reads ONLY the codes table —
     ``embeddings`` is touched exclusively by the broadcast-sized exact
     rerank of candidates (and never by the scan, which is the point of
-    storing codes)."""
+    storing codes). With ``filter_col`` (carried on the codes rows) the
+    candidate cut respects the query's filter value, and the rerank
+    inherits the filter through the candidate set."""
     cand = ivfpq_adc_candidates(
-        codes, cent, books, queries, k, nprobe, rerank, id_col, vec_col
+        codes, cent, books, queries, k, nprobe, rerank, id_col, vec_col,
+        filter_col,
     )
     return _exact_rerank(cand, embeddings, queries, k, id_col, vec_col)
 
@@ -1402,18 +1445,20 @@ def ivfpq_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+    carry_cols: "list[str] | None" = None,
 ) -> None:
     """Persist an IVF-PQ index: the codes table as parquet REPARTITIONED
     BY CELL (searches prune whole files by the probed cells' min/max
     stats) plus the config-sized quantizer tensors as .npy next to it.
     Built once per corpus version; every search then reads codes — at
     m=8 sub-codes a fraction of the vector bytes — instead of
-    re-encoding the corpus in-plan."""
+    re-encoding the corpus in-plan. ``carry_cols`` rides filter
+    metadata (label/tenant) on the codes rows for filtered serving."""
     import os
 
     cent, books, codes = ivfpq_train_encode(
         embeddings, n_cells, m, ksub, lloyd_iters, id_col, vec_col,
-        train_sample,
+        train_sample, carry_cols,
     )
     if cent is None:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")
@@ -1437,18 +1482,30 @@ def ivfpq_topk_from_index(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: "str | None" = None,
 ) -> DataFrame:
     """Serve IVF-PQ searches from a persisted index (``ivfpq_write_index``):
     identical results to the in-plan ``ivfpq_topk`` (training is
     deterministic, so a rebuilt index encodes the same codes — pinned in
     tests), but the corpus-sized work is ONE parquet scan of the codes
-    table; vectors are read only for the candidate rerank."""
+    table; vectors are read only for the candidate rerank. With
+    ``filter_col`` (the index must have been written with
+    ``carry_cols=[filter_col]``) this is filtered vector search at the
+    index layer: the codes scan prunes by the query's filter value
+    BEFORE the candidate cut — never touching the vector table for
+    ineligible rows."""
     import os
 
     cent = np.load(os.path.join(path, "cent.npy"))
     books = np.load(os.path.join(path, "books.npy"))
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    if filter_col and filter_col not in codes.columns:
+        raise ValueError(
+            f"filtered serve needs {filter_col!r} carried on the index "
+            f"codes (ivfpq_write_index(carry_cols=[{filter_col!r}])); "
+            f"index at {path} has columns {codes.columns}"
+        )
     return ivfpq_search(
         codes, cent, books, embeddings, queries, k, nprobe, rerank,
-        id_col, vec_col,
+        id_col, vec_col, filter_col,
     )

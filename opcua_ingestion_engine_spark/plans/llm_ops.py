@@ -639,7 +639,15 @@ IVFPQ_INDEX_GEOMETRY = {"n_cells": 16, "m": 8, "ksub": 32,
 IVFPQ_SERVE = {"k": 5, "nprobe": 14, "rerank": 200}
 
 
-def ivfpq_index_path(sf_dir: str) -> str:
+# The filtered-serve index carries the label on every codes row (a few
+# bytes next to the m=8 sub-codes) so the candidate scan can prune by
+# the query's label without touching the vector table. Its own cache
+# tag: an unfiltered index lacks the carried column and must not be
+# served filtered (the serve refuses loudly).
+IVFPQ_FILTERED_GEOMETRY = {**IVFPQ_INDEX_GEOMETRY, "carry_cols": ("label",)}
+
+
+def ivfpq_index_path(sf_dir: str, geometry: dict | None = None) -> str:
     """Deterministic per-corpus index location OUTSIDE the repo tree.
     The cache tag fingerprints the SOURCE DATA (embeddings parquet
     mtime + size) as well as the path and geometry, so regenerating the
@@ -651,13 +659,14 @@ def ivfpq_index_path(sf_dir: str) -> str:
     import os
     import tempfile
 
+    geometry = IVFPQ_INDEX_GEOMETRY if geometry is None else geometry
     try:
         st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
         fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         fingerprint = "absent"
     tag = hashlib.md5(
-        f"{sf_dir}|{fingerprint}|{sorted(IVFPQ_INDEX_GEOMETRY.items())}".encode()
+        f"{sf_dir}|{fingerprint}|{sorted(geometry.items())}".encode()
     ).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/spark_graft_ivfpq_{tag}"
 
@@ -682,6 +691,35 @@ def q_e3_ivfpq_from_index(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = S.ivfpq_topk_from_index(
         spark, path, emb, emb.filter(F.col("vec_id") < 10), **IVFPQ_SERVE
+    )
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
+@register(
+    "q_e3_filtered_ivfpq",
+    None,  # data-dependent quantizers — rows-only; same-label invariant
+    # + recall vs the exact filtered search pinned in pytest
+    "E3 (filtered deployment path) — label-filtered IVF-PQ served from a "
+    "persisted index whose codes rows CARRY the label: within each "
+    "probed cell a query ADC-scores only same-label rows, so the "
+    "k*rerank candidate cut is taken over eligible rows (pre-filter "
+    "semantics — a post-filter would under-fill k when the label is "
+    "selective) and the vector table is touched only by the already-"
+    "filtered rerank. The filtered-vector-search shape of pgvector/"
+    "Qdrant, at the index layer.",
+)
+def q_e3_filtered_ivfpq(spark, sf_dir):
+    import os
+
+    path = ivfpq_index_path(sf_dir, IVFPQ_FILTERED_GEOMETRY)
+    if not os.path.exists(os.path.join(path, "cent.npy")):
+        geo = dict(IVFPQ_FILTERED_GEOMETRY)
+        geo["carry_cols"] = list(geo["carry_cols"])
+        S.ivfpq_write_index(_emb(spark, sf_dir), path, **geo)
+    emb = _emb(spark, sf_dir)
+    out = S.ivfpq_topk_from_index(
+        spark, path, emb, emb.filter(F.col("vec_id") < 10),
+        filter_col="label", **IVFPQ_SERVE
     )
     return out.withColumnRenamed("rank", "nn_rank")
 

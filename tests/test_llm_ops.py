@@ -1240,3 +1240,62 @@ def test_filtered_topk_filters_before_search(spark):
     # NULL-labeled query: matches nothing, contributes no rows
     out2 = S.filtered_topk(emb, emb.filter(F.col("vec_id") == 99), k=5)
     assert out2.count() == 0
+
+
+def test_filtered_ivfpq_same_label_and_recall(spark):
+    """Filtered IVF-PQ from a label-carrying index: (1) every result
+    shares its query's label (pre-filter semantics at the index layer);
+    (2) recall@5 >= 0.9 vs the exact filtered search at the serving
+    geometry; (3) serving a filter from an index built WITHOUT the
+    carried column refuses loudly."""
+    import tempfile
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = C.load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    with tempfile.TemporaryDirectory() as d:
+        S.ivfpq_write_index(
+            emb, d, n_cells=16, m=8, ksub=32, train_sample=32768,
+            carry_cols=["label"],
+        )
+        got = S.ivfpq_topk_from_index(
+            spark, d, emb, queries, k=5, nprobe=14, rerank=200,
+            filter_col="label",
+        )
+        # (1) same-label invariant, checked relationally
+        lab = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        )
+        qlab = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+        )
+        viol = (
+            got.join(lab, "neighbor_id").join(qlab, "query_id")
+            .filter(F.col("n_label") != F.col("q_label"))
+        )
+        assert viol.count() == 0
+        # (2) recall vs exact filtered top-5
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.filtered_topk(emb, queries, k=5).collect()
+        }
+        have = {
+            (r["query_id"], r["neighbor_id"]) for r in got.collect()
+        }
+        assert want, "exact filtered search returned nothing"
+        recall = len(want & have) / len(want)
+        assert recall >= 0.9, recall
+
+    # (3) unfiltered index cannot serve a filtered search
+    with tempfile.TemporaryDirectory() as d2:
+        S.ivfpq_write_index(
+            emb, d2, n_cells=16, m=8, ksub=32, train_sample=32768
+        )
+        with pytest.raises(ValueError, match="carried"):
+            S.ivfpq_topk_from_index(
+                spark, d2, emb, queries, k=5, filter_col="label"
+            )

@@ -47,6 +47,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # the index parquet (not `embeddings`); the two embeddings scans are
     # the broadcast-sized query slice + the candidate-only rerank fetch
     "q_e3_ivfpq_from_index": (0, 0, {"embeddings": 2}),
+    # same serve shape over the label-carrying index (filter applied in
+    # the codes scan; rerank fetches only eligible candidates)
+    "q_e3_filtered_ivfpq": (0, 0, {"embeddings": 2}),
     # served from the incrementally-maintained versioned codes table —
     # same serve shape as from_index (query slice + candidate rerank)
     "q_e3_incremental_ann_index": (0, 0, {"embeddings": 2}),
