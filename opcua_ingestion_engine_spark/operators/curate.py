@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
 from .dedup import jaccard_pairs, minhash_neardup_pairs
 from .graph import connected_components
 from .text import quality_filter
@@ -134,4 +136,59 @@ def curate_corpus_clustered(
     chosen = reps.join(
         cluster_reps.select("doc_id"), "doc_id", "left_semi"
     )
+    return singles.unionByName(chosen).select("doc_id", "lang", "n_tokens")
+
+
+def curate_corpus_quality_rep(
+    docs: DataFrame,
+    text_col: str = "text",
+    near_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    candidates: str = "exact",
+) -> DataFrame:
+    """Quality-representative curation: identical stages to
+    ``curate_corpus_clustered``, but each near-dup cluster keeps its
+    HIGHEST-QUALITY member (stopword share of the E4 metrics — the same
+    signal ``datapipe.quality_topk_per_domain`` ranks by; a model score
+    column drops in unchanged), tie-broken by minimum doc_id. This is
+    the rule production pipelines actually want: min-id keeps whichever
+    near-dup happened to be crawled first, quality-rep keeps the
+    cleanest copy of the duplicated content.
+
+    Scale shape: unchanged through the pair list; the rep choice is one
+    row_number window over the (pair-graph-sized) component assignment
+    joined to the already-computed quality projection — no extra corpus
+    scan (the quality stage carries the score forward)."""
+    s1 = quality_filter(docs, text_col=text_col, extra=("lang", text_col))
+    reps = (
+        s1.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "n_tokens", "stopword_ratio")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.lang", "r.n_tokens", "r.stopword_ratio")
+        .localCheckpoint(eager=False)
+    )
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    pairs = _neardup_pairs(
+        survivors, text_col, near_threshold, max_doc_freq, candidates
+    )
+    comp = connected_components(pairs)  # (node, component); paired docs only
+    scored = comp.join(
+        reps.select("doc_id", "stopword_ratio"),
+        comp["node"] == F.col("doc_id"),
+    ).select("node", "component", "stopword_ratio")
+    w = W.partitionBy("component").orderBy(
+        F.desc("stopword_ratio"), F.asc("node")
+    )
+    cluster_reps = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    singles = reps.join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    chosen = reps.join(cluster_reps, "doc_id", "left_semi")
     return singles.unionByName(chosen).select("doc_id", "lang", "n_tokens")

@@ -1016,6 +1016,84 @@ def q_e7_curation_clustered(spark, sf_dir):
 
 
 @register(
+    "q_e7_curation_quality_rep",
+    f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ({_SW_EN}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    ),
+    s1 AS (
+        SELECT * FROM m
+        WHERE n_tokens >= 20 AND mean_word_len <= 12.0
+          AND stopword_ratio >= 0.005 AND punct_ratio <= 0.2
+    ),
+    reps AS (
+        SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sha256(text)
+    ),
+    repsm AS (
+        SELECT s1.doc_id, s1.lang, s1.n_tokens, s1.stopword_ratio
+        FROM s1 JOIN reps USING (doc_id)
+    ),
+    sh AS (
+        SELECT d.doc_id, d.lang, {_sql_shingles()} AS sh
+        FROM documents d JOIN reps USING (doc_id)
+    ),
+    p AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) AS na, len(b.sh) AS nb
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u
+    ),
+    cluster_reps AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY r.stopword_ratio DESC, c.doc_id ASC
+                   ) AS rn
+            FROM comp c JOIN repsm r USING (doc_id)
+        ) WHERE rn = 1
+    )
+    SELECT r.doc_id, r.lang, r.n_tokens
+    FROM repsm r
+    WHERE r.doc_id IN (SELECT doc_id FROM cluster_reps)
+       OR r.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+    "[EXT] quality-representative curation: same stages as the clustered "
+    "mode, but each near-dup cluster keeps its HIGHEST-quality member "
+    "(stopword share, tie min doc_id) instead of the min-id one — keep "
+    "the cleanest copy of duplicated content, not the first-crawled "
+    "(operators/curate.curate_corpus_quality_rep)",
+)
+def q_e7_curation_quality_rep(spark, sf_dir):
+    from ..operators.curate import curate_corpus_quality_rep
+
+    return curate_corpus_quality_rep(_docs(spark, sf_dir))
+
+
+@register(
     "q_e7_curation_minhash",
     None,  # engine-native hashing in the LSH stage — rows-only; equality
     # with the exact mode on planted dups is pinned in pytest

@@ -1299,3 +1299,37 @@ def test_filtered_ivfpq_same_label_and_recall(spark):
             S.ivfpq_topk_from_index(
                 spark, d2, emb, queries, k=5, filter_col="label"
             )
+
+
+def test_quality_rep_keeps_cleanest_cluster_member(spark):
+    """Quality-representative curation: a near-dup cluster keeps its
+    highest-stopword-share member even when that is NOT the min doc_id;
+    ties fall back to min id (= the clustered mode's answer)."""
+    from opcua_ingestion_engine_spark.operators.curate import (
+        curate_corpus_clustered,
+        curate_corpus_quality_rep,
+    )
+
+    # base doc: prose-y, passes the quality gates; near-dup pair where
+    # the HIGHER id has more stopwords (higher quality signal)
+    low_q = ("the code " + " ".join(f"tok{i}" for i in range(30))
+             + " is of the and")
+    hi_q = ("the code " + " ".join(f"tok{i}" for i in range(30))
+            + " is of the and the for with")
+    other = "the quick brown fox " + " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, low_q, "en"), (2, hi_q, "en"), (9, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept_q = {r["doc_id"] for r in curate_corpus_quality_rep(docs).collect()}
+    kept_c = {r["doc_id"] for r in curate_corpus_clustered(docs).collect()}
+    assert kept_c == {1, 9}  # min-id rule keeps doc 1
+    assert kept_q == {2, 9}  # quality rule keeps the cleaner doc 2
+
+    # exact duplicates (identical text, equal quality) tie -> min id
+    docs2 = spark.createDataFrame(
+        [(5, low_q, "en"), (6, low_q, "en"), (9, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept2 = {r["doc_id"] for r in curate_corpus_quality_rep(docs2).collect()}
+    assert kept2 == {5, 9}

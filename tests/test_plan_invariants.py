@@ -97,6 +97,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
+    # same singles-anti + chosen-semi state-sized join pair as the
+    # clustered mode (AQE broadcast-converts both at runtime)
+    "q_e7_curation_quality_rep": (0, 2, {}),
     "q_e7_curation_pipeline": (0, 1, {}),
     # same state-sized reps-vs-drop anti join as the exact pipeline; the
     # LSH stage adds a second documents pass (signature + verify prune)
