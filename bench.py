@@ -52,6 +52,7 @@ HEADLINE = [
     "q_e7_curation_minhash",
     "q_e3_ann_cosine_topk",
     "q_e3_ivfpq_from_index",
+    "q_e3_filtered_ivfpq",
     "q_e3_incremental_ann_index",
     "q_e4_text_stats",
     "q_e6_timeseries_similarity",

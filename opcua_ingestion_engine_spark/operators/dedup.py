@@ -771,3 +771,140 @@ def apply_spans(
         F.concat_ws(" ", surviving).alias(text_col),
         (F.size("_w") - F.size(surviving)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def cross_corpus_neardup_pairs(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 32,
+    rows_per_band: int = 3,
+    max_bucket: int | None = None,
+    candidates: str = "minhash",
+) -> DataFrame:
+    """E2 (cross-corpus form) — (doc_a in A, doc_b in B) pairs with
+    word-n-gram Jaccard >= threshold. The DECONTAMINATION join: A is a
+    candidate training corpus, B a held-out benchmark / previous-run
+    reference; fuzzy overlap between them is exactly what train-on-test
+    leakage looks like after light paraphrase. Never a pair WITHIN
+    either corpus — only across. The two id namespaces are independent
+    (doc_a and doc_b may collide numerically).
+
+    ``candidates="exact"`` — two-sided inverted shingle index: each
+    side explodes to (doc, shingle) postings, the sides meet on the
+    SHINGLE key, |A∩B| per pair emerges from a groupBy (arrays never
+    ride through pair rows), jaccard = inter/(na+nb-inter) in double
+    over exact ints. The oracle/test-scale path — Theta(sum df_A*df_B)
+    once the shingle space saturates, same cliff as ``jaccard_pairs``.
+
+    ``candidates="minhash"`` (default) — the 100 TB path: per-side
+    MinHash signatures (identical permutations, so equal texts get
+    equal signatures across sides), banded buckets joined ACROSS sides
+    only (an A-bucket meets a B-bucket on (band, bucket); in-corpus
+    pairs are structurally impossible), then exact-Jaccard verify on
+    the candidate set — no false positives, recall follows the band
+    S-curve. ``max_bucket`` skips (band,bucket) groups larger than the
+    cap on EITHER side before the cross join (the A x B in-bucket
+    product is the blowup to bound); planted-pair recall under the cap
+    is pinned in tests.
+    """
+    shingle_expr = F.array_distinct(word_ngrams(F.col(text_col), n))
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", shingle_expr.alias("shingles"))
+
+    if candidates == "exact":
+        def _post(df: DataFrame, tag: str) -> DataFrame:
+            return _sh(df).select(
+                F.col("doc_id").alias(f"doc_{tag}"),
+                F.explode("shingles").alias("sh"),
+                F.size("shingles").alias(f"n_{tag}"),
+            )
+
+        joined = _post(docs_a, "a").join(_post(docs_b, "b"), "sh")
+        agg = joined.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("inter"),
+            F.max("n_a").alias("na"),
+            F.max("n_b").alias("nb"),
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        )
+        return (
+            agg.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    if candidates != "minhash":
+        raise ValueError(
+            f"candidates must be 'exact' or 'minhash', got {candidates!r}"
+        )
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"band geometry {bands}x{rows_per_band} needs "
+            f"{bands * rows_per_band} hashes, got num_hashes={num_hashes}"
+        )
+
+    def _buckets(df: DataFrame, tag: str) -> DataFrame:
+        bb = banded_buckets(
+            minhash_signatures(_sh(df), num_hashes), bands, rows_per_band
+        )
+        if max_bucket is not None:
+            sizes = bb.groupBy("band", "bucket").agg(
+                F.count("*").alias("_sz")
+            ).filter(F.col("_sz") <= max_bucket).drop("_sz")
+            bb = bb.join(sizes, ["band", "bucket"], "left_semi")
+        return bb.select(
+            F.col("doc_id").alias(f"doc_{tag}"), "band", "bucket"
+        )
+
+    cand = (
+        _buckets(docs_a, "a")
+        .join(_buckets(docs_b, "b"), ["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _needed_sh(df: DataFrame, tag: str) -> DataFrame:
+        ids = cand.select(F.col(f"doc_{tag}").alias("doc_id")).distinct()
+        return df.join(F.broadcast(ids), "doc_id", "left_semi").select(
+            F.col("doc_id").alias(f"doc_{tag}"),
+            shingle_expr.alias(f"sh_{tag}"),
+        )
+
+    verified = (
+        cand.join(_needed_sh(docs_a, "a"), "doc_a")
+        .join(_needed_sh(docs_b, "b"), "doc_b")
+    )
+    return (
+        verified.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket: int | None = None,
+    candidates: str = "minhash",
+) -> DataFrame:
+    """E8-grade decontamination against a REFERENCE corpus: drop every
+    doc whose text near-duplicates (word-n-gram Jaccard >= threshold)
+    any reference doc — the fuzzy complement of the exact-n-gram
+    ``contamination_flags``, catching paraphrased/lightly-edited
+    benchmark leakage that exact gram matching misses. Returns the
+    surviving ``docs`` rows unchanged."""
+    pairs = cross_corpus_neardup_pairs(
+        docs, reference, text_col=text_col, threshold=threshold, n=n,
+        max_bucket=max_bucket, candidates=candidates,
+    )
+    hit = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+    return docs.join(F.broadcast(hit), "doc_id", "left_anti")

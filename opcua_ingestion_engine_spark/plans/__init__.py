@@ -37,12 +37,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_s8_default_injection",
     "q_x1_slope_intercept",
     # LLM-pipeline operators E1-E7. Round-6 rotation (per the round-5
-    # verdict): multi-round-green members step out (exact_dedup,
-    # dedup_clusters, embedding_neardup, repetition, pii_redact,
-    # token_entropy, contamination, split_assignment, stratified_sample,
-    # epoch_expand, curation_pipeline — all stay oracle-parity-tested in
-    # pytest); the never-driver-checked round-5 table-layer + durable-sink
-    # families step in for their first driver rows.
+    # verdict): multi-round-green members step out (dedup_clusters,
+    # embedding_neardup, repetition, pii_redact, token_entropy,
+    # contamination, split_assignment, stratified_sample, epoch_expand,
+    # curation_pipeline, global_shuffle, quality_topk — all stay
+    # oracle-parity-tested in pytest); the never-driver-checked round-5
+    # table-layer + durable-sink families step in for their first driver
+    # rows. q_e1_exact_dedup stays as the E1 family representative
+    # (tests/test_registry_window.py pins one member per family).
+    "q_e1_exact_dedup",
     "q_e2_repeated_spans",
     "q_e2_span_trim",
     "q_e2_incremental_spans",
@@ -56,6 +59,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_e5_multimodal_meta",
     "q_e5_frame_sample",
     "q_e6_timeseries_similarity",
+    # E7 representative: the round-6 quality-rep mode (never checked).
+    "q_e7_curation_quality_rep",
     # Versioned-table layer (round-5 code, first driver exposure round 6).
     "q_tf_change_feed",
     "q_tf_change_feed_append",
@@ -95,8 +100,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_e8_incremental_corpus_build",
     "q_e8_durable_corpus_build",
     "q_e8_domain_mix",
-    "q_e8_global_shuffle",
-    "q_e8_quality_topk",
     "q_e8_split_leakage",
     # Core sample that was driver-green in round 2 (regression canaries).
     "q_a2_latest_per_key",

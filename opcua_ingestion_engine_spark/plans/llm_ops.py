@@ -156,6 +156,89 @@ def q_e2_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "q_e2_cross_corpus_neardup",
+    f"""
+    WITH a AS (
+        SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+        WHERE doc_id % 2 = 1
+    ),
+    b AS (
+        SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(a.sh) AS na, len(b.sh) AS nb
+        FROM a JOIN b ON len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    """,
+    "E2 (cross-corpus, exact path) — the decontamination join: near-dup "
+    "pairs ACROSS two corpora only (fixture stand-in: odd vs even "
+    "doc_ids), via a two-sided inverted shingle index — |A∩B| from a "
+    "groupBy on the shingle-keyed posting join, never doc-x-doc, no "
+    "within-corpus pairs. The scale mode is the banded-MinHash twin "
+    "(candidates='minhash'), pinned equal on planted dups in pytest.",
+)
+def q_e2_cross_corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.cross_corpus_neardup_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+        candidates="exact",
+    )
+
+
+@register(
+    "q_e2_decontaminate",
+    None,  # engine-native hashing in the LSH stage — rows-only; exact-
+    # vs-minhash planted equality pinned in pytest
+    "E8-grade fuzzy decontamination — drop every corpus doc whose text "
+    "near-duplicates (jaccard >= 0.5) any benchmark doc (fixture "
+    "stand-in: doc_id % 97 = 0), via the cross-corpus banded-MinHash "
+    "join + exact verify: catches paraphrased benchmark leakage the "
+    "exact-8-gram contamination flags miss",
+)
+def q_e2_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(corpus, bench).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_e2_incremental_decontaminate",
+    None,  # engine-native hashing — rows-only; union-equals-batch under
+    # any split + redelivery skip pinned in tests/test_streaming.py
+    "E8-grade decontamination, streaming form — the reference corpus's "
+    "signature index is built ONCE and frozen at sink construction; "
+    "each micro-batch signs only its own docs, meets the frozen "
+    "buckets, exact-verifies, and anti-joins its hits: drop "
+    "contaminated docs AS THEY ARRIVE, per-batch work O(batch)",
+)
+def q_e2_incremental_decontaminate(spark, sf_dir):
+    from ..streaming.decontam import StreamingDecontaminateSink
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    sink = StreamingDecontaminateSink(bench.select("doc_id", "text"))
+    for i in range(3):
+        sink.process_batch(
+            corpus.select("doc_id", "text").filter(F.col("doc_id") % 3 == i),
+            i,
+        )
+    return sink.kept.join(corpus, ["doc_id", "text"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
     "q_e2_minhash_neardup",
     None,  # engine-native hashing — rows-only; recall pinned in pytest
     "E2 (scale path) — MinHash-LSH: shingle -> 96-hash signature -> 32x3 "

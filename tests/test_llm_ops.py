@@ -1333,3 +1333,54 @@ def test_quality_rep_keeps_cleanest_cluster_member(spark):
     )
     kept2 = {r["doc_id"] for r in curate_corpus_quality_rep(docs2).collect()}
     assert kept2 == {5, 9}
+
+
+def test_cross_corpus_neardup_exact_equals_minhash_and_decontaminates(spark):
+    """Cross-corpus dedup: (1) exact and minhash modes find the same
+    planted cross-corpus near-dups (the 32x3 geometry detects jaccard
+    ~0.8 with P ~ 1-1e-10); (2) NO within-corpus pairs are ever
+    emitted; (3) decontaminate() drops exactly the hit docs; (4)
+    max_bucket caps the in-bucket cross product but keeps planted
+    pairs in small buckets."""
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " xx yy"  # ~0.9 jaccard
+    other = " ".join(f"u{i}" for i in range(40))
+    # corpus A: the near-dup + noise; corpus B: the benchmark original +
+    # noise; A also contains an exact pair WITHIN A (must NOT pair)
+    a_rows = [(1, near), (2, other), (3, other)]  # 2,3 identical in A
+    b_rows = [(10, base), (11, " ".join(f"v{i}" for i in range(40)))]
+    A = spark.createDataFrame(a_rows, "doc_id long, text string")
+    B = spark.createDataFrame(b_rows, "doc_id long, text string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.cross_corpus_neardup_pairs(
+            A, B, threshold=0.5, candidates="exact"
+        ).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.cross_corpus_neardup_pairs(
+            A, B, threshold=0.5, candidates="minhash"
+        ).collect()
+    }
+    assert exact == {(1, 10)}  # only the cross pair; (2,3) never emitted
+    assert mh == exact
+
+    kept = {r["doc_id"] for r in D.decontaminate(A, B).collect()}
+    assert kept == {2, 3}
+
+    # max_bucket=1: every bucket holding >1 doc on a side is skipped —
+    # the planted pair sits in singleton buckets, so it survives
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.cross_corpus_neardup_pairs(
+            A, B, threshold=0.5, candidates="minhash", max_bucket=1
+        ).collect()
+    }
+    assert capped == {(1, 10)}
+
+    with pytest.raises(ValueError, match="candidates"):
+        D.cross_corpus_neardup_pairs(A, B, candidates="nope")

@@ -762,7 +762,9 @@ def test_compact_collapses_append_dirs_without_losing_rows(spark, tmp_path):
     assert sorted(
         r["k"] for r in TF.read_version(spark, root).collect()
     ) == list(range(12))
-    assert TF.history(root)[-1]["app"] == {"compaction": True}
+    assert TF.history(root)[-1]["app"] == {
+        "compaction": True, "data_identical": True,
+    }
 
 
 def test_durable_rollup_restart_redelivery_and_crash(spark, tmp_path, monkeypatch):

@@ -38,6 +38,14 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     "q_e2_embedding_neardup": (1, 0, {"embeddings": 2}),
     "q_e2_embedding_neardup_lsh": (0, 0, {"embeddings": 2}),
     "q_e2_minhash_neardup": (0, 0, {"documents": 2}),
+    # cross-corpus decontamination join: the fixture table plays BOTH
+    # corpus roles (odd/even slices) — two scans by construction
+    "q_e2_cross_corpus_neardup": (0, 0, {"documents": 2}),
+    # corpus+bench signature passes collapse into the checkpointed
+    # candidate build; the serve side re-reads corpus for the pruned
+    # verify, bench for its verify slice, and corpus for the final
+    # anti join — 3 scans of the one fixture table playing two roles
+    "q_e2_decontaminate": (0, 0, {"documents": 3}),
     "q_e3_ivf_ann": (0, 0, {"embeddings": 2}),
     # codes scan + rerank vectors + query slice; deployed, the codes scan
     # reads a persisted compressed table instead of re-encoding in-plan

@@ -1180,3 +1180,52 @@ def test_incremental_heavy_hitters_failed_attempt_no_double_count(
     assert sink.sketch["alpha"] == 6
     got = {r["token"]: r["cnt"] for r in sink.result(0.2).collect()}
     assert got == {"alpha": 6, "beta": 6, "gamma": 6}
+
+
+def test_streaming_decontaminate_matches_batch_any_split(spark):
+    """Streaming decontamination: the union of per-batch survivors must
+    equal the one-shot dedup.decontaminate over the same docs for ANY
+    batch split (each doc's verdict depends only on the frozen
+    reference); redelivered batches are skipped; hits carry the
+    (doc, reference, jaccard) evidence."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.streaming.decontam import (
+        StreamingDecontaminateSink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    want = sorted(
+        r["doc_id"] for r in D.decontaminate(corpus, bench).collect()
+    )
+    # sanity: the fixtures actually contain cross hits (planted near-dups
+    # land on both sides of the %97 split often enough at smoke scale)
+    n_dropped = corpus.count() - len(want)
+
+    sink = StreamingDecontaminateSink(bench)
+    for i in range(4):
+        sink.process_batch(corpus.filter(F.col("doc_id") % 4 == i), i)
+    got = sorted(r["doc_id"] for r in sink.kept.collect())
+    assert got == want
+    assert sink.batches_seen == 4
+
+    # redelivery: same batch_id again — no duplicate survivor rows
+    sink.process_batch(corpus.filter(F.col("doc_id") % 4 == 0), 0)
+    assert sorted(r["doc_id"] for r in sink.kept.collect()) == want
+
+    # evidence rows agree with the dropped set
+    if n_dropped:
+        hit_ids = {r["doc_a"] for r in sink.hits.collect()}
+        assert hit_ids == set(
+            r["doc_id"] for r in corpus.collect()
+        ) - set(want)
+
+    # a different split converges to the same answer
+    sink2 = StreamingDecontaminateSink(bench)
+    for i in range(2):
+        sink2.process_batch(corpus.filter(F.col("doc_id") % 2 == i), i)
+    assert sorted(r["doc_id"] for r in sink2.kept.collect()) == want
