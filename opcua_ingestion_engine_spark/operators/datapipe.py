@@ -331,3 +331,49 @@ def pack_chunks(
         start,
         F.floor((cum - n_tok) / max_tokens).alias("chunk_id"),
     )
+
+
+def split_assign_cluster_safe(
+    docs: DataFrame,
+    salt: str = "split-v1",
+    train: float = 0.8,
+    val: float = 0.1,
+    threshold: float = 0.2,
+    n: int = 3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """E8 — LEAKAGE-FREE split assignment: the prevention half of the
+    ``split_leakage`` audit. Near-duplicate clusters (connected
+    components over the >= ``threshold`` pair graph) are assigned to
+    splits as UNITS — the bucket hash keys on the cluster REPRESENTATIVE
+    (the component's min doc_id; unpaired docs represent themselves), so
+    a near-dup pair straddling train/test is impossible by construction,
+    not merely audited after the fact.
+
+    ``pairs``: pass a precomputed (doc_a, doc_b, ...) pair frame — at
+    100 TB that is the banded-MinHash pair table the dedup stage already
+    produced; default derives the exact lang-blocked Jaccard pairs the
+    audit query uses (test/oracle scale). Determinism and stability
+    under corpus growth hold per CLUSTER: adding a doc never moves an
+    existing SINGLETON, and joining a cluster adopts the cluster's
+    assignment (its representative's hash) — exactly the semantics a
+    dedup-aware manifest wants."""
+    from .dedup import jaccard_pairs
+    from .graph import connected_components
+
+    if pairs is None:
+        pairs = jaccard_pairs(docs, threshold=threshold, n=n)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    keyed = docs.select("doc_id").join(comp, "doc_id", "left")
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    h = _bucket_hex(rep, salt)
+    t_train, t_val = frac_hex(train), frac_hex(train + val)
+    return keyed.select(
+        "doc_id",
+        F.when(h < t_train, F.lit("train"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

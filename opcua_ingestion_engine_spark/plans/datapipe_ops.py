@@ -108,6 +108,65 @@ def q_e8_contamination(spark, sf_dir):
 
 
 @register(
+    "q_e8_leakage_free_split",
+    f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i+1] || ' ' ||
+                              string_split(text, ' ')[i+2]))
+                    ELSE [text] END AS sh
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) AS na, len(b.sh) AS nb
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u
+    ),
+    keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5('{_SALT}' || ':' || CAST(rep AS VARCHAR)), 1, 4)
+                     < '{DP.frac_hex(0.8)}' THEN 'train'
+                WHEN substr(md5('{_SALT}' || ':' || CAST(rep AS VARCHAR)), 1, 4)
+                     < '{DP.frac_hex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+    "E8 — LEAKAGE-FREE split assignment: the prevention half of the "
+    "split_leakage audit. Near-dup clusters (connected components over "
+    "the >= 0.2 Jaccard pair graph) are split as UNITS — the md5 bucket "
+    "keys on the cluster representative, so no near-dup pair can "
+    "straddle train/test by construction. Singletons hash exactly like "
+    "split_assignment; joining a cluster adopts its assignment.",
+)
+def q_e8_leakage_free_split(spark, sf_dir):
+    return DP.split_assign_cluster_safe(
+        _docs(spark, sf_dir), salt=_SALT, train=0.8, val=0.1, threshold=0.2
+    )
+
+
+@register(
     "q_e8_pack_chunks",
     """
     SELECT doc_id, lang,

@@ -406,3 +406,61 @@ def test_bpe_local_path_runs_constant_jobs(spark):
     # vocabulary the ratio is ~10,000x.
     assert n_local <= 6, n_local
     assert n_dist >= 50 and n_dist >= 8 * n_local, (n_local, n_dist)
+
+
+def test_cluster_safe_split_prevents_leakage(spark):
+    """The prevention half of the split-leakage audit: with near-dup
+    clusters split as units, ZERO pairs straddle splits — while the
+    plain id-hash split on the same corpus does leak; singletons keep
+    exactly their plain assignment; a doc joining a cluster adopts the
+    cluster's assignment."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+    from opcua_ingestion_engine_spark.operators.dedup import jaccard_pairs
+
+    # many planted near-dup pairs with far-apart ids (so the id hash
+    # usually separates at least one pair) + singleton noise
+    rows = []
+    for g in range(12):
+        base = " ".join(f"g{g}tok{i}" for i in range(30))
+        near = " ".join(f"g{g}tok{i}" for i in range(28)) + " zz qq"
+        rows.append((g + 1, base, "en"))
+        rows.append((1000 + g * 37, near, "en"))
+    rows += [(5000 + i, " ".join(f"n{i}w{j}" for j in range(30)), "en")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    assert pairs.count() == 12  # every planted pair found, no extras
+
+    def leaks(split_df):
+        sa = split_df.select(F.col("doc_id").alias("doc_a"),
+                             F.col("split").alias("split_a"))
+        sb = split_df.select(F.col("doc_id").alias("doc_b"),
+                             F.col("split").alias("split_b"))
+        return (
+            pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .count()
+        )
+
+    plain = DP.split_assign(docs, train=0.6, val=0.2)
+    safe = DP.split_assign_cluster_safe(docs, train=0.6, val=0.2,
+                                        threshold=0.2)
+    assert leaks(plain) > 0       # the audit fires on the id-hash split
+    assert leaks(safe) == 0       # impossible by construction
+
+    # singletons: identical assignment to the plain split
+    paired = {r["doc_a"] for r in pairs.collect()} | {
+        r["doc_b"] for r in pairs.collect()
+    }
+    plain_map = {r["doc_id"]: r["split"] for r in plain.collect()}
+    safe_map = {r["doc_id"]: r["split"] for r in safe.collect()}
+    for d, s in safe_map.items():
+        if d not in paired:
+            assert s == plain_map[d]
+
+    # cluster members share their REPRESENTATIVE's (min id) assignment
+    for r in pairs.collect():
+        assert safe_map[r["doc_a"]] == safe_map[r["doc_b"]]
+        assert safe_map[r["doc_b"]] == plain_map[min(r["doc_a"], r["doc_b"])]

@@ -95,6 +95,10 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # (both split sides share one scan — md5 projections are cheap and
     # identical, so Catalyst reuses the subtree)
     "q_e8_split_leakage": (0, 0, {"documents": 2}),
+    # docs LEFT JOIN the pair-graph-sized component map — the same
+    # O(state)-sized join class AQE broadcast-converts at runtime;
+    # two scans: the pair lineage + the id projection being assigned
+    "q_e8_leakage_free_split": (0, 1, {"documents": 2}),
     # counts pass (source column only, pruned) + ranked pass; the quota
     # denominator is a whole-frame window over the config-sized counts
     "q_e8_domain_mix": (0, 0, {"documents": 2}),
