@@ -468,14 +468,15 @@ def read_version(
     if prune:
         stats = manifest.get("stats") or {}
         dirs = [p for p in dirs if _keep_dir(stats.get(p), prune)]
-        if not dirs:
-            # every directory provably out of range — an empty frame in
-            # the table's committed schema (no parquet path to scan)
-            from pyspark.sql.types import StructType
+    if not dirs:
+        # every directory pruned out of range, or the version holds zero
+        # data directories (a full-table delete_where) — an empty frame
+        # in the table's committed schema (no parquet path to scan)
+        from pyspark.sql.types import StructType
 
-            return spark.createDataFrame(
-                [], StructType.fromJson(manifest["schema"])
-            )
+        return spark.createDataFrame(
+            [], StructType.fromJson(manifest["schema"])
+        )
     return spark.read.parquet(*[os.path.join(root, p) for p in dirs])
 
 
@@ -756,3 +757,248 @@ def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int
                     except OSError:
                         pass
     return removed
+
+
+def _split_affected(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    condition: str,
+    bounds: dict | None,
+    probe: bool,
+) -> tuple[list[str], list[str]]:
+    """Partition a manifest's data directories into (carried, touched)
+    for a predicate rewrite. Two cheap eliminations run before any
+    rewrite I/O:
+
+    1. **Stats disjointness** (driver-side, free): a directory whose
+       recorded footer [min,max] proves no overlap with ``bounds`` (the
+       caller's over-approximation of where matching rows can live,
+       same shape as ``read_version(prune=)``) cannot contain a match.
+    2. **Existence probe** (optional, one column-pruned LIMIT-1 scan per
+       surviving candidate): a candidate directory with zero matching
+       rows is carried by reference instead of rewritten. Catalyst
+       prunes the scan to the predicate's columns and stops at the
+       first match, so the probe reads metadata + a few pages, not the
+       directory.
+
+    Missing stats always land in the candidate set — elimination is an
+    optimization, never a filter."""
+    stats = manifest.get("stats") or {}
+    carried: list[str] = []
+    touched: list[str] = []
+    for p in _data_list(manifest):
+        if bounds and not _keep_dir(stats.get(p), bounds):
+            carried.append(p)
+            continue
+        if probe:
+            cand = spark.read.parquet(os.path.join(root, p))
+            if cand.where(F.expr(condition)).limit(1).count() == 0:
+                carried.append(p)
+                continue
+        touched.append(p)
+    return carried, touched
+
+
+def _commit_rewrite_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    rewrite_fn,
+    bounds: dict | None,
+    probe: bool,
+    app: dict | None,
+    max_retries: int,
+    op: str,
+) -> int:
+    """Shared core of ``delete_where``/``update_where``: rewrite ONLY the
+    data directories that can contain predicate matches; every other
+    directory is carried into the new manifest BY REFERENCE (its stats
+    carried verbatim — those files are immutable). This is the file-level
+    rewrite discipline of a Delta DELETE/UPDATE: at 100 TB a keyed delete
+    against an append-built, id-clustered table touches the handful of
+    directories whose footer ranges intersect the predicate, decided
+    driver-side from one small manifest JSON, while the table's other
+    terabytes are not read, not shuffled, and not rewritten.
+
+    On losing the manifest CAS the whole split/rewrite REBASES onto the
+    new latest version (same protocol as ``commit_append``) — a racing
+    append's rows land in the candidate set of the retry and are
+    correctly deleted/updated if they match."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        carried, touched = _split_affected(
+            spark, root, pm, condition, bounds, probe
+        )
+        if not touched:
+            # no directory can contain a match: the table is unchanged —
+            # report the parent version rather than committing a no-op
+            return parent
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        rewritten = rewrite_fn(
+            spark.read.parquet(*[os.path.join(root, p) for p in touched])
+        )
+        committed = [
+            (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
+        ]
+        produced = [
+            (f_["name"], f_["type"])
+            for f_ in rewritten.schema.jsonValue()["fields"]
+        ]
+        if committed != produced:
+            raise ValueError(
+                f"{op} must preserve the committed schema; "
+                f"committed={committed} produced={produced}"
+            )
+        data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
+        rewritten.write.mode("overwrite").parquet(data_dir)
+        rel = os.path.relpath(data_dir, root)
+        data_list = list(carried)
+        try:
+            has_rows = any(
+                n.endswith(".parquet") for n in os.listdir(data_dir)
+            )
+        except OSError:
+            has_rows = False
+        if has_rows:
+            data_list.append(rel)
+        else:
+            # every row of every touched directory was deleted — an empty
+            # write may emit no parquet files at all, which a later read
+            # of the directory list could not infer a schema from
+            shutil.rmtree(data_dir, ignore_errors=True)
+        stats = {
+            p: s
+            for p, s in (pm.get("stats") or {}).items()
+            if p in set(carried)
+        }
+        if has_rows:
+            stats[rel] = _dir_stats(root, rel)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "data": data_list,
+            "schema": pm["schema"],
+            "app": {
+                "op": op,
+                "predicate": condition,
+                "carried_dirs": len(carried),
+                "rewritten_dirs": len(touched),
+                **(app or {}),
+            },
+            "stats": stats,
+        }
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            if has_rows:
+                shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # lost — rebase the split and rewrite
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"{op} lost the manifest CAS {max_retries} times at {root} — "
+        "writer contention is pathological; raise max_retries or "
+        "serialize writers upstream"
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    bounds: dict | None = None,
+    probe: bool = True,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Predicate DELETE as a new table version: rows matching the SQL
+    boolean expression ``condition`` are removed; only directories that
+    can contain matches are rewritten (see ``_commit_rewrite_where``),
+    the rest ride along by reference. The reference's delete-shaped op
+    is the bulk reset (``Services/OpcSubscribeService.cs`` UPDATE-all /
+    row removal via EF); on Spark the natural form is Delta's DELETE
+    FROM — copy-on-write at directory granularity, time travel keeps
+    the pre-delete snapshot readable.
+
+    ``bounds={col: (lo, hi)}`` is an over-approximation of where
+    matching rows can live (one/both ends may be None). It must be
+    conservative: a directory outside ``bounds`` is assumed match-free
+    without reading it. When in doubt pass no bounds — the existence
+    probe still skips rewriting match-free directories, at one LIMIT-1
+    scan each.
+
+    A delete commit deliberately does NOT extend its parent's directory
+    list, so ``table_changes`` ranges spanning it fall back to the keyed
+    endpoint diff (pass-through would silently re-insert deleted rows).
+
+    Returns the new version, or the UNCHANGED parent version when no
+    directory can contain a match (a no-op delete commits nothing)."""
+    return _commit_rewrite_where(
+        spark, root, condition,
+        lambda df: df.where(~F.expr(condition) | F.expr(condition).isNull()),
+        bounds, probe, app, max_retries, "delete_where",
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    bounds: dict | None = None,
+    probe: bool = True,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Predicate UPDATE as a new table version: for rows matching
+    ``condition``, each column in ``set_exprs`` is replaced by its SQL
+    expression (evaluated against the row, so ``{"value": "value * 2"}``
+    works); non-matching rows and untouched directories are carried
+    unchanged. The SET result is cast back to the column's committed
+    type — an UPDATE can never evolve the schema. Same directory-level
+    copy-on-write, bounds/probe elimination, CAS+rebase, and
+    change-feed behavior as ``delete_where``."""
+    for c in set_exprs:
+        if "." in c:
+            raise ValueError(f"update_where cannot SET nested field {c!r}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        missing = [c for c in set_exprs if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"update_where SET columns not in table: {missing}"
+            )
+        cond = F.expr(condition)
+        out = df
+        for c, e in set_exprs.items():
+            out = out.withColumn(
+                c,
+                F.when(cond, F.expr(e).cast(df.schema[c].dataType))
+                .otherwise(F.col(c)),
+            )
+        return out.select(*df.columns)
+
+    return _commit_rewrite_where(
+        spark, root, condition, _apply,
+        bounds, probe, app, max_retries, "update_where",
+    )

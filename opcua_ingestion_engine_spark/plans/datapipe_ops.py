@@ -1048,3 +1048,130 @@ def q_tf_incremental_view(spark, sf_dir):
         "n",
         F.col("sum_o_totalprice").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "q_tf_delete_where",
+    """
+    WITH s AS (SELECT max(o_orderkey) // 3 + 1 AS step FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders, s
+    WHERE NOT (o_orderkey BETWEEN s.step AND 2 * s.step - 1
+               AND o_totalprice >= 150000.0)
+    GROUP BY o_orderstatus
+    """,
+    "Predicate DELETE on the versioned-table layer — orders committed "
+    "as three append batches of contiguous o_orderkey ranges, then "
+    "delete_where removes the expensive orders of the MIDDLE key range "
+    "with bounds={o_orderkey: range}: the manifest's footer stats prove "
+    "the first and last directories disjoint driver-side, so they ride "
+    "into the new version BY REFERENCE (copy-on-write at directory "
+    "granularity, the Delta DELETE discipline — at 100 TB a key-ranged "
+    "delete rewrites the intersecting directories, not the table). The "
+    "oracle is the NOT(predicate) aggregate over the plain table; the "
+    "query also asserts the carried/rewritten split it claims.",
+)
+def q_tf_delete_where(spark, sf_dir):
+    import json
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    step = hi // 3 + 1
+    root = scratch_root("tf_delete")
+    for i in range(3):
+        TF.commit_append(
+            orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            ),
+            root,
+        )
+    v = TF.delete_where(
+        spark,
+        root,
+        f"o_orderkey BETWEEN {step} AND {2 * step - 1} "
+        "AND o_totalprice >= 150000.0",
+        bounds={"o_orderkey": (step, 2 * step - 1)},
+    )
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    # the stats-pruned split is part of the contract, not just the answer
+    assert m["app"]["carried_dirs"] == 2 and m["app"]["rewritten_dirs"] == 1
+    return (
+        TF.read_version(spark, root, v)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "q_tf_update_where",
+    """
+    WITH s AS (SELECT max(o_orderkey) // 2 + 1 AS cut FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(
+               CASE WHEN o_orderkey >= s.cut AND o_orderstatus = 'F'
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders, s
+    GROUP BY o_orderstatus
+    """,
+    "Predicate UPDATE on the versioned-table layer — orders committed "
+    "as two contiguous-key append batches, then update_where raises "
+    "o_totalprice for the high key range's 'F' orders with "
+    "bounds={o_orderkey: (cut, None)}: the low directory is carried by "
+    "reference (stats-proven disjoint), only the high directory is "
+    "rewritten, and the SET result is cast back to the committed column "
+    "type so the schema cannot drift. Oracle: the equivalent CASE WHEN "
+    "recompute over the plain table.",
+)
+def q_tf_update_where(spark, sf_dir):
+    import json
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    cut = hi // 2 + 1
+    root = scratch_root("tf_update")
+    TF.commit_append(orders.filter(F.col("o_orderkey") < cut), root)
+    TF.commit_append(orders.filter(F.col("o_orderkey") >= cut), root)
+    v = TF.update_where(
+        spark,
+        root,
+        f"o_orderkey >= {cut} AND o_orderstatus = 'F'",
+        {"o_totalprice": "o_totalprice + 1000.0"},
+        bounds={"o_orderkey": (cut, None)},
+    )
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert m["app"]["carried_dirs"] == 1 and m["app"]["rewritten_dirs"] == 1
+    return (
+        TF.read_version(spark, root, v)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -1608,3 +1608,187 @@ def test_durable_rollup_post_commit_failure_no_double_merge(
     sink2.process_batch(wave1, 1)  # retry: no re-merge, snapshot refreshed
     assert TF.latest_version(root2) == 1
     assert _rows(sink2.result()) == want
+
+
+def test_delete_where_rewrites_only_affected_dirs(spark, tmp_path):
+    """Predicate DELETE at directory granularity: bounds-disjoint dirs
+    and probe-verified match-free dirs are carried BY REFERENCE (same
+    rel path, stats verbatim); only matching dirs are rewritten; the
+    pre-delete snapshot stays time-travel readable; a no-op delete
+    commits nothing; NULL-condition rows are kept (SQL DELETE removes
+    only TRUE rows)."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "del")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 3, None)
+        .otherwise(F.col("id") % 5).alias("grp"),
+        (F.col("id") * 10).alias("v"),
+    )
+    TF.commit_append(mk(0, 10), root)     # k in [0,9]
+    TF.commit_append(mk(10, 20), root)    # k in [10,19]
+    TF.commit_append(mk(20, 30), root)    # k in [20,29]
+    with open(TF._manifest_path(root, 2)) as f:
+        before = json.load(f)
+
+    v = TF.delete_where(
+        spark, root, "k BETWEEN 12 AND 17", bounds={"k": (12, 17)}
+    )
+    assert v == 3
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    # dirs 0 and 2 carried by reference: identical rel paths + stats
+    carried = [p for p in TF._data_list(m) if p in TF._data_list(before)]
+    assert carried == [TF._data_list(before)[0], TF._data_list(before)[2]]
+    for p in carried:
+        assert m["stats"][p] == before["stats"][p]
+    assert m["app"]["op"] == "delete_where"
+    assert m["app"]["carried_dirs"] == 2 and m["app"]["rewritten_dirs"] == 1
+    got = _rows(TF.read_version(spark, root).select("k"))
+    assert got == [(i,) for i in range(30) if not (12 <= i <= 17)]
+    # time travel: the pre-delete snapshot is intact
+    assert TF.read_version(spark, root, 2).count() == 30
+
+    # probe elimination without bounds: predicate matches nothing in
+    # dirs 0/2, so only the rewritten middle dir is touched again
+    v2 = TF.delete_where(spark, root, "k = 11")
+    with open(TF._manifest_path(root, v2)) as f:
+        m2 = json.load(f)
+    assert m2["app"]["carried_dirs"] == 2 and m2["app"]["rewritten_dirs"] == 1
+    assert TF.read_version(spark, root).count() == 23
+
+    # no-op delete: nothing matches anywhere -> parent version returned,
+    # no new manifest committed
+    assert TF.delete_where(spark, root, "k = 999") == v2
+    assert TF.latest_version(root) == v2
+
+    # NULL condition rows are KEPT: grp is NULL for k%7==3; deleting
+    # grp=4 must not drop the NULL-grp rows
+    n_null = TF.read_version(spark, root).filter(
+        F.col("grp").isNull()
+    ).count()
+    TF.delete_where(spark, root, "grp = 4")
+    after = TF.read_version(spark, root)
+    assert after.filter(F.col("grp").isNull()).count() == n_null
+    assert after.filter(F.col("grp") == 4).count() == 0
+
+    # full-table delete -> empty frame in the committed schema
+    TF.delete_where(spark, root, "k >= 0 OR grp IS NULL")
+    empty = TF.read_version(spark, root)
+    assert empty.count() == 0 and empty.columns == ["k", "grp", "v"]
+
+
+def test_delete_where_feed_falls_back_to_keyed_diff(spark, tmp_path):
+    """A delete commit must NOT ride the change feed's append fast path
+    (pass-through would re-insert deleted rows): a range spanning it
+    falls back to the keyed endpoint diff and reports the deletions."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "delfeed")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 10), root)
+    TF.commit_append(mk(10, 20), root)
+    TF.delete_where(spark, root, "k < 5", bounds={"k": (None, 4)})
+    with pytest.raises(ValueError, match="keys"):
+        TF.table_changes(spark, root, 1, 2)
+    feed = TF.table_changes(spark, root, 1, 2, keys=["k"])
+    deleted = feed.filter(F.col(TF.CHANGE_TYPE_COL) == "delete")
+    assert _rows(deleted.select("k")) == [(i,) for i in range(5)]
+
+
+def test_update_where_preserves_schema_and_carries_dirs(spark, tmp_path):
+    """Predicate UPDATE: SET expressions apply only to matching rows,
+    results cast back to the committed column type (schema can never
+    evolve); untouched directories carried by reference; equals the
+    when/otherwise recompute over the pre-update snapshot."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "upd")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("tag"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+    )
+    TF.commit_append(mk(0, 10), root)
+    TF.commit_append(mk(10, 20), root)
+    expect = (
+        TF.read_version(spark, root)
+        .withColumn(
+            "v",
+            F.when(F.col("tag") == 1, F.col("v") * 2).otherwise(F.col("v")),
+        )
+    )
+    expect_rows = _rows(expect)
+
+    v = TF.update_where(
+        spark, root, "tag = 1", {"v": "v * 2"},
+        bounds=None,  # tag has stats in every dir; rely on the probe
+    )
+    got = TF.read_version(spark, root, v)
+    assert got.schema == expect.schema
+    assert _rows(got) == expect_rows
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert m["app"]["op"] == "update_where"
+    # both dirs contain tag=1 rows -> both rewritten, none carried
+    assert m["app"]["rewritten_dirs"] == 2 and m["app"]["carried_dirs"] == 0
+
+    # bounds-based carry on a fresh two-dir table (the first update
+    # collapsed the original dirs into one): update only the high-k dir
+    root2 = str(tmp_path / "upd2")
+    TF.commit_append(mk(0, 10), root2)
+    TF.commit_append(mk(10, 20), root2)
+    v2 = TF.update_where(
+        spark, root2, "k >= 15", {"tag": "9"}, bounds={"k": (15, None)}
+    )
+    with open(TF._manifest_path(root2, v2)) as f:
+        m2 = json.load(f)
+    assert m2["app"]["carried_dirs"] == 1 and m2["app"]["rewritten_dirs"] == 1
+    assert TF.read_version(spark, root2).filter(
+        (F.col("k") >= 15) & (F.col("tag") != 9)
+    ).count() == 0
+
+    # an int SET expr on a bigint column casts back (schema preserved);
+    # a SET on a column that doesn't exist raises
+    with pytest.raises(ValueError, match="not in table"):
+        TF.update_where(spark, root, "k = 0", {"nope": "1"})
+
+
+def test_delete_where_two_writers_rebase(spark, tmp_path):
+    """Losing the manifest CAS rebases the whole split/rewrite: a delete
+    racing a concurrent append lands AFTER it and still deletes the
+    racer's matching rows on retry."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "delrace")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 10), root)
+
+    real_latest = TF.latest_version
+    fired = {"done": False}
+
+    def racing_latest(r):
+        v = real_latest(r)
+        if not fired["done"]:
+            fired["done"] = True
+            TF.commit_append(mk(10, 20), r)  # racer appends k=10..19
+        return v
+
+    import unittest.mock as mock
+
+    with mock.patch.object(TF, "latest_version", side_effect=racing_latest):
+        v = TF.delete_where(spark, root, "k % 2 = 0")
+    # the delete rebased onto the racer's append: both its rows and the
+    # original rows are present, minus every even k
+    got = _rows(TF.read_version(spark, root, v).select("k"))
+    assert got == [(i,) for i in range(20) if i % 2 == 1]
