@@ -249,7 +249,11 @@ def _data_list(manifest: dict) -> list[str]:
 
 
 def commit_append(
-    df: DataFrame, root: str, max_retries: int = 20, app: dict | None = None
+    df: DataFrame,
+    root: str,
+    max_retries: int = 20,
+    app: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Append-structured commit: write ONLY ``df``'s rows as a new data
     directory and publish a manifest that lists the parent's data
@@ -263,8 +267,16 @@ def commit_append(
     the rewrite path; ``vacuum`` understands shared directories and
     never reclaims one still referenced by a retained manifest.
 
-    The appended frame must match the table's committed schema exactly
-    (an append cannot evolve the schema — that is a rewrite)."""
+    By default the appended frame must match the table's committed
+    schema exactly. With ``evolve=True`` the append may ADD new columns
+    and/or OMIT committed ones (Delta's ``mergeSchema`` append): the
+    manifest schema becomes the by-name union (committed order first,
+    new columns at the end, every added/omitted column forced nullable),
+    the manifest is marked ``evolved``, and readers resolve each data
+    directory against the union schema by name — rows written before a
+    column existed read as NULL, exactly like Delta/Iceberg schema
+    evolution. Name-matched columns must keep their committed type
+    (no type widening — that would require rewriting history)."""
     for _ in range(max_retries):
         parent = latest_version(root)
         if parent is None:
@@ -293,12 +305,49 @@ def commit_append(
             (f_["name"], f_["type"])
             for f_ in df.schema.jsonValue()["fields"]
         ]
+        schema_json = pm["schema"]
+        evolved = bool(pm.get("evolved"))
         if committed != appended:
-            raise ValueError(
-                "commit_append schema mismatch: appended frame must match "
-                "the committed table's column names and types (appends "
-                "cannot evolve the schema — use commit_version for a "
-                f"rewrite); committed={committed} appended={appended}"
+            if not evolve:
+                raise ValueError(
+                    "commit_append schema mismatch: appended frame must "
+                    "match the committed table's column names and types "
+                    "(pass evolve=True to add/omit columns, or use "
+                    "commit_version for a rewrite); "
+                    f"committed={committed} appended={appended}"
+                )
+            by_name = {f_["name"]: f_ for f_ in pm["schema"]["fields"]}
+            app_fields = df.schema.jsonValue()["fields"]
+            conflicts = [
+                (f_["name"], by_name[f_["name"]]["type"], f_["type"])
+                for f_ in app_fields
+                if f_["name"] in by_name
+                and by_name[f_["name"]]["type"] != f_["type"]
+            ]
+            if conflicts:
+                raise ValueError(
+                    "commit_append(evolve=True) cannot change a committed "
+                    "column's type (no type widening — that would require "
+                    f"rewriting history): {conflicts}"
+                )
+            app_names = {f_["name"] for f_ in app_fields}
+            new_fields = [
+                dict(f_, nullable=True)
+                for f_ in app_fields
+                if f_["name"] not in by_name
+            ]
+            merged = [
+                # a committed column the append omits reads NULL for the
+                # new rows, so it must be nullable from here on
+                dict(f_, nullable=True)
+                if f_["name"] not in app_names
+                else dict(f_)
+                for f_ in pm["schema"]["fields"]
+            ] + new_fields
+            schema_json = dict(pm["schema"], fields=merged)
+            evolved = evolved or bool(new_fields) or any(
+                f_["name"] not in app_names
+                for f_ in pm["schema"]["fields"]
             )
         version = parent + 1
         token = uuid.uuid4().hex[:8]
@@ -313,10 +362,15 @@ def commit_append(
             "version": version,
             "parent": parent,
             "data": _data_list(pm) + [rel],
-            "schema": pm["schema"],
+            "schema": schema_json,
             "app": app or {},
             "stats": stats,
         }
+        if evolved:
+            # directories under this manifest have heterogeneous file
+            # schemas — readers must resolve them by name against the
+            # union schema (read_version checks this flag)
+            manifest["evolved"] = True
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
@@ -477,7 +531,26 @@ def read_version(
         return spark.createDataFrame(
             [], StructType.fromJson(manifest["schema"])
         )
-    return spark.read.parquet(*[os.path.join(root, p) for p in dirs])
+    paths = [os.path.join(root, p) for p in dirs]
+    if manifest.get("evolved"):
+        # schema-evolved table: data directories have heterogeneous file
+        # schemas, so resolve every file by NAME against the manifest's
+        # union schema — columns a directory predates read as NULL
+        # (forced nullable so the read schema never over-promises)
+        return spark.read.schema(_evolved_read_schema(manifest)).parquet(
+            *paths
+        )
+    return spark.read.parquet(*paths)
+
+
+def _evolved_read_schema(manifest: dict):
+    """The manifest's union schema with every field forced nullable —
+    any directory may predate any column, so no column can promise
+    non-null across the whole union."""
+    from pyspark.sql.types import StructType
+
+    fields = [dict(f_, nullable=True) for f_ in manifest["schema"]["fields"]]
+    return StructType.fromJson(dict(manifest["schema"], fields=fields))
 
 
 CHANGE_TYPE_COL = "_change_type"
@@ -658,7 +731,9 @@ def table_changes(
         ]
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # schema-evolved appends may add/omit columns between steps;
+            # a tail that predates a column reports NULL for it
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     if keys is None:
@@ -670,6 +745,24 @@ def table_changes(
         )
     old = None if v_from is None else read_version(spark, root, v_from)
     new = read_version(spark, root, v_to)
+    if old is not None and old.columns != new.columns:
+        # schema evolution between the endpoints: align the OLD side to
+        # the new snapshot's column set (columns it predates read NULL)
+        # so the diff's struct comparison is well-typed — an old row
+        # whose new column stays NULL still compares equal
+        missing = [c for c in new.columns if c not in old.columns]
+        dropped = [c for c in old.columns if c not in new.columns]
+        if dropped:
+            raise ValueError(
+                f"table_changes at {root} v{v_from}..v{v_to}: the range "
+                f"drops columns {dropped} (a rewrite) — a keyed diff "
+                "cannot attribute changes for removed columns"
+            )
+        for c in missing:
+            old = old.withColumn(
+                c, F.lit(None).cast(dict(new.dtypes)[c])
+            )
+        old = old.select(*new.columns)
     return snapshot_diff(old, new, keys, commit_version=v_to)
 
 
@@ -843,9 +936,14 @@ def _commit_rewrite_where(
             return parent
         version = parent + 1
         token = uuid.uuid4().hex[:8]
-        rewritten = rewrite_fn(
-            spark.read.parquet(*[os.path.join(root, p) for p in touched])
-        )
+        touched_paths = [os.path.join(root, p) for p in touched]
+        if pm.get("evolved"):
+            source = spark.read.schema(_evolved_read_schema(pm)).parquet(
+                *touched_paths
+            )
+        else:
+            source = spark.read.parquet(*touched_paths)
+        rewritten = rewrite_fn(source)
         committed = [
             (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
         ]
@@ -896,6 +994,12 @@ def _commit_rewrite_where(
             },
             "stats": stats,
         }
+        if pm.get("evolved") and carried:
+            # carried directories keep their pre-evolution file schemas —
+            # the union-read contract must survive this commit (the
+            # rewritten tail alone is homogeneous, so a commit that
+            # carried nothing resets the flag)
+            manifest["evolved"] = True
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
