@@ -732,6 +732,162 @@ def embedding_neardup_lsh(
     )
 
 
+def _cell_assignment(
+    embeddings: DataFrame,
+    cent: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, unit vector, nearest cell, cosine to that cell's centroid) —
+    one Arrow-batched numpy matmul per batch, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell:int, cent_sim:double>")
+    def nearest(vecs: pd.Series) -> pd.DataFrame:
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        sims = v @ cent.T
+        cell = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype(np.int32),
+                "cent_sim": sims[np.arange(len(v)), cell],
+            }
+        )
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            unit_vector(F.col(vec_col)).alias("uvec"),
+        )
+        .withColumn("a", nearest(F.col("uvec")))
+        .select("vid", "uvec", "a.cell", "a.cent_sim")
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    eps: float = 0.45,
+    n_cells: int = 64,
+    lloyd_iters: int = 8,
+    max_cell: int = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+) -> DataFrame:
+    """E2 (SemDeDup candidate stage) — within-cluster semantic near-dup
+    pairs: cosine(a, b) >= eps, where candidates are generated ONLY
+    inside k-means cells (Abbas et al. 2023, "SemDeDup" — cluster the
+    corpus, search duplicates within clusters). The cluster count is the
+    scale knob: with n_cells ∝ corpus size the per-cell work stays
+    bounded and total candidate volume is ~n·(n/k) instead of n², while
+    true semantic duplicates (cosine near 1) virtually always share a
+    nearest centroid. ``n_cells=1`` degenerates to the exact all-pairs
+    form — the oracle/ground-truth twin.
+
+    Same single-shuffle shape as the LSH/minhash candidate stages: one
+    groupBy on the cell id, in-cell pairs via the collect_list
+    expansion, exact JVM-side cosine as the verify predicate (precision
+    1.0 by construction). Cells larger than ``max_cell`` are truncated
+    to their ``max_cell`` smallest ids (quadratic-corner guard, same
+    discipline as the simhash/minhash ``max_bucket`` caps — a cell that
+    big means n_cells is undersized for the corpus; raise it)."""
+    cent = _centroid_matrix(
+        embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
+    )
+    if cent is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long"
+        )
+    assigned = _cell_assignment(embeddings, cent, id_col, vec_col)
+    cells = (
+        assigned.groupBy("cell")
+        .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
+        .withColumn("ids", F.slice(F.col("ids"), 1, max_cell))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    cand = (
+        cells.select(F.explode(pairs).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(F.col("vid").alias("vec_a"), F.col("uvec").alias("a_vec"))
+    b = assigned.select(F.col("vid").alias("vec_b"), F.col("uvec").alias("b_vec"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(_dot(F.col("a_vec"), F.col("b_vec")) >= eps)
+        .select("vec_a", "vec_b")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.45,
+    n_cells: int = 64,
+    lloyd_iters: int = 8,
+    max_cell: int = 4000,
+    keep: str = "centroid_far",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+) -> DataFrame:
+    """E2 — SemDeDup: drop all but one member of every semantic-duplicate
+    group. Groups are connected components of the within-cell
+    cosine>=eps pair graph (``semantic_dedup_pairs``); the survivor per
+    group is picked by ``keep``:
+
+    - ``"centroid_far"`` (the paper's rule): the member with the LOWEST
+      cosine to its cluster centroid — of a redundant group, retain the
+      most atypical example to preserve diversity. Ties break to min id.
+    - ``"min_id"``: the smallest id — fully order-deterministic, the
+      rule the exact/minhash text-dedup paths use, and the form the SQL
+      oracle can reproduce.
+
+    Returns the surviving rows of ``embeddings`` unchanged. Vectors in
+    no pair are singletons and always survive."""
+    from .graph import connected_components
+
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"unknown keep rule {keep!r}")
+    pairs = semantic_dedup_pairs(
+        embeddings, eps, n_cells, lloyd_iters, max_cell,
+        id_col, vec_col, train_sample,
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    if keep == "min_id":
+        # the component label IS the min id — drop every other member
+        dropped = comp.filter(F.col("node") != F.col("component"))
+    else:
+        cent = _centroid_matrix(
+            embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
+        )
+        sims = _cell_assignment(embeddings, cent, id_col, vec_col).select(
+            F.col("vid").alias("node"), "cent_sim"
+        )
+        w = W.partitionBy("component").orderBy(
+            F.col("cent_sim").asc(), F.col("node").asc()
+        )
+        dropped = (
+            comp.join(sims, "node")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 1)
+        )
+    # no broadcast hint: on a duplicate-heavy corpus the dropped set is
+    # corpus-scale — let AQE pick the join strategy from its real size
+    return embeddings.join(
+        dropped.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def domain_diversity(
     embeddings: DataFrame,
     group_col: str = "label",

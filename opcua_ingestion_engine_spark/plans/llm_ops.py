@@ -522,6 +522,44 @@ def q_e2_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "q_e2_semantic_dedup",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < 400),
+    p AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+        UNION
+        SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON e2.u = r.u
+    ),
+    comp AS (SELECT u AS vec_id, min(lbl) AS component FROM reach GROUP BY u)
+    SELECT e.vec_id, e.label FROM e
+    WHERE e.vec_id NOT IN
+        (SELECT vec_id FROM comp WHERE vec_id <> component)
+    """,
+    "E2 — SemDeDup (Abbas et al. 2023): drop all but one member of every "
+    "semantic-duplicate component (cosine >= eps pair graph), exact mode "
+    "(n_cells=1, keep=min_id) over a capped slice so the recursive-CTE "
+    "oracle can reproduce it. The 100 TB mode is the same operator with "
+    "n_cells ∝ corpus size — candidates only within k-means cells "
+    "(~n·(n/k) work), paper keep-rule centroid_far — equality with this "
+    "exact form on planted duplicates is pinned in pytest.",
+)
+def q_e2_semantic_dedup(spark, sf_dir):
+    return S.semantic_dedup(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < 400),
+        eps=0.45,
+        n_cells=1,
+        keep="min_id",
+    ).select("vec_id", "label")
+
+
+@register(
     "q_e2_embedding_neardup_lsh",
     None,  # hyperplane buckets are engine-side numpy — rows-only; recall
     # vs the exact capped pair set pinned in pytest

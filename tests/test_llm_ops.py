@@ -1384,3 +1384,127 @@ def test_cross_corpus_neardup_exact_equals_minhash_and_decontaminates(spark):
 
     with pytest.raises(ValueError, match="candidates"):
         D.cross_corpus_neardup_pairs(A, B, candidates="nope")
+
+
+def test_semantic_dedup_exact_mode_and_keep_rules(spark):
+    """SemDeDup: n_cells=1 pair generation equals the exact all-pairs
+    form; min_id keeps the component label; centroid_far keeps the
+    member with the LOWEST centroid cosine; singletons always survive."""
+    import numpy as np
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = C.load_table(spark, SF_CORRECT, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_pairs(
+            emb, threshold=0.45, max_vecs=400
+        ).collect()
+    }
+    assert exact, "fixture should contain cosine>=0.45 pairs"
+    one_cell = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.semantic_dedup_pairs(emb, eps=0.45, n_cells=1).collect()
+    }
+    assert one_cell == exact
+
+    # constructed component: ids 0,1,2 mutually >= eps on a base→ortho
+    # arc; id 3 sits at the far end of the arc (90°, a singleton). The
+    # keep rule measures cosine to the member's CELL centroid (with
+    # n_cells=1: the global mean, pulled toward ortho by id 3), so the
+    # component member at t=0 — id 2 here — is the farthest-from-
+    # centroid member: centroid_far keeps 2 where min_id keeps 0.
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    base /= np.linalg.norm(base)
+    ortho = rng.randn(8)
+    ortho -= ortho @ base * base
+    ortho /= np.linalg.norm(ortho)
+
+    def mix(t):
+        v = np.cos(t) * base + np.sin(t) * ortho
+        return [float(x) for x in v]
+
+    rows = [
+        (0, mix(0.40)),
+        (1, mix(0.05)),
+        (2, mix(0.00)),   # farthest from the ortho-pulled global centroid
+        (3, [float(x) for x in ortho]),  # ~90 degrees away: singleton
+    ]
+    tiny = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    kept_min = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            tiny, eps=0.8, n_cells=1, keep="min_id", train_sample=None
+        ).collect()
+    )
+    assert kept_min == [0, 3]
+    kept_far = sorted(
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            tiny, eps=0.8, n_cells=1, keep="centroid_far", train_sample=None
+        ).collect()
+    )
+    assert kept_far == [2, 3]
+    with pytest.raises(ValueError, match="keep rule"):
+        S.semantic_dedup(tiny, keep="first")
+
+
+def test_semantic_dedup_clustered_recall_on_planted_dups(spark):
+    """The 100 TB mode (n_cells > 1): true semantic duplicates (cosine
+    ~0.99) land in the same k-means cell, so clustered candidate
+    generation finds them — precision 1.0 by construction (exact cosine
+    verify), recall >= 0.9 on planted high-cosine pairs, and the cell
+    cap degrades gracefully instead of erroring."""
+    import numpy as np
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    rng = np.random.RandomState(42)
+    rows = []
+    planted = set()
+    vid = 0
+    for g in range(12):
+        b = rng.randn(16)
+        b /= np.linalg.norm(b)
+        rows.append((vid, [float(x) for x in b]))
+        dup = b + rng.randn(16) * 0.02
+        dup /= np.linalg.norm(dup)
+        rows.append((vid + 1, [float(x) for x in dup]))
+        planted.add((vid, vid + 1))
+        vid += 2
+    for _ in range(60):  # filler vectors, no planted partner
+        v = rng.randn(16)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.semantic_dedup_pairs(
+            emb, eps=0.95, n_cells=1, train_sample=None
+        ).collect()
+    }
+    assert planted <= exact
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.semantic_dedup_pairs(
+            emb, eps=0.95, n_cells=6, train_sample=None
+        ).collect()
+    }
+    assert got <= exact  # precision 1.0
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, (recall, len(planted))
+
+    # cap guard: max_cell truncates a cell instead of blowing up
+    capped = S.semantic_dedup_pairs(
+        emb, eps=0.95, n_cells=1, max_cell=10, train_sample=None
+    )
+    assert {
+        (r["vec_a"], r["vec_b"]) for r in capped.collect()
+    } <= exact

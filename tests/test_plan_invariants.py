@@ -108,6 +108,11 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
+    # survivors = corpus ANTI JOIN the dropped-member map: pair-graph-
+    # sized right side the static planner can't size (checkpointed CC
+    # labels), AQE broadcast-converts at runtime; scans: the cell-
+    # assignment lineage + the surviving-row projection
+    "q_e2_semantic_dedup": (0, 1, {"embeddings": 2}),
     "q_e7_curation_clustered": (0, 2, {}),
     # same singles-anti + chosen-semi state-sized join pair as the
     # clustered mode (AQE broadcast-converts both at runtime)
