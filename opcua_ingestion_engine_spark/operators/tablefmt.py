@@ -1106,3 +1106,64 @@ def update_where(
         spark, root, condition, _apply,
         bounds, probe, app, max_retries, "update_where",
     )
+
+
+def restore(root: str, version: int, max_retries: int = 20,
+            app: dict | None = None) -> int:
+    """Delta-style RESTORE: make ``version``'s data the LIVE table again
+    by committing a NEW version that lists the target's data directories
+    BY REFERENCE — no data is read, copied, or rewritten (O(1) driver
+    metadata work regardless of table size), history is preserved (the
+    rolled-back versions stay time-travel readable until vacuum), and
+    the restore itself is just another manifest CAS, so it composes with
+    concurrent writers like any commit. The target manifest must still
+    be retained (not vacuumed) — its directories are guaranteed live
+    because vacuum only reclaims dirs no retained manifest references.
+
+    The restore manifest carries the target's schema, stats, and evolved
+    flag verbatim, plus ``app.restore_of`` for audit. A restore is a
+    rewrite-class step for the change feed (the directory list does not
+    extend the parent's), so ranges spanning it take the keyed diff —
+    pass-through would hide the rows the rollback removed."""
+    with open(_manifest_path(root, version)) as f:
+        tm = json.load(f)
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        if parent == version:
+            return parent  # restoring the live version is a no-op
+        new_version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        manifest = {
+            "version": new_version,
+            "parent": parent,
+            "data": _data_list(tm),
+            "schema": tm["schema"],
+            "app": {"restore_of": version, **(app or {})},
+            "stats": tm.get("stats") or {},
+        }
+        if tm.get("evolved"):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, new_version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost to a concurrent writer — retry on its child
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return new_version
+    raise RuntimeError(
+        f"restore lost the manifest CAS {max_retries} times at {root} — "
+        "writer contention is pathological; raise max_retries or "
+        "serialize writers upstream"
+    )

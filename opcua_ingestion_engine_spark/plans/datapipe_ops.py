@@ -1175,3 +1175,97 @@ def q_tf_update_where(spark, sf_dir):
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_tf_restore",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "Delta-style RESTORE — orders committed, a quarter of the keys "
+    "deleted, then restore() rolls the table back by committing a "
+    "manifest that lists the pre-delete version's data directories BY "
+    "REFERENCE: no data read, copied, or rewritten (O(1) metadata work "
+    "at any table size), history preserved. The oracle is the plain "
+    "aggregate over the untouched table — a restore must reproduce the "
+    "target snapshot exactly; the query also asserts the directory "
+    "list was reused verbatim.",
+)
+def q_tf_restore(spark, sf_dir):
+    import json
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = scratch_root("tf_restore")
+    TF.commit_version(orders, root)
+    TF.delete_where(spark, root, "o_orderkey % 4 = 0")
+    v = TF.restore(root, 0)
+    with open(TF._manifest_path(root, 0)) as f:
+        target = json.load(f)
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert TF._data_list(m) == TF._data_list(target)
+    return (
+        TF.read_version(spark, root, v)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_tf_schema_evolution",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+             AS n_with_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "Schema evolution on append commits — even keys committed WITHOUT "
+    "the o_orderpriority column, odd keys appended WITH it via "
+    "commit_append(evolve=True): the manifest schema becomes the "
+    "by-name union and read_version resolves every directory against "
+    "it, so pre-evolution rows read NULL for the new column (the Delta "
+    "mergeSchema discipline). Oracle: COUNT over a CASE that nulls the "
+    "column for exactly the pre-evolution rows.",
+)
+def q_tf_schema_evolution(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders")
+    root = scratch_root("tf_evolve")
+    TF.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        root,
+    )
+    TF.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        ),
+        root,
+        evolve=True,
+    )
+    return (
+        TF.read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+        )
+    )

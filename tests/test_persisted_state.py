@@ -1888,3 +1888,50 @@ def test_commit_append_schema_evolution(spark, tmp_path):
         m = json.load(f)
     assert not m.get("evolved")
     assert TF.read_version(spark, root).count() == 11
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """RESTORE: the rollback commit lists the target version's data dirs
+    BY REFERENCE (no rewrite — identical rel paths, stats verbatim),
+    history stays readable, restoring the live version is a no-op, the
+    feed treats it as a rewrite (keyed diff reports the resurrected
+    rows), and vacuum keeps the shared dirs alive."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "restore")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 10), root)          # v0
+    TF.commit_append(mk(10, 20), root)         # v1
+    TF.delete_where(spark, root, "k < 15")     # v2: only k 15..19 left
+    assert TF.read_version(spark, root).count() == 5
+
+    v = TF.restore(root, 1)                    # roll back the delete
+    assert v == 3
+    with open(TF._manifest_path(root, 1)) as f:
+        target = json.load(f)
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert TF._data_list(m) == TF._data_list(target)  # by reference
+    assert m["stats"] == target["stats"]
+    assert m["app"]["restore_of"] == 1
+    assert _rows(TF.read_version(spark, root).select("k")) == [
+        (i,) for i in range(20)
+    ]
+    # the delete snapshot is still time-travel readable
+    assert TF.read_version(spark, root, 2).count() == 5
+    # restoring the live version commits nothing
+    assert TF.restore(root, v) == v
+    assert TF.latest_version(root) == v
+
+    # feed across the restore: keyed diff reports the rows it brought back
+    feed = TF.table_changes(spark, root, 2, v, keys=["k"])
+    inserted = feed.filter(F.col(TF.CHANGE_TYPE_COL) == "insert")
+    assert inserted.count() == 15
+
+    # vacuum with the restore live never reclaims the shared dirs
+    TF.vacuum(root, keep=1, orphan_grace_s=0)
+    assert TF.read_version(spark, root).count() == 20
