@@ -1935,3 +1935,55 @@ def test_restore_is_metadata_only_rollback(spark, tmp_path):
     # vacuum with the restore live never reclaims the shared dirs
     TF.vacuum(root, keep=1, orphan_grace_s=0)
     assert TF.read_version(spark, root).count() == 20
+
+
+def test_matview_across_delete_where_and_update_where(spark, tmp_path):
+    """Integration pin: an incremental view refreshed across
+    delete_where/update_where commits equals a recompute from the final
+    snapshot — the predicate-rewrite commits feed the keyed diff the
+    view consumes (a delete that removes a group's stored max triggers
+    the affected-group recompute path)."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.matview import (
+        MaterializedAggView,
+    )
+
+    src = str(tmp_path / "mv_dw_src")
+    view = MaterializedAggView(
+        src,
+        str(tmp_path / "mv_dw_view"),
+        group_keys=["grp"],
+        sum_cols=["v"],
+        row_keys=["k"],
+        max_cols=["v"],
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 10).alias("v"),
+    )
+    TF.commit_append(mk(0, 30), src)
+    view.refresh(spark)
+    # delete each group's current maximum (k 27,28,29) plus some middles
+    TF.delete_where(spark, src, "k >= 27 OR k = 5", bounds={"k": (5, None)})
+    view.refresh(spark)
+    # update: shift values of grp 1 upward
+    TF.update_where(spark, src, "grp = 1", {"v": "v + 1000"})
+    view.refresh(spark)
+
+    final = TF.read_version(spark, src)
+    expect = _rows(
+        final.groupBy("grp").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    got = _rows(
+        view.result(spark).select(
+            "grp", "n",
+            F.col("sum_v").alias("sum_v"),
+            F.col("max_v").alias("max_v"),
+        )
+    )
+    assert got == expect
