@@ -1167,3 +1167,165 @@ def restore(root: str, version: int, max_retries: int = 20,
         "writer contention is pathological; raise max_retries or "
         "serialize writers upstream"
     )
+
+
+def commit_upsert(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    keys: list[str],
+    probe: bool = True,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Keyed MERGE with PARTIAL rewrite — the Delta MERGE INTO shape:
+    batch rows REPLACE same-key table rows (last-writer-wins, whole
+    row), unmatched batch rows insert. Unlike ``commit_merge`` (whose
+    merge_fn rewrites the WHOLE table every commit), only the data
+    directories that can contain a matched key are rewritten:
+
+    1. the batch's per-key-column [min, max] is computed once (one
+       small agg — the batch is commit-sized, not table-sized);
+    2. a directory whose footer stats prove it disjoint from the batch
+       range in ANY key column cannot hold a match (key equality is a
+       conjunction) — carried by reference, stats verbatim;
+    3. optionally each surviving candidate is probed with a LIMIT-1
+       broadcast semi join against the batch's key set — a match-free
+       candidate is carried too;
+    4. the touched directories are read once, matched keys anti-joined
+       out, the batch unioned on, and the result written as ONE new
+       tail directory.
+
+    Write amplification is O(touched dirs + batch), not O(table): an
+    upsert of recent keys against an id- or time-clustered 100 TB table
+    rewrites the handful of directories whose ranges intersect the
+    batch. CAS losses rebase the whole split (a racing append's rows
+    join the candidate set on retry). The reference's row-locked upsert
+    (``Services/OpcSubscribeService.cs:608-612``) is this operation with
+    one mutable table; ``commit_merge`` remains for merges that must
+    transform unmatched rows too.
+
+    An upsert commit does not extend the parent's directory list, so
+    change-feed ranges spanning it take the keyed endpoint diff. The
+    batch must match the committed schema (names/types); ``keys`` must
+    be unique within the batch (enforced) and within the table (the
+    invariant every upsert path maintains)."""
+    if not keys:
+        raise ValueError("commit_upsert requires at least one key column")
+    batch = batch.localCheckpoint(eager=True)  # stable across CAS retries
+    dup = (
+        batch.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    ).count()
+    if dup:
+        raise ValueError(
+            "commit_upsert batch has duplicate keys — resolve to one row "
+            "per key upstream (e.g. max_by a version column)"
+        )
+    agg = batch.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).collect()[0]
+    bounds = {k: (agg[f"lo_{k}"], agg[f"hi_{k}"]) for k in keys}
+    bkeys = batch.select(*keys)
+
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            v = _try_commit(batch, root, None, app)
+            if v is not None:
+                return v
+            continue
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        committed = [
+            (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
+        ]
+        produced = [
+            (f_["name"], f_["type"])
+            for f_ in batch.schema.jsonValue()["fields"]
+        ]
+        if committed != produced:
+            raise ValueError(
+                "commit_upsert batch must match the committed schema; "
+                f"committed={committed} batch={produced}"
+            )
+        stats = pm.get("stats") or {}
+        carried: list[str] = []
+        touched: list[str] = []
+        for p in _data_list(pm):
+            if not _keep_dir(stats.get(p), bounds):
+                carried.append(p)  # disjoint in some key column
+                continue
+            if probe:
+                cand = spark.read.parquet(os.path.join(root, p))
+                hit = (
+                    cand.join(F.broadcast(bkeys), keys, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if hit == 0:
+                    carried.append(p)
+                    continue
+            touched.append(p)
+        if touched:
+            if pm.get("evolved"):
+                old = spark.read.schema(_evolved_read_schema(pm)).parquet(
+                    *[os.path.join(root, p) for p in touched]
+                )
+            else:
+                old = spark.read.parquet(
+                    *[os.path.join(root, p) for p in touched]
+                )
+            tail = old.join(
+                F.broadcast(bkeys), keys, "left_anti"
+            ).unionByName(batch)
+        else:
+            tail = batch
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
+        tail.write.mode("overwrite").parquet(data_dir)
+        rel = os.path.relpath(data_dir, root)
+        new_stats = {p: s for p, s in stats.items() if p in set(carried)}
+        new_stats[rel] = _dir_stats(root, rel)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "data": carried + [rel],
+            "schema": pm["schema"],
+            "app": {
+                "op": "upsert",
+                "carried_dirs": len(carried),
+                "rewritten_dirs": len(touched),
+                **(app or {}),
+            },
+            "stats": new_stats,
+        }
+        if pm.get("evolved") and carried:
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # lost — rebase the split and rewrite
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"commit_upsert lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )

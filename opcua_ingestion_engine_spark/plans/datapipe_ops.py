@@ -1269,3 +1269,78 @@ def q_tf_schema_evolution(spark, sf_dir):
             F.count("o_orderpriority").alias("n_with_priority"),
         )
     )
+
+
+@register(
+    "q_tf_upsert_partial",
+    """
+    WITH s AS (SELECT max(o_orderkey) // 3 + 1 AS step FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey BETWEEN s.step AND 2 * s.step - 1
+                         AND o_orderkey % 7 = 0
+                    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey BETWEEN s.step AND 2 * s.step - 1
+                         AND o_orderkey % 7 = 0
+                    THEN o_totalprice + 5000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders, s
+    )
+    GROUP BY o_orderstatus
+    """,
+    "Partial MERGE (commit_upsert) — orders committed as three "
+    "contiguous-key append batches, then a batch of middle-range key "
+    "updates upserted: the batch's own key [min,max] proves the first "
+    "directory disjoint (stats carry), the LIMIT-1 key probe clears "
+    "the third, and ONLY the middle directory is rewritten (anti-join "
+    "matched keys + union batch as one tail dir) — O(touched dirs + "
+    "batch) write amplification instead of commit_merge's O(table). "
+    "Oracle: the CASE-WHEN recompute; the carried/rewritten split is "
+    "asserted in-query.",
+)
+def q_tf_upsert_partial(spark, sf_dir):
+    import json
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    step = hi // 3 + 1
+    root = scratch_root("tf_upsert")
+    for i in range(3):
+        TF.commit_append(
+            orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            ),
+            root,
+        )
+    batch = (
+        orders.filter(
+            (F.col("o_orderkey") >= step)
+            & (F.col("o_orderkey") < 2 * step)
+            & (F.col("o_orderkey") % 7 == 0)
+        )
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5000.0)
+    )
+    v = TF.commit_upsert(spark, root, batch, keys=["o_orderkey"])
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert m["app"]["carried_dirs"] == 2 and m["app"]["rewritten_dirs"] == 1
+    return (
+        TF.read_version(spark, root, v)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

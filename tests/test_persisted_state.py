@@ -1987,3 +1987,86 @@ def test_matview_across_delete_where_and_update_where(spark, tmp_path):
         )
     )
     assert got == expect
+
+
+def test_commit_upsert_partial_rewrite(spark, tmp_path):
+    """Partial MERGE: batch rows replace same-key rows and insert new
+    keys; only directories intersecting the batch's key range AND
+    actually holding a matched key are rewritten (stats carry + probe
+    carry pinned); result equals the anti-join+union recompute; dup
+    batch keys and schema drift raise; a racing append survives the
+    rebase."""
+    import json
+    import unittest.mock as mock
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "ups")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("tag"),
+        (F.col("id") * 10).alias("v"),
+    )
+    TF.commit_append(mk(0, 10), root)     # [0,9]
+    TF.commit_append(mk(10, 20), root)    # [10,19]
+    TF.commit_append(mk(20, 30), root)    # [20,29]
+
+    # updates for keys 12..17 (middle dir) + inserts 40..44: the batch
+    # range [12,44] stats-clears only dir 1; dir 3 survives the range
+    # test but the probe finds no matched key and carries it
+    batch = (
+        spark.range(12, 18)
+        .select(
+            F.col("id").alias("k"),
+            F.lit(9).cast("long").alias("tag"),
+            (F.col("id") * 100).alias("v"),
+        )
+        .unionByName(
+            spark.range(40, 45).select(
+                F.col("id").alias("k"),
+                F.lit(7).cast("long").alias("tag"),
+                (F.col("id")).alias("v"),
+            )
+        )
+    )
+    before = TF.read_version(spark, root)
+    expect = _rows(
+        before.join(batch.select("k"), "k", "left_anti").unionByName(batch)
+    )
+    v = TF.commit_upsert(spark, root, batch, keys=["k"])
+    assert _rows(TF.read_version(spark, root, v)) == expect
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert m["app"]["op"] == "upsert"
+    assert m["app"]["carried_dirs"] == 2 and m["app"]["rewritten_dirs"] == 1
+
+    # duplicate batch keys refuse
+    dup = batch.unionByName(batch.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        TF.commit_upsert(spark, root, dup, keys=["k"])
+    # schema drift refuses
+    with pytest.raises(ValueError, match="schema"):
+        TF.commit_upsert(
+            spark, root, batch.withColumn("extra", F.lit(1)), keys=["k"]
+        )
+
+    # racing append: the upsert rebases and the racer's rows survive
+    real_latest = TF.latest_version
+    fired = {"done": False}
+
+    def racing_latest(r):
+        out = real_latest(r)
+        if not fired["done"]:
+            fired["done"] = True
+            TF.commit_append(mk(50, 55), r)
+        return out
+
+    batch2 = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit(5).cast("long").alias("tag"),
+        (F.col("id") * 0).alias("v"),
+    )
+    with mock.patch.object(TF, "latest_version", side_effect=racing_latest):
+        v2 = TF.commit_upsert(spark, root, batch2, keys=["k"])
+    got = TF.read_version(spark, root, v2)
+    assert got.filter(F.col("k") >= 50).count() == 5       # racer kept
+    assert got.filter((F.col("k") < 3) & (F.col("tag") != 5)).count() == 0
