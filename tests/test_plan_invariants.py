@@ -113,6 +113,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # labels), AQE broadcast-converts at runtime; scans: the cell-
     # assignment lineage + the surviving-row projection
     "q_e2_semantic_dedup": (0, 1, {"embeddings": 2}),
+    # same anti-join class; the centroid_far keep rule adds the
+    # cent_sim re-assignment pass over the corpus (third scan)
+    "q_e2_semantic_dedup_clustered": (0, 1, {"embeddings": 3}),
     "q_e7_curation_clustered": (0, 2, {}),
     # same singles-anti + chosen-semi state-sized join pair as the
     # clustered mode (AQE broadcast-converts both at runtime)
