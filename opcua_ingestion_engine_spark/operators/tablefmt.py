@@ -879,18 +879,58 @@ def _split_affected(
     optimization, never a filter."""
     stats = manifest.get("stats") or {}
     carried: list[str] = []
-    touched: list[str] = []
+    candidates: list[str] = []
     for p in _data_list(manifest):
         if bounds and not _keep_dir(stats.get(p), bounds):
             carried.append(p)
-            continue
-        if probe:
-            cand = spark.read.parquet(os.path.join(root, p))
-            if cand.where(F.expr(condition)).limit(1).count() == 0:
-                carried.append(p)
-                continue
-        touched.append(p)
+        else:
+            candidates.append(p)
+    if not (probe and candidates):
+        return carried, candidates
+    hit = _dirs_with_matches(
+        spark, root, manifest, candidates,
+        lambda df: df.where(F.expr(condition)),
+    )
+    touched = [p for p in candidates if p in hit]
+    carried += [p for p in candidates if p not in hit]
     return carried, touched
+
+
+def _dirs_with_matches(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    candidates: list[str],
+    match_fn,
+) -> set[str]:
+    """Which candidate directories actually contain rows selected by
+    ``match_fn``? ONE Spark job over all candidates — a column-pruned,
+    predicate-pushed scan reduced to the distinct set of matching file
+    paths via ``input_file_name()`` — instead of one LIMIT-1 job per
+    directory (at 1000 directories the per-dir form is driver-latency-
+    bound; this form is a single scan whose output is a handful of
+    paths)."""
+    from urllib.parse import unquote, urlparse
+
+    paths = [os.path.join(root, p) for p in candidates]
+    if manifest.get("evolved"):
+        src = spark.read.schema(_evolved_read_schema(manifest)).parquet(
+            *paths
+        )
+    else:
+        src = spark.read.parquet(*paths)
+    files = (
+        match_fn(src)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    abs_root = os.path.abspath(root)
+    hit: set[str] = set()
+    for r in files:
+        local = unquote(urlparse(r["_f"]).path)
+        hit.add(os.path.relpath(os.path.dirname(local), abs_root))
+    return hit
 
 
 def _commit_rewrite_where(
@@ -1254,22 +1294,21 @@ def commit_upsert(
             )
         stats = pm.get("stats") or {}
         carried: list[str] = []
-        touched: list[str] = []
+        candidates: list[str] = []
         for p in _data_list(pm):
             if not _keep_dir(stats.get(p), bounds):
                 carried.append(p)  # disjoint in some key column
-                continue
-            if probe:
-                cand = spark.read.parquet(os.path.join(root, p))
-                hit = (
-                    cand.join(F.broadcast(bkeys), keys, "left_semi")
-                    .limit(1)
-                    .count()
-                )
-                if hit == 0:
-                    carried.append(p)
-                    continue
-            touched.append(p)
+            else:
+                candidates.append(p)
+        if probe and candidates:
+            hit = _dirs_with_matches(
+                spark, root, pm, candidates,
+                lambda df: df.join(F.broadcast(bkeys), keys, "left_semi"),
+            )
+            touched = [p for p in candidates if p in hit]
+            carried += [p for p in candidates if p not in hit]
+        else:
+            touched = candidates
         if touched:
             if pm.get("evolved"):
                 old = spark.read.schema(_evolved_read_schema(pm)).parquet(
