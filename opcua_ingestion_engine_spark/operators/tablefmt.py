@@ -782,7 +782,12 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int]:
+def vacuum(
+    root: str,
+    keep: int = 2,
+    orphan_grace_s: float = 3600.0,
+    retain_s: float | None = None,
+) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the live one):
     manifests first, then data directories — a reader holding an old
     manifest between the two deletes fails loudly on the manifest (gone)
@@ -794,7 +799,16 @@ def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int
     away) — reclaiming it would let that commit succeed while pointing
     at deleted data. The grace period (Delta's vacuum retention, in
     miniature) makes that race require an hour-long stall; pass 0 only
-    when no writer can be live. Returns the removed version numbers."""
+    when no writer can be live. Returns the removed version numbers.
+
+    ``retain_s`` adds TIME-based retention on top of the count (Delta's
+    ``delta.deletedFileRetentionDuration``, in miniature): any version
+    whose manifest is younger than ``retain_s`` seconds is ALSO
+    retained, so time travel and change-feed consumers are guaranteed a
+    window measured in wall-clock time regardless of commit rate — a
+    burst of commits cannot age a minutes-old snapshot out of a
+    keep-by-count policy. The two policies compose as a union of
+    retained sets (count floor + time window)."""
     import time
 
     live = latest_version(root)
@@ -805,6 +819,14 @@ def vacuum(root: str, keep: int = 2, orphan_grace_s: float = 3600.0) -> list[int
     # and retain everything, the opposite of the caller's intent
     newest = hist[len(hist) - keep:] if keep > 0 else []
     retained = {m["version"] for m in newest} | {live}
+    if retain_s is not None:
+        cutoff = time.time() - retain_s
+        for m in hist:
+            try:
+                if os.path.getmtime(_manifest_path(root, m["version"])) >= cutoff:
+                    retained.add(m["version"])
+            except OSError:
+                retained.add(m["version"])  # racing reader/writer — keep
     # append commits SHARE data directories across versions: a dir may
     # only be reclaimed once NO retained manifest references it
     retained_paths = {

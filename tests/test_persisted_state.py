@@ -2070,3 +2070,37 @@ def test_commit_upsert_partial_rewrite(spark, tmp_path):
     got = TF.read_version(spark, root, v2)
     assert got.filter(F.col("k") >= 50).count() == 5       # racer kept
     assert got.filter((F.col("k") < 3) & (F.col("tag") != 5)).count() == 0
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """retain_s composes with keep as a union: versions younger than the
+    window survive a tight keep count; aging them past the window (mtime
+    rewind) lets the count policy reclaim them; the live version is
+    always retained."""
+    import os
+    import time
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "ret")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    for i in range(4):
+        TF.commit_append(mk(i * 5, (i + 1) * 5), root)   # v0..v3
+
+    # all four manifests are seconds old: a 1-hour window retains all
+    assert TF.vacuum(root, keep=1, retain_s=3600.0) == []
+    assert TF.read_version(spark, root, 0).count() == 5  # still readable
+
+    # age v0/v1 past the window: count policy (keep=1) reclaims exactly
+    # those; v2 (young) survives despite being outside the count floor
+    old = time.time() - 7200
+    for v in (0, 1):
+        os.utime(TF._manifest_path(root, v), (old, old))
+    removed = TF.vacuum(root, keep=1, retain_s=3600.0)
+    assert removed == [0, 1]
+    with pytest.raises(ValueError):
+        TF.read_version(spark, root, 0)
+    assert TF.read_version(spark, root, 2).count() == 15
+    assert TF.read_version(spark, root).count() == 20
