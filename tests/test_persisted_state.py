@@ -2104,3 +2104,50 @@ def test_vacuum_time_based_retention(spark, tmp_path):
         TF.read_version(spark, root, 0)
     assert TF.read_version(spark, root, 2).count() == 15
     assert TF.read_version(spark, root).count() == 20
+
+
+def test_commit_upsert_on_evolved_table(spark, tmp_path):
+    """commit_upsert over a schema-evolved table: touched directories
+    read through the union schema (pre-evolution rows join with NULL
+    new columns), the batch must match the UNION schema, and the
+    evolved flag survives when pre-evolution dirs are carried."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "upsevo")
+    TF.commit_append(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        root,
+    )
+    TF.commit_append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.concat(F.lit("t"), F.col("id")).alias("tag"),
+        ),
+        root,
+        evolve=True,
+    )
+    batch = spark.range(12, 15).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("v"),
+        F.lit("upd").alias("tag"),
+    )
+    v = TF.commit_upsert(spark, root, batch, keys=["k"])
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    # dir 0 (k 0-9) carried by the batch's key range; evolved survives
+    assert m["app"]["carried_dirs"] == 1 and m["app"]["rewritten_dirs"] == 1
+    assert m.get("evolved") is True
+    got = TF.read_version(spark, root, v)
+    assert got.columns == ["k", "v", "tag"]
+    assert _rows(got.filter(F.col("k").between(12, 14)).select("tag")) == [
+        ("upd",)
+    ] * 3
+    assert got.filter(F.col("k") < 10).filter(
+        F.col("tag").isNotNull()
+    ).count() == 0
+    assert got.count() == 20
