@@ -89,6 +89,21 @@ def latest_version(root: str) -> int | None:
     return max(versions) if versions else None
 
 
+# Manifest app keys the table layer itself interprets. ``data_identical``
+# makes table_changes serve a range spanning the commit as pass-through
+# (zero data changes), so a stray copy on a data-CHANGING commit would
+# silently drop those changes from every change feed. Only compact()/
+# maybe_compact() may set it; every public commit path strips it from
+# caller-supplied app dicts.
+_RESERVED_APP_KEYS = frozenset({"data_identical"})
+
+
+def _scrub_app(app: dict | None) -> dict:
+    """Caller-supplied manifest metadata with the layer's reserved keys
+    removed (see ``_RESERVED_APP_KEYS``)."""
+    return {k: v for k, v in (app or {}).items() if k not in _RESERVED_APP_KEYS}
+
+
 def _try_commit(
     df: DataFrame, root: str, parent: int | None, app: dict | None = None
 ) -> int | None:
@@ -142,6 +157,7 @@ def commit_version(
     Under concurrency this retries the CAS with the next free version
     number (content unchanged — for read-modify-write upserts that must
     not lose racing updates, use ``commit_merge``)."""
+    app = _scrub_app(app)
     for _ in range(max_retries):
         v = _try_commit(df, root, latest_version(root), app)
         if v is not None:
@@ -277,6 +293,7 @@ def commit_append(
     column existed read as NULL, exactly like Delta/Iceberg schema
     evolution. Name-matched columns must keep their committed type
     (no type widening — that would require rewriting history)."""
+    app = _scrub_app(app)
     for _ in range(max_retries):
         parent = latest_version(root)
         if parent is None:
@@ -423,7 +440,11 @@ def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
 
     return commit_merge(
         spark, root, _identity,
-        app={"compaction": True, "data_identical": True, **(app or {})},
+        app={"compaction": True, **(app or {})},
+        # the reserved pass-through marker only compaction may write —
+        # applied AFTER the scrub, so no caller-supplied dict can forge
+        # it onto a data-changing commit (table_changes trusts it)
+        _reserved_app={"data_identical": True},
     )
 
 
@@ -462,6 +483,7 @@ def commit_merge(
     merge_fn,
     max_retries: int = 20,
     app: dict | None = None,
+    _reserved_app: dict | None = None,
 ) -> int:
     """Optimistic MERGE: ``merge_fn(current: DataFrame | None) ->
     DataFrame`` is applied to the latest committed snapshot and the
@@ -469,8 +491,11 @@ def commit_merge(
     is REBASED: re-read the new latest snapshot, re-run ``merge_fn``,
     retry — so two interleaved writers both land and neither's rows are
     lost (the reference's row-lock serialization, done optimistically).
-    ``app`` metadata lands in the winning manifest.
+    ``app`` metadata lands in the winning manifest (reserved keys
+    stripped); ``_reserved_app`` is the module-private channel compact()
+    uses to stamp ``data_identical`` — callers must not pass it.
     """
+    app = {**_scrub_app(app), **(_reserved_app or {})}
     for _ in range(max_retries):
         parent = latest_version(root)
         current = read_version(spark, root, parent) if parent is not None else None
@@ -496,9 +521,14 @@ def read_version(
 
     ``prune={col: (lo, hi)}`` is DATA SKIPPING over the manifest's
     per-directory footer stats (the same add-file-stats discipline as
-    Delta): a data directory is dropped from the scan only when its
-    recorded [min, max] for EVERY pruned column proves no overlap with
-    the bound (``lo``/``hi`` may each be None for a one-sided range).
+    Delta). Multiple prune entries are ANDed — a directory is dropped
+    as soon as ANY single column's recorded [min, max] proves no
+    overlap with its bound (``lo``/``hi`` may each be None for a
+    one-sided range), which is sound only for CONJUNCTIVE predicates:
+    a disjunction (OR of ranges) must be pruned per-branch (one read
+    per branch, unioned) or not pruned at all — passing its branches
+    as one prune dict would silently drop directories that match the
+    other branch.
     Missing stats always keep — pruning is an I/O optimization, never a
     filter: kept directories can still hold out-of-range rows, so the
     caller applies the real predicate on top (and Catalyst then pushes
@@ -1052,7 +1082,7 @@ def _commit_rewrite_where(
                 "predicate": condition,
                 "carried_dirs": len(carried),
                 "rewritten_dirs": len(touched),
-                **(app or {}),
+                **_scrub_app(app),
             },
             "stats": stats,
         }
@@ -1143,7 +1173,15 @@ def update_where(
     unchanged. The SET result is cast back to the column's committed
     type — an UPDATE can never evolve the schema. Same directory-level
     copy-on-write, bounds/probe elimination, CAS+rebase, and
-    change-feed behavior as ``delete_where``."""
+    change-feed behavior as ``delete_where``.
+
+    SQL UPDATE semantics: the condition and EVERY SET expression are
+    evaluated against the PRE-update row — all replacements happen in
+    one ``select`` over the source, so ``{"a": "b", "b": "a"}`` swaps
+    the two columns and a condition that mentions a SET column selects
+    rows by their original values (chained ``withColumn`` would let a
+    later SET observe an earlier SET's result, which Delta/ANSI UPDATE
+    forbids)."""
     for c in set_exprs:
         if "." in c:
             raise ValueError(f"update_where cannot SET nested field {c!r}")
@@ -1155,14 +1193,14 @@ def update_where(
                 f"update_where SET columns not in table: {missing}"
             )
         cond = F.expr(condition)
-        out = df
-        for c, e in set_exprs.items():
-            out = out.withColumn(
-                c,
-                F.when(cond, F.expr(e).cast(df.schema[c].dataType))
-                .otherwise(F.col(c)),
-            )
-        return out.select(*df.columns)
+        # One select: every expression below references df's input row,
+        # never another SET's output — the pre-image contract.
+        return df.select(*[
+            F.when(cond, F.expr(set_exprs[c]).cast(df.schema[c].dataType))
+            .otherwise(F.col(c)).alias(c)
+            if c in set_exprs else F.col(c)
+            for c in df.columns
+        ])
 
     return _commit_rewrite_where(
         spark, root, condition, _apply,
@@ -1186,10 +1224,33 @@ def restore(root: str, version: int, max_retries: int = 20,
     flag verbatim, plus ``app.restore_of`` for audit. A restore is a
     rewrite-class step for the change feed (the directory list does not
     extend the parent's), so ranges spanning it take the keyed diff —
-    pass-through would hide the rows the rollback removed."""
-    with open(_manifest_path(root, version)) as f:
-        tm = json.load(f)
+    pass-through would hide the rows the rollback removed.
+
+    Restore validates the target IMMEDIATELY before each CAS attempt:
+    the target manifest is re-read inside the retry loop and its data
+    directories stat-checked, so a vacuum that reclaims the target
+    between attempts raises loudly instead of publishing a LIVE version
+    that points at deleted directories. The window between that check
+    and the CAS is not closed (two independent CAS ledgers can't be) —
+    do NOT run restore concurrently with a vacuum whose keep window
+    excludes the target version."""
+    app = _scrub_app(app)
     for _ in range(max_retries):
+        # re-read the target every attempt: a concurrent vacuum may have
+        # reclaimed it (its dirs are old — orphan grace doesn't protect
+        # them) while we were losing the CAS to other writers
+        with open(_manifest_path(root, version)) as f:
+            tm = json.load(f)
+        gone = [
+            p for p in _data_list(tm)
+            if not os.path.isdir(os.path.join(root, p))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"restore target v{version} at {root} references vacuumed "
+                f"data directories {gone} — the target is no longer "
+                "restorable; choose a retained version"
+            )
         parent = latest_version(root)
         if parent is None:
             raise FileNotFoundError(f"no committed version at {root}")
@@ -1202,7 +1263,7 @@ def restore(root: str, version: int, max_retries: int = 20,
             "parent": parent,
             "data": _data_list(tm),
             "schema": tm["schema"],
-            "app": {"restore_of": version, **(app or {})},
+            "app": {"restore_of": version, **_scrub_app(app)},
             "stats": tm.get("stats") or {},
         }
         if tm.get("evolved"):
@@ -1274,6 +1335,7 @@ def commit_upsert(
     invariant every upsert path maintains)."""
     if not keys:
         raise ValueError("commit_upsert requires at least one key column")
+    app = _scrub_app(app)
     batch = batch.localCheckpoint(eager=True)  # stable across CAS retries
     dup = (
         batch.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
@@ -1283,6 +1345,12 @@ def commit_upsert(
             "commit_upsert batch has duplicate keys — resolve to one row "
             "per key upstream (e.g. max_by a version column)"
         )
+    if batch.limit(1).count() == 0:
+        parent = latest_version(root)
+        if parent is not None:
+            return parent  # empty upsert of an existing table: a no-op
+        # empty batch, no table yet: fall through — the initial commit
+        # below creates the (empty) table with the batch's schema
     agg = batch.agg(
         *[F.min(k).alias(f"lo_{k}") for k in keys],
         *[F.max(k).alias(f"hi_{k}") for k in keys],
@@ -1350,18 +1418,35 @@ def commit_upsert(
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
         tail.write.mode("overwrite").parquet(data_dir)
         rel = os.path.relpath(data_dir, root)
+        # empty-tail guard (same as _commit_rewrite_where): an empty
+        # batch against match-free candidates can write zero parquet
+        # part files — listing that directory would break schema
+        # inference on a later read_version of this version
+        try:
+            has_rows = any(
+                n.endswith(".parquet") for n in os.listdir(data_dir)
+            )
+        except OSError:
+            has_rows = False
+        if not has_rows:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            if not touched:
+                # empty batch, nothing rewritten: the table is unchanged
+                # — report the parent rather than committing a no-op
+                return parent
         new_stats = {p: s for p, s in stats.items() if p in set(carried)}
-        new_stats[rel] = _dir_stats(root, rel)
+        if has_rows:
+            new_stats[rel] = _dir_stats(root, rel)
         manifest = {
             "version": version,
             "parent": parent,
-            "data": carried + [rel],
+            "data": carried + ([rel] if has_rows else []),
             "schema": pm["schema"],
             "app": {
                 "op": "upsert",
                 "carried_dirs": len(carried),
                 "rewritten_dirs": len(touched),
-                **(app or {}),
+                **_scrub_app(app),
             },
             "stats": new_stats,
         }

@@ -2151,3 +2151,134 @@ def test_commit_upsert_on_evolved_table(spark, tmp_path):
         F.col("tag").isNotNull()
     ).count() == 0
     assert got.count() == 20
+
+
+def test_update_where_pre_image_semantics(spark, tmp_path):
+    """SQL/Delta UPDATE evaluates the condition and EVERY SET expression
+    against the PRE-update row. Pins the two failure modes of a chained
+    withColumn implementation: (a) set_exprs={'a':'b','b':'a'} must SWAP
+    (a later SET must not observe an earlier SET's output), (b) a
+    condition that mentions a SET column must select rows by their
+    ORIGINAL values for all columns."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "upd_preimage")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("a"),
+        (F.col("id") * 100).alias("b"),
+    )
+    TF.commit_version(df, root)
+
+    # (a) swap: every row's (a, b) becomes (b, a)
+    v = TF.update_where(
+        spark, root, "k >= 0", {"a": "b", "b": "a"}
+    )
+    got = _rows(TF.read_version(spark, root, v))
+    assert got == _rows(
+        df.select("k", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+    # (b) condition references a SET column: rows with ORIGINAL a < 300
+    # (post-swap values: a = k*100) get both a doubled and b zeroed —
+    # the b SET must use the same pre-image row set as the a SET
+    v2 = TF.update_where(
+        spark, root, "a < 300", {"a": "a * 2", "b": "0"}
+    )
+    got2 = {r[0]: (r[1], r[2]) for r in TF.read_version(
+        spark, root, v2).collect()}
+    for k in range(10):
+        pre_a, pre_b = k * 100, k * 10  # post-swap pre-image
+        if pre_a < 300:
+            assert got2[k] == (pre_a * 2, 0)
+        else:
+            assert got2[k] == (pre_a, pre_b)
+
+
+def test_commit_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty upsert batch commits nothing (returns the parent), and a
+    batch whose tail write emits zero parquet files never lands an
+    unreadable empty directory in the manifest's data list."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "ups_empty")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v0 = TF.commit_version(df, root)
+    empty = df.limit(0)
+    v = TF.commit_upsert(spark, root, empty, keys=["k"], probe=True)
+    assert v == v0
+    # no-probe path: candidates may be "touched" without a probe, but an
+    # all-carried rewrite with an empty tail must still read back clean
+    v2 = TF.commit_upsert(spark, root, empty, keys=["k"], probe=False)
+    got = TF.read_version(spark, root, v2)
+    assert _rows(got) == _rows(df)
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """restore() re-validates the target manifest and its data dirs
+    inside the CAS loop: a target reclaimed by vacuum raises loudly
+    instead of publishing a LIVE version that points at deleted
+    directories."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "rst_vac")
+    mk = lambda n: spark.range(0, n).select(
+        F.col("id").alias("k"), F.lit(n).cast("long").alias("v")
+    )
+    TF.commit_version(mk(3), root)   # v0
+    TF.commit_version(mk(5), root)   # v1
+    TF.commit_version(mk(7), root)   # v2
+    TF.commit_version(mk(9), root)   # v3
+    TF.vacuum(root, keep=2, orphan_grace_s=0)  # reclaims v0, v1
+    with pytest.raises(FileNotFoundError):
+        TF.restore(root, 0)
+    # a retained target still restores
+    v = TF.restore(root, 2)
+    assert _rows(TF.read_version(spark, root, v)) == _rows(mk(7))
+
+
+def test_app_data_identical_is_reserved(spark, tmp_path):
+    """Only compact()/maybe_compact() may stamp ``data_identical``: a
+    caller-supplied copy on a data-CHANGING commit is stripped on every
+    public path, so the change feed never silently drops that commit's
+    rows — while compaction's own flag still passes through."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "rsv_app")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    TF.commit_append(mk(0, 5), root, app={"data_identical": True})
+    v1 = TF.commit_append(mk(5, 10), root, app={"data_identical": True})
+    for v in (0, v1):
+        with open(TF._manifest_path(root, v)) as f:
+            assert "data_identical" not in json.load(f)["app"]
+    # the forged flag must NOT have hidden the appended rows
+    feed = TF.table_changes(spark, root, 0, v1)
+    assert feed.count() == 5
+
+    # other public paths strip it too
+    v2 = TF.commit_version(mk(0, 12), root, app={"data_identical": True})
+    v3 = TF.commit_upsert(
+        spark, root, mk(0, 2).withColumn("v", F.lit(99).cast("long")),
+        keys=["k"], app={"data_identical": True},
+    )
+    v4 = TF.update_where(
+        spark, root, "k = 0", {"v": "v + 1"}, app={"data_identical": True}
+    )
+    v5 = TF.restore(root, v2, app={"data_identical": True})
+    v6 = TF.commit_merge(
+        spark, root, lambda cur: cur, app={"data_identical": True}
+    )
+    for v in (v2, v3, v4, v5, v6):
+        with open(TF._manifest_path(root, v)) as f:
+            assert "data_identical" not in json.load(f)["app"], v
+
+    # compaction's own stamp survives (pass-through still works)
+    vc = TF.compact(spark, root)
+    with open(TF._manifest_path(root, vc)) as f:
+        assert json.load(f)["app"]["data_identical"] is True
