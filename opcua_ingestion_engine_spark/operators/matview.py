@@ -113,8 +113,29 @@ class MaterializedAggView:
     but a removal that ties the stored extremum leaves the survivor
     unknown without re-looking at the group — those groups (and ONLY
     those) are re-aggregated against the source snapshot via a
-    broadcast semi join on the dirty keys. Averages are ``sum_c / n``
-    at read time — no extra state.
+    broadcast semi join on the dirty keys.
+
+    ``avg_cols`` maintain SQL AVG (NULL-skipping): the state carries the
+    column's DECIMAL(38,6) sum (``sum_c``, shared with ``sum_cols``)
+    plus a NON-NULL row count (``cnt_c`` — the group row count ``n``
+    would mis-average a column with NULLs), both purely additive;
+    ``result()`` derives ``avg_c = sum_c / cnt_c`` at read time, so the
+    stored state stays exact decimals and no extra non-additive
+    machinery is needed.
+
+    ``approx_distinct_cols`` maintain APPROX_COUNT_DISTINCT as a
+    Datasketches HLL sketch column (``hll_c``, binary): inserts fold
+    monotonically — the change batch is sketched with
+    ``hll_sketch_agg`` and merged into the stored sketch with
+    ``hll_union`` (a sketch is a lossy monotone set union, the same
+    trick as MIN/MAX) — but sketches cannot subtract, so ANY removal of
+    a non-NULL value dirties the group and it is re-sketched from the
+    source snapshot through the same broadcast-semi-join recompute the
+    extrema use. Append-only sources never dirty; ``result()`` derives
+    ``approx_distinct_c = hll_sketch_estimate(hll_c)``. (Exact
+    COUNT(DISTINCT) under deletes would need a support relation keyed
+    by (group, value) — deliberately out of scope; the sketch is the
+    100 TB-shaped answer.)
     """
 
     def __init__(
@@ -127,6 +148,8 @@ class MaterializedAggView:
         count_col: str = "n",
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
+        avg_cols: list[str] | None = None,
+        approx_distinct_cols: list[str] | None = None,
     ):
         if not group_keys:
             raise ValueError("group_keys must be non-empty")
@@ -138,6 +161,11 @@ class MaterializedAggView:
         self.count_col = count_col
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
+        self.avg_cols = list(avg_cols or [])
+        self.distinct_cols = list(approx_distinct_cols or [])
+        # avg state = shared decimal sum + non-null count; dedup so a
+        # column in both sum_cols and avg_cols stores ONE sum_<c>
+        self._all_sum = list(dict.fromkeys(self.sum_cols + self.avg_cols))
 
     def cursor(self) -> int | None:
         """Last source version folded into the committed view (None =
@@ -149,7 +177,31 @@ class MaterializedAggView:
         return TF.history(self.view_root)[-1].get("app", {}).get("cursor")
 
     def result(self, spark: SparkSession) -> DataFrame:
-        return TF.read_version(spark, self.view_root)
+        """The committed view, with the READ-TIME derived columns: for
+        each avg column ``avg_c = sum_c / cnt_c`` (double; NULL when the
+        group holds no non-NULL value, matching SQL AVG) and for each
+        approx-distinct column ``approx_distinct_c`` (bigint, 0 for an
+        all-NULL group, matching APPROX_COUNT_DISTINCT). Deriving at
+        read keeps the stored state exact decimals and raw sketches."""
+        out = TF.read_version(spark, self.view_root)
+        for c in self.avg_cols:
+            out = out.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"cnt_{c}") > 0,
+                    F.col(f"sum_{c}").cast("double")
+                    / F.col(f"cnt_{c}").cast("double"),
+                ),
+            )
+        for c in self.distinct_cols:
+            out = out.withColumn(
+                f"approx_distinct_{c}",
+                F.when(
+                    F.col(f"hll_{c}").isNotNull(),
+                    F.hll_sketch_estimate(F.col(f"hll_{c}")),
+                ).otherwise(F.lit(0)).cast("bigint"),
+            )
+        return out
 
     def _fold_with_extrema(
         self,
@@ -180,11 +232,22 @@ class MaterializedAggView:
             F.sum(F.when(gained, F.lit(1)).otherwise(F.lit(-1)))
             .cast("bigint").alias("_dn")
         ]
-        for c in self.sum_cols:
+        for c in self._all_sum:
             addend = F.col(c).cast(dec)
             aggs.append(
                 F.sum(F.when(gained, addend).otherwise(-addend))
                 .cast(dec).alias(f"_dsum_{c}")
+            )
+        for c in self.avg_cols:
+            # signed NON-NULL count — SQL AVG skips NULLs, so the group
+            # row count n is the wrong denominator for a nullable column
+            nn = F.col(c).isNotNull()
+            aggs.append(
+                F.sum(
+                    F.when(gained & nn, F.lit(1))
+                    .when(~gained & nn, F.lit(-1))
+                    .otherwise(F.lit(0))
+                ).cast("bigint").alias(f"_dcnt_{c}")
             )
         for c in self.min_cols:
             aggs.append(F.min(F.when(gained, F.col(c))).alias(f"_gmin_{c}"))
@@ -192,6 +255,17 @@ class MaterializedAggView:
         for c in self.max_cols:
             aggs.append(F.max(F.when(gained, F.col(c))).alias(f"_gmax_{c}"))
             aggs.append(F.max(F.when(~gained, F.col(c))).alias(f"_rmax_{c}"))
+        for c in self.distinct_cols:
+            aggs.append(
+                F.hll_sketch_agg(F.when(gained, F.col(c)))
+                .alias(f"_ghll_{c}")
+            )
+            # sketches cannot subtract: any removed non-NULL value
+            # dirties the group (re-sketched from the source snapshot)
+            aggs.append(
+                F.max(F.when(~gained & F.col(c).isNotNull(), F.lit(True)))
+                .alias(f"_rdel_{c}")
+            )
         deltas = changes.groupBy(*keys).agg(*aggs)
 
         # pair state and delta rows per group: tag columns, union, and
@@ -202,9 +276,14 @@ class MaterializedAggView:
         ).schema
         svals = (
             [F.col(n).alias("_sn")]
-            + [F.col(f"sum_{c}").alias(f"_ssum_{c}") for c in self.sum_cols]
+            + [F.col(f"sum_{c}").alias(f"_ssum_{c}") for c in self._all_sum]
+            + [F.col(f"cnt_{c}").alias(f"_scnt_{c}") for c in self.avg_cols]
             + [F.col(f"min_{c}").alias(f"_smin_{c}") for c in self.min_cols]
             + [F.col(f"max_{c}").alias(f"_smax_{c}") for c in self.max_cols]
+            + [
+                F.col(f"hll_{c}").alias(f"_shll_{c}")
+                for c in self.distinct_cols
+            ]
         )
         dnames = [f.name for f in deltas.schema.fields if f.name not in keys]
         if state is None:
@@ -217,9 +296,11 @@ class MaterializedAggView:
             )
         snames = [
             ("_sn", "bigint"),
-            *[(f"_ssum_{c}", dec) for c in self.sum_cols],
+            *[(f"_ssum_{c}", dec) for c in self._all_sum],
+            *[(f"_scnt_{c}", "bigint") for c in self.avg_cols],
             *[(f"_smin_{c}", src_schema[c].dataType) for c in self.min_cols],
             *[(f"_smax_{c}", src_schema[c].dataType) for c in self.max_cols],
+            *[(f"_shll_{c}", "binary") for c in self.distinct_cols],
         ]
         delta_side = deltas.select(
             *keys,
@@ -243,13 +324,18 @@ class MaterializedAggView:
         live = paired.withColumn(
             n, (_coal("_sn") + _coal("_dn")).cast("bigint")
         ).filter(F.col(n) != 0)
-        for c in self.sum_cols:
+        for c in self._all_sum:
             live = live.withColumn(
                 "sum_" + c,
                 (
                     F.coalesce(F.col(f"_ssum_{c}"), F.lit(0).cast(dec))
                     + F.coalesce(F.col(f"_dsum_{c}"), F.lit(0).cast(dec))
                 ).cast(dec),
+            )
+        for c in self.avg_cols:
+            live = live.withColumn(
+                "cnt_" + c,
+                (_coal(f"_scnt_{c}") + _coal(f"_dcnt_{c}")).cast("bigint"),
             )
 
         # dirty: a removed value ties-or-beats the stored extremum (or
@@ -283,15 +369,32 @@ class MaterializedAggView:
                 f"max_{c}", F.greatest(s, g)
             )
             dirty_flags.append(F.col(f"_dirty_max_{c}"))
+        for c in self.distinct_cols:
+            s, g = F.col(f"_shll_{c}"), F.col(f"_ghll_{c}")
+            live = live.withColumn(
+                f"_dirty_hll_{c}", F.coalesce(F.col(f"_rdel_{c}"), F.lit(False))
+            ).withColumn(
+                f"hll_{c}",
+                F.when(s.isNull(), g)
+                .when(g.isNull(), s)
+                .otherwise(F.hll_union(s, g)),
+            )
+            dirty_flags.append(F.col(f"_dirty_hll_{c}"))
 
         out_cols = (
             keys + [n]
-            + [f"sum_{c}" for c in self.sum_cols]
+            + [f"sum_{c}" for c in self._all_sum]
+            + [f"cnt_{c}" for c in self.avg_cols]
             + [f"min_{c}" for c in self.min_cols]
             + [f"max_{c}" for c in self.max_cols]
+            + [f"hll_{c}" for c in self.distinct_cols]
         )
         import functools
         import operator
+
+        if not dirty_flags:
+            # pure additive state (avg-only view): nothing can dirty
+            return live.select(*out_cols)
 
         any_dirty = functools.reduce(operator.or_, dirty_flags)
         # group-cardinality frame; checkpoint so the dirty probe and the
@@ -308,9 +411,14 @@ class MaterializedAggView:
             operator.and_,
             [source[k].eqNullSafe(dirty_keys[k]) for k in keys],
         )
-        raggs = [
-            F.min(c).alias(f"_rcmin_{c}") for c in self.min_cols
-        ] + [F.max(c).alias(f"_rcmax_{c}") for c in self.max_cols]
+        raggs = (
+            [F.min(c).alias(f"_rcmin_{c}") for c in self.min_cols]
+            + [F.max(c).alias(f"_rcmax_{c}") for c in self.max_cols]
+            + [
+                F.hll_sketch_agg(c).alias(f"_rchll_{c}")
+                for c in self.distinct_cols
+            ]
+        )
         recomputed = (
             source.join(F.broadcast(dirty_keys), sem, "left_semi")
             .groupBy(*keys).agg(*raggs)
@@ -330,9 +438,19 @@ class MaterializedAggView:
                 F.col(f"_dirty_max_{c}"), F.col(f"_rcmax_{c}")
             ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
             for c in self.max_cols
+        ] + [
+            F.when(
+                F.col(f"_dirty_hll_{c}"), F.col(f"_rchll_{c}")
+            ).otherwise(F.col(f"hll_{c}")).alias(f"hll_{c}")
+            for c in self.distinct_cols
         ]
         plain = [
-            live[c] for c in keys + [n] + [f"sum_{c}" for c in self.sum_cols]
+            live[c]
+            for c in (
+                keys + [n]
+                + [f"sum_{c}" for c in self._all_sum]
+                + [f"cnt_{c}" for c in self.avg_cols]
+            )
         ]
         out = joined.select(*plain, *fixed)
         return out.select(*out_cols)
@@ -357,7 +475,10 @@ class MaterializedAggView:
                 if parent is not None
                 else None
             )
-            if self.min_cols or self.max_cols:
+            if (
+                self.min_cols or self.max_cols
+                or self.avg_cols or self.distinct_cols
+            ):
                 folded = self._fold_with_extrema(spark, state, changes, target)
             else:
                 deltas = changes_to_deltas(

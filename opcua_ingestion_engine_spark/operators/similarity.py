@@ -60,11 +60,30 @@ def unit_vector(vec):
     each side ONCE — O(corpus x dim) — so the per-pair cosine collapses to
     a single dot pass instead of dot+two norms, i.e. 3x fewer interpreted
     higher-order-function evals on the O(pairs) hot path (measured
-    3.8s -> 1.5s on the 125k-pair neardup at sf0.01). Zero vectors map to
-    NaN components and never pass a >= threshold; the fixtures contain
-    none."""
-    inv = F.lit(1.0) / _norm(vec)
+    3.8s -> 1.5s on the 125k-pair neardup at sf0.01).
+
+    Zero-vector convention (repo-wide, mirrored by ``_unit_rows``): an
+    all-zeros vector STAYS all-zeros — cosine 0 to everything, so it
+    never passes a positive threshold and ranks below every real match
+    with deterministic id tie-breaks. Dividing by the zero norm instead
+    would emit NaN components, which poison sorts/comparisons silently
+    (NaN >= t is false, but NaN ordering is engine-dependent). At 100 TB
+    of real embeddings zero vectors DO happen (empty docs, failed
+    encoders)."""
+    inv = F.when(_norm(vec) > 0.0, F.lit(1.0) / _norm(vec)).otherwise(
+        F.lit(0.0)
+    )
     return F.transform(vec, lambda x: x.cast("double") * inv)
+
+
+def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+    """Row-normalize a (rows, dim) matrix to unit L2 length with the
+    ``unit_vector`` zero-vector convention: a zero-norm row stays
+    all-zeros (cosine 0 to everything) instead of dividing to NaN. Every
+    Arrow-batch scoring/encoding kernel normalizes through this helper so
+    the convention cannot drift between the JVM and numpy paths."""
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0.0, 1.0, norms)
 
 
 def brute_force_topk(
@@ -103,7 +122,7 @@ def brute_force_topk(
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _unit_rows(Q)
     bc = embeddings.sparkSession.sparkContext.broadcast((qids, Q))
     take = k + 1
 
@@ -112,7 +131,7 @@ def brute_force_topk(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             c = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            c = _unit_rows(c)
             sims = c @ b_q.T  # (batch, n_queries)
             out_q, out_n, out_s = [], [], []
             for j in range(len(b_qids)):
@@ -180,7 +199,7 @@ def filtered_topk(
     for val, rows in by_val.items():
         gq = np.array([r[0] for r in rows], dtype=np.int64)
         gv = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
-        gv /= np.linalg.norm(gv, axis=1, keepdims=True)
+        gv = _unit_rows(gv)
         groups.append((val, gq, gv))
     bc = embeddings.sparkSession.sparkContext.broadcast(groups)
     take = k + 1
@@ -199,9 +218,7 @@ def filtered_topk(
                     c_cache = np.vstack(
                         pdf[vec_col].to_numpy()
                     ).astype(np.float64)
-                    c_cache /= np.linalg.norm(
-                        c_cache, axis=1, keepdims=True
-                    )
+                    c_cache = _unit_rows(c_cache)
                 sub, subids = c_cache[mask], ids[mask]
                 sims = sub @ b_q.T
                 for j in range(len(b_qids)):
@@ -764,10 +781,32 @@ def _cell_assignment(
     )
 
 
+#: Per-call audit of the last SemDeDup candidate stage on this driver:
+#: {"cells_truncated": int, "members_dropped": int}. Updated by
+#: ``_pairs_from_cells``; a non-zero count means ``max_cell`` clipped
+#: candidate generation (recall loss) and ``n_cells`` is undersized for
+#: the corpus — the same "no silent caps" discipline as the minhash /
+#: simhash ``max_bucket`` caps, which log rather than silently drop.
+LAST_SEMDEDUP_TRUNCATION: dict = {"cells_truncated": 0, "members_dropped": 0}
+
+#: Auto-sizing target for ``n_cells=None``: the paper's n_cells ∝ corpus
+#: discipline with ~this many vectors per cell.
+SEMDEDUP_TARGET_CELL_SIZE = 512
+
+
+def _auto_n_cells(embeddings: DataFrame, target_cell_size: int) -> int:
+    """n_cells from the corpus count — ``max(1, n // target_cell_size)``
+    (SemDeDup's n_cells ∝ corpus size as the DEFAULT, so the quadratic
+    in-cell work stays bounded without a manually re-tuned knob). One
+    O(1)-output count job."""
+    n = embeddings.count()
+    return max(1, n // target_cell_size)
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     eps: float = 0.45,
-    n_cells: int = 64,
+    n_cells: "int | None" = 64,
     lloyd_iters: int = 8,
     max_cell: int = 4000,
     id_col: str = "vec_id",
@@ -790,7 +829,15 @@ def semantic_dedup_pairs(
     1.0 by construction). Cells larger than ``max_cell`` are truncated
     to their ``max_cell`` smallest ids (quadratic-corner guard, same
     discipline as the simhash/minhash ``max_bucket`` caps — a cell that
-    big means n_cells is undersized for the corpus; raise it)."""
+    big means n_cells is undersized for the corpus; raise it). The cap
+    is NOT silent: truncated-cell and dropped-member counts are logged
+    and recorded in ``LAST_SEMDEDUP_TRUNCATION``. ``n_cells=None``
+    auto-sizes from the corpus count (one count job;
+    ``SEMDEDUP_TARGET_CELL_SIZE`` vectors per cell) so the paper's
+    n_cells ∝ corpus discipline is the default rather than a manual
+    knob whose mis-set failure mode is invisible."""
+    if n_cells is None:
+        n_cells = _auto_n_cells(embeddings, SEMDEDUP_TARGET_CELL_SIZE)
     cent = _centroid_matrix(
         embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
     )
@@ -807,11 +854,43 @@ def _pairs_from_cells(
 ) -> DataFrame:
     """In-cell pair generation + exact cosine verify over a
     ``_cell_assignment`` frame (shared by the pair and dedup entry
-    points so the quantizer trains once)."""
-    cells = (
+    points so the quantizer trains once). Surfaces the ``max_cell``
+    cap: cells over the cap are clipped to their smallest ids AND
+    counted — the counts land in ``LAST_SEMDEDUP_TRUNCATION`` and a
+    ``logging.warning``, because a clipped cell silently costs recall
+    and means n_cells is undersized for the corpus. The pre-clip cell
+    frame is lazily checkpointed so the audit aggregate and the pair
+    pipeline share one groupBy shuffle."""
+    pre = (
         assigned.groupBy("cell")
         .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
-        .withColumn("ids", F.slice(F.col("ids"), 1, max_cell))
+        .localCheckpoint(eager=False)
+    )
+    audit = pre.agg(
+        F.sum(
+            F.when(F.size("ids") > max_cell, 1).otherwise(0)
+        ).alias("cells"),
+        F.sum(
+            F.when(
+                F.size("ids") > max_cell, F.size("ids") - max_cell
+            ).otherwise(0)
+        ).alias("members"),
+    ).collect()[0]
+    LAST_SEMDEDUP_TRUNCATION["cells_truncated"] = int(audit["cells"] or 0)
+    LAST_SEMDEDUP_TRUNCATION["members_dropped"] = int(audit["members"] or 0)
+    if LAST_SEMDEDUP_TRUNCATION["cells_truncated"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: max_cell=%d truncated %d cell(s), dropping "
+            "%d member(s) from candidate generation — recall is degraded; "
+            "raise n_cells (or pass n_cells=None to auto-size)",
+            max_cell,
+            LAST_SEMDEDUP_TRUNCATION["cells_truncated"],
+            LAST_SEMDEDUP_TRUNCATION["members_dropped"],
+        )
+    cells = (
+        pre.withColumn("ids", F.slice(F.col("ids"), 1, max_cell))
         .filter(F.size("ids") >= 2)
     )
     pairs = F.flatten(
@@ -841,7 +920,7 @@ def _pairs_from_cells(
 def semantic_dedup(
     embeddings: DataFrame,
     eps: float = 0.45,
-    n_cells: int = 64,
+    n_cells: "int | None" = 64,
     lloyd_iters: int = 8,
     max_cell: int = 4000,
     keep: str = "centroid_far",
@@ -867,6 +946,8 @@ def semantic_dedup(
 
     if keep not in ("centroid_far", "min_id"):
         raise ValueError(f"unknown keep rule {keep!r}")
+    if n_cells is None:
+        n_cells = _auto_n_cells(embeddings, SEMDEDUP_TARGET_CELL_SIZE)
     cent = _centroid_matrix(
         embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
     )
@@ -1155,7 +1236,7 @@ def pq_encode(
     def encode(vecs: pd.Series) -> pd.Series:
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
         if normalize:
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v = _unit_rows(v)
         return pd.Series(list(_assign_codes(v, books)))
 
     return embeddings.select(
@@ -1211,7 +1292,7 @@ def pq_topk(
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _unit_rows(Q)
     sub_dim = Q.shape[1] // m
     # luts[i, s, c] = q_i[sub s] . books[s, c]  — per-query ADC tables
     luts = np.einsum(
@@ -1330,7 +1411,7 @@ def ivfpq_train_encode(
     @pandas_udf("struct<cell:int, resid:array<double>>")
     def cell_resid(vecs: pd.Series) -> pd.DataFrame:
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v = _unit_rows(v)
         cells = np.argmax(v @ cent.T, axis=1).astype(np.int32)
         resid = v - cent[cells]
         return pd.DataFrame({"cell": cells, "resid": list(resid)})
@@ -1373,7 +1454,7 @@ def ivfpq_encode(
     def encode_with_cell(batches):
         for pdf in batches:
             v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v = _unit_rows(v)
             cells = np.argmax(v @ cent.T, axis=1)
             cc = _assign_codes(v - cent[cells], books)
             out = {
@@ -1434,7 +1515,7 @@ def ivfpq_adc_candidates(
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _unit_rows(Q)
     qfil = [r[2] for r in q_rows] if filter_col else None
     sub_dim = Q.shape[1] // m
     luts = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, sub_dim), books)

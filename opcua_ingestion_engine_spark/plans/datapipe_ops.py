@@ -1344,3 +1344,127 @@ def q_tf_upsert_partial(spark, sf_dir):
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_tf_avg_view",
+    """
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, COUNT(price) AS cnt_price,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(price) AS DOUBLE) AS avg_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    "Incremental materialized AVG view (operators/matview.py avg_cols) "
+    "— an orders-derived source whose %11 keys carry NULL prices (so "
+    "SQL AVG's NULL-skipping denominator is pinned: the state keeps a "
+    "per-column NON-NULL count cnt_price next to the DECIMAL(38,6) "
+    "sum, and avg = sum/cnt is derived at READ time, never stored), "
+    "committed three ways (initial rewrite, pure append, then a "
+    "rewrite that deletes the %5 keys and moves the %7 keys to a new "
+    "status group) with a refresh after every commit. Purely additive "
+    "state — deletes fold as signed addends, no dirty-group recompute. "
+    "The oracle recomputes from the final snapshot; the double "
+    "division of identical decimal sum and bigint count is "
+    "IEEE-deterministic on both engines.",
+)
+def q_tf_avg_view(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from ..operators.matview import MaterializedAggView
+    from .scratch import scratch_root
+
+    orders = C.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 != 0, F.col("o_totalprice"))
+        .alias("price"),
+    )
+    src = scratch_root("mv_avg_src")
+    view = MaterializedAggView(
+        src,
+        scratch_root("mv_avg_view"),
+        group_keys=["o_orderstatus"],
+        avg_cols=["price"],
+        row_keys=["o_orderkey"],
+    )
+    TF.commit_version(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+    view.refresh(spark)
+    TF.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+    view.refresh(spark)
+    moved = F.col("o_orderkey") % 7 == 0
+    TF.commit_version(
+        orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+            "o_orderstatus",
+            F.when(moved, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        ),
+        src,
+    )
+    view.refresh(spark)
+    return view.result(spark).select(
+        "o_orderstatus",
+        "n",
+        F.col("cnt_price").alias("cnt_price"),
+        F.col("avg_price"),
+    )
+
+
+@register(
+    "q_tf_distinct_view",
+    """
+    WITH final AS (
+        SELECT event_id, event_type, user_id % 199 AS ub
+        FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT ub) AS distinct_users
+    FROM final GROUP BY event_type
+    """,
+    "Incremental materialized APPROX_COUNT_DISTINCT view "
+    "(operators/matview.py approx_distinct_cols) — an events-derived "
+    "source (event_id key, user bucket user_id % 199) committed three "
+    "ways (initial rewrite, pure append, then a rewrite deleting the "
+    "%5 keys), with a per-event-type Datasketches HLL sketch column "
+    "maintained from the change feed: appends fold monotonically via "
+    "hll_sketch_agg + hll_union with ZERO source reads; the delete "
+    "commit dirties every group that lost a value and re-sketches ONLY "
+    "those from the snapshot (sketches cannot subtract). The bucket "
+    "bounds per-group cardinality at 199 AT ANY SCALE FACTOR, inside "
+    "the sketch's coupon-exact range, so the estimate equals the "
+    "oracle's exact COUNT(DISTINCT) deterministically.",
+)
+def q_tf_distinct_view(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from ..operators.matview import MaterializedAggView
+    from .scratch import scratch_root
+
+    events = C.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 199).alias("ub"),
+    )
+    src = scratch_root("mv_hll_src")
+    view = MaterializedAggView(
+        src,
+        scratch_root("mv_hll_view"),
+        group_keys=["event_type"],
+        approx_distinct_cols=["ub"],
+        row_keys=["event_id"],
+    )
+    TF.commit_version(events.filter(F.col("event_id") % 3 != 0), src)
+    view.refresh(spark)
+    TF.commit_append(events.filter(F.col("event_id") % 3 == 0), src)
+    view.refresh(spark)
+    TF.commit_version(events.filter(F.col("event_id") % 5 != 0), src)
+    view.refresh(spark)
+    return view.result(spark).select(
+        "event_type",
+        "n",
+        F.col("approx_distinct_ub").alias("distinct_users"),
+    )

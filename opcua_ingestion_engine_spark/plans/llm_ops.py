@@ -887,6 +887,38 @@ def q_e3_incremental_ann_index(spark, sf_dir):
     return out.withColumnRenamed("rank", "nn_rank")
 
 
+@register(
+    "q_e3_incremental_filtered_ann",
+    None,  # data-dependent quantizers — rows-only; incremental==one-shot
+    # equality WITH labels + same-label invariant + label-upsert
+    # visibility pinned in pytest (test_incremental_filtered_ann_index)
+    "E3 (filtered maintained index — the production serving shape: "
+    "tenant/domain search over a live corpus) — vectors fed in 3 "
+    "id-interleaved waves through streaming/annindex.py with "
+    "carry_cols=['label'], so every committed codes row carries the "
+    "filter label and a filtered search is pruned INSIDE the ADC codes "
+    "scan (filter-then-search, k never under-fills; never a "
+    "post-filter). Served at the standard geometry restricted to each "
+    "query's own label.",
+)
+def q_e3_incremental_filtered_ann(spark, sf_dir):
+    from ..streaming.annindex import IncrementalAnnIndexSink
+    from .scratch import scratch_root
+
+    emb = _emb(spark, sf_dir)
+    root = scratch_root("fannsink")
+    sink = IncrementalAnnIndexSink(
+        root, carry_cols=["label"], **IVFPQ_INDEX_GEOMETRY
+    )
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+    out = sink.search(
+        emb, emb.filter(F.col("vec_id") < 10), filter_col="label",
+        **IVFPQ_SERVE,
+    )
+    return out.withColumnRenamed("rank", "nn_rank")
+
+
 # ---------------------------------------------------------------------------
 # E4 — text analysis
 # ---------------------------------------------------------------------------

@@ -69,18 +69,23 @@ def ann_index_search(
     version: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: "str | None" = None,
 ) -> DataFrame:
     """Serve a search from a maintained index — any process, no sink
     instance needed. ``vectors`` supplies the true vectors for the exact
     rerank only (candidate-sized read); ``version`` time-travels to an
     earlier committed index state (the rerank still reads CURRENT
     vectors — pass a matching vector snapshot if ids were re-ingested
-    with new values since that version)."""
+    with new values since that version). ``filter_col`` serves FILTERED
+    search (tenant/domain restriction — the production serving shape):
+    the sink must have been built with ``carry_cols=[filter_col]`` so
+    the label rides on the codes rows and is pruned inside the ADC
+    scan, same contract as ``ivfpq_topk_from_index``."""
     cent, books = _load_quantizers(index_root)
     codes = TF.read_version(spark, os.path.join(index_root, "codes"), version)
     return S.ivfpq_search(
         codes, cent, books, vectors, queries, k, nprobe, rerank,
-        id_col, vec_col,
+        id_col, vec_col, filter_col,
     )
 
 
@@ -102,11 +107,18 @@ class IncrementalAnnIndexSink:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         auto_compact: int | None = 64,
+        carry_cols: "list[str] | None" = None,
     ):
         if mode not in ("upsert", "append"):
             raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
         self.mode = mode
         self.auto_compact = auto_compact
+        # label/tenant columns carried onto every committed codes row so
+        # the maintained index serves FILTERED search (filter pruned
+        # inside the ADC codes scan, never a post-filter) — the batch
+        # build's ivfpq_write_index(carry_cols=...) contract, kept
+        # identical here so incremental == one-shot INCLUDING labels
+        self.carry_cols = list(carry_cols or [])
         self.index_root = index_root
         self.codes_root = os.path.join(index_root, "codes")
         self.geometry = dict(
@@ -147,8 +159,7 @@ class IncrementalAnnIndexSink:
 
         @pandas_udf("array<double>")
         def resid(vecs: pd.Series) -> pd.Series:
-            v = np.vstack(vecs.to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v = S._unit_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
             cells = np.argmax(v @ cent.T, axis=1)
             return pd.Series(list(v - cent[cells]))
 
@@ -194,7 +205,8 @@ class IncrementalAnnIndexSink:
         # eager: commit_merge re-runs the merge on a CAS rebase, and the
         # encode must not be re-derived (or re-randomized) there
         codes = S.ivfpq_encode(
-            vectors, self._cent, self._books, self.id_col, self.vec_col
+            vectors, self._cent, self._books, self.id_col, self.vec_col,
+            self.carry_cols,
         ).localCheckpoint(eager=True)
         spark = vectors.sparkSession
 
@@ -257,8 +269,10 @@ class IncrementalAnnIndexSink:
         nprobe: int = 8,
         rerank: int = 20,
         version: int | None = None,
+        filter_col: "str | None" = None,
     ) -> DataFrame:
         return ann_index_search(
             vectors.sparkSession, self.index_root, vectors, queries,
             k, nprobe, rerank, version, self.id_col, self.vec_col,
+            filter_col,
         )

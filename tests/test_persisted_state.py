@@ -2282,3 +2282,320 @@ def test_app_data_identical_is_reserved(spark, tmp_path):
     vc = TF.compact(spark, root)
     with open(TF._manifest_path(root, vc)) as f:
         assert json.load(f)["app"]["data_identical"] is True
+
+
+def test_matview_avg_and_approx_distinct(spark, tmp_path, monkeypatch):
+    """avg_cols keep SQL AVG's NULL-skipping denominator exact through
+    signed additive folds (no dirty machinery, zero source reads ever);
+    approx_distinct_cols fold appends monotonically via sketch union
+    with zero source reads, while a commit that REMOVES a non-null
+    value re-sketches only the affected groups from the snapshot.
+    Incremental equals full recompute after every commit (the bucketed
+    cardinality keeps the HLL estimate coupon-exact)."""
+    from opcua_ingestion_engine_spark.operators import matview as MV
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    src, vr = str(tmp_path / "src"), str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, g string, x double, u bigint"
+    )
+    view = MV.MaterializedAggView(
+        src, vr, group_keys=["g"], row_keys=["k"],
+        avg_cols=["x"], approx_distinct_cols=["u"],
+    )
+
+    src_reads = {"n": 0}
+    real_read = TF.read_version
+
+    def counting_read(sp, root, version=None, prune=None):
+        if root == src:
+            src_reads["n"] += 1
+        return real_read(sp, root, version, prune)
+
+    monkeypatch.setattr(MV.TF, "read_version", counting_read)
+
+    def check():
+        got = {
+            tuple(r)
+            for r in view.result(spark).select(
+                "g", "n", "cnt_x", "avg_x",
+                F.col("approx_distinct_u").alias("d"),
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in real_read(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count("*").alias("n"),
+                F.count("x").alias("cnt_x"),
+                (
+                    F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                    / F.count("x").cast("double")
+                ).alias("avg_x"),
+                F.count_distinct("u").alias("d"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    # initial commit: NULL measures, a NULL group, duplicate u values
+    TF.commit_version(
+        mk([
+            (1, "a", 4.0, 10), (2, "a", None, 11), (3, "a", 2.0, 10),
+            (4, "b", 8.0, 20), (5, None, 1.0, 30),
+        ]),
+        src,
+    )
+    view.refresh(spark)
+    check()
+
+    # pure append: folds with ZERO source reads (sketch union + signed
+    # counts only)
+    src_reads["n"] = 0
+    TF.commit_append(
+        mk([(6, "a", 10.0, 12), (7, "b", None, 21), (8, "c", 5.0, 40)]),
+        src,
+    )
+    view.refresh(spark)
+    assert src_reads["n"] == 0, "append-only refresh read the source"
+    check()
+
+    # delete k=1 (removes one copy of u=10 — k=3 still holds it: the
+    # sketch must NOT double-drop) and k=4 (removes group b's only
+    # u=20); both groups dirty, group c untouched
+    TF.delete_where(spark, src, "k in (1, 4)")
+    src_reads["n"] = 0
+    view.refresh(spark)
+    assert src_reads["n"] >= 1, "removal must re-sketch from the source"
+    check()
+
+    # update that moves a row between groups AND changes its u: the
+    # pre-image removal dirties the old group, the post-image folds
+    # into the new
+    TF.update_where(spark, src, "k = 8", {"g": "'a'", "u": "41"})
+    view.refresh(spark)
+    check()
+
+    # drain a group to zero rows: it leaves the view entirely
+    TF.delete_where(spark, src, "g is null")
+    view.refresh(spark)
+    check()
+    assert view.result(spark).filter(F.col("g").isNull()).count() == 0
+
+
+def test_incremental_filtered_ann_index(spark, tmp_path):
+    """Filtered serving from the MAINTAINED index (the production shape:
+    tenant/domain search over a live corpus): a sink built with
+    carry_cols=['label'] commits label-carrying codes rows whose table
+    equals the one-shot ivfpq_write_index(carry_cols) build under the
+    same quantizers; filtered search served from it equals the filtered
+    in-plan search over the one-shot codes, respects the same-label
+    invariant for every result row, and an upserted row's label update
+    is visible to the filter."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+    )
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    cent, books, oneshot_codes = S.ivfpq_train_encode(
+        emb, carry_cols=["label"]
+    )
+
+    root = str(tmp_path / "fann_index")
+    sink = IncrementalAnnIndexSink(
+        root, quantizers=(cent, books), carry_cols=["label"]
+    )
+    for i in range(3):
+        sink.process_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    # incremental == one-shot INCLUDING the carried label column
+    got = TF.read_version(spark, root + "/codes")
+    assert "label" in got.columns
+    assert _rows(got) == _rows(oneshot_codes)
+
+    # filtered serve == filtered in-plan over the one-shot codes
+    q = emb.filter(F.col("vec_id") < 10)
+    served = sink.search(
+        emb, q, k=5, nprobe=14, rerank=200, filter_col="label"
+    )
+    inplan = S.ivfpq_search(
+        oneshot_codes, cent, books, emb, q,
+        k=5, nprobe=14, rerank=200, filter_col="label",
+    )
+    assert _rows(served) == _rows(inplan)
+
+    # same-label invariant: every (query, neighbor) pair shares a label
+    lbl = emb.select(F.col("vec_id"), F.col("label"))
+    viol = (
+        served.join(
+            lbl.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "q_lbl"),
+            "query_id",
+        )
+        .join(
+            lbl.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "n_lbl"),
+            "neighbor_id",
+        )
+        .filter(F.col("q_lbl") != F.col("n_lbl"))
+        .count()
+    )
+    assert viol == 0 and served.count() > 0
+
+    # upsert with a CHANGED label: the filter sees the new value
+    probe_label = emb.filter(F.col("vec_id") == 0).collect()[0]["label"]
+    new_label = probe_label + 1000
+    moved = emb.filter(F.col("vec_id") == 7).withColumn(
+        "label", F.lit(new_label).cast("int")
+    )
+    sink.process_batch(moved, 99)
+    snap = TF.read_version(spark, root + "/codes")
+    assert snap.filter(F.col("neighbor_id") == 7).collect()[0][
+        "label"
+    ] == new_label
+    emb2 = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") == 7, F.lit(new_label).cast("int"))
+        .otherwise(F.col("label")),
+    )
+    q7 = emb2.filter(F.col("vec_id") == 7)
+    res7 = sink.search(
+        emb2, q7, k=5, nprobe=16, rerank=200, filter_col="label"
+    )
+    # id 7 is now the only member of its label: no same-label neighbor
+    assert res7.count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59])
+def test_tablefmt_chaos(spark, tmp_path, seed):
+    """Randomized multi-writer stress over the versioned-table layer:
+    THREE concurrent workers interleave append / commit_upsert /
+    delete_where / compact / restore on one table under a seeded
+    schedule (real CAS races, not mocked). Afterwards the committed
+    manifest history must be linearizable — versions contiguous, every
+    parent the preceding version — and a SERIAL REPLAY of the ops in
+    their manifest-commit order (each op's parameters ride in its
+    manifest app) must reproduce both the final snapshot and every
+    retained intermediate snapshot exactly. The pairwise rebase tests
+    pin each two-way race; this pins the 3-way interleavings."""
+    import random
+    import threading
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / f"chaos{seed}")
+
+    def mk(keys, val):
+        return spark.createDataFrame(
+            [(int(k), int(val)) for k in keys], "k bigint, val bigint"
+        )
+
+    # worker w owns append-key block [w*10_000, (w+1)*10_000) so appends
+    # never create duplicate keys; upserts/deletes range over ALL blocks
+    TF.commit_version(mk(range(0, 40), 1), root)
+
+    errors = []
+
+    def worker(w: int):
+        rng = random.Random(seed * 100 + w)
+        try:
+            for step in range(4):
+                op = rng.choice(["append", "upsert", "delete", "compact",
+                                 "restore"])
+                if op == "append":
+                    lo = 10_000 * (w + 1) + step * 100
+                    keys = range(lo, lo + rng.randint(3, 20))
+                    val = rng.randint(0, 9)
+                    TF.commit_append(
+                        mk(keys, val), root,
+                        app={"chaos": "append", "lo": keys.start,
+                             "hi": keys.stop, "val": val},
+                    )
+                elif op == "upsert":
+                    lo = rng.choice([0, 10, 10_000, 20_000]) + rng.randint(0, 30)
+                    hi = lo + rng.randint(3, 25)
+                    val = 100 + rng.randint(0, 9)
+                    TF.commit_upsert(
+                        spark, root, mk(range(lo, hi), val), keys=["k"],
+                        app={"chaos": "upsert", "lo": lo, "hi": hi,
+                             "val": val},
+                    )
+                elif op == "delete":
+                    lo = rng.choice([0, 5, 10_000, 20_000]) + rng.randint(0, 30)
+                    hi = lo + rng.randint(2, 15)
+                    TF.delete_where(
+                        spark, root, f"k >= {lo} and k < {hi}",
+                        app={"chaos": "delete", "lo": lo, "hi": hi},
+                    )
+                elif op == "compact":
+                    TF.compact(spark, root, app={"chaos": "compact"})
+                else:
+                    live = TF.latest_version(root)
+                    if live and live > 1:
+                        TF.restore(root, rng.randint(0, live - 1),
+                                   app={"chaos": "restore"})
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append((w, e))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    # --- linearizability: contiguous versions, correct parent chain
+    hist = TF.history(root)
+    versions = [m["version"] for m in hist]
+    assert versions == list(range(len(versions)))
+    for m in hist[1:]:
+        assert m["parent"] == m["version"] - 1
+
+    # --- serial replay in manifest-commit order reproduces every state
+    states: list[dict] = []
+    for m in hist:
+        prev = dict(states[-1]) if states else {}
+        app = m.get("app") or {}
+        tag = app.get("chaos")
+        if m["version"] == 0:
+            prev = {k: 1 for k in range(0, 40)}
+        elif tag == "append":
+            for k in range(app["lo"], app["hi"]):
+                prev[k] = app["val"]
+        elif tag == "upsert":
+            for k in range(app["lo"], app["hi"]):
+                prev[k] = app["val"]
+        elif tag == "delete":
+            for k in range(app["lo"], app["hi"]):
+                prev.pop(k, None)
+        elif tag == "compact":
+            pass
+        elif "restore_of" in app:
+            prev = dict(states[app["restore_of"]])
+        else:  # pragma: no cover
+            raise AssertionError(f"unknown chaos manifest app {app}")
+        states.append(prev)
+
+    def snap(v):
+        return {
+            r["k"]: r["val"]
+            for r in TF.read_version(spark, root, v).collect()
+        }
+
+    live = TF.latest_version(root)
+    assert snap(live) == states[live]
+    # three seeded intermediate versions time-travel to the replay state
+    rng = random.Random(seed)
+    for v in sorted(rng.sample(range(len(states)), min(3, len(states)))):
+        assert snap(v) == states[v], f"version {v} diverged from replay"
+
+    # vacuum afterwards: live still reads, reclaimed versions raise
+    removed = TF.vacuum(root, keep=2, orphan_grace_s=0)
+    assert snap(live) == states[live]
+    if removed:
+        with pytest.raises(ValueError):
+            TF.read_version(spark, root, removed[0])
