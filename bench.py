@@ -57,6 +57,12 @@ HEADLINE = [
     "q_e4_text_stats",
     "q_e6_timeseries_similarity",
     "q_b1_browse_tree",
+    # Versioned-table layer representatives (round 7): the partial-MERGE
+    # upsert (stats+probe directory elimination) and the CDC-maintained
+    # incremental view — the two table-layer ops every durable sink
+    # leans on, so their decade scaling is measured, not asserted.
+    "q_tf_upsert_partial",
+    "q_tf_incremental_view",
 ]
 
 

@@ -2599,3 +2599,69 @@ def test_tablefmt_chaos(spark, tmp_path, seed):
     if removed:
         with pytest.raises(ValueError):
             TF.read_version(spark, root, removed[0])
+
+
+def test_matview_all_aggregate_kinds_combined(spark, tmp_path):
+    """One view maintaining COUNT + SUM + AVG (sharing the sum column)
+    + MIN + MAX + APPROX_DISTINCT simultaneously: the shared sum_x state
+    is stored once (_all_sum dedup), every kind folds through the same
+    general path, and incremental equals full recompute across an
+    append, a group-moving update, and an extremum-removing delete."""
+    from opcua_ingestion_engine_spark.operators import matview as MV
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    src, vr = str(tmp_path / "src"), str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, g string, x double, u bigint"
+    )
+    view = MV.MaterializedAggView(
+        src, vr, group_keys=["g"], row_keys=["k"],
+        sum_cols=["x"], avg_cols=["x"], min_cols=["x"], max_cols=["x"],
+        approx_distinct_cols=["u"],
+    )
+    TF.commit_version(
+        mk([
+            (1, "a", 5.0, 10), (2, "a", None, 11), (3, "a", 1.0, 10),
+            (4, "b", 7.0, 20),
+        ]),
+        src,
+    )
+    view.refresh(spark)
+    TF.commit_append(mk([(5, "a", 9.0, 12), (6, "b", 2.0, 21)]), src)
+    view.refresh(spark)
+    TF.update_where(spark, src, "k = 4", {"g": "'a'"})
+    view.refresh(spark)
+    TF.delete_where(spark, src, "k = 5")  # removes group a's max
+    view.refresh(spark)
+
+    # shared column stores ONE sum state
+    stored = TF.read_version(spark, vr)
+    assert stored.columns.count("sum_x") == 1
+
+    got = {
+        tuple(r)
+        for r in view.result(spark).select(
+            "g", "n", F.col("sum_x").cast("double").alias("s"),
+            "cnt_x", "avg_x", "min_x", "max_x",
+            F.col("approx_distinct_u").alias("d"),
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in TF.read_version(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.count("x").alias("cnt_x"),
+            (
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                / F.count("x").cast("double")
+            ).alias("avg_x"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.count_distinct("u").alias("d"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -61,6 +61,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # served from the incrementally-maintained versioned codes table —
     # same serve shape as from_index (query slice + candidate rerank)
     "q_e3_incremental_ann_index": (0, 0, {"embeddings": 2}),
+    # filtered serve from the maintained label-carrying codes table —
+    # identical two-scan shape (the filter prunes inside the codes scan)
+    "q_e3_incremental_filtered_ann": (0, 0, {"embeddings": 2}),
     "q_e4_repetition": (0, 0, {"documents": 2}),
     # window-frequency pass + postings pass over the same positional
     # k-gram lineage (same inverted-index two-scan shape as
