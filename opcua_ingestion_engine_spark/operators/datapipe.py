@@ -377,3 +377,89 @@ def split_assign_cluster_safe(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E8 — per-document sliding-window chunking: split each document's
+    whitespace token stream into ``max_tokens``-sized chunks whose
+    starts advance by ``max_tokens - overlap`` (the standard
+    context-length prep for SFT/eval corpora, where documents must NOT
+    cross chunk boundaries — the complement of ``pack_chunks``'
+    concat-and-cut pretraining layout). A start is emitted only when
+    its chunk carries tokens the PREVIOUS chunk did not (``start +
+    overlap < n_doc_tokens``, start 0 always): the final partial chunk
+    is kept, but a tail the previous window already fully covered is
+    not re-emitted as a redundant duplicate.
+
+    Pure per-row JVM expressions — ``sequence`` for the start offsets,
+    ``slice`` + ``array_join`` per chunk, one ``posexplode`` — so there
+    is NO shuffle at any corpus size and Catalyst prunes to the two
+    consumed columns. Chunk ids are dense per document in token order:
+    fully deterministic, so a re-run (or the DuckDB oracle) reproduces
+    the exact table."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens "
+            f"({max_tokens}) — the window must advance"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+        ),
+        # chunk at s covers tokens the previous (s - stride) chunk did
+        # not iff s + overlap < n — the previous window ends at
+        # s + overlap - 1
+        lambda s: (s == 0) | (s + overlap < F.size(toks)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(
+                F.slice(toks, s + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.size(toks) - s, F.lit(max_tokens))
+            .cast("long").alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.col("c.chunk_text"),
+        F.col("c.n_tokens"),
+    )
+
+
+def softdedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E8 — soft deduplication: instead of DROPPING exact duplicates,
+    weight every document by the reciprocal of its duplicate-group size
+    (SoftDeDup — down-weighting repeated content preserves coverage
+    while removing the over-representation bias that hard dedup and
+    no-dedup both suffer). Groups are exact-content sha256 groups, the
+    same digest the hard-dedup path keys on, so the two strategies are
+    directly comparable on one corpus.
+
+    Scale shape: ONE map-side-combined groupBy on the 32-byte digest
+    for the group sizes, then a broadcast-unfriendly but
+    group-cardinality join back — expressed as a window over the digest
+    instead, so it stays a single shuffle with no join at all."""
+    digest = F.sha2(F.col(text_col), 256)
+    w = W.partitionBy(digest)
+    return docs.select(
+        F.col(id_col),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.lit(1.0) / F.count("*").over(w)).alias("weight"),
+    )

@@ -1468,3 +1468,57 @@ def q_tf_distinct_view(spark, sf_dir):
         "n",
         F.col("approx_distinct_ub").alias("distinct_users"),
     )
+
+
+@register(
+    "q_e8_sliding_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks) - 1, 0) + 1, 448))
+                 AS start
+        FROM t
+    )
+    SELECT doc_id,
+           start // 448 AS chunk_id,
+           array_to_string(toks[start + 1 : start + 512], ' ')
+             AS chunk_text,
+           least(len(toks) - start, 512) AS n_tokens
+    FROM s
+    WHERE start = 0 OR start + 64 < len(toks)
+    """,
+    "E8 — per-document sliding-window chunking (context-length prep for "
+    "SFT/eval corpora; documents never cross chunk boundaries — the "
+    "complement of pack_chunks' concat-and-cut pretraining layout): "
+    "512-token windows advancing by 448 (64-token overlap), final "
+    "partial chunk kept. Pure per-row JVM expressions (sequence + slice "
+    "+ posexplode) — NO shuffle at any corpus size; chunk ids dense per "
+    "document, fully deterministic.",
+)
+def q_e8_sliding_chunks(spark, sf_dir):
+    return DP.sliding_chunks(
+        C.load_table(spark, sf_dir, "documents"),
+        max_tokens=512, overlap=64,
+    )
+
+
+@register(
+    "q_e8_softdedup_weights",
+    """
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY sha256(text)) AS cluster_size,
+           1.0 / COUNT(*) OVER (PARTITION BY sha256(text)) AS weight
+    FROM documents
+    """,
+    "E8 — soft deduplication: weight every document by the reciprocal "
+    "of its exact-duplicate group size instead of dropping duplicates "
+    "(down-weighting preserves coverage while removing the "
+    "over-representation bias; groups key on the same sha256 digest as "
+    "the hard-dedup path, so the strategies are directly comparable). "
+    "One window over the 32-byte digest — a single shuffle, no join.",
+)
+def q_e8_softdedup_weights(spark, sf_dir):
+    return DP.softdedup_weights(C.load_table(spark, sf_dir, "documents"))

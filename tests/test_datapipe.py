@@ -464,3 +464,79 @@ def test_cluster_safe_split_prevents_leakage(spark):
     for r in pairs.collect():
         assert safe_map[r["doc_a"]] == safe_map[r["doc_b"]]
         assert safe_map[r["doc_b"]] == plain_map[min(r["doc_a"], r["doc_b"])]
+
+
+def test_sliding_chunks_multiwindow_and_edges(spark):
+    """Sliding-window chunking on documents LONGER than one window
+    (the sf fixtures are single-chunk): starts advance by
+    max_tokens - overlap, consecutive chunks share exactly `overlap`
+    tokens, the final partial chunk keeps the tail, token counts are
+    exact, and reassembling the stride-prefixes of every chunk plus the
+    last chunk reproduces the document. overlap >= max_tokens refuses."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, words(25)),   # starts 0,6,12,18 (24 dropped: no unseen)
+            (2, words(10)),   # exactly one window — NO redundant tail
+            (3, words(11)),   # one window + a tail with one unseen token
+            (4, "solo"),      # single token
+        ],
+        "doc_id long, text string",
+    )
+    out = DP.sliding_chunks(docs, max_tokens=10, overlap=4).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+
+    # doc 1: start 24 is dropped (24 + overlap >= 25: chunk 18..24
+    # already covered token 24) -> counts 10,10,10,7
+    assert [r["n_tokens"] for r in by_doc[1]] == [10, 10, 10, 7]
+    assert [r["chunk_id"] for r in by_doc[1]] == [0, 1, 2, 3]
+    # consecutive chunks overlap by exactly 4 tokens
+    a, b = by_doc[1][0]["chunk_text"].split(), by_doc[1][1]["chunk_text"].split()
+    assert a[6:] == b[:4]
+    # every chunk's text is the right slice of the source, and the
+    # union of chunks covers every token
+    src = [f"w{i}" for i in range(25)]
+    seen: set = set()
+    for r in by_doc[1]:
+        s = r["chunk_id"] * 6
+        assert r["chunk_text"].split() == src[s:s + 10]
+        assert r["n_tokens"] == len(src[s:s + 10])
+        seen.update(range(s, s + r["n_tokens"]))
+    assert seen == set(range(25))
+
+    # a doc that fits one window emits exactly one chunk
+    assert [r["n_tokens"] for r in by_doc[2]] == [10]
+    assert [r["n_tokens"] for r in by_doc[3]] == [10, 5]
+    assert [(r["chunk_text"], r["n_tokens"]) for r in by_doc[4]] == [
+        ("solo", 1)
+    ]
+
+    with _pytest.raises(ValueError, match="must be smaller"):
+        DP.sliding_chunks(docs, max_tokens=8, overlap=8)
+
+
+def test_softdedup_weights_groups(spark):
+    """Weights are 1/|exact-duplicate group| on the sha256 digest:
+    duplicates share the group size, uniques weigh 1.0, and the total
+    weight equals the number of DISTINCT texts (the soft-dedup
+    invariant — each distinct content contributes one unit)."""
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "aa"), (6, "bb")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cluster_size"], r["weight"])
+           for r in DP.softdedup_weights(docs).collect()}
+    assert got[1] == (3, 1.0 / 3) and got[3] == (3, 1.0 / 3)
+    assert got[2] == (2, 0.5) and got[6] == (2, 0.5)
+    assert got[4] == (1, 1.0)
+    assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-12
