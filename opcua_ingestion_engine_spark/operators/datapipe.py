@@ -463,3 +463,65 @@ def softdedup_weights(
         F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.lit(1.0) / F.count("*").over(w)).alias("weight"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    salt: str = "tb1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E8 — deterministic token-budget corpus cut: keep documents in
+    md5(salt|id) hash order until the running token total reaches
+    ``budget_tokens`` (a doc is kept iff the total BEFORE it is under
+    budget, so the crossing document is included and the cut is never
+    empty for a positive budget) — the "give me a 1T-token slice of
+    this corpus" primitive, reproducible across runs and engines
+    because the order key is a portable hex digest, not an RNG.
+
+    Scale shape — an exact global prefix sum WITHOUT a global sort:
+    the first 2 hex chars of the order digest split the corpus into 256
+    blocks that are themselves in global order (prefix property), so
+    (1) one map-side-combined groupBy computes the 256 block token
+    sums, (2) a window over those 256 rows — trivially single-partition
+    — turns them into block offsets, (3) the offsets broadcast-join
+    back and each block computes its own partitioned running sum in
+    parallel. ``cum_before = block offset + within-block prefix``: the
+    exact global cumulative, with the only ordered shuffle partitioned
+    256 ways. Returns (id, n_tokens, cum_before) for kept docs."""
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be non-negative")
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("_b", F.substring("_h", 1, 2))
+    bsums = base.groupBy("_b").agg(F.sum("n_tokens").alias("_s"))
+    offs = bsums.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_s").over(
+                W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select("_b", "_off")
+    win = (
+        W.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offs), "_b")
+        .withColumn(
+            "cum_before",
+            (
+                F.col("_off")
+                + F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("cum_before") < budget_tokens)
+        .select(id_col, "n_tokens", "cum_before")
+    )

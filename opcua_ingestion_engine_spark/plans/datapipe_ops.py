@@ -1522,3 +1522,40 @@ def q_e8_sliding_chunks(spark, sf_dir):
 )
 def q_e8_softdedup_weights(spark, sf_dir):
     return DP.softdedup_weights(C.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_e8_token_budget",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               md5(concat('tb1|', CAST(doc_id AS VARCHAR))) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before FROM c WHERE cum_before < 5000
+    """,
+    "E8 — deterministic token-budget corpus cut ('give me an N-token "
+    "slice'): keep documents in md5(salt|id) hash order until the "
+    "running token total reaches the budget (the crossing doc is "
+    "included). The oracle computes the naive GLOBAL running sum; the "
+    "Spark plan computes the SAME exact prefix without a global sort — "
+    "the digest's first 2 hex chars split the corpus into 256 blocks "
+    "that are in global order by construction, block token sums (one "
+    "map-side-combined groupBy) turn into offsets via a 256-row window, "
+    "and each block's partitioned running sum adds its offset. The only "
+    "ordered shuffle is partitioned 256 ways — the 100 TB shape for an "
+    "exact global cumulative.",
+)
+def q_e8_token_budget(spark, sf_dir):
+    return DP.token_budget_sample(
+        C.load_table(spark, sf_dir, "documents"), budget_tokens=5000
+    )

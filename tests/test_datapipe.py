@@ -540,3 +540,54 @@ def test_softdedup_weights_groups(spark):
     assert got[2] == (2, 0.5) and got[6] == (2, 0.5)
     assert got[4] == (1, 1.0)
     assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-12
+
+
+def test_token_budget_sample_exact_prefix_without_global_sort(spark):
+    """The 256-block two-phase cumulative equals the naive global
+    running sum EXACTLY (same kept set, same cum_before), the crossing
+    document is included, budget 0 keeps nothing, and a budget >= total
+    keeps everything."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W2
+
+    from opcua_ingestion_engine_spark.operators import datapipe as DP
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + (i * 7) % 13))) for i in range(300)],
+        "doc_id long, text string",
+    )
+
+    def naive(budget):
+        h = F.md5(F.concat(F.lit("tb1|"), F.col("doc_id").cast("string")))
+        n = F.size(F.split(F.col("text"), " ")).cast("long")
+        w = W2.orderBy("_h", "doc_id").rowsBetween(W2.unboundedPreceding, -1)
+        return {
+            (r["doc_id"], r["n_tokens"], r["cum_before"])
+            for r in docs.select(
+                "doc_id", h.alias("_h"), n.alias("n_tokens")
+            )
+            .withColumn(
+                "cum_before",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+            )
+            .filter(F.col("cum_before") < budget)
+            .collect()
+        }
+
+    got_mid = {
+        tuple(r)
+        for r in DP.token_budget_sample(docs, budget_tokens=500).collect()
+    }
+    assert got_mid == naive(500)
+    assert 0 < len(got_mid) < 300
+    # the crossing doc is included: max cum_before < 500 but its own
+    # tokens may push past the budget
+    kept_tokens = sum(r[1] for r in got_mid)
+    assert kept_tokens >= 500
+
+    assert DP.token_budget_sample(docs, budget_tokens=0).count() == 0
+    big = DP.token_budget_sample(docs, budget_tokens=10**9)
+    assert big.count() == 300
+    assert {tuple(r) for r in big.collect()} == naive(10**9)
+    with pytest.raises(ValueError, match="non-negative"):
+        DP.token_budget_sample(docs, budget_tokens=-1)

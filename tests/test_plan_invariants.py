@@ -108,6 +108,9 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # candidate lineage + benchmark-gram pass (the composed corpus build
     # holds the two-scan bound of its contamination stage)
     "q_e8_corpus_build": (0, 0, {"documents": 2}),
+    # block-token-sums pass + main pass — the two column-pruned scans
+    # that buy an exact global prefix sum WITHOUT a global sort
+    "q_e8_token_budget": (0, 0, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
