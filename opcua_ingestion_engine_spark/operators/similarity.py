@@ -1764,3 +1764,92 @@ def ivfpq_topk_from_index(
         codes, cent, books, embeddings, queries, k, nprobe, rerank,
         id_col, vec_col, filter_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 — PCA dimensionality reduction (the standard pre-ANN compression)
+# ---------------------------------------------------------------------------
+
+def pca_train(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+):
+    """Train a k-component PCA on the bounded deterministic hash-sample
+    (the same replay-stable sample the IVF/PQ quantizers train on, UN-
+    normalized — PCA centers instead). Returns ``(mean, components)``
+    numpy arrays: mean (dim,), components (k, dim) row-orthonormal,
+    variance-ordered. Driver-side SVD over the sample keeps training
+    cost corpus-size-independent; each component's sign is fixed so its
+    largest-|coordinate| entry is positive, making the basis
+    deterministic across BLAS builds (SVD sign is otherwise arbitrary).
+    """
+    sample = _hash_sample(embeddings, train_sample or DEFAULT_TRAIN_SAMPLE,
+                          id_col, vec_col, normalize=False)
+    if sample is None:
+        return None, None
+    if not 1 <= k <= sample.shape[1]:
+        raise ValueError(
+            f"k must be in [1, dim={sample.shape[1]}], got {k}"
+        )
+    mean = sample.mean(axis=0)
+    centered = sample - mean
+    # full_matrices=False: Vt is (min(n,dim), dim) — rows are the
+    # principal axes, already variance-ordered by singular value
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    comps = vt[:k].copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto a trained PCA basis:
+    ``(x - mean) @ components.T`` — one broadcast of the (k+1) x dim
+    tensors and one numpy matmul per Arrow batch, no shuffle. Returns
+    (id, embedding) with the REDUCED array so the output drops into
+    every downstream consumer (ANN, SemDeDup, domain diversity)
+    unchanged — PCA-then-index is the standard recipe for cutting ANN
+    memory/scan cost when the embedding dim is oversized."""
+    sess = embeddings.sparkSession
+    bc = sess.sparkContext.broadcast(
+        (np.asarray(mean, dtype=np.float64),
+         np.asarray(components, dtype=np.float64))
+    )
+
+    def project(batches):
+        m, c = bc.value
+        for pdf in batches:
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = (v - m) @ c.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(out)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def pca_reduce(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+) -> DataFrame:
+    """Convenience: train on the hash-sample, project the corpus."""
+    mean, comps = pca_train(embeddings, k, id_col, vec_col, train_sample)
+    if mean is None:
+        return embeddings.select(id_col, vec_col).limit(0)
+    return pca_project(embeddings, mean, comps, id_col, vec_col)

@@ -1538,3 +1538,28 @@ def q_e6(spark, sf_dir):
 def q_e6_dtw(spark, sf_dir):
     out = S.dtw_rerank_topk(_events(spark, sf_dir), k=3, max_users=40)
     return out
+
+
+@register(
+    "q_e3_pca_reduce",
+    None,  # SVD basis is data-dependent — rows-only; orthonormality,
+    # determinism, exact-projection, k==dim roundtrip, and recall on a
+    # planted low-rank corpus pinned in pytest
+    "E3 — PCA dimensionality reduction (the standard pre-ANN "
+    "compression: cut the embedding dim before indexing): a k=16 basis "
+    "trained driver-side on the deterministic hash-sample (corpus-size-"
+    "independent, SVD sign-fixed so the basis is reproducible), then "
+    "every vector projected (x - mean) @ V.T via one broadcast + one "
+    "numpy matmul per Arrow batch — no shuffle. Output keeps the "
+    "(vec_id, embedding) shape so it drops into every downstream "
+    "consumer (ANN, SemDeDup, domain diversity) unchanged.",
+)
+def q_e3_pca_reduce(spark, sf_dir):
+    out = S.pca_reduce(_emb(spark, sf_dir), k=16)
+    # rows-only driver check wants a stable scalar-ish projection:
+    # report per-vector the reduced dim and the first component value
+    return out.select(
+        "vec_id",
+        F.size("embedding").alias("reduced_dim"),
+        F.round(F.col("embedding")[0], 6).alias("pc1"),
+    )

