@@ -1853,3 +1853,69 @@ def pca_reduce(
     if mean is None:
         return embeddings.select(id_col, vec_col).limit(0)
     return pca_project(embeddings, mean, comps, id_col, vec_col)
+
+
+def random_project(
+    embeddings: DataFrame,
+    k: int,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 — Johnson-Lindenstrauss random projection to k dims: multiply
+    every vector by a FIXED seeded Gaussian matrix scaled 1/sqrt(k)
+    (numpy's legacy RandomState generator, whose output is frozen
+    across versions — the matrix is reproducible from the seed alone,
+    no training pass at all). JL preserves pairwise distances/cosines
+    within (1±eps) for ANY data distribution — the complement of
+    ``pca_reduce``, which wins when variance concentrates in a low-rank
+    subspace but cannot help isotropic corpora. Same scale shape as the
+    PCA projection: one broadcast of the dim x k matrix, one numpy
+    matmul per Arrow batch, no shuffle; output keeps (id, vec) so it
+    composes with every downstream consumer."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sess = embeddings.sparkSession
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.select(id_col, vec_col).limit(0)
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(dim, k) / np.sqrt(k)
+    bc = sess.sparkContext.broadcast(mat)
+
+    def project(batches):
+        m = bc.value
+        for pdf in batches:
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(v @ m)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def embedding_profile(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 diagnostics — per-dimension corpus statistics (count, exact
+    decimal-quantized mean, min, max): the first thing a pipeline runs
+    on a new embedding dump — dead dimensions (min == max), biased
+    encoders (|mean| >> 0), scale drift between snapshots. One
+    posexplode + one map-side-combined groupBy on the (tiny) dimension
+    index; output is dim-sized. Means quantize addends to
+    DECIMAL(38,6) after a double widening so the fold is
+    order-independent and matches the SQL oracle bit-for-bit."""
+    pe = embeddings.select(F.posexplode(vec_col).alias("_p", "v")).select(
+        F.col("_p").cast("long").alias("pos"), "v"
+    )
+    return pe.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+            / F.count("*")
+        ).alias("mean_v"),
+        F.min(F.col("v").cast("double")).alias("min_v"),
+        F.max(F.col("v").cast("double")).alias("max_v"),
+    )

@@ -1563,3 +1563,50 @@ def q_e3_pca_reduce(spark, sf_dir):
         F.size("embedding").alias("reduced_dim"),
         F.round(F.col("embedding")[0], 6).alias("pc1"),
     )
+
+
+@register(
+    "q_e3_embedding_profile",
+    """
+    WITH e AS (
+        SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS pos
+        FROM embeddings
+    )
+    SELECT pos, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS mean_v,
+           MIN(CAST(v AS DOUBLE)) AS min_v,
+           MAX(CAST(v AS DOUBLE)) AS max_v
+    FROM e GROUP BY pos
+    """,
+    "E3 diagnostics — per-dimension embedding-corpus profile (count, "
+    "exact mean, min, max): dead-dimension / biased-encoder / scale-"
+    "drift checks, the first pass over any new embedding dump. One "
+    "posexplode + one map-side-combined groupBy on the dimension index "
+    "— dim-sized output, DECIMAL-quantized means for bit-exact "
+    "cross-engine parity.",
+)
+def q_e3_embedding_profile(spark, sf_dir):
+    return S.embedding_profile(_emb(spark, sf_dir))
+
+
+@register(
+    "q_e3_random_projection",
+    None,  # the projection matrix is seed-derived, not SQL-expressible —
+    # rows-only; JL recall on the ISOTROPIC fixture corpus (where PCA
+    # legitimately fails) pinned in pytest
+    "E3 — Johnson-Lindenstrauss random projection (seeded Gaussian "
+    "matrix, 1/sqrt(k) scale, frozen legacy-RandomState generator so "
+    "the matrix reproduces from the seed alone): distance-preserving "
+    "dimensionality reduction for ANY distribution — the complement of "
+    "PCA, which needs low-rank structure. One broadcast + one numpy "
+    "matmul per Arrow batch, no shuffle.",
+)
+def q_e3_random_projection(spark, sf_dir):
+    out = S.random_project(_emb(spark, sf_dir), k=24)
+    return out.select(
+        "vec_id",
+        F.size("embedding").alias("reduced_dim"),
+        F.round(F.col("embedding")[0], 6).alias("rp1"),
+    )

@@ -1712,3 +1712,82 @@ def test_pca_reduce_semantics_and_ann_recall(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         S.pca_train(emb, k=dim + 1, train_sample=None)
+
+
+def test_random_projection_jl_properties(spark):
+    """The JL guarantee, tested as stated (pairwise similarity
+    preserved within ~1/sqrt(k) distortion — NOT generic top-5 recall
+    on isotropic data, whose neighbor gaps are far inside the
+    distortion band for any 64->24 map): planted near-duplicate pairs
+    (cos ~ 0.99) remain mutual top-1 after projection, and the
+    reduced-space cosine correlates strongly with the full-space
+    cosine; matrix reproducible from the seed (rerun identical),
+    different seeds differ, projection is the exact matmul."""
+    import numpy as np
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = C.load_table(spark, SF_CORRECT, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+
+    # planted near-duplicates on an isotropic background
+    rng = np.random.RandomState(13)
+    base = rng.randn(200, 64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    for j in range(5):  # ids 1000+j duplicate ids j with tiny noise
+        rows.append(
+            (1000 + j,
+             [float(x) for x in (base[j] + rng.randn(64) * 0.02)])
+        )
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    red = S.random_project(planted, k=24, seed=7)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.brute_force_topk(
+            red, red.filter(F.col("vec_id") >= 1000), k=1
+        ).collect()
+    }
+    hits = sum(1 for j in range(5) if top1.get(1000 + j) == j)
+    assert hits >= 4, f"planted near-dup pairs lost under JL: {top1}"
+
+    # cosine correlation full vs reduced on sampled pairs
+    full = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < 60).collect()}
+    redf = {r["vec_id"]: np.array(r["embedding"])
+            for r in S.random_project(emb, k=24, seed=7)
+            .filter(F.col("vec_id") < 60).collect()}
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    ids = sorted(full)
+    fc = [cos(full[a], full[b]) for i, a in enumerate(ids)
+          for b in ids[i + 1:i + 4]]
+    rc = [cos(redf[a], redf[b]) for i, a in enumerate(ids)
+          for b in ids[i + 1:i + 4]]
+    corr = float(np.corrcoef(fc, rc)[0, 1])
+    # theory for isotropic 64-dim data at k=24: cosine spread ~1/sqrt(64),
+    # JL noise ~1/sqrt(24) -> expected corr ~ 0.52; measured 0.567 with
+    # this seed (deterministic). 0.45 is the regression floor.
+    assert corr >= 0.45, f"JL cosine correlation {corr}"
+
+    # deterministic from the seed; different seed -> different map
+    a = {r["vec_id"]: tuple(r["embedding"])
+         for r in S.random_project(emb, k=24, seed=7).collect()}
+    b = {r["vec_id"]: tuple(r["embedding"])
+         for r in S.random_project(emb, k=24, seed=7).collect()}
+    c = {r["vec_id"]: tuple(r["embedding"])
+         for r in S.random_project(emb, k=24, seed=8).collect()}
+    assert a == b and a != c
+
+    # exact matmul semantics
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < 5).collect()}
+    dim = len(next(iter(rows.values())))
+    mat = np.random.RandomState(7).randn(dim, 24) / np.sqrt(24)
+    for vid, v in rows.items():
+        assert np.allclose(a[vid], v @ mat, atol=1e-9)
+
+    with pytest.raises(ValueError, match="k must be"):
+        S.random_project(emb, k=0)
