@@ -1475,3 +1475,120 @@ def commit_upsert(
         f"{root} — writer contention is pathological; raise max_retries "
         "or serialize writers upstream"
     )
+
+
+def compact_zorder(
+    spark: SparkSession,
+    root: str,
+    col_x: str,
+    col_y: str,
+    n_dirs: int = 16,
+    bits: int = 8,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY (x, y)`` for the versioned table:
+    commit the current snapshot rewritten as up to ``n_dirs`` data
+    directories partitioned by CONTIGUOUS Morton z-value ranges of
+    ``(col_x, col_y)`` — quantile-rank z-ordering, the same curve the
+    plain-parquet E12 layout uses (``operators/sink.py``). Because each
+    directory then covers a small rectangle of (x, y) space, the
+    manifest's per-directory footer stats become selective on BOTH
+    columns and ``read_version(prune=)`` skips whole directories for
+    2-D range predicates — plain ``compact()`` collapses everything
+    into ONE directory, whose [min, max] spans the table and prunes
+    nothing. At 100 TB this is the scheduled clustering job that keeps
+    point-in-rectangle reads (device x time-range, user x key-range)
+    touching a handful of directories.
+
+    Layout-only (data-identical): the commit carries the reserved
+    pass-through marker, so change-feed ranges spanning it stay on the
+    append fast path, exactly like ``compact()``. CAS losses rebase
+    onto the racer's snapshot. The rewrite homogenizes file schemas, so
+    a carried ``evolved`` flag resets. One write job — buckets land as
+    ``partitionBy`` subdirectories listed individually in the manifest.
+    """
+    from .sink import interleave_bits, quantile_rank
+
+    if n_dirs < 1:
+        raise ValueError(f"n_dirs must be >= 1, got {n_dirs}")
+    app = _scrub_app(app)
+    nq = (1 << bits) - 1
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        with open(_manifest_path(root, parent)) as f:
+            pm = json.load(f)
+        snap = read_version(spark, root, parent)
+        for c in (col_x, col_y):
+            if c not in snap.columns:
+                raise ValueError(f"z-order column {c!r} not in table")
+        bx = snap.approxQuantile(col_x, [i / nq for i in range(1, nq)], 0.001)
+        by = snap.approxQuantile(col_y, [i / nq for i in range(1, nq)], 0.001)
+        z = interleave_bits(
+            quantile_rank(F.col(col_x), bx),
+            quantile_rank(F.col(col_y), by),
+            bits,
+        )
+        # contiguous z-ranges -> one bucket column; equal RANGES (not
+        # equal sizes) keep the bucket boundaries data-independent
+        bucket = F.least(
+            (z * n_dirs / F.lit(1 << (2 * bits))).cast("long"),
+            F.lit(n_dirs - 1),
+        )
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        data_root = os.path.join(root, "data", f"v{version:05d}-{token}")
+        (
+            snap.withColumn("_zb", bucket)
+            .repartition("_zb")
+            .write.partitionBy("_zb")
+            .mode("overwrite")
+            .parquet(data_root)
+        )
+        subdirs = sorted(
+            d for d in os.listdir(data_root) if d.startswith("_zb=")
+        )
+        rels = [
+            os.path.relpath(os.path.join(data_root, d), root)
+            for d in subdirs
+        ]
+        stats = {rel: _dir_stats(root, rel) for rel in rels}
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "data": rels,
+            "schema": pm["schema"],
+            "app": {
+                "compaction": True,
+                "zorder": [col_x, col_y],
+                "zorder_dirs": len(rels),
+                "data_identical": True,
+                **app,
+            },
+            "stats": stats,
+        }
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(data_root, ignore_errors=True)
+            continue  # lost — rebase onto the racer's snapshot
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"compact_zorder lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )

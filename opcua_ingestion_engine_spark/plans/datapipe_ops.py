@@ -1559,3 +1559,69 @@ def q_e8_token_budget(spark, sf_dir):
     return DP.token_budget_sample(
         C.load_table(spark, sf_dir, "documents"), budget_tokens=5000
     )
+
+
+@register(
+    "q_tf_zorder_pruned_read",
+    """
+    WITH b AS (
+        SELECT (max(user_id) + 1) // 4 AS ub,
+               (SELECT min(value) + (max(value) - min(value)) * 0.25
+                FROM events) AS vb
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events, b
+    WHERE user_id < b.ub AND value <= b.vb
+    GROUP BY event_type
+    """,
+    "Table-layer OPTIMIZE ZORDER — events committed as four unclustered "
+    "appends, then compact_zorder(user_id, value) rewrites the snapshot "
+    "as contiguous-Morton-range directories (quantile-rank z-curve, the "
+    "E12 layout applied INSIDE the versioned table), so the manifest's "
+    "per-directory stats become selective on BOTH columns: a 2-D corner "
+    "read via read_version(prune=) skips directories a plain compact's "
+    "single blob never could (asserted in-query), the real predicate "
+    "runs on the survivors, and the layout rewrite is data-identical "
+    "(pass-through for the change feed). The oracle is the plain "
+    "filtered aggregate — clustering must never change the answer.",
+)
+def q_tf_zorder_pruned_read(spark, sf_dir):
+    import json
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    root = scratch_root("zorder_read")
+    for i in range(4):
+        TF.commit_append(ev.filter(F.col("user_id") % 4 == i), root)
+    v = TF.compact_zorder(spark, root, "user_id", "value", n_dirs=16)
+    # scale-relative 2-D corner: bottom quarter of users, bottom
+    # quartile of values — matches the oracle's bounds at every SF
+    ub = (ev.agg(F.max("user_id")).collect()[0][0] + 1) // 4
+    # arithmetic bound (not a quantile): min/max are exact on both
+    # engines and the IEEE double expression evaluates identically,
+    # where interpolated-vs-discrete quantile conventions could pick
+    # different boundary values and silently change the kept set
+    agg = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    r = agg.collect()[0]
+    vb = r["lo"] + (r["hi"] - r["lo"]) * 0.25
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    prune = {"user_id": (None, ub - 1), "value": (None, vb)}
+    kept = [p for p in m["data"] if TF._keep_dir(m["stats"].get(p), prune)]
+    assert len(kept) < len(m["data"]), "z-order clustering pruned nothing"
+    pruned = TF.read_version(spark, root, v, prune=prune)
+    return (
+        pruned.filter((F.col("user_id") < ub) & (F.col("value") <= vb))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )

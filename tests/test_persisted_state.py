@@ -2665,3 +2665,78 @@ def test_matview_all_aggregate_kinds_combined(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_compact_zorder_prunes_2d_reads(spark, tmp_path):
+    """OPTIMIZE ZORDER for the versioned table: the snapshot is
+    rewritten as contiguous-Morton-range directories, content is
+    unchanged (data-identical — the change feed passes through it),
+    and a 2-D range read via read_version(prune=) SKIPS most
+    directories — where plain compact()'s single directory can never
+    prune. Later appends extend the z-ordered directory list and mixed
+    reads stay correct."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "zt")
+    # 4k rows over a 64x64 (x, y) grid, committed as 4 interleaved
+    # appends so the pre-zorder layout is x/y-unclustered
+    full = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37) % 64).alias("y"),
+        (F.col("id") * 10).alias("v"),
+    )
+    for i in range(4):
+        TF.commit_append(full.filter(F.col("k") % 4 == i), root)
+    before = _rows(TF.read_version(spark, root))
+
+    v = TF.compact_zorder(spark, root, "x", "y", n_dirs=16)
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert m["app"]["data_identical"] is True
+    assert m["app"]["zorder"] == ["x", "y"]
+    dirs = m["data"]
+    assert len(dirs) > 4  # really partitioned, not one blob
+
+    # content identical
+    assert _rows(TF.read_version(spark, root, v)) == before
+
+    # 2-D pruning: a small rectangle must skip MOST directories
+    stats = m["stats"]
+    prune = {"x": (0, 7), "y": (0, 7)}
+    kept = [p for p in dirs if TF._keep_dir(stats.get(p), prune)]
+    assert len(kept) < len(dirs) / 2, (
+        f"z-order pruning kept {len(kept)}/{len(dirs)} dirs"
+    )
+    # and the pruned read is still CORRECT
+    got = TF.read_version(spark, root, v, prune=prune).filter(
+        (F.col("x") <= 7) & (F.col("y") <= 7)
+    )
+    want = full.filter((F.col("x") <= 7) & (F.col("y") <= 7))
+    assert _rows(got) == _rows(want)
+
+    # change feed passes through the layout rewrite
+    TF.commit_append(
+        full.limit(0).unionByName(
+            spark.range(9000, 9010).select(
+                F.col("id").alias("k"), F.lit(1).cast("long").alias("x"),
+                F.lit(2).cast("long").alias("y"),
+                (F.col("id")).alias("v"),
+            )
+        ),
+        root,
+    )
+    feed = TF.table_changes(spark, root, v - 1)
+    assert feed.count() == 10  # zorder contributed ZERO changes
+    # mixed read (z-dirs + plain append tail) is correct
+    assert TF.read_version(spark, root).count() == 4096 + 10
+
+    # forged data_identical still stripped on this path's caller app
+    v2 = TF.compact_zorder(
+        spark, root, "x", "y", n_dirs=4, app={"note": "n1"}
+    )
+    with open(TF._manifest_path(root, v2)) as f:
+        m2 = json.load(f)
+    assert m2["app"]["note"] == "n1" and m2["app"]["data_identical"] is True
