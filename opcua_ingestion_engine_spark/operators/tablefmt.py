@@ -871,6 +871,18 @@ def vacuum(
         for p in _data_list(m):
             if p not in retained_paths:
                 shutil.rmtree(os.path.join(root, p), ignore_errors=True)
+                # a z-ordered commit lists SUBdirectories
+                # (data/vN-tok/_zb=K); removing the last one leaves an
+                # empty parent — drop it too so it never lingers as a
+                # pseudo-orphan
+                parent = os.path.dirname(os.path.join(root, p))
+                try:
+                    if os.path.normpath(parent) != os.path.normpath(
+                        os.path.join(root, "data")
+                    ):
+                        os.rmdir(parent)
+                except OSError:
+                    pass  # not empty (a sibling subdir is retained)
         removed.append(v)
 
     def _old_enough(p: str) -> bool:
@@ -880,14 +892,25 @@ def vacuum(
             return False  # vanished mid-scan — someone else owns it
 
     # orphans: data dirs with no manifest (crashed or CAS-losing commits)
-    # — invisible to readers; reclaim only past the grace window
+    # — invisible to readers; reclaim only past the grace window.
+    # A z-ordered commit manifests SUBdirectories (data/vN-tok/_zb=K),
+    # so a top-level dir is live when it IS a manifested path OR
+    # CONTAINS one — matching only exact paths here would reclaim the
+    # live z-ordered table as an "orphan"
     data_root = os.path.join(root, "data")
     manifested = {p for m in history(root) for p in _data_list(m)}
+    manifested_top = {
+        os.path.join(*p.split(os.sep)[:2]) for p in manifested
+    }
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join("data", name)
             full = os.path.join(data_root, name)
-            if rel not in manifested and _old_enough(full):
+            if (
+                rel not in manifested
+                and rel not in manifested_top
+                and _old_enough(full)
+            ):
                 shutil.rmtree(full, ignore_errors=True)
     # manifest .tmp debris: a writer killed between the CAS link and its
     # tmp unlink leaves v*.json.<token>.tmp behind forever otherwise

@@ -2740,3 +2740,43 @@ def test_compact_zorder_prunes_2d_reads(spark, tmp_path):
     with open(TF._manifest_path(root, v2)) as f:
         m2 = json.load(f)
     assert m2["app"]["note"] == "n1" and m2["app"]["data_identical"] is True
+
+
+def test_vacuum_preserves_live_zordered_table(spark, tmp_path):
+    """vacuum must treat a top-level data dir as live when any
+    manifested path is a SUBdirectory of it (compact_zorder lists
+    data/vN-tok/_zb=K subdirs, not the parent): with a zero grace
+    window, the live z-ordered snapshot survives vacuum and still
+    reads; an OLD z-ordered version's subdirs are reclaimed and its
+    emptied parent does not linger."""
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "zv")
+    full = spark.range(512).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") * 11) % 16).alias("y"),
+    )
+    TF.commit_version(full, root)                       # v0
+    v1 = TF.compact_zorder(spark, root, "x", "y", n_dirs=4)   # v1 (zorder)
+    before = _rows(TF.read_version(spark, root, v1))
+
+    # grace 0 is the adversarial setting: every unmanifested top-level
+    # dir is immediately reclaimable — the zorder parent must NOT be
+    TF.vacuum(root, keep=1, orphan_grace_s=0)
+    assert _rows(TF.read_version(spark, root)) == before
+
+    # age the table past the zorder version: two rewrites, then vacuum
+    TF.commit_version(full.filter(F.col("k") < 100), root)    # v2
+    TF.commit_version(full.filter(F.col("k") < 50), root)     # v3
+    removed = TF.vacuum(root, keep=1, orphan_grace_s=0)
+    assert v1 in removed
+    # the old z-ordered subdirs are gone AND the emptied parent too
+    leftovers = [
+        d for d in os.listdir(os.path.join(root, "data"))
+        if d.startswith(f"v{v1:05d}-")
+    ]
+    assert leftovers == []
+    assert TF.read_version(spark, root).count() == 50
