@@ -451,6 +451,8 @@ def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
 def maybe_compact(
     spark: SparkSession, root: str, max_dirs: int | None = 64,
     app: dict | None = None,
+    zorder: "tuple[str, str] | None" = None,
+    zorder_dirs: int = 16,
 ) -> int | None:
     """The compaction CADENCE: compact only when the live manifest's
     data-directory list has reached ``max_dirs`` entries. Append-only
@@ -464,7 +466,13 @@ def maybe_compact(
     Deliberately does NOT vacuum: old manifests carry the batch_id
     ledger durable sinks recover their redelivery guards from, and
     reclaim policy (retention window) belongs to the operator, exactly
-    as in Delta's OPTIMIZE-vs-VACUUM split."""
+    as in Delta's OPTIMIZE-vs-VACUUM split.
+
+    ``zorder=(col_x, col_y)`` makes the cadence run ``compact_zorder``
+    instead of the single-directory ``compact`` — an auto-compacting
+    sink then keeps its table CLUSTERED as it grows (Delta's
+    OPTIMIZE ... ZORDER BY on a schedule), so range reads stay pruned
+    between maintenance windows with no separate job to forget."""
     if max_dirs is None:
         return None
     live = latest_version(root)
@@ -474,6 +482,10 @@ def maybe_compact(
         manifest = json.load(f)
     if len(_data_list(manifest)) < max_dirs:
         return None
+    if zorder is not None:
+        return compact_zorder(
+            spark, root, zorder[0], zorder[1], n_dirs=zorder_dirs, app=app
+        )
     return compact(spark, root, app=app)
 
 

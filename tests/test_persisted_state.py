@@ -2780,3 +2780,36 @@ def test_vacuum_preserves_live_zordered_table(spark, tmp_path):
     ]
     assert leftovers == []
     assert TF.read_version(spark, root).count() == 50
+
+
+def test_maybe_compact_zorder_cadence(spark, tmp_path):
+    """maybe_compact(zorder=...) keeps an auto-compacting table
+    CLUSTERED: below the directory threshold it no-ops; at the
+    threshold it commits a z-ordered multi-directory layout (not the
+    single-blob compact), data-identical for the feed."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "mcz")
+    full = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("x"),
+        ((F.col("id") * 13) % 20).alias("y"),
+    )
+    TF.commit_append(full.filter(F.col("k") % 3 == 0), root)
+    assert TF.maybe_compact(
+        spark, root, max_dirs=3, zorder=("x", "y")
+    ) is None  # below threshold
+    TF.commit_append(full.filter(F.col("k") % 3 == 1), root)
+    TF.commit_append(full.filter(F.col("k") % 3 == 2), root)
+    v = TF.maybe_compact(
+        spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=8
+    )
+    assert v is not None
+    with open(TF._manifest_path(root, v)) as f:
+        m = json.load(f)
+    assert m["app"]["zorder"] == ["x", "y"]
+    assert m["app"]["data_identical"] is True
+    assert len(m["data"]) > 1
+    assert _rows(TF.read_version(spark, root, v)) == _rows(full)
