@@ -789,12 +789,16 @@ def _cell_assignment(
     )
 
 
-#: Per-call audit of the last SemDeDup candidate stage on this driver:
-#: {"cells_truncated": int, "members_dropped": int}. Updated by
-#: ``_pairs_from_cells``; a non-zero count means ``max_cell`` clipped
-#: candidate generation (recall loss) and ``n_cells`` is undersized for
-#: the corpus — the same "no silent caps" discipline as the minhash /
-#: simhash ``max_bucket`` caps, which log rather than silently drop.
+#: Audit of the LAST SemDeDup candidate stage on this driver:
+#: {"cells_truncated": int, "members_dropped": int}. Rebound atomically
+#: (never mutated in place) by ``_pairs_from_cells``; a non-zero count
+#: means ``max_cell`` clipped candidate generation (recall loss) and
+#: ``n_cells`` is undersized for the corpus — the same "no silent caps"
+#: discipline as the minhash / simhash ``max_bucket`` caps. This is a
+#: last-call diagnostic only: concurrent dedup runs on one driver each
+#: publish a complete dict but only the latest survives — a caller who
+#: needs race-free counts passes its own ``audit=`` dict to
+#: ``semantic_dedup_pairs``/``semantic_dedup`` instead.
 LAST_SEMDEDUP_TRUNCATION: dict = {"cells_truncated": 0, "members_dropped": 0}
 
 #: Auto-sizing target for ``n_cells=None``: the paper's n_cells ∝ corpus
@@ -820,6 +824,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+    audit: "dict | None" = None,
 ) -> DataFrame:
     """E2 (SemDeDup candidate stage) — within-cluster semantic near-dup
     pairs: cosine(a, b) >= eps, where candidates are generated ONLY
@@ -839,7 +844,9 @@ def semantic_dedup_pairs(
     discipline as the simhash/minhash ``max_bucket`` caps — a cell that
     big means n_cells is undersized for the corpus; raise it). The cap
     is NOT silent: truncated-cell and dropped-member counts are logged
-    and recorded in ``LAST_SEMDEDUP_TRUNCATION``. ``n_cells=None``
+    and recorded in ``LAST_SEMDEDUP_TRUNCATION`` (last-call diagnostic;
+    pass ``audit={}`` to receive the counts race-free for THIS call —
+    concurrent dedup runs on one driver share the global). ``n_cells=None``
     auto-sizes from the corpus count (one count job;
     ``SEMDEDUP_TARGET_CELL_SIZE`` vectors per cell) so the paper's
     n_cells ∝ corpus discipline is the default rather than a manual
@@ -854,49 +861,61 @@ def semantic_dedup_pairs(
             [], "vec_a long, vec_b long"
         )
     assigned = _cell_assignment(embeddings, cent, id_col, vec_col)
-    return _pairs_from_cells(assigned, eps, max_cell)
+    return _pairs_from_cells(assigned, eps, max_cell, audit)
 
 
 def _pairs_from_cells(
-    assigned: DataFrame, eps: float, max_cell: int
+    assigned: DataFrame, eps: float, max_cell: int, audit: "dict | None" = None
 ) -> DataFrame:
     """In-cell pair generation + exact cosine verify over a
     ``_cell_assignment`` frame (shared by the pair and dedup entry
     points so the quantizer trains once). Surfaces the ``max_cell``
     cap: cells over the cap are clipped to their smallest ids AND
-    counted — the counts land in ``LAST_SEMDEDUP_TRUNCATION`` and a
+    counted — the counts land in the caller's ``audit`` dict (the
+    race-free per-call channel), in ``LAST_SEMDEDUP_TRUNCATION``
+    (last-call diagnostic, rebound atomically), and in a
     ``logging.warning``, because a clipped cell silently costs recall
     and means n_cells is undersized for the corpus. The pre-clip cell
     frame is lazily checkpointed so the audit aggregate and the pair
-    pipeline share one groupBy shuffle."""
+    pipeline share one groupBy shuffle; the aggregate's eager driver
+    job is skipped entirely when no ``audit`` dict was passed AND the
+    module logger has WARNING disabled — the one case where nobody can
+    observe the counts."""
+    import logging
+
+    logger = logging.getLogger(__name__)
     pre = (
         assigned.groupBy("cell")
         .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
         .localCheckpoint(eager=False)
     )
-    audit = pre.agg(
-        F.sum(
-            F.when(F.size("ids") > max_cell, 1).otherwise(0)
-        ).alias("cells"),
-        F.sum(
-            F.when(
-                F.size("ids") > max_cell, F.size("ids") - max_cell
-            ).otherwise(0)
-        ).alias("members"),
-    ).collect()[0]
-    LAST_SEMDEDUP_TRUNCATION["cells_truncated"] = int(audit["cells"] or 0)
-    LAST_SEMDEDUP_TRUNCATION["members_dropped"] = int(audit["members"] or 0)
-    if LAST_SEMDEDUP_TRUNCATION["cells_truncated"]:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "semantic_dedup: max_cell=%d truncated %d cell(s), dropping "
-            "%d member(s) from candidate generation — recall is degraded; "
-            "raise n_cells (or pass n_cells=None to auto-size)",
-            max_cell,
-            LAST_SEMDEDUP_TRUNCATION["cells_truncated"],
-            LAST_SEMDEDUP_TRUNCATION["members_dropped"],
-        )
+    if audit is not None or logger.isEnabledFor(logging.WARNING):
+        row = pre.agg(
+            F.sum(
+                F.when(F.size("ids") > max_cell, 1).otherwise(0)
+            ).alias("cells"),
+            F.sum(
+                F.when(
+                    F.size("ids") > max_cell, F.size("ids") - max_cell
+                ).otherwise(0)
+            ).alias("members"),
+        ).collect()[0]
+        counts = {
+            "cells_truncated": int(row["cells"] or 0),
+            "members_dropped": int(row["members"] or 0),
+        }
+        if audit is not None:
+            audit.update(counts)
+        globals()["LAST_SEMDEDUP_TRUNCATION"] = counts
+        if counts["cells_truncated"]:
+            logger.warning(
+                "semantic_dedup: max_cell=%d truncated %d cell(s), dropping "
+                "%d member(s) from candidate generation — recall is degraded; "
+                "raise n_cells (or pass n_cells=None to auto-size)",
+                max_cell,
+                counts["cells_truncated"],
+                counts["members_dropped"],
+            )
     cells = (
         pre.withColumn("ids", F.slice(F.col("ids"), 1, max_cell))
         .filter(F.size("ids") >= 2)
@@ -935,6 +954,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
+    audit: "dict | None" = None,
 ) -> DataFrame:
     """E2 — SemDeDup: drop all but one member of every semantic-duplicate
     group. Groups are connected components of the within-cell
@@ -965,7 +985,7 @@ def semantic_dedup(
     # rule's centroid-cosine lookup (recomputed per consumer by Catalyst
     # — two column-pruned scans beat materializing a corpus-sized frame)
     assigned = _cell_assignment(embeddings, cent, id_col, vec_col)
-    pairs = _pairs_from_cells(assigned, eps, max_cell)
+    pairs = _pairs_from_cells(assigned, eps, max_cell, audit)
     comp = connected_components(pairs, "vec_a", "vec_b")
     if keep == "min_id":
         # the component label IS the min id — drop every other member

@@ -236,8 +236,10 @@ def _dir_stats(root: str, rel_dir: str) -> dict[str, list]:
 
 
 def _keep_dir(stats: dict | None, prune: dict) -> bool:
-    """Directory-level interval test: drop only when the recorded
-    [min,max] of EVERY pruned column proves no overlap with its bound.
+    """Directory-level interval test: prune entries are ANDed, so a
+    directory is dropped as soon as ANY single column's recorded
+    [min,max] proves no overlap with its bound (sound for conjunctive
+    predicates only — matching ``read_version(prune=)``'s contract).
     Missing stats (no entry, no dict at all) always keep — pruning is
     an optimization, never a filter."""
     if not stats:
@@ -472,9 +474,20 @@ def maybe_compact(
     instead of the single-directory ``compact`` — an auto-compacting
     sink then keeps its table CLUSTERED as it grows (Delta's
     OPTIMIZE ... ZORDER BY on a schedule), so range reads stay pruned
-    between maintenance windows with no separate job to forget."""
+    between maintenance windows with no separate job to forget.
+    ``zorder_dirs`` must stay BELOW ``max_dirs``: ``compact_zorder``
+    leaves ``zorder_dirs`` directories behind, so ``max_dirs <=
+    zorder_dirs`` would re-trigger a full-table z-order rewrite on
+    EVERY subsequent append (unbounded write amplification) — rejected
+    loudly here rather than discovered on the write bill."""
     if max_dirs is None:
         return None
+    if zorder is not None and zorder_dirs >= max_dirs:
+        raise ValueError(
+            f"zorder_dirs ({zorder_dirs}) must be < max_dirs ({max_dirs}): "
+            "compact_zorder leaves zorder_dirs directories, so the cadence "
+            "would re-trigger a full-table rewrite on every append"
+        )
     live = latest_version(root)
     if live is None:
         return None

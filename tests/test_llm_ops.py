@@ -1537,9 +1537,11 @@ def test_semantic_dedup_truncation_surfaced_and_auto_cells(spark):
     h = logging.Handler()
     h.emit = records.append
     logger.addHandler(h)
+    per_call = {}
     try:
         pairs = S.semantic_dedup_pairs(
-            emb, eps=0.9, n_cells=1, max_cell=10, train_sample=None
+            emb, eps=0.9, n_cells=1, max_cell=10, train_sample=None,
+            audit=per_call,
         )
         n_pairs = pairs.count()
     finally:
@@ -1548,6 +1550,9 @@ def test_semantic_dedup_truncation_surfaced_and_auto_cells(spark):
         "cells_truncated": 1,
         "members_dropped": 20,
     }
+    # the per-call audit dict is the race-free channel (concurrent runs
+    # on one driver overwrite the module-level last-call diagnostic)
+    assert per_call == {"cells_truncated": 1, "members_dropped": 20}
     assert any("truncated 1 cell" in r.getMessage() for r in records)
     # the clip keeps the 10 smallest ids: C(10,2) candidate pairs max
     assert 0 < n_pairs <= 45
@@ -1606,8 +1611,6 @@ def test_zero_norm_vectors_never_nan(spark):
     queries = emb.filter(F.col("vec_id") == 0)
     got = S.brute_force_topk(emb, queries, k=20).collect()
     assert len(got) == 20
-    by_rank = {r["rank"]: r["neighbor_id"] for r in got}
-    assert by_rank[20] == 90 or 90 not in by_rank.values() or True
     # the zero vector's cosine is exactly 0 -> it cannot outrank any
     # neighbor with positive cosine; find its rank and check every
     # higher rank has a real vector

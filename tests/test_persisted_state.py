@@ -2799,12 +2799,12 @@ def test_maybe_compact_zorder_cadence(spark, tmp_path):
     )
     TF.commit_append(full.filter(F.col("k") % 3 == 0), root)
     assert TF.maybe_compact(
-        spark, root, max_dirs=3, zorder=("x", "y")
+        spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=2
     ) is None  # below threshold
     TF.commit_append(full.filter(F.col("k") % 3 == 1), root)
     TF.commit_append(full.filter(F.col("k") % 3 == 2), root)
     v = TF.maybe_compact(
-        spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=8
+        spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=2
     )
     assert v is not None
     with open(TF._manifest_path(root, v)) as f:
@@ -2813,3 +2813,15 @@ def test_maybe_compact_zorder_cadence(spark, tmp_path):
     assert m["app"]["data_identical"] is True
     assert len(m["data"]) > 1
     assert _rows(TF.read_version(spark, root, v)) == _rows(full)
+
+    # zorder_dirs >= max_dirs would re-trigger a full-table z-order
+    # rewrite on EVERY append past the threshold (unbounded write
+    # amplification) — rejected loudly, before any job runs
+    with pytest.raises(ValueError, match="zorder_dirs"):
+        TF.maybe_compact(
+            spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=3
+        )
+    with pytest.raises(ValueError, match="zorder_dirs"):
+        TF.maybe_compact(
+            spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=8
+        )
