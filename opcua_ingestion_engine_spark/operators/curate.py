@@ -17,7 +17,8 @@ from pyspark.sql.window import Window as W
 
 from .dedup import jaccard_pairs, minhash_neardup_pairs
 from .graph import connected_components
-from .text import quality_filter
+from .quality import QualityModel, score_quality, score_quality_vocab
+from .text import quality_filter, token_count
 
 
 def _neardup_pairs(survivors, text_col, near_threshold, max_doc_freq, candidates):
@@ -47,12 +48,48 @@ def _neardup_pairs(survivors, text_col, near_threshold, max_doc_freq, candidates
     )
 
 
+def _quality_stage(
+    docs: DataFrame, text_col: str, quality: str, model
+) -> DataFrame:
+    """Stage-1 quality gate, selectable: ``quality="rules"`` is the
+    C4/Gopher threshold filter (``text.quality_filter``);
+    ``quality="model"`` scores with a TRAINED classifier — either a
+    hashed ``QualityModel`` (Arrow kernel, score > 0.5 keeps) or a
+    frozen ``(vocab_dict, bias)`` export (pure JVM Column expression,
+    logit > 0 keeps). Both return the same (doc_id, lang, text,
+    n_tokens) shape downstream stages consume, so the dedup pipeline is
+    agnostic to which gate ran."""
+    if quality == "rules":
+        return quality_filter(docs, text_col=text_col, extra=("lang", text_col))
+    if quality != "model":
+        raise ValueError(f"quality must be 'rules' or 'model', got {quality!r}")
+    if isinstance(model, QualityModel):
+        scored = score_quality(docs, model, text_col=text_col)
+        kept = scored.filter(F.col("quality_score") > 0.5)
+    elif isinstance(model, tuple) and len(model) == 2:
+        vocab, bias = model
+        scored = score_quality_vocab(docs, vocab, bias, text_col=text_col)
+        kept = scored.filter(F.col("keep"))
+    else:
+        raise ValueError(
+            "quality='model' needs model=QualityModel or (vocab_dict, bias)"
+        )
+    return kept.select(
+        "doc_id",
+        "lang",
+        text_col,
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
     near_threshold: float = 0.5,
     max_doc_freq: int | None = None,
     candidates: str = "exact",
+    quality: str = "rules",
+    model=None,
 ) -> DataFrame:
     """Curate a document corpus: drop low-quality docs (E4 gates), collapse
     exact duplicates to their lowest-doc_id representative (E1), then drop
@@ -76,8 +113,12 @@ def curate_corpus(
     jaccard_pairs' internal shingle materialization, which runs before
     the final anti join needs it again, so the quality scan + digest
     aggregation execute exactly once.
+
+    ``quality="model"`` swaps the rule gate for a trained classifier
+    (see ``_quality_stage``) — the CCNet-style model-based corpus cut —
+    leaving every downstream stage untouched.
     """
-    s1 = quality_filter(docs, text_col=text_col, extra=("lang", text_col))
+    s1 = _quality_stage(docs, text_col, quality, model)
     reps = (
         s1.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
         .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("r"))

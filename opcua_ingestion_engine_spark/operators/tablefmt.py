@@ -608,6 +608,249 @@ def _evolved_read_schema(manifest: dict):
     return StructType.fromJson(dict(manifest["schema"], fields=fields))
 
 
+#: Parquet physical types whose footer min/max are EXACT values of the
+#: column (byte-array statistics may be truncated by writers, so string/
+#: decimal-FLBA columns are never served from metadata).
+_EXACT_STAT_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
+def _dir_footer_agg(root: str, rel_dir: str, cols: tuple) -> "dict | None":
+    """Footer harvest for one data directory, for metadata-only
+    aggregates: the directory's total row count plus, per requested
+    column, exact [min, max] and the null count — all read from the
+    parquet FOOTERS the write already produced (O(files) metadata
+    reads, ZERO data reads, the Iceberg metadata-table discipline).
+
+    Returns ``{"rows": int, "cols": {name: {"min", "max", "nulls",
+    "exact"}}}`` — a column missing from the dict is ABSENT from the
+    directory's file schema (reads as all-NULL under schema evolution).
+    ``exact`` is False when any row group withholds statistics or a
+    null count, or the physical type's byte-array min/max may be
+    writer-truncated — the caller must then scan this directory rather
+    than trust the footers. Returns None when a footer is unreadable
+    (same contract: scan)."""
+    import pyarrow.parquet as pq
+
+    full = os.path.join(root, rel_dir)
+    try:
+        names = [n for n in os.listdir(full) if n.endswith(".parquet")]
+    except OSError:
+        return None
+    rows = 0
+    out: dict[str, dict] = {}
+    want = set(cols)
+    for name in names:
+        try:
+            meta = pq.read_metadata(os.path.join(full, name))
+        except Exception:
+            return None
+        rows += meta.num_rows
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                path = col.path_in_schema
+                if path not in want:
+                    continue
+                cur = out.setdefault(
+                    path, {"min": None, "max": None, "nulls": 0, "exact": True}
+                )
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not st.has_null_count
+                    or col.physical_type not in _EXACT_STAT_PHYSICAL
+                ):
+                    # no/partial stats, or a possibly-truncated byte-array
+                    # bound — this column cannot be served from metadata
+                    cur["exact"] = False
+                    continue
+                cur["nulls"] += st.null_count
+                if cur["min"] is None or st.min < cur["min"]:
+                    cur["min"] = st.min
+                if cur["max"] is None or st.max > cur["max"]:
+                    cur["max"] = st.max
+    return {"rows": rows, "cols": out}
+
+
+def stats_agg(
+    spark: SparkSession,
+    root: str,
+    cols: "tuple[str, ...]" = (),
+    version: int | None = None,
+    prune: dict | None = None,
+    audit: "dict | None" = None,
+) -> DataFrame:
+    """Metadata-only aggregate over a committed snapshot — the Iceberg
+    metadata-table shape: serve ``count(*)`` plus ``min``/``max`` of
+    each requested column from the manifest's data-directory parquet
+    FOOTERS alone, scanning actual data ONLY for directories the
+    footers cannot decide. On a 100 TB table whose append batches are
+    range-clustered this answers "how many events in this id window,
+    and what are its value bounds" from O(directories) driver-side
+    metadata reads instead of a full scan.
+
+    ``prune={col: (lo, hi)}`` here is the PREDICATE itself (closed
+    bounds, either side None; entries ANDed), not just a skipping hint:
+    per directory the footer [min, max] + null counts classify it as
+    fully-excluded (disjoint on any column, or the column absent from
+    the directory's schema — all-NULL under evolution, so no row
+    matches), fully-included (every prune column provably inside its
+    bound with zero nulls — all rows match, footer rows/min/max are the
+    directory's exact contribution), or undecidable — only the last
+    group is scanned, with the real predicate applied. A requested
+    ``cols`` member whose footers are unservable in a directory
+    (missing stats, writer-truncated byte-array bounds) also demotes
+    that directory to the scan set.
+
+    Returns a ONE-ROW DataFrame: ``row_cnt`` (count of matching rows)
+    plus ``min_<c>``/``max_<c>`` per requested column, typed from the
+    table schema (SQL MIN/MAX semantics — NULLs skipped, NULL result on
+    zero matching rows). ``audit`` (optional dict) receives
+    ``{"dirs_total", "dirs_excluded", "dirs_metadata", "dirs_scanned"}``
+    so callers (and the pinned tests) can assert zero data directories
+    were read when bounds decide."""
+    from pyspark.sql.types import StructField, StructType
+
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+    try:
+        with open(_manifest_path(root, version)) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version {version} not present at {root} (never committed, "
+            "or removed by vacuum)"
+        )
+    prune = prune or {}
+    dirs = _data_list(manifest)
+    man_stats = manifest.get("stats") or {}
+
+    rows = 0
+    mins: dict[str, object] = {c: None for c in cols}
+    maxs: dict[str, object] = {c: None for c in cols}
+    scan_dirs: list[str] = []
+    n_excluded = n_meta = 0
+    for rel in dirs:
+        # cheap manifest-stats disjointness first (no footer I/O at all)
+        if prune and not _keep_dir(man_stats.get(rel), prune):
+            n_excluded += 1
+            continue
+        agg = _dir_footer_agg(root, rel, tuple({*cols, *prune}))
+        if agg is None:
+            scan_dirs.append(rel)
+            continue
+        dir_cols = agg["cols"]
+        decided = "include"
+        for c, (lo, hi) in prune.items():
+            cs = dir_cols.get(c)
+            if cs is None:
+                # column absent from this directory's schema: all NULL
+                # under the evolved read, no row can match the predicate
+                decided = "exclude"
+                break
+            if not cs["exact"]:
+                decided = "scan"
+                break
+            if cs["min"] is None:  # all-null column with stats: no match
+                decided = "exclude"
+                break
+            if (lo is not None and cs["max"] < lo) or (
+                hi is not None and cs["min"] > hi
+            ):
+                decided = "exclude"
+                break
+            if (
+                cs["nulls"] > 0
+                or (lo is not None and cs["min"] < lo)
+                or (hi is not None and cs["max"] > hi)
+            ):
+                decided = "scan"  # partial overlap (or NULLs): undecidable
+                break
+        if decided == "exclude":
+            n_excluded += 1
+            continue
+        if decided == "include":
+            # every requested column must also be footer-servable here
+            # (a present column with inexact stats forces the scan path)
+            for c in cols:
+                cs = dir_cols.get(c)
+                if cs is not None and not cs["exact"]:
+                    decided = "scan"
+                    break
+        if decided == "scan":
+            scan_dirs.append(rel)
+            continue
+        n_meta += 1
+        rows += agg["rows"]
+        for c in cols:
+            cs = dir_cols.get(c)
+            if cs is None or cs["min"] is None:
+                continue  # absent or all-null: contributes nothing
+            if mins[c] is None or cs["min"] < mins[c]:
+                mins[c] = cs["min"]
+            if maxs[c] is None or cs["max"] > maxs[c]:
+                maxs[c] = cs["max"]
+
+    if scan_dirs:
+        paths = [os.path.join(root, p) for p in scan_dirs]
+        if manifest.get("evolved"):
+            df = spark.read.schema(_evolved_read_schema(manifest)).parquet(
+                *paths
+            )
+        else:
+            df = spark.read.parquet(*paths)
+        cond = F.lit(True)
+        for c, (lo, hi) in prune.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        row = df.filter(cond).agg(*aggs).collect()[0]
+        rows += row["_rows"]
+        for c in cols:
+            lo_v, hi_v = row[f"_min_{c}"], row[f"_max_{c}"]
+            if lo_v is not None and (mins[c] is None or lo_v < mins[c]):
+                mins[c] = lo_v
+            if hi_v is not None and (maxs[c] is None or hi_v > maxs[c]):
+                maxs[c] = hi_v
+
+    if audit is not None:
+        audit.update(
+            dirs_total=len(dirs),
+            dirs_excluded=n_excluded,
+            dirs_metadata=n_meta,
+            dirs_scanned=len(scan_dirs),
+        )
+
+    table_schema = StructType.fromJson(manifest["schema"])
+    by_name = {f_.name: f_.dataType for f_ in table_schema.fields}
+    out_fields = [StructField("row_cnt", _long_type(), False)]
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"stats_agg column {c!r} not in table schema")
+        out_fields.append(StructField(f"min_{c}", by_name[c], True))
+        out_fields.append(StructField(f"max_{c}", by_name[c], True))
+    values = [rows]
+    for c in cols:
+        values.append(mins[c])
+        values.append(maxs[c])
+    return spark.createDataFrame([tuple(values)], StructType(out_fields))
+
+
+def _long_type():
+    from pyspark.sql.types import LongType
+
+    return LongType()
+
+
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 

@@ -30,77 +30,72 @@ from . import datapipe_ops  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship first — unchanged since round 1.
     "q_flagship_modvalues",
-    # Round-7 rotation (round-6 verdict item 1): the window takes ALL 34
-    # oracle queries that have never held a driver slot (union of
-    # CORRECTNESS_r01–r06 keys vs the registry), finishing the set in one
-    # rotation instead of the two the verdict budgeted. Multi-round-green
-    # round-6 members step out; every family keeps one green
-    # representative as a canary (tests/test_registry_window.py pins one
-    # member per family; all rotated-out members remain oracle-checked in
-    # pytest via verify_contract / test_parity).
-    #
-    # Reference-core canaries.
-    "q_s3_template_scan",
-    "q_x1_slope_intercept",
-    # Versioned-table layer: the seven round-6 additions registered after
-    # the r6 window froze, plus the two new round-7 views (avg /
-    # approx-count-distinct maintenance).
-    "q_tf_delete_where",
-    "q_tf_update_where",
-    "q_tf_restore",
-    "q_tf_schema_evolution",
-    "q_tf_upsert_partial",
-    "q_tf_pruned_read",
-    "q_tf_minmax_view",
-    "q_tf_avg_view",
-    "q_tf_distinct_view",
-    # Round-6 LLM-pipeline additions that never held a slot.
-    "q_e2_cross_corpus_neardup",
-    "q_e2_semantic_dedup",
-    "q_e3_filtered_ann",
-    "q_e8_leakage_free_split",
-    # TPC-H body members never driver-checked (q10 first — earlier
-    # verdicts wrongly assumed it covered).
-    "q_tpch_q10_returned_items",
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q4_order_priority",
-    "q_tpch_q11_important_stock",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_cnt",
-    "q_tpch_q17_small_qty_revenue",
-    "q_tpch_q20_potential_promotion",
-    "q_tpch_q22_sales_opportunity",
-    # Relational long tail never driver-checked.
-    "q_agg_pivot_event_types",
-    "q_agg_grouping_sets",
-    "q_agg_percentiles",
-    "q_agg_salted_skew",
-    "q_agg_histogram",
-    "q_agg_corr_moments",
-    "q_set_union_all",
-    "q_set_except",
-    "q_sort_nulls_ordering",
-    "q_x_array_hof",
-    "q_x_unpivot",
-    "q_profile_lineitem",
-    "q_validate_orders",
-    # Family representatives (green in r6 or earlier; keep one per family
-    # so a regression in a family's shared machinery still surfaces).
-    "q_e1_exact_dedup",
-    "q_e4_heavy_hitters",
-    "q_e5_multimodal_meta",
-    "q_e6_timeseries_similarity",
-    "q_e7_curation_quality_rep",
-    "q_tpch_q1_pricing_summary",
-    "q_asof_join_purchase_view",
-    "q_range_join_purchase_errors",
-    "q_w_sessionize",
-    "q_t_incremental_rollup",
-    "q_e8_corpus_build",
-    # (q_a2_latest_per_key / q_s9_upsert_matched / q_b1_browse_tree
-    # rotate out this round — two-plus consecutive driver-green rounds;
-    # still pytest-oracle-checked.)
+    # Round-8 rotation (round-7 verdict item 1): the five oracle queries
+    # registered AFTER the round-7 window froze take slots first — after
+    # this rotation every oracle-checkable query in the registry has a
+    # lifetime driver-green row. All rotated-out members remain
+    # oracle-checked every round via verify_contract / test_parity.
+    "q_e3_embedding_profile",
+    "q_e8_sliding_chunks",
+    "q_e8_softdedup_weights",
+    "q_e8_token_budget",
+    "q_tf_zorder_pruned_read",
+    # New round-8 oracle queries (registered this round, checked this
+    # round).
+    "q_e4_model_quality",
+    "q_tf_stats_agg",
+    # Family canaries: the LEAST-recently-checked oracle member of each
+    # operator family (tests/test_registry_window.py pins one per
+    # family), so a regression in shared family machinery surfaces in
+    # the driver artifact, not just pytest.
+    "q_e1_exact_dedup",  # r7
+    "q_e2_jaccard_neardup",  # r4
+    "q_e4_fingerprint",  # r4
+    "q_e5_frame_sample",  # r6
+    "q_e6_timeseries_similarity",  # r7
+    "q_e7_curation_clustered",  # r4
+    "q_tpch_q18_large_volume_customer",  # r4
+    "q_asof_join_purchase_view",  # r7
+    "q_range_join_purchase_errors",  # r7
+    "q_w_sessionize",  # r7
+    # Freshness backfill: the round-2-era cohort (43 queries whose only
+    # driver row is three regenerations of testdata ago) rotates back
+    # in oldest-first — re-verifying old greens against the CURRENT
+    # parquet fixtures, since the driver regenerates testdata between
+    # rounds and physical schema drift has bitten before (TIMESTAMP
+    # NANOS -> MICROS in round 2).
+    "q_a1_distinct_devices",
+    "q_a3_device_liveness",
+    "q_a4_rowcount_effects",
+    "q_agg_count_distinct",
+    "q_agg_cube",
+    "q_agg_groupby_lineitem",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_f10_projection",
+    "q_f2_change_only",
+    "q_f4_quality_split",
+    "q_f5_self_measure_exclusion",
+    "q_f6_browse_exclusion",
+    "q_f7_node_class",
+    "q_f8_online_probe",
+    "q_f9_row_existence",
+    "q_j1_device_points",
+    "q_j2_device_server_urls",
+    "q_j4_connection_exclusions",
+    "q_j5_venn_reconcile",
+    "q_j7_heartbeat_lockset",
+    "q_join_anti_customers_without_orders",
+    "q_join_full_nation_supplier",
+    "q_join_inner_orders_customer",
+    "q_join_left_customer_orders",
+    "q_join_right_orders_customer",
+    "q_join_semi_customers_with_orders",
+    "q_join_three_way",
+    "q_s10_insert_if_missing",
+    "q_s11_bulk_reset",
+    "q_w_lag_lead",
+    "q_w_row_number_rank",
 )
 
 

@@ -1625,3 +1625,60 @@ def q_tf_zorder_pruned_read(spark, sf_dir):
             .cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_tf_stats_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_cnt,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    WHERE event_id >= (SELECT (max(event_id) + 1) * 7 // 10 FROM events)
+    """,
+    "Table-layer metadata-only aggregate (the Iceberg metadata-table "
+    "shape) — events committed as four contiguous-id append batches, "
+    "then COUNT/MIN/MAX under an id-range predicate served by stats_agg "
+    "from the manifests' parquet-footer statistics: directories provably "
+    "inside the bound contribute their exact footer rows/min/max with "
+    "ZERO data reads (the in-query assertion pins that at least one "
+    "directory was decided by metadata), the one boundary-straddling "
+    "directory is scanned with the real predicate, and fully-disjoint "
+    "directories never contribute I/O at all. The oracle is the plain "
+    "filtered aggregate over the whole table — serving from metadata "
+    "must never change the answer.",
+)
+def q_tf_stats_agg(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select("event_id", "value")
+    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    root = scratch_root("stats_agg")
+    for i in range(4):
+        TF.commit_append(
+            ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            root,
+        )
+    lo = (hi * 7) // 10  # top 30% of the id space, scale-relative
+    audit: dict = {}
+    out = TF.stats_agg(
+        spark,
+        root,
+        cols=("event_id", "value"),
+        prune={"event_id": (lo, None)},
+        audit=audit,
+    )
+    # the contiguous-range layout must let footers decide the interior
+    # directories: at least one metadata-served, at least one excluded,
+    # at most the single boundary-straddling directory scanned
+    assert audit["dirs_metadata"] >= 1, audit
+    assert audit["dirs_excluded"] >= 1, audit
+    assert audit["dirs_scanned"] <= 1, audit
+    return out

@@ -1010,6 +1010,81 @@ def q_e4_filter(spark, sf_dir):
     return T.quality_filter(_docs(spark, sf_dir))
 
 
+# Frozen model for the oracle-checked model-quality gate: weights from a
+# train_quality_classifier run on the sf0.01 documents with planted
+# labels (count('fast') > count('slow') — the separable signal the
+# fixtures carry), exported via QualityModel.to_vocab and rounded to
+# 6dp. Frozen so the SAME dot product is computable in ANSI SQL: the
+# scoring operator accumulates DECIMAL(10,6) weights exactly, so both
+# engines produce bit-identical logits. The top-magnitude tokens are
+# kept; the trainer recovered the planted direction (fast +3.38, slow
+# -3.15) with everything else near zero.
+MODEL_QUALITY_VOCAB = {
+    "fast": 3.381092,
+    "slow": -3.146358,
+    "hash": -0.719917,
+    "a": -0.612955,
+    "column": -0.602261,
+    "merge": -0.572154,
+    "scan": -0.522407,
+    "value": -0.520058,
+    "table": -0.49248,
+    "join": -0.47545,
+    "the": -0.468479,
+    "filter": -0.449693,
+}
+MODEL_QUALITY_BIAS = -0.418861
+
+_VOCAB_SQL = ",\n        ".join(
+    f"('{t}', CAST({w:.6f} AS DECIMAL(10,6)))"
+    for t, w in sorted(MODEL_QUALITY_VOCAB.items())
+)
+
+
+@register(
+    "q_e4_model_quality",
+    f"""
+    WITH vocab AS (
+        SELECT * FROM (VALUES
+        {_VOCAB_SQL}
+        ) AS v(token, w)
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    s AS (
+        SELECT t.doc_id, SUM(v.w) AS sw
+        FROM tok t JOIN vocab v ON v.token = t.token
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.sw, 0)
+                + CAST({MODEL_QUALITY_BIAS:.6f} AS DECIMAL(10,6)) AS DOUBLE)
+               AS quality_logit,
+           (COALESCE(s.sw, 0)
+                + CAST({MODEL_QUALITY_BIAS:.6f} AS DECIMAL(10,6))) > 0 AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+    "E4 — trained model-based quality gate (CCNet/C4-style): a frozen "
+    "hashed-ngram logistic-regression export scored as a PURE JVM Column "
+    "expression — map-literal weights + one aggregate fold over the "
+    "token array, zero Python / joins / shuffles, exact DECIMAL dot "
+    "product (bit-identical to the SQL oracle's unnest+join form). "
+    "Training provenance and the distributed trainer live in "
+    "operators/quality.py (AUC + bit-parity pinned in tests/"
+    "test_quality.py).",
+)
+def q_e4_model_quality(spark, sf_dir):
+    from ..operators.quality import score_quality_vocab
+
+    return score_quality_vocab(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        MODEL_QUALITY_VOCAB,
+        MODEL_QUALITY_BIAS,
+    ).select("doc_id", "quality_logit", "keep")
+
+
 @register(
     "q_e4_winnowing",
     f"""

@@ -2825,3 +2825,110 @@ def test_maybe_compact_zorder_cadence(spark, tmp_path):
         TF.maybe_compact(
             spark, root, max_dirs=3, zorder=("x", "y"), zorder_dirs=8
         )
+
+
+def test_stats_agg_metadata_only_when_bounds_decide(spark, tmp_path):
+    """Metadata-only aggregates (the Iceberg metadata-table shape):
+    count/min/max served from parquet footers with ZERO data
+    directories read when every directory is decided by its bounds;
+    boundary-straddling dirs fall back to a pruned scan; the answer
+    always equals the full relational aggregate."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "sagg")
+    # three appends with contiguous id ranges [0,10) [10,20) [20,30)
+    full = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    for i in range(3):
+        TF.commit_append(
+            full.filter((F.col("k") >= i * 10) & (F.col("k") < (i + 1) * 10)),
+            root,
+        )
+
+    # no predicate: everything decided by metadata, nothing scanned
+    audit = {}
+    row = TF.stats_agg(spark, root, cols=("k", "v"), audit=audit).collect()[0]
+    assert audit == {
+        "dirs_total": 3, "dirs_excluded": 0,
+        "dirs_metadata": 3, "dirs_scanned": 0,
+    }
+    assert (row["row_cnt"], row["min_k"], row["max_k"]) == (30, 0, 29)
+    assert (row["min_v"], row["max_v"]) == (0.0, 72.5)
+
+    # boundary-aligned predicate (k <= 19): still zero scans — one dir
+    # excluded, two served from footers
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), prune={"k": (None, 19)}, audit=audit
+    ).collect()[0]
+    assert audit["dirs_scanned"] == 0
+    assert audit["dirs_excluded"] == 1 and audit["dirs_metadata"] == 2
+    assert (row["row_cnt"], row["min_k"], row["max_k"]) == (20, 0, 19)
+
+    # straddling predicate (5 <= k <= 24): the two boundary dirs scan,
+    # the middle dir is metadata, and the answer is exact
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k", "v"), prune={"k": (5, 24)}, audit=audit
+    ).collect()[0]
+    assert audit["dirs_scanned"] == 2 and audit["dirs_metadata"] == 1
+    assert (row["row_cnt"], row["min_k"], row["max_k"]) == (20, 5, 24)
+    assert (row["min_v"], row["max_v"]) == (12.5, 60.0)
+
+    # fully out-of-range: zero scans, zero rows, NULL min/max
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), prune={"k": (100, None)}, audit=audit
+    ).collect()[0]
+    assert audit == {
+        "dirs_total": 3, "dirs_excluded": 3,
+        "dirs_metadata": 0, "dirs_scanned": 0,
+    }
+    assert (row["row_cnt"], row["min_k"], row["max_k"]) == (0, None, None)
+
+
+def test_stats_agg_nulls_strings_and_evolution(spark, tmp_path):
+    """Footers cannot decide NULL-bearing prune columns (a NULL row
+    never matches, so counting footer rows would overcount) — those
+    dirs demote to the scan path; string min/max are never served from
+    footers (writer-truncatable byte-array bounds); a directory that
+    PREDATES a column is excluded without I/O (all-NULL under
+    evolution)."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "saggn")
+    TF.commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "c")], "k int, s string"
+        ),
+        root,
+    )
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), prune={"k": (0, 10)}, audit=audit
+    ).collect()[0]
+    assert audit["dirs_scanned"] == 1  # nulls in the prune column
+    assert (row["row_cnt"], row["min_k"], row["max_k"]) == (2, 1, 2)
+
+    # string aggregates force the scan path but stay correct
+    audit = {}
+    row = TF.stats_agg(spark, root, cols=("s",), audit=audit).collect()[0]
+    assert audit["dirs_scanned"] == 1 and audit["dirs_metadata"] == 0
+    assert (row["row_cnt"], row["min_s"], row["max_s"]) == (3, "a", "c")
+
+    # schema evolution: the first dir predates column "extra" — a prune
+    # on it excludes that dir with no scan, and the count is exact
+    root2 = str(tmp_path / "saggev")
+    TF.commit_append(spark.createDataFrame([(1,)], "k int"), root2)
+    TF.commit_append(
+        spark.createDataFrame([(2, 7), (3, 8)], "k int, extra int"),
+        root2,
+        evolve=True,
+    )
+    audit = {}
+    row = TF.stats_agg(
+        spark, root2, cols=("extra",), prune={"extra": (0, 100)}, audit=audit
+    ).collect()[0]
+    assert audit["dirs_excluded"] == 1 and audit["dirs_scanned"] == 0
+    assert (row["row_cnt"], row["min_extra"], row["max_extra"]) == (2, 7, 8)
