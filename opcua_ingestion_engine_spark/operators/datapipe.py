@@ -525,3 +525,143 @@ def token_budget_sample(
         .filter(F.col("cum_before") < budget_tokens)
         .select(id_col, "n_tokens", "cum_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# E8 — DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+
+def _unigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(token, c) unigram counts — one explode + one map-side-combined
+    shuffle on token, the same distinct-word-sized aggregation the BPE
+    trainer and heavy-hitter paths run."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_logratio_table(
+    corpus: DataFrame, target: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """E8 (DSIR step 1) — per-token importance log-ratio between a small
+    TARGET sample (the distribution you want more of) and the raw
+    SOURCE corpus, under add-1-smoothed unigram LMs over the shared
+    vocabulary:
+
+        logratio(t) = ln((cT(t)+1)/(T+V)) - ln((cS(t)+1)/(S+V))
+
+    Each ln is quantized to DECIMAL(38,6) (the ``unigram_logprob``
+    oracle discipline: the double DIVISION arguments are exact
+    integers, so both engines feed ln the identical double and the
+    quantized terms subtract exactly). Returns (token, logratio) —
+    vocab-sized, the broadcastable side of the scoring join. The three
+    scalar totals (T, S, V) are driver-collected O(1) aggregates."""
+    ct = _unigram_counts(target, text_col)
+    cs = _unigram_counts(corpus, text_col)
+    vocab = (
+        ct.select("token").unionByName(cs.select("token")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    t_total = ct.agg(F.sum("c")).collect()[0][0] or 0
+    s_total = cs.agg(F.sum("c")).collect()[0][0] or 0
+    v_size = vocab.count()
+    if v_size == 0:
+        raise ValueError("dsir: empty vocabulary (no tokens on either side)")
+    t_den = float(t_total + v_size)
+    s_den = float(s_total + v_size)
+    lt = F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / F.lit(t_den))
+    ls = F.log((F.coalesce(F.col("cs"), F.lit(0)) + 1.0) / F.lit(s_den))
+    return (
+        vocab.join(ct.select("token", F.col("c").alias("ct")), "token", "left")
+        .join(cs.select("token", F.col("c").alias("cs")), "token", "left")
+        .select(
+            "token",
+            (
+                lt.cast("decimal(38,6)") - ls.cast("decimal(38,6)")
+            ).alias("logratio"),
+        )
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E8 (DSIR step 2) — per-document importance log-weight: the sum of
+    its tokens' logratios (token OCCURRENCES, not distinct tokens — the
+    product of per-token likelihood ratios in log space). Exact DECIMAL
+    summation, so Spark and a SQL oracle agree bitwise.
+
+    Scale shape: one explode + one join against the vocab-sized ratio
+    table (broadcast when it fits — AQE's call) + one groupBy(doc) —
+    token-linear like every E4 text family. Returns (id_col, logw
+    DECIMAL(38,6)); tokenless documents weigh 0 (empty product)."""
+    ratios = dsir_logratio_table(corpus, target, text_col)
+    tok = corpus.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    sums = (
+        tok.join(ratios, "token")
+        .groupBy(id_col)
+        .agg(F.sum("logratio").alias("_lw"))
+    )
+    zero = F.lit("0").cast("decimal(38,6)")
+    return corpus.select(id_col).join(sums, id_col, "left").select(
+        id_col, F.coalesce(F.col("_lw"), zero).alias("logw")
+    )
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """E8 (DSIR step 3) — sample ``n`` documents WITHOUT replacement with
+    probability proportional to exp(logw) via the Gumbel top-k trick:
+    key = logw + Gumbel(0,1), take the n largest keys. The Gumbel noise
+    is DERIVED, not random: u = (md5(salt|id) first 12 hex + 1) /
+    (2^48 + 1), g = -ln(-ln(u)) — deterministic, re-rollable by salt,
+    and computable identically in SQL (the repo's md5-projection
+    discipline), with g quantized to DECIMAL(38,6) so keys add and
+    compare exactly.
+
+    The selection is one TakeOrderedAndProject (per-partition top-n,
+    then a driver-side merge of n-row heaps) — no global sort, no
+    single-partition window, the same shape at any corpus size. Returns
+    (id_col, logw, key) of the sample, doubles for the caller."""
+    if n < 0:
+        raise ValueError("n must be non-negative")
+    w = dsir_weights(corpus, target, text_col, id_col)
+    raw = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") + F.lit(1.0)
+    u = raw / F.lit(float((1 << 48) + 1))
+    gumbel = (-F.log(-F.log(u))).cast("decimal(38,6)")
+    return (
+        w.withColumn("key", (F.col("logw") + gumbel).cast("double"))
+        .withColumn("logw", F.col("logw").cast("double"))
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -44,6 +44,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round).
     "q_e4_model_quality",
     "q_tf_stats_agg",
+    "q_e8_dsir_weights",
+    "q_e8_dsir_sample",
     # Family canaries: the LEAST-recently-checked oracle member of each
     # operator family (tests/test_registry_window.py pins one per
     # family), so a regression in shared family machinery surfaces in
@@ -94,8 +96,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_join_three_way",
     "q_s10_insert_if_missing",
     "q_s11_bulk_reset",
-    "q_w_lag_lead",
-    "q_w_row_number_rank",
+    # (q_w_lag_lead / q_w_row_number_rank yield their backfill slots to
+    # the round-8 DSIR queries; both keep their lifetime r2 green rows
+    # and stay oracle-checked in pytest via verify_contract.)
 )
 
 

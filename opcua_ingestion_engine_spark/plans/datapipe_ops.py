@@ -1682,3 +1682,109 @@ def q_tf_stats_agg(spark, sf_dir):
     assert audit["dirs_excluded"] >= 1, audit
     assert audit["dirs_scanned"] <= 1, audit
     return out
+
+
+# Shared DSIR oracle CTEs: add-1-smoothed unigram LMs of the target
+# sample (lang='de' documents) and the full corpus over their shared
+# vocabulary, per-token log-ratios quantized to DECIMAL(38,6) (the
+# unigram_logprob discipline: both engines feed ln identical doubles —
+# exact-integer division arguments — and the quantized terms subtract
+# exactly), then per-doc log-weights as exact decimal sums.
+_DSIR_CTES = """
+    tgt AS (SELECT text FROM documents WHERE lang = 'de'),
+    tct AS (
+        SELECT token, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM tgt)
+        WHERE token <> '' GROUP BY token
+    ),
+    sct AS (
+        SELECT token, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    vocab AS (SELECT token FROM tct UNION SELECT token FROM sct),
+    tot AS (
+        SELECT (SELECT COALESCE(sum(c), 0) FROM tct) AS t_total,
+               (SELECT COALESCE(sum(c), 0) FROM sct) AS s_total,
+               (SELECT count(*) FROM vocab) AS v
+    ),
+    ratio AS (
+        SELECT v.token,
+               CAST(ln((COALESCE(t.c, 0) + 1.0) / (tot.t_total + tot.v))
+                    AS DECIMAL(38,6))
+             - CAST(ln((COALESCE(s.c, 0) + 1.0) / (tot.s_total + tot.v))
+                    AS DECIMAL(38,6)) AS logratio
+        FROM vocab v
+        LEFT JOIN tct t USING (token)
+        LEFT JOIN sct s USING (token), tot
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    w AS (
+        SELECT k.doc_id,
+               COALESCE(s.lw, CAST(0 AS DECIMAL(38,6))) AS logw_dec
+        FROM (SELECT doc_id FROM documents) k
+        LEFT JOIN (
+            SELECT t.doc_id, SUM(r.logratio) AS lw
+            FROM tok t JOIN ratio r USING (token)
+            WHERE t.token <> ''
+            GROUP BY t.doc_id
+        ) s USING (doc_id)
+    )
+"""
+
+
+def _dsir_target(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(F.col("lang") == "de")
+
+
+@register(
+    "q_e8_dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, CAST(logw_dec AS DOUBLE) AS logw FROM w
+    """,
+    "E8 — DSIR importance log-weights (Xie et al. 2023): per-document "
+    "sum of add-1-smoothed unigram log-likelihood ratios between a "
+    "target sample (lang='de') and the raw corpus. One distinct-word "
+    "aggregation per side, a vocab-sized ratio join, one groupBy(doc) — "
+    "token-linear. Exact DECIMAL(38,6) summation of quantized ln terms, "
+    "so the oracle matches bitwise.",
+)
+def q_e8_dsir_weights(spark, sf_dir):
+    from ..operators.datapipe import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, _dsir_target(spark, sf_dir)).select(
+        "doc_id", F.col("logw").cast("double").alias("logw")
+    )
+
+
+@register(
+    "q_e8_dsir_sample",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id,
+           CAST(logw_dec AS DOUBLE) AS logw,
+           CAST(logw_dec + CAST(-ln(-ln(
+                (CAST(('0x' || substr(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) + 1.0) / 281474976710657.0))
+                AS DECIMAL(38,6)) AS DOUBLE) AS key
+    FROM w
+    ORDER BY key DESC, doc_id ASC
+    LIMIT 100
+    """,
+    "E8 — DSIR importance RESAMPLING: 100 docs without replacement with "
+    "probability proportional to exp(logw), via the Gumbel top-k trick "
+    "with DERIVED noise — u from the md5(salt|id) hex prefix (the "
+    "repo's deterministic-projection discipline, re-rollable by salt), "
+    "g = -ln(-ln(u)) quantized to DECIMAL(38,6) so keys add exactly. "
+    "Selection is one TakeOrderedAndProject (per-partition top-n + "
+    "driver heap merge) — no global sort at any corpus size.",
+)
+def q_e8_dsir_sample(spark, sf_dir):
+    from ..operators.datapipe import dsir_sample
+
+    return dsir_sample(_docs(spark, sf_dir), _dsir_target(spark, sf_dir), 100)

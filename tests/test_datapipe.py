@@ -591,3 +591,82 @@ def test_token_budget_sample_exact_prefix_without_global_sort(spark):
     assert {tuple(r) for r in big.collect()} == naive(10**9)
     with pytest.raises(ValueError, match="non-negative"):
         DP.token_budget_sample(docs, budget_tokens=-1)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR (Xie et al. 2023): a doc made of target-typical tokens must
+    log-weigh higher than one made of source-typical tokens; tokenless
+    docs weigh exactly 0 (empty product); the ratio table covers the
+    union vocabulary."""
+    from opcua_ingestion_engine_spark.operators.datapipe import (
+        dsir_logratio_table,
+        dsir_weights,
+    )
+
+    target = spark.createDataFrame(
+        [("medical patient dose trial",), ("patient trial outcome dose",)],
+        "text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "patient dose trial medical"),      # target-like
+            (2, "pizza recipe cheese oven"),        # source-only tokens
+            (3, ""),                                # tokenless
+            (4, "patient pizza"),                   # mixed
+        ],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: float(r["logw"])
+        for r in dsir_weights(corpus, target).collect()
+    }
+    assert w[1] > w[4] > w[2]
+    assert w[3] == 0.0
+    ratio = dsir_logratio_table(corpus, target)
+    toks = {r["token"] for r in ratio.collect()}
+    assert {"medical", "pizza", "outcome"} <= toks
+    # target-only token has a positive ratio, source-only negative
+    by_tok = {r["token"]: float(r["logratio"]) for r in ratio.collect()}
+    assert by_tok["outcome"] > 0 > by_tok["pizza"]
+
+
+def test_dsir_sample_is_deterministic_biased_and_rerollable(spark):
+    """Gumbel top-k with md5-derived noise: the same salt reproduces the
+    same sample; a different salt re-rolls it; the sample over-selects
+    high-weight (target-like) docs vs their corpus share; n >= corpus
+    returns everything."""
+    from opcua_ingestion_engine_spark.operators.datapipe import dsir_sample
+
+    # 200 docs: ids 0-39 target-like, 40-199 source-like
+    rows = [
+        (i, "patient dose trial medical" if i < 40 else "pizza recipe cheese oven")
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [("medical patient dose trial",)], "text string"
+    )
+
+    s1 = sorted(r["doc_id"] for r in dsir_sample(corpus, target, 50).collect())
+    s2 = sorted(r["doc_id"] for r in dsir_sample(corpus, target, 50).collect())
+    assert s1 == s2 and len(s1) == 50
+    s3 = sorted(
+        r["doc_id"]
+        for r in dsir_sample(corpus, target, 50, salt="dsir-v2").collect()
+    )
+    assert s3 != s1  # re-rolled
+    # target-like docs are 20% of the corpus but must dominate the
+    # sample (importance ratio strongly favors them)
+    target_like = sum(1 for d in s1 if d < 40)
+    assert target_like >= 35, target_like
+
+    everything = dsir_sample(corpus, target, 500)
+    assert everything.count() == 200
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        dsir_sample(corpus, target, -1)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="vocabulary"):
+        dsir_sample(empty, empty, 5)
