@@ -63,6 +63,13 @@ HEADLINE = [
     # leans on, so their decade scaling is measured, not asserted.
     "q_tf_upsert_partial",
     "q_tf_incremental_view",
+    # Round-8 additions: the trained-model quality gate (pure-Column
+    # frozen-vocab scoring), metadata-only aggregates (should stay
+    # near-constant per decade — the point), and DSIR resampling
+    # (token-linear + TakeOrderedAndProject).
+    "q_e4_model_quality",
+    "q_tf_stats_agg",
+    "q_e8_dsir_sample",
 ]
 
 

@@ -601,9 +601,17 @@ def dsir_weights(
 
     Scale shape: one explode + one join against the vocab-sized ratio
     table (broadcast when it fits — AQE's call) + one groupBy(doc) —
-    token-linear like every E4 text family. Returns (id_col, logw
-    DECIMAL(38,6)); tokenless documents weigh 0 (empty product)."""
-    ratios = dsir_logratio_table(corpus, target, text_col)
+    token-linear like every E4 text family. The ratio table is
+    MATERIALIZED (eager local checkpoint — vocab-sized, the "small
+    intermediate" case) so the scoring plan scans the corpus exactly
+    twice (token explode + id spine) instead of re-deriving the count
+    aggregations per consumer; the trailing spine join is corpus-keyed
+    on both sides — the one legitimate sort-merge, AQE-broadcast-
+    converted when the weighted side turns out small. Returns (id_col,
+    logw DECIMAL(38,6)); tokenless documents weigh 0 (empty product)."""
+    ratios = dsir_logratio_table(corpus, target, text_col).localCheckpoint(
+        eager=True
+    )
     tok = corpus.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),

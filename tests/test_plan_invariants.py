@@ -111,6 +111,13 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # block-token-sums pass + main pass — the two column-pruned scans
     # that buy an exact global prefix sum WITHOUT a global sort
     "q_e8_token_budget": (0, 0, {"documents": 2}),
+    # token explode + id spine (the ratio table is an eagerly
+    # checkpointed vocab-sized intermediate, so its count lineage never
+    # re-enters the scoring plan); the spine LEFT JOIN sums is
+    # corpus-keyed on both sides — the documented sort-merge, AQE-
+    # broadcast-converted when the weighted side is small
+    "q_e8_dsir_weights": (0, 1, {"documents": 2}),
+    "q_e8_dsir_sample": (0, 1, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
