@@ -184,12 +184,36 @@ def score_quality(
 
     def score(batches):
         pw, pb = bc.value
+        nf = len(pw)
         memo: dict = {}
         for pdf in batches:
-            zs = np.empty(len(pdf), dtype=np.float64)
-            for i, text in enumerate(pdf[text_col]):
-                idx, cnt = _doc_features(text, len(pw), memo)
-                zs[i] = pb + float(pw[idx] @ cnt)
+            # vectorized per Arrow batch: flatten all tokens, hash each
+            # (memoized per partition), gather weights, and segment-sum
+            # per document with ONE bincount — no per-document matmul
+            # loop on the corpus-scale path
+            tok_lists = [
+                [t for t in txt.split(" ") if t] for txt in pdf[text_col]
+            ]
+            n_tok = np.fromiter(
+                (len(lst) for lst in tok_lists),
+                dtype=np.int64,
+                count=len(tok_lists),
+            )
+            doc_of = np.repeat(np.arange(len(tok_lists)), n_tok)
+            slots = np.fromiter(
+                (
+                    memo[t] if t in memo else memo.setdefault(
+                        t, _hash_token(t, nf)
+                    )
+                    for lst in tok_lists
+                    for t in lst
+                ),
+                dtype=np.int64,
+                count=int(n_tok.sum()),
+            )
+            zs = pb + np.bincount(
+                doc_of, weights=pw[slots], minlength=len(tok_lists)
+            )
             out = pdf.copy()
             with np.errstate(over="ignore"):
                 out[out_col] = np.where(
