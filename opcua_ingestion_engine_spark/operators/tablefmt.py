@@ -681,6 +681,7 @@ def stats_agg(
     version: int | None = None,
     prune: dict | None = None,
     audit: "dict | None" = None,
+    counts: bool = False,
 ) -> DataFrame:
     """Metadata-only aggregate over a committed snapshot — the Iceberg
     metadata-table shape: serve ``count(*)`` plus ``min``/``max`` of
@@ -707,10 +708,14 @@ def stats_agg(
     Returns a ONE-ROW DataFrame: ``row_cnt`` (count of matching rows)
     plus ``min_<c>``/``max_<c>`` per requested column, typed from the
     table schema (SQL MIN/MAX semantics — NULLs skipped, NULL result on
-    zero matching rows). ``audit`` (optional dict) receives
-    ``{"dirs_total", "dirs_excluded", "dirs_metadata", "dirs_scanned"}``
-    so callers (and the pinned tests) can assert zero data directories
-    were read when bounds decide."""
+    zero matching rows), and with ``counts=True`` also ``cnt_<c>`` —
+    the SQL ``COUNT(col)`` non-null count, equally footer-exact
+    (directory rows minus the column's null count; a column absent
+    from a directory under evolution counts zero there). ``audit``
+    (optional dict) receives ``{"dirs_total", "dirs_excluded",
+    "dirs_metadata", "dirs_scanned"}`` so callers (and the pinned
+    tests) can assert zero data directories were read when bounds
+    decide."""
     from pyspark.sql.types import StructField, StructType
 
     if version is None:
@@ -732,6 +737,7 @@ def stats_agg(
     rows = 0
     mins: dict[str, object] = {c: None for c in cols}
     maxs: dict[str, object] = {c: None for c in cols}
+    cnts: dict[str, int] = {c: 0 for c in cols}
     scan_dirs: list[str] = []
     n_excluded = n_meta = 0
     for rel in dirs:
@@ -790,6 +796,9 @@ def stats_agg(
             cs = dir_cols.get(c)
             if cs is None or cs["min"] is None:
                 continue  # absent or all-null: contributes nothing
+            # non-null count is footer-exact too: every row group of an
+            # "exact" column carried a null count
+            cnts[c] += agg["rows"] - cs["nulls"]
             if mins[c] is None or cs["min"] < mins[c]:
                 mins[c] = cs["min"]
             if maxs[c] is None or cs["max"] > maxs[c]:
@@ -813,10 +822,12 @@ def stats_agg(
         for c in cols:
             aggs.append(F.min(c).alias(f"_min_{c}"))
             aggs.append(F.max(c).alias(f"_max_{c}"))
+            aggs.append(F.count(F.col(c)).alias(f"_cnt_{c}"))
         row = df.filter(cond).agg(*aggs).collect()[0]
         rows += row["_rows"]
         for c in cols:
             lo_v, hi_v = row[f"_min_{c}"], row[f"_max_{c}"]
+            cnts[c] += row[f"_cnt_{c}"]
             if lo_v is not None and (mins[c] is None or lo_v < mins[c]):
                 mins[c] = lo_v
             if hi_v is not None and (maxs[c] is None or hi_v > maxs[c]):
@@ -838,10 +849,14 @@ def stats_agg(
             raise ValueError(f"stats_agg column {c!r} not in table schema")
         out_fields.append(StructField(f"min_{c}", by_name[c], True))
         out_fields.append(StructField(f"max_{c}", by_name[c], True))
+        if counts:
+            out_fields.append(StructField(f"cnt_{c}", _long_type(), False))
     values = [rows]
     for c in cols:
         values.append(mins[c])
         values.append(maxs[c])
+        if counts:
+            values.append(int(cnts[c]))
     return spark.createDataFrame([tuple(values)], StructType(out_fields))
 
 

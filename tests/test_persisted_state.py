@@ -2898,10 +2898,13 @@ def test_stats_agg_nulls_strings_and_evolution(spark, tmp_path):
     from opcua_ingestion_engine_spark.operators import tablefmt as TF
 
     root = str(tmp_path / "saggn")
+    # one part file: a file holding ONLY the null row would publish no
+    # k statistics at all (all-null chunk) and conservatively demote
+    # the whole directory to the scan path
     TF.commit_append(
         spark.createDataFrame(
             [(1, "a"), (2, "b"), (None, "c")], "k int, s string"
-        ),
+        ).coalesce(1),
         root,
     )
     audit = {}
@@ -2910,6 +2913,15 @@ def test_stats_agg_nulls_strings_and_evolution(spark, tmp_path):
     ).collect()[0]
     assert audit["dirs_scanned"] == 1  # nulls in the prune column
     assert (row["row_cnt"], row["min_k"], row["max_k"]) == (2, 1, 2)
+
+    # COUNT(col) (non-null) is footer-exact too: rows minus the null
+    # count — served without a scan when no predicate needs deciding
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), counts=True, audit=audit
+    ).collect()[0]
+    assert audit["dirs_scanned"] == 0
+    assert (row["row_cnt"], row["cnt_k"]) == (3, 2)
 
     # string aggregates force the scan path but stay correct
     audit = {}
