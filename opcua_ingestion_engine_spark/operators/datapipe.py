@@ -533,12 +533,23 @@ def token_budget_sample(
 # ---------------------------------------------------------------------------
 
 
-def _unigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
-    """(token, c) unigram counts — one explode + one map-side-combined
-    shuffle on token, the same distinct-word-sized aggregation the BPE
-    trainer and heavy-hitter paths run."""
+def _gram_expr(text_col: str, ngrams: int):
+    """The gram inventory of one document as an array column: whitespace
+    tokens for ``ngrams=1``, positional word n-grams (``text.word_ngrams``
+    — duplicates kept, short docs fall back to the whole text) above."""
+    if ngrams == 1:
+        return F.split(F.col(text_col), " ")
+    return word_ngrams(F.col(text_col), ngrams)
+
+
+def _unigram_counts(
+    docs: DataFrame, text_col: str, ngrams: int = 1
+) -> DataFrame:
+    """(token, c) gram counts — one explode + one map-side-combined
+    shuffle on the gram, the same distinct-word-sized aggregation the
+    BPE trainer and heavy-hitter paths run."""
     return (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        docs.select(F.explode(_gram_expr(text_col, ngrams)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("c"))
@@ -546,7 +557,10 @@ def _unigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def dsir_logratio_table(
-    corpus: DataFrame, target: DataFrame, text_col: str = "text"
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    ngrams: int = 1,
 ) -> DataFrame:
     """E8 (DSIR step 1) — per-token importance log-ratio between a small
     TARGET sample (the distribution you want more of) and the raw
@@ -560,9 +574,12 @@ def dsir_logratio_table(
     integers, so both engines feed ln the identical double and the
     quantized terms subtract exactly). Returns (token, logratio) —
     vocab-sized, the broadcastable side of the scoring join. The three
-    scalar totals (T, S, V) are driver-collected O(1) aggregates."""
-    ct = _unigram_counts(target, text_col)
-    cs = _unigram_counts(corpus, text_col)
+    scalar totals (T, S, V) are driver-collected O(1) aggregates.
+    ``ngrams=2`` switches the feature unit to positional word bigrams
+    (the hashed-bigram form the DSIR paper uses); gram counts stay one
+    distinct-gram-sized aggregation per side."""
+    ct = _unigram_counts(target, text_col, ngrams)
+    cs = _unigram_counts(corpus, text_col, ngrams)
     vocab = (
         ct.select("token").unionByName(cs.select("token")).distinct()
         .localCheckpoint(eager=False)
@@ -593,6 +610,7 @@ def dsir_weights(
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngrams: int = 1,
 ) -> DataFrame:
     """E8 (DSIR step 2) — per-document importance log-weight: the sum of
     its tokens' logratios (token OCCURRENCES, not distinct tokens — the
@@ -609,12 +627,12 @@ def dsir_weights(
     on both sides — the one legitimate sort-merge, AQE-broadcast-
     converted when the weighted side turns out small. Returns (id_col,
     logw DECIMAL(38,6)); tokenless documents weigh 0 (empty product)."""
-    ratios = dsir_logratio_table(corpus, target, text_col).localCheckpoint(
-        eager=True
-    )
+    ratios = dsir_logratio_table(
+        corpus, target, text_col, ngrams
+    ).localCheckpoint(eager=True)
     tok = corpus.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        F.explode(_gram_expr(text_col, ngrams)).alias("token"),
     ).filter(F.col("token") != "")
     sums = (
         tok.join(ratios, "token")
@@ -634,6 +652,7 @@ def dsir_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir-v1",
+    ngrams: int = 1,
 ) -> DataFrame:
     """E8 (DSIR step 3) — sample ``n`` documents WITHOUT replacement with
     probability proportional to exp(logw) via the Gumbel top-k trick:
@@ -650,7 +669,7 @@ def dsir_sample(
     (id_col, logw, key) of the sample, doubles for the caller."""
     if n < 0:
         raise ValueError("n must be non-negative")
-    w = dsir_weights(corpus, target, text_col, id_col)
+    w = dsir_weights(corpus, target, text_col, id_col, ngrams)
     raw = F.conv(
         F.substring(
             F.md5(

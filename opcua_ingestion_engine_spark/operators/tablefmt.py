@@ -1079,6 +1079,62 @@ def table_changes(
     return snapshot_diff(old, new, keys, commit_version=v_to)
 
 
+def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
+    """Metadata table over the commit history — the Iceberg
+    ``snapshots`` shape: one row per retained version with (version,
+    parent, n_dirs, rows, data_identical, batch_id). Row counts come
+    from parquet footers (``_dir_footer_agg``), MEMOIZED per data
+    directory across versions — append-structured histories share
+    directories, so the driver-side cost is O(distinct directories)
+    metadata reads for the whole history, zero data reads, zero Spark
+    jobs until the returned (history-sized) DataFrame is consumed. A
+    version whose directories were vacuumed reports NULL rows rather
+    than guessing."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    memo: dict[str, "int | None"] = {}
+    out = []
+    for man in history(root):
+        dirs = _data_list(man)
+        total: "int | None" = 0
+        for rel in dirs:
+            if rel not in memo:
+                agg = _dir_footer_agg(root, rel, ())
+                memo[rel] = None if agg is None else agg["rows"]
+            if memo[rel] is None:
+                total = None
+                break
+            total += memo[rel]
+        app = man.get("app") or {}
+        bid = app.get("batch_id")
+        out.append(
+            (
+                man["version"],
+                man.get("parent"),
+                len(dirs),
+                total,
+                bool(app.get("data_identical", False)),
+                int(bid) if isinstance(bid, int) else None,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("parent", LongType(), True),
+            StructField("n_dirs", LongType(), False),
+            StructField("rows", LongType(), True),
+            StructField("data_identical", BooleanType(), False),
+            StructField("batch_id", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def history(root: str) -> list[dict]:
     """All retained manifests, oldest first — ordered by the PARSED
     version number, not the filename (lexical order breaks past the

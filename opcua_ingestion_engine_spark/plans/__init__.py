@@ -46,6 +46,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_tf_stats_agg",
     "q_e8_dsir_weights",
     "q_e8_dsir_sample",
+    "q_e8_dsir_bigram_weights",
+    "q_tf_snapshots",
     # Family canaries: the LEAST-recently-checked oracle member of each
     # operator family (tests/test_registry_window.py pins one per
     # family), so a regression in shared family machinery surfaces in
@@ -91,14 +93,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_join_full_nation_supplier",
     "q_join_inner_orders_customer",
     "q_join_left_customer_orders",
-    "q_join_right_orders_customer",
-    "q_join_semi_customers_with_orders",
     "q_join_three_way",
     "q_s10_insert_if_missing",
     "q_s11_bulk_reset",
-    # (q_w_lag_lead / q_w_row_number_rank yield their backfill slots to
-    # the round-8 DSIR queries; both keep their lifetime r2 green rows
-    # and stay oracle-checked in pytest via verify_contract.)
+    # (q_w_lag_lead / q_w_row_number_rank /
+    # q_join_semi_customers_with_orders / q_join_right_orders_customer
+    # yield their backfill slots to the round-8 DSIR + snapshots
+    # queries; all keep their lifetime r2 green rows and stay
+    # oracle-checked in pytest via verify_contract.)
 )
 
 

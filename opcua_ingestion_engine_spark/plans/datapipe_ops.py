@@ -1690,16 +1690,33 @@ def q_tf_stats_agg(spark, sf_dir):
 # unigram_logprob discipline: both engines feed ln identical doubles —
 # exact-integer division arguments — and the quantized terms subtract
 # exactly), then per-doc log-weights as exact decimal sums.
-_DSIR_CTES = """
+def _dsir_ctes(gram: str = "string_split(text, ' ')") -> str:
+    """The DSIR oracle CTE chain over an arbitrary SQL gram-inventory
+    expression (`gram` maps `text` to an array<string>): unigrams by
+    default, the positional-bigram expression for the ngrams=2 form."""
+    return _DSIR_CTES_TEMPLATE.replace("__GRAM__", gram)
+
+
+# Positional word bigrams mirroring text.word_ngrams(n=2): duplicates
+# kept, documents shorter than 2 tokens fall back to the whole text.
+_DSIR_BIGRAM_SQL = (
+    "CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
+    "list_transform(range(1, len(string_split(text, ' '))), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) "
+    "ELSE [text] END"
+)
+
+
+_DSIR_CTES_TEMPLATE = """
     tgt AS (SELECT text FROM documents WHERE lang = 'de'),
     tct AS (
         SELECT token, count(*) AS c FROM (
-            SELECT unnest(string_split(text, ' ')) AS token FROM tgt)
+            SELECT unnest(__GRAM__) AS token FROM tgt)
         WHERE token <> '' GROUP BY token
     ),
     sct AS (
         SELECT token, count(*) AS c FROM (
-            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            SELECT unnest(__GRAM__) AS token FROM documents)
         WHERE token <> '' GROUP BY token
     ),
     vocab AS (SELECT token FROM tct UNION SELECT token FROM sct),
@@ -1719,7 +1736,7 @@ _DSIR_CTES = """
         LEFT JOIN sct s USING (token), tot
     ),
     tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(__GRAM__) AS token
         FROM documents
     ),
     w AS (
@@ -1743,7 +1760,7 @@ def _dsir_target(spark, sf_dir):
 @register(
     "q_e8_dsir_weights",
     f"""
-    WITH {_DSIR_CTES}
+    WITH {_dsir_ctes()}
     SELECT doc_id, CAST(logw_dec AS DOUBLE) AS logw FROM w
     """,
     "E8 — DSIR importance log-weights (Xie et al. 2023): per-document "
@@ -1765,7 +1782,7 @@ def q_e8_dsir_weights(spark, sf_dir):
 @register(
     "q_e8_dsir_sample",
     f"""
-    WITH {_DSIR_CTES}
+    WITH {_dsir_ctes()}
     SELECT doc_id,
            CAST(logw_dec AS DOUBLE) AS logw,
            CAST(logw_dec + CAST(-ln(-ln(
@@ -1788,3 +1805,64 @@ def q_e8_dsir_sample(spark, sf_dir):
     from ..operators.datapipe import dsir_sample
 
     return dsir_sample(_docs(spark, sf_dir), _dsir_target(spark, sf_dir), 100)
+
+
+@register(
+    "q_e8_dsir_bigram_weights",
+    f"""
+    WITH {_dsir_ctes(_DSIR_BIGRAM_SQL)}
+    SELECT doc_id, CAST(logw_dec AS DOUBLE) AS logw FROM w
+    """,
+    "E8 — DSIR log-weights over positional word BIGRAMS (the paper's "
+    "hashed-bigram feature unit; text.word_ngrams(n=2) convention — "
+    "duplicates kept, sub-bigram docs fall back to the whole text). "
+    "Same shuffle shape as the unigram form: one distinct-gram "
+    "aggregation per side, a gram-vocab ratio join, one groupBy(doc); "
+    "exact DECIMAL summation, bitwise oracle match.",
+)
+def q_e8_dsir_bigram_weights(spark, sf_dir):
+    from ..operators.datapipe import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs, _dsir_target(spark, sf_dir), ngrams=2
+    ).select("doc_id", F.col("logw").cast("double").alias("logw"))
+
+
+@register(
+    "q_tf_snapshots",
+    """
+    WITH b AS (SELECT ((max(event_id) + 1) // 4 + 1) AS step FROM events)
+    SELECT t.v AS version,
+           CAST(t.v + 1 AS BIGINT) AS n_dirs,
+           (SELECT CAST(count(*) AS BIGINT) FROM events, b
+            WHERE event_id < (t.v + 1) * b.step) AS n_rows
+    FROM range(4) AS t(v)
+    """,
+    "Table-layer snapshots metadata table (the Iceberg `snapshots` "
+    "shape) — events committed as four contiguous-id append batches, "
+    "then one row per retained version with its directory count and "
+    "footer-exact row count, memoized per shared directory across the "
+    "history: O(distinct dirs) driver-side metadata reads, ZERO data "
+    "reads. The oracle recovers each version's cumulative row count "
+    "from the append predicates.",
+)
+def q_tf_snapshots(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select("event_id")
+    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    root = scratch_root("snapshots")
+    for i in range(4):
+        TF.commit_append(
+            ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            root,
+        )
+    return TF.table_snapshots(spark, root).select(
+        "version", "n_dirs", F.col("rows").alias("n_rows")
+    )

@@ -670,3 +670,35 @@ def test_dsir_sample_is_deterministic_biased_and_rerollable(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="vocabulary"):
         dsir_sample(empty, empty, 5)
+
+
+def test_dsir_bigrams_capture_order_unigrams_cannot(spark):
+    """ngrams=2 (the paper's feature unit): two docs with IDENTICAL
+    token multisets but different orderings get the SAME unigram weight
+    and DIFFERENT bigram weights — the bigram LM rewards target-typical
+    adjacency, not just vocabulary."""
+    from opcua_ingestion_engine_spark.operators.datapipe import dsir_weights
+
+    target = spark.createDataFrame(
+        [("new york city hall",), ("new york city council",)], "text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "new york city hall"),   # target-typical adjacency
+            (2, "york hall new city"),   # same tokens, shuffled order
+            (3, "one token doc"),
+        ],
+        "doc_id long, text string",
+    )
+    uni = {
+        r["doc_id"]: float(r["logw"])
+        for r in dsir_weights(corpus, target, ngrams=1).collect()
+    }
+    bi = {
+        r["doc_id"]: float(r["logw"])
+        for r in dsir_weights(corpus, target, ngrams=2).collect()
+    }
+    assert uni[1] == uni[2]       # unigrams are order-blind
+    assert bi[1] > bi[2]          # bigrams are not
+    # the sub-bigram fallback (whole text) keeps every doc weighted
+    assert 3 in bi

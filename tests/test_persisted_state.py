@@ -3026,3 +3026,34 @@ def test_incremental_ann_index_two_writer_race(spark, tmp_path, seed):
     q = emb.filter(F.col("vec_id") < 5)
     served = sinks[0].search(emb, q, k=3, nprobe=16, rerank=100)
     assert served.count() == 15
+
+
+def test_table_snapshots_metadata_table(spark, tmp_path):
+    """The snapshots metadata table: one row per retained version with
+    footer-exact row counts (memoized per shared directory), the
+    compaction data_identical flag, committed batch ids, and NULL rows
+    for versions whose directories a vacuum reclaimed."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "snapmeta")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    TF.commit_append(df.filter(F.col("k") < 4), root, app={"batch_id": 0})
+    TF.commit_append(df.filter(F.col("k") >= 4), root, app={"batch_id": 1})
+    TF.compact(spark, root)
+
+    rows = {r["version"]: r for r in TF.table_snapshots(spark, root).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_dirs"], rows[0]["rows"], rows[0]["batch_id"]) == (1, 4, 0)
+    assert (rows[1]["n_dirs"], rows[1]["rows"], rows[1]["batch_id"]) == (2, 10, 1)
+    assert rows[2]["data_identical"] is True and rows[2]["rows"] == 10
+    assert rows[1]["parent"] == 0 and rows[0]["parent"] is None
+    assert not rows[0]["data_identical"] and rows[2]["batch_id"] is None
+
+    # vacuum reclaims the pre-compaction dirs: their versions' manifests
+    # that survive report NULL rows instead of fabricating counts
+    TF.vacuum(root, keep=1, orphan_grace_s=0.0)
+    after = {r["version"]: r for r in TF.table_snapshots(spark, root).collect()}
+    assert after[2]["rows"] == 10  # live snapshot still exact
+    for v, r in after.items():
+        if v != 2:
+            assert r["rows"] is None

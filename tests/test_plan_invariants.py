@@ -118,6 +118,7 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # broadcast-converted when the weighted side is small
     "q_e8_dsir_weights": (0, 1, {"documents": 2}),
     "q_e8_dsir_sample": (0, 1, {"documents": 2}),
+    "q_e8_dsir_bigram_weights": (0, 1, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
