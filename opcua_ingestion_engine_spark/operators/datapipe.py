@@ -692,3 +692,84 @@ def dsir_sample(
         .orderBy(F.col("key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def pack_bins(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "packbins-v1",
+) -> DataFrame:
+    """E8 — whole-document bin packing (first-fit-decreasing): place
+    each document into a fixed-``max_tokens`` training bin WITHOUT
+    splitting it — the SFT/eval packing layout, complementing
+    ``pack_chunks`` (which concatenates and cuts, letting documents
+    cross boundaries). Padding waste per bin is what packing quality
+    buys down; FFD is the classic near-optimal heuristic (<= 11/9 OPT
+    + 1 bins within a shard).
+
+    Scale shape: a GLOBAL FFD is inherently sequential, so documents
+    are sharded by md5(salt|id) (the repo's deterministic-projection
+    discipline) and FFD runs INDEPENDENTLY per shard via
+    ``applyInPandas`` — one shuffle on the shard key, O(shard) memory
+    per task, no coordination; cross-shard waste is bounded by one
+    partially-filled bin tail per shard, amortized away as shards
+    grow. Deterministic: within a shard docs pack in (n_tokens desc,
+    id asc) order.
+
+    Documents LONGER than ``max_tokens`` cannot pack; each gets its
+    own bin, flagged ``oversize`` (the caller decides: truncate
+    upstream via ``sliding_chunks``, or drop).
+
+    Returns (id_col, n_tokens, shard, bin, oversize) — (shard, bin)
+    is the global bin key."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    h = F.md5(
+        F.encode(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")),
+            "UTF-8",
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def ffd(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # free tokens per bin, creation order
+        bins = np.empty(len(pdf), dtype=np.int64)
+        oversize = np.zeros(len(pdf), dtype=bool)
+        for i, n in enumerate(pdf["n_tokens"]):
+            if n > max_tokens:
+                remaining.append(0)  # its own, already-full bin
+                bins[i] = len(remaining) - 1
+                oversize[i] = True
+                continue
+            for b, free in enumerate(remaining):
+                if free >= n:
+                    remaining[b] = free - n
+                    bins[i] = b
+                    break
+            else:
+                remaining.append(max_tokens - int(n))
+                bins[i] = len(remaining) - 1
+        out = pdf[[id_col, "n_tokens", "shard"]].copy()
+        out["bin"] = bins
+        out["oversize"] = oversize
+        return out
+
+    return base.groupBy("shard").applyInPandas(
+        ffd,
+        f"{id_col} long, n_tokens long, shard int, bin long, oversize boolean",
+    )

@@ -1866,3 +1866,21 @@ def q_tf_snapshots(spark, sf_dir):
     return TF.table_snapshots(spark, root).select(
         "version", "n_dirs", F.col("rows").alias("n_rows")
     )
+
+
+@register(
+    "q_e8_pack_bins",
+    None,  # first-fit-decreasing assignment is an iterative heuristic —
+    # not SQL-expressible; the bin-capacity invariant, optimality on a
+    # constructed corpus, determinism, and oversize flagging are pinned
+    # in tests/test_datapipe.py::test_pack_bins_ffd_invariants
+    "E8 — whole-document FFD bin packing into max_tokens training bins "
+    "(SFT/eval layout: documents never split, near-optimal padding "
+    "waste). Sharded by md5(salt|id) with independent per-shard FFD "
+    "via applyInPandas — one shuffle, O(shard) task memory, "
+    "deterministic; oversize docs get flagged singleton bins.",
+)
+def q_e8_pack_bins(spark, sf_dir):
+    from ..operators.datapipe import pack_bins
+
+    return pack_bins(_docs(spark, sf_dir), max_tokens=512, n_shards=16)

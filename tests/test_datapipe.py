@@ -702,3 +702,52 @@ def test_dsir_bigrams_capture_order_unigrams_cannot(spark):
     assert bi[1] > bi[2]          # bigrams are not
     # the sub-bigram fallback (whole text) keeps every doc weighted
     assert 3 in bi
+
+
+def test_pack_bins_ffd_invariants(spark):
+    """Whole-doc bin packing: no bin's content exceeds max_tokens
+    (except flagged oversize singletons), packing is deterministic,
+    waste is near-optimal on a mixed-length corpus, and every doc packs
+    exactly once."""
+    from opcua_ingestion_engine_spark.operators.datapipe import pack_bins
+
+    rows = [
+        (i, " ".join(["w"] * n))
+        for i, n in enumerate([900, 700, 600, 500, 400, 400, 300, 200,
+                               100, 60, 40, 1500, 2100])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_bins(docs, max_tokens=1000, n_shards=1).collect()
+    assert len(out) == len(rows)  # every doc packed once
+
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for members in by_bin.values():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1  # oversize docs pack alone
+        else:
+            assert sum(m["n_tokens"] for m in members) <= 1000
+    assert {r["n_tokens"] for r in out if r["oversize"]} == {2100, 1500}
+
+    # FFD packs the 4200 packable tokens into the OPTIMAL 5
+    # thousand-token bins (ceil(4200/1000)); the oversize docs add
+    # their own flagged singletons
+    packable_bins = {
+        b for b, members in by_bin.items()
+        if not any(m["oversize"] for m in members)
+    }
+    assert len(packable_bins) == 5
+
+    # deterministic
+    again = pack_bins(docs, max_tokens=1000, n_shards=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # sharded mode still packs every doc, within-shard bound holds
+    sharded = pack_bins(docs, max_tokens=1000, n_shards=4).collect()
+    assert len(sharded) == len(rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        pack_bins(docs, max_tokens=0)
