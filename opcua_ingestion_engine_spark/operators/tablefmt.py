@@ -186,18 +186,42 @@ def _json_stat(v):
     return None
 
 
-def _dir_stats(root: str, rel_dir: str) -> dict[str, list]:
-    """Per-column [min, max] for one data directory, harvested from the
-    parquet FOOTERS the write already produced — no second Spark job,
-    the same add-file-stats discipline as Delta. Driver-side cost is
-    O(files in this directory) metadata reads, i.e. O(batch) per
-    commit, never O(table). Columns with missing/non-orderable
-    statistics are simply absent (readers must treat absence as
-    keep)."""
+#: Reserved manifest-stats keys (never column names): commit-time
+#: row-level statistics recorded beside the per-column [min, max]
+#: entries in the SAME footer pass — the Delta add-file-stats
+#: discipline extended so ``stats_agg``/``table_snapshots`` can serve
+#: counts from the manifest alone, with zero footer re-reads per query
+#: (and exact counts even for vacuumed historical versions).
+#: ``__rows__``: directory row count; ``__nulls__``: per-column null
+#: counts (only for fully-accounted columns); ``__cols__``: the file
+#: schema's top-level columns; ``__exact__``: columns whose footer
+#: stats are complete AND of an exactly-representable physical type
+#: (byte-array bounds may be writer-truncated and are never exact).
+#: ``_keep_dir`` looks stats up per PRUNE column, so reserved keys are
+#: invisible to every pruning consumer; manifests written before these
+#: keys existed simply lack them and readers fall back to footers.
+_STATS_ROWS = "__rows__"
+_STATS_NULLS = "__nulls__"
+_STATS_COLS = "__cols__"
+_STATS_EXACT = "__exact__"
+_STATS_RESERVED = {_STATS_ROWS, _STATS_NULLS, _STATS_COLS, _STATS_EXACT}
+
+
+def _dir_stats(root: str, rel_dir: str) -> dict:
+    """Per-column [min, max] for one data directory plus the reserved
+    row-level keys above, harvested from the parquet FOOTERS the write
+    already produced — no second Spark job, the same add-file-stats
+    discipline as Delta. Driver-side cost is O(files in this directory)
+    metadata reads, i.e. O(batch) per commit, never O(table). Columns
+    with missing/non-orderable statistics are simply absent (readers
+    must treat absence as keep)."""
     import pyarrow.parquet as pq
 
     full = os.path.join(root, rel_dir)
     agg: dict[str, list] = {}
+    rows = 0
+    nulls: dict[str, int] = {}
+    exact: dict[str, bool] = {}
     try:
         names = [n for n in os.listdir(full) if n.endswith(".parquet")]
     except OSError:
@@ -207,6 +231,7 @@ def _dir_stats(root: str, rel_dir: str) -> dict[str, list]:
             meta = pq.read_metadata(os.path.join(full, name))
         except Exception:
             return {}  # unreadable footer — publish no stats for the dir
+        rows += meta.num_rows
         for rg in range(meta.num_row_groups):
             group = meta.row_group(rg)
             for ci in range(group.num_columns):
@@ -215,6 +240,16 @@ def _dir_stats(root: str, rel_dir: str) -> dict[str, list]:
                 if "." in path:  # nested leaves don't map to a column
                     continue
                 st = col.statistics
+                exact.setdefault(path, True)
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not st.has_null_count
+                    or col.physical_type not in _EXACT_STAT_PHYSICAL
+                ):
+                    exact[path] = False
+                else:
+                    nulls[path] = nulls.get(path, 0) + st.null_count
                 if st is None or not st.has_min_max:
                     agg[path] = None  # any gap poisons the column
                     continue
@@ -232,7 +267,12 @@ def _dir_stats(root: str, rel_dir: str) -> dict[str, list]:
                         agg[path] = [min(cur[0], lo), max(cur[1], hi)]
                     except TypeError:
                         agg[path] = None
-    return {c: v for c, v in agg.items() if v not in (None, ...)}
+    out: dict = {c: v for c, v in agg.items() if v not in (None, ...)}
+    out[_STATS_ROWS] = rows
+    out[_STATS_COLS] = sorted(exact)
+    out[_STATS_EXACT] = sorted(c for c, ok in exact.items() if ok)
+    out[_STATS_NULLS] = {c: nulls[c] for c in out[_STATS_EXACT]}
+    return out
 
 
 def _keep_dir(stats: dict | None, prune: dict) -> bool:
@@ -674,6 +714,58 @@ def _dir_footer_agg(root: str, rel_dir: str, cols: tuple) -> "dict | None":
     return {"rows": rows, "cols": out}
 
 
+def _serve_from_manifest(entry: dict, prune: dict, cols: tuple):
+    """Classify one directory for ``stats_agg`` from its manifest stats
+    entry ALONE (the commit-time row-level keys) — zero footer I/O.
+    Returns None when the entry predates the row-level keys, or when a
+    requested column is footer-servable but not manifest-servable (its
+    JSON min/max is a string — ISO datetimes lose their type in the
+    manifest; the footer fallback serves them typed). Otherwise
+    ("exclude", None), ("scan", None), or ("include", contrib) with
+    contrib = {"rows", "mins", "maxs", "cnts"}."""
+    if not entry or _STATS_ROWS not in entry:
+        return None
+    rows = entry[_STATS_ROWS]
+    present = set(entry[_STATS_COLS])
+    exact = set(entry[_STATS_EXACT])
+    nulls = entry[_STATS_NULLS]
+    for c, (lo, hi) in prune.items():
+        if c not in present:
+            return ("exclude", None)  # all-NULL under evolution
+        rng = entry.get(c)
+        if c not in exact or rng is None:
+            return ("scan", None)
+        lo_n, hi_n = _json_stat(lo), _json_stat(hi)
+        try:
+            if (lo_n is not None and rng[1] < lo_n) or (
+                hi_n is not None and rng[0] > hi_n
+            ):
+                return ("exclude", None)
+            if (
+                nulls.get(c, 1) > 0
+                or (lo_n is not None and rng[0] < lo_n)
+                or (hi_n is not None and rng[1] > hi_n)
+            ):
+                return ("scan", None)
+        except TypeError:
+            return ("scan", None)
+    contrib = {"rows": rows, "mins": {}, "maxs": {}, "cnts": {}}
+    for c in cols:
+        if c not in present:
+            continue  # absent under evolution: contributes nothing
+        rng = entry.get(c)
+        if c not in exact or rng is None:
+            return ("scan", None)
+        if isinstance(rng[0], str) or isinstance(rng[1], str):
+            # exact in the footers but JSON-stringified in the manifest
+            # (ISO datetimes): the footer path serves it typed
+            return None
+        contrib["mins"][c] = rng[0]
+        contrib["maxs"][c] = rng[1]
+        contrib["cnts"][c] = rows - nulls.get(c, 0)
+    return ("include", contrib)
+
+
 def stats_agg(
     spark: SparkSession,
     root: str,
@@ -740,10 +832,36 @@ def stats_agg(
     cnts: dict[str, int] = {c: 0 for c in cols}
     scan_dirs: list[str] = []
     n_excluded = n_meta = 0
+    n_manifest = 0
     for rel in dirs:
         # cheap manifest-stats disjointness first (no footer I/O at all)
         if prune and not _keep_dir(man_stats.get(rel), prune):
             n_excluded += 1
+            continue
+        # manifest fast path: commit-time row-level stats decide the
+        # directory with ZERO footer re-reads (and stay correct even
+        # for vacuumed historical versions — the manifest outlives the
+        # directory)
+        served = _serve_from_manifest(man_stats.get(rel) or {}, prune, cols)
+        if served is not None:
+            decision, contrib = served
+            if decision == "exclude":
+                n_excluded += 1
+                continue
+            if decision == "scan":
+                scan_dirs.append(rel)
+                continue
+            n_meta += 1
+            n_manifest += 1
+            rows += contrib["rows"]
+            for c in cols:
+                if c not in contrib["mins"]:
+                    continue
+                cnts[c] += contrib["cnts"][c]
+                if mins[c] is None or contrib["mins"][c] < mins[c]:
+                    mins[c] = contrib["mins"][c]
+                if maxs[c] is None or contrib["maxs"][c] > maxs[c]:
+                    maxs[c] = contrib["maxs"][c]
             continue
         agg = _dir_footer_agg(root, rel, tuple({*cols, *prune}))
         if agg is None:
@@ -839,6 +957,9 @@ def stats_agg(
             dirs_excluded=n_excluded,
             dirs_metadata=n_meta,
             dirs_scanned=len(scan_dirs),
+            # of the metadata-served dirs, how many needed no footer
+            # re-read at all (commit-time manifest row stats)
+            dirs_manifest=n_manifest,
         )
 
     table_schema = StructType.fromJson(manifest["schema"])
@@ -1101,11 +1222,18 @@ def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
     out = []
     for man in history(root):
         dirs = _data_list(man)
+        man_stats = man.get("stats") or {}
         total: "int | None" = 0
         for rel in dirs:
             if rel not in memo:
-                agg = _dir_footer_agg(root, rel, ())
-                memo[rel] = None if agg is None else agg["rows"]
+                entry = man_stats.get(rel) or {}
+                if _STATS_ROWS in entry:
+                    # commit-time manifest row count: no footer read,
+                    # and exact even after a vacuum reclaimed the dir
+                    memo[rel] = entry[_STATS_ROWS]
+                else:
+                    agg = _dir_footer_agg(root, rel, ())
+                    memo[rel] = None if agg is None else agg["rows"]
             if memo[rel] is None:
                 total = None
                 break

@@ -2852,6 +2852,7 @@ def test_stats_agg_metadata_only_when_bounds_decide(spark, tmp_path):
     assert audit == {
         "dirs_total": 3, "dirs_excluded": 0,
         "dirs_metadata": 3, "dirs_scanned": 0,
+        "dirs_manifest": 3,  # commit-time row stats: no footer re-reads
     }
     assert (row["row_cnt"], row["min_k"], row["max_k"]) == (30, 0, 29)
     assert (row["min_v"], row["max_v"]) == (0.0, 72.5)
@@ -2883,9 +2884,36 @@ def test_stats_agg_metadata_only_when_bounds_decide(spark, tmp_path):
     ).collect()[0]
     assert audit == {
         "dirs_total": 3, "dirs_excluded": 3,
-        "dirs_metadata": 0, "dirs_scanned": 0,
+        "dirs_metadata": 0, "dirs_scanned": 0, "dirs_manifest": 0,
     }
     assert (row["row_cnt"], row["min_k"], row["max_k"]) == (0, None, None)
+
+    # legacy-manifest fallback: strip the commit-time row-level keys
+    # from the live manifest on disk — answers are unchanged, served
+    # from footer re-reads instead of the manifest fast path
+    import json as _json
+
+    live = TF.latest_version(root)
+    mp = TF._manifest_path(root, live)
+    with open(mp) as f:
+        man = _json.load(f)
+    for entry in man["stats"].values():
+        for k in list(entry):
+            if k.startswith("__"):
+                del entry[k]
+    os_replace_tmp = mp + ".tmp"
+    with open(os_replace_tmp, "w") as f:
+        _json.dump(man, f)
+    import os as _os
+
+    _os.replace(os_replace_tmp, mp)
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), prune={"k": (None, 19)}, audit=audit
+    ).collect()[0]
+    assert audit["dirs_manifest"] == 0 and audit["dirs_metadata"] == 2
+    assert audit["dirs_scanned"] == 0  # footers still decide
+    assert (row["row_cnt"], row["min_k"], row["max_k"]) == (20, 0, 19)
 
 
 def test_stats_agg_nulls_strings_and_evolution(spark, tmp_path):
@@ -3049,11 +3077,33 @@ def test_table_snapshots_metadata_table(spark, tmp_path):
     assert rows[1]["parent"] == 0 and rows[0]["parent"] is None
     assert not rows[0]["data_identical"] and rows[2]["batch_id"] is None
 
-    # vacuum reclaims the pre-compaction dirs: their versions' manifests
-    # that survive report NULL rows instead of fabricating counts
+    # vacuum retains only the newest manifest; the survivor still
+    # reports exact rows
     TF.vacuum(root, keep=1, orphan_grace_s=0.0)
     after = {r["version"]: r for r in TF.table_snapshots(spark, root).collect()}
-    assert after[2]["rows"] == 10  # live snapshot still exact
-    for v, r in after.items():
-        if v != 2:
-            assert r["rows"] is None
+    assert set(after) == {2} and after[2]["rows"] == 10
+
+    # legacy manifest (no commit-time row keys): footers are re-read —
+    # exact while the directory exists, NULL (never fabricated) once
+    # the directory is gone out-of-band
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    root2 = str(tmp_path / "snaplegacy")
+    TF.commit_append(df, root2, app={"batch_id": 7})
+    mp = TF._manifest_path(root2, 0)
+    with open(mp) as f:
+        man = _json.load(f)
+    for entry in man["stats"].values():
+        for k in list(entry):
+            if k.startswith("__"):
+                del entry[k]
+    with open(mp + ".tmp", "w") as f:
+        _json.dump(man, f)
+    _os.replace(mp + ".tmp", mp)
+    got = TF.table_snapshots(spark, root2).collect()[0]
+    assert (got["rows"], got["batch_id"]) == (10, 7)  # footer fallback
+    _shutil.rmtree(_os.path.join(root2, TF._data_list(man)[0]))
+    got = TF.table_snapshots(spark, root2).collect()[0]
+    assert got["rows"] is None
