@@ -48,6 +48,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_e8_dsir_sample",
     "q_e8_dsir_bigram_weights",
     "q_tf_snapshots",
+    "q_e4_incremental_model_quality",
     # Family canaries: the LEAST-recently-checked oracle member of each
     # operator family (tests/test_registry_window.py pins one per
     # family), so a regression in shared family machinery surfaces in
@@ -72,7 +73,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_a3_device_liveness",
     "q_a4_rowcount_effects",
     "q_agg_count_distinct",
-    "q_agg_cube",
     "q_agg_groupby_lineitem",
     "q_agg_having",
     "q_agg_rollup",
@@ -97,10 +97,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_s10_insert_if_missing",
     "q_s11_bulk_reset",
     # (q_w_lag_lead / q_w_row_number_rank /
-    # q_join_semi_customers_with_orders / q_join_right_orders_customer
-    # yield their backfill slots to the round-8 DSIR + snapshots
-    # queries; all keep their lifetime r2 green rows and stay
-    # oracle-checked in pytest via verify_contract.)
+    # q_join_semi_customers_with_orders / q_join_right_orders_customer /
+    # q_agg_cube yield their backfill slots to the round-8 DSIR,
+    # snapshots, and streaming-quality-gate queries; all keep their
+    # lifetime r2 green rows and stay oracle-checked in pytest via
+    # verify_contract.)
 )
 
 

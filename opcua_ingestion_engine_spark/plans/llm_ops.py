@@ -1086,6 +1086,55 @@ def q_e4_model_quality(spark, sf_dir):
 
 
 @register(
+    "q_e4_incremental_model_quality",
+    f"""
+    WITH vocab AS (
+        SELECT * FROM (VALUES
+        {_VOCAB_SQL}
+        ) AS v(token, w)
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    s AS (
+        SELECT t.doc_id, SUM(v.w) AS sw
+        FROM tok t JOIN vocab v ON v.token = t.token
+        GROUP BY t.doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(s.sw, 0)
+                    + CAST({MODEL_QUALITY_BIAS:.6f} AS DECIMAL(10,6))
+                    AS DOUBLE) AS quality_logit
+        FROM documents d LEFT JOIN s USING (doc_id)
+    )
+    SELECT doc_id, quality_logit FROM scored WHERE quality_logit > 0
+    """,
+    "E4 (streaming twin) — the frozen-model quality gate applied ON "
+    "INGEST: documents fed in 3 id-interleaved waves through "
+    "streaming/qualitygate.py's durable sink (each batch's survivors "
+    "commit_append'ed with the batch_id ledger), then the gated corpus "
+    "read back from the versioned table. The verdict is stateless per "
+    "doc under the frozen model, so the union of per-batch survivors "
+    "equals the one-shot batch gate — this query shares q_e4_model_"
+    "quality's oracle restricted to kept rows.",
+)
+def q_e4_incremental_model_quality(spark, sf_dir):
+    from ..streaming.qualitygate import QualityGateSink
+    from .scratch import scratch_root
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sink = QualityGateSink(
+        scratch_root("qgate"),
+        model=(MODEL_QUALITY_VOCAB, MODEL_QUALITY_BIAS),
+    )
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    return sink.snapshot(spark).select("doc_id", "quality_logit")
+
+
+@register(
     "q_e4_winnowing",
     f"""
     WITH h AS (

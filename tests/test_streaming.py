@@ -1229,3 +1229,84 @@ def test_streaming_decontaminate_matches_batch_any_split(spark):
     for i in range(2):
         sink2.process_batch(corpus.filter(F.col("doc_id") % 2 == i), i)
     assert sorted(r["doc_id"] for r in sink2.kept.collect()) == want
+
+
+def test_quality_gate_sink_matches_batch_and_recovers(spark, tmp_path):
+    """Streaming model-quality gate: the union of per-batch survivors
+    equals the one-shot batch gate over the same corpus under any
+    split (stateless per-doc verdict, frozen model); redelivered
+    batches add no version; a restarted sink recovers its ledger from
+    the manifests; the hashed-model mode gates the same docs as its
+    own batch filter."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.quality import (
+        score_quality,
+        score_quality_vocab,
+        train_quality_classifier,
+    )
+    from opcua_ingestion_engine_spark.streaming.qualitygate import (
+        QualityGateSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    vocab = {"fast": 0.9, "slow": -0.8, "the": -0.15, "table": -0.1}
+    bias = -0.05
+
+    root = str(tmp_path / "qgate")
+    sink = QualityGateSink(root, model=(vocab, bias))
+    for i in range(3):
+        sink.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    batch_gate = (
+        score_quality_vocab(docs, vocab, bias)
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
+    got = sink.snapshot(spark)
+    assert rows(got) == rows(batch_gate)
+    assert 0 < got.count() < docs.count()  # the gate actually cuts
+
+    # redelivery: no new version
+    v = TF.latest_version(root)
+    sink.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    assert TF.latest_version(root) == v
+
+    # restart recovery: a fresh sink skips committed batches too
+    sink2 = QualityGateSink(root, model=(vocab, bias))
+    sink2.process_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    assert TF.latest_version(root) == v
+    # ...and ingests a genuinely new batch
+    extra = spark.createDataFrame(
+        [(100001, "fast fast fast"), (100002, "slow slow slow")],
+        "doc_id long, text string",
+    )
+    sink2.process_batch(extra, 99)
+    snap = sink2.snapshot(spark)
+    assert snap.filter(F.col("doc_id") == 100001).count() == 1
+    assert snap.filter(F.col("doc_id") == 100002).count() == 0
+
+    # hashed-model mode == its own batch filter
+    labeled = docs.withColumn(
+        "label",
+        (F.size(F.filter(F.split("text", " "), lambda t: t == "fast"))
+         > F.size(F.filter(F.split("text", " "), lambda t: t == "slow")))
+        .cast("double"),
+    )
+    model = train_quality_classifier(
+        labeled, n_features=1 << 10, epochs=10, lr=0.5, l2=1e-4
+    )
+    root2 = str(tmp_path / "qgate_hashed")
+    sink3 = QualityGateSink(root2, model=model)
+    for i in range(2):
+        sink3.process_batch(docs.filter(F.col("doc_id") % 2 == i), i)
+    want = score_quality(docs, model).filter(F.col("quality_score") > 0.5)
+    assert rows(sink3.snapshot(spark).select("doc_id")) == rows(
+        want.select("doc_id")
+    )
+
+    with pytest.raises(ValueError, match="model"):
+        QualityGateSink(str(tmp_path / "bad"), model="nope")
