@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +99,15 @@ def latest_version(root: str) -> int | None:
 _RESERVED_APP_KEYS = frozenset({"data_identical"})
 
 
+def _now() -> float:
+    """Commit wall-clock (seconds since epoch), recorded as ``ts`` in
+    every manifest for timestamp time travel. A module-level hook so
+    tests can inject deterministic clocks. Like Delta's file-timestamp
+    AS OF: wall clocks can regress across writers, so ``version_as_of``
+    resolves to the HIGHEST version whose ts <= target."""
+    return time.time()
+
+
 def _scrub_app(app: dict | None) -> dict:
     """Caller-supplied manifest metadata with the layer's reserved keys
     removed (see ``_RESERVED_APP_KEYS``)."""
@@ -122,6 +132,7 @@ def _try_commit(
     rel = os.path.relpath(data_dir, root)
     manifest = {
         "version": version,
+        "ts": _now(),
         "parent": parent,
         "data": rel,
         "schema": df.schema.jsonValue(),
@@ -419,6 +430,7 @@ def commit_append(
         stats[rel] = _dir_stats(root, rel)
         manifest = {
             "version": version,
+            "ts": _now(),
             "parent": parent,
             "data": _data_list(pm) + [rel],
             "schema": schema_json,
@@ -574,13 +586,41 @@ def commit_merge(
     )
 
 
+def version_as_of(root: str, ts: float) -> int:
+    """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the HIGHEST
+    retained version whose commit ``ts`` is <= the target. Wall clocks
+    can regress across writers (same caveat as Delta's file-timestamp
+    resolution), so taking the max version among qualifying manifests —
+    rather than the last in time order — keeps the answer a prefix of
+    the version history. Raises ValueError when the earliest retained
+    commit is after ``ts`` (nothing existed yet / vacuumed away) or the
+    table predates commit timestamps entirely."""
+    best = None
+    stamped = 0
+    for man in history(root):
+        if "ts" not in man:
+            continue  # pre-timestamp manifest (round <8): not resolvable
+        stamped += 1
+        if man["ts"] <= ts and (best is None or man["version"] > best):
+            best = man["version"]
+    if best is None:
+        raise ValueError(
+            f"no version at or before ts={ts} at {root} "
+            f"({stamped} timestamped manifest(s) retained)"
+        )
+    return best
+
+
 def read_version(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     prune: dict | None = None,
+    as_of_ts: "float | None" = None,
 ) -> DataFrame:
-    """Read the latest committed snapshot, or time-travel to ``version``.
+    """Read the latest committed snapshot, or time-travel to ``version``
+    (or to ``as_of_ts`` — resolved via ``version_as_of``; mutually
+    exclusive with ``version``).
     Raises FileNotFoundError for an empty table and ValueError for a
     version that was never committed or has been vacuumed.
 
@@ -601,6 +641,10 @@ def read_version(
     half of partition pruning: a time-range read of an append-built
     event table touches only the directories whose footer ranges
     intersect, decided driver-side from the one small manifest JSON."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_as_of(root, as_of_ts)
     if version is None:
         version = latest_version(root)
         if version is None:
@@ -1203,7 +1247,7 @@ def table_changes(
 def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
     """Metadata table over the commit history — the Iceberg
     ``snapshots`` shape: one row per retained version with (version,
-    parent, n_dirs, rows, data_identical, batch_id). Row counts come
+    parent, ts, n_dirs, rows, data_identical, batch_id). Row counts come
     from parquet footers (``_dir_footer_agg``), MEMOIZED per data
     directory across versions — append-structured histories share
     directories, so the driver-side cost is O(distinct directories)
@@ -1213,6 +1257,7 @@ def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
     than guessing."""
     from pyspark.sql.types import (
         BooleanType,
+        DoubleType,
         LongType,
         StructField,
         StructType,
@@ -1244,6 +1289,7 @@ def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
             (
                 man["version"],
                 man.get("parent"),
+                float(man["ts"]) if "ts" in man else None,
                 len(dirs),
                 total,
                 bool(app.get("data_identical", False)),
@@ -1254,6 +1300,7 @@ def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
         [
             StructField("version", LongType(), False),
             StructField("parent", LongType(), True),
+            StructField("ts", DoubleType(), True),
             StructField("n_dirs", LongType(), False),
             StructField("rows", LongType(), True),
             StructField("data_identical", BooleanType(), False),
@@ -1564,6 +1611,7 @@ def _commit_rewrite_where(
             stats[rel] = _dir_stats(root, rel)
         manifest = {
             "version": version,
+            "ts": _now(),
             "parent": parent,
             "data": data_list,
             "schema": pm["schema"],
@@ -1750,6 +1798,7 @@ def restore(root: str, version: int, max_retries: int = 20,
         token = uuid.uuid4().hex[:8]
         manifest = {
             "version": new_version,
+            "ts": _now(),
             "parent": parent,
             "data": _data_list(tm),
             "schema": tm["schema"],
@@ -1929,6 +1978,7 @@ def commit_upsert(
             new_stats[rel] = _dir_stats(root, rel)
         manifest = {
             "version": version,
+            "ts": _now(),
             "parent": parent,
             "data": carried + ([rel] if has_rows else []),
             "schema": pm["schema"],
@@ -2047,6 +2097,7 @@ def compact_zorder(
         stats = {rel: _dir_stats(root, rel) for rel in rels}
         manifest = {
             "version": version,
+            "ts": _now(),
             "parent": parent,
             "data": rels,
             "schema": pm["schema"],

@@ -3107,3 +3107,66 @@ def test_table_snapshots_metadata_table(spark, tmp_path):
     _shutil.rmtree(_os.path.join(root2, TF._data_list(man)[0]))
     got = TF.table_snapshots(spark, root2).collect()[0]
     assert got["rows"] is None
+
+
+def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: read_version(as_of_ts=) resolves to the highest
+    version committed at or before the target instant; a regressed
+    wall clock (a later version stamped earlier) cannot un-publish a
+    version; pre-timestamp manifests are not resolvable; version= and
+    as_of_ts= are mutually exclusive."""
+    import json as _json
+    import os as _os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    clock = {"t": 100.0}
+    monkeypatch.setattr(TF, "_now", lambda: clock["t"])
+
+    root = str(tmp_path / "asof")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    TF.commit_version(df.filter(F.col("k") < 3), root)        # v0 @ 100
+    clock["t"] = 200.0
+    TF.commit_append(df.filter((F.col("k") >= 3) & (F.col("k") < 6)), root)
+    clock["t"] = 300.0                                         # v1 @ 200
+    TF.commit_append(df.filter(F.col("k") >= 6), root)         # v2 @ 300
+
+    assert TF.version_as_of(root, 100.0) == 0   # boundary is inclusive
+    assert TF.version_as_of(root, 250.0) == 1
+    assert TF.version_as_of(root, 1e12) == 2
+    with pytest.raises(ValueError, match="no version at or before"):
+        TF.version_as_of(root, 50.0)
+    with pytest.raises(ValueError, match="not both"):
+        TF.read_version(spark, root, version=1, as_of_ts=250.0)
+
+    got = TF.read_version(spark, root, as_of_ts=250.0)
+    assert sorted(r["k"] for r in got.collect()) == list(range(6))
+
+    # regressed clock: v3 stamped BEFORE v2 — as-of at v2's instant
+    # still serves v2 (max version among qualifying manifests, so the
+    # answer is always a prefix of the version history)
+    clock["t"] = 290.0
+    TF.commit_append(
+        spark.createDataFrame([(100,)], "k bigint"), root
+    )                                                          # v3 @ 290
+    assert TF.version_as_of(root, 295.0) == 3
+    assert TF.version_as_of(root, 300.0) == 3
+
+    # snapshots metadata carries the commit instants
+    ts_by_v = {
+        r["version"]: r["ts"]
+        for r in TF.table_snapshots(spark, root).collect()
+    }
+    assert ts_by_v == {0: 100.0, 1: 200.0, 2: 300.0, 3: 290.0}
+
+    # legacy manifest (no ts): invisible to as-of resolution
+    for v in range(4):
+        mp = TF._manifest_path(root, v)
+        with open(mp) as f:
+            man = _json.load(f)
+        del man["ts"]
+        with open(mp + ".tmp", "w") as f:
+            _json.dump(man, f)
+        _os.replace(mp + ".tmp", mp)
+    with pytest.raises(ValueError, match="0 timestamped"):
+        TF.version_as_of(root, 1e12)
