@@ -577,9 +577,21 @@ def dsir_logratio_table(
     scalar totals (T, S, V) are driver-collected O(1) aggregates.
     ``ngrams=2`` switches the feature unit to positional word bigrams
     (the hashed-bigram form the DSIR paper uses); gram counts stay one
-    distinct-gram-sized aggregation per side."""
-    ct = _unigram_counts(target, text_col, ngrams)
-    cs = _unigram_counts(corpus, text_col, ngrams)
+    distinct-gram-sized aggregation per side.
+
+    The two count frames are MATERIALIZED (eager local checkpoints —
+    both distinct-gram-sized): each has three consumers (its total, the
+    vocab union, its ratio join), and left lazy the corpus explode +
+    aggregation re-executes per consumer — two redundant corpus-sized
+    passes. Measured: neutral at sf0.1 (fixed job overhead dominates),
+    5.5 s -> 4.7 s at sf1, and the saved passes grow linearly with the
+    corpus from there."""
+    ct = _unigram_counts(target, text_col, ngrams).localCheckpoint(
+        eager=True
+    )
+    cs = _unigram_counts(corpus, text_col, ngrams).localCheckpoint(
+        eager=True
+    )
     vocab = (
         ct.select("token").unionByName(cs.select("token")).distinct()
         .localCheckpoint(eager=False)
