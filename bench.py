@@ -70,6 +70,7 @@ HEADLINE = [
     "q_e4_model_quality",
     "q_tf_stats_agg",
     "q_e8_dsir_sample",
+    "q_e4_bm25_topk",
 ]
 
 

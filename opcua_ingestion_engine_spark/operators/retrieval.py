@@ -1,0 +1,114 @@
+"""[EXT] Lexical retrieval over the corpus — BM25 top-k.
+
+The retrieval complement of the E3 vector search family: score
+documents against a token query with Okapi BM25 (Robertson et al.) and
+return the top-k. A training-data pipeline uses this shape for
+targeted corpus search (find documents about X for audit/curation) and
+as the sparse half of hybrid retrieval next to the ANN index.
+
+Scale shape: the query's terms are a literal handful, so every corpus
+pass is FILTERED to them before any shuffle — per-(doc, term) term
+frequencies are one filtered explode + groupBy, document lengths are a
+pure projection (no explode), and the per-term document frequencies /
+corpus totals are term-count-sized aggregates. Scoring is a join
+against a broadcast term-parameter table and one groupBy(doc); the
+top-k is a TakeOrderedAndProject (per-partition heaps + driver merge,
+no global sort).
+
+Determinism: idf and each per-term partial score are quantized to
+DECIMAL(38,6) before the per-document sum (the repo's quantized-ln
+discipline), so scores add order-independently and match a SQL oracle
+bitwise; ties break on doc_id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k: per matching document,
+
+        score = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*len/avglen))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)    [RSJ, +1 form]
+
+    with tf the term's count in the doc, len the doc's token count, N
+    the corpus size, avglen the mean token count, df the term's
+    document frequency. Documents matching no query term never enter
+    the scoring join. Returns (id_col, score, rank) for the top ``k``
+    (rank ties broken by id ascending)."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    lens = docs.select(F.col(id_col), n_tok.alias("_len"))
+    # corpus totals: two O(1)-output scalar aggregates (N, total tokens)
+    row = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_len").alias("tot")
+    ).collect()[0]
+    n_docs, total = int(row["n"]), int(row["tot"] or 0)
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double, rank int"
+        )
+    avg_len = total / n_docs  # exact-int division: same double everywhere
+
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term").isin(*terms))  # query-filtered BEFORE shuffle
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # consumed by df-counts AND scoring
+    )
+    # per-term document frequency -> idf as a DECIMAL literal map
+    dfreq = {
+        r["term"]: int(r["n"])
+        for r in hits.groupBy("term").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    idf_entries: list = []
+    for t in terms:
+        d = dfreq.get(t, 0)
+        idf = math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        idf_entries.append(F.lit(t))
+        idf_entries.append(F.lit(f"{idf:.6f}").cast("decimal(38,6)"))
+    idf_map = F.create_map(*idf_entries)
+
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("_len").cast("double") / F.lit(avg_len))
+    )
+    partial = (
+        F.try_element_at(idf_map, F.col("term")).cast("double")
+        * (tf * F.lit(k1 + 1.0) / denom)
+    ).cast("decimal(38,6)")
+    topk = (
+        hits.join(lens, id_col)
+        .select(F.col(id_col), partial.alias("_p"))
+        .groupBy(id_col)
+        .agg(F.sum("_p").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    # rank assignment runs over the already-reduced k rows — the global
+    # window is k-sized, never corpus-sized
+    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.select(id_col, "score", F.row_number().over(w).alias("rank"))

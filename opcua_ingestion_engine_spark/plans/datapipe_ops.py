@@ -1884,3 +1884,59 @@ def q_e8_pack_bins(spark, sf_dir):
     from ..operators.datapipe import pack_bins
 
     return pack_bins(_docs(spark, sf_dir), max_tokens=512, n_shards=16)
+
+
+@register(
+    "q_e4_bm25_topk",
+    """
+    WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS s
+        FROM lens
+    ),
+    hits AS (
+        SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ('fast', 'stream', 'vector')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    idf AS (
+        SELECT term,
+               CAST(ln((tot.n - df + 0.5) / (df + 0.5) + 1.0)
+                    AS DECIMAL(38,6)) AS idf
+        FROM dfreq, tot
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               SUM(CAST(
+                   CAST(i.idf AS DOUBLE)
+                   * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75
+                        * (l.len / (CAST(tot.s AS DOUBLE) / tot.n)))))
+                   AS DECIMAL(38,6))) AS sd
+        FROM hits h JOIN idf i USING (term) JOIN lens l USING (doc_id), tot
+        GROUP BY h.doc_id
+    )
+    SELECT doc_id, CAST(sd AS DOUBLE) AS score,
+           CAST(row_number() OVER (
+               ORDER BY CAST(sd AS DOUBLE) DESC, doc_id) AS INT) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "E4/E3 — lexical retrieval: Okapi BM25 top-20 for the query "
+    "{fast, stream, vector} (k1=1.2, b=0.75, RSJ +1 idf). Corpus "
+    "passes are query-term-filtered BEFORE any shuffle; doc lengths "
+    "are a pure projection; idf rides as a broadcast decimal-literal "
+    "map; per-term partial scores quantize to DECIMAL(38,6) before "
+    "the per-doc sum (order-independent, oracle-exact) and the top-k "
+    "is one TakeOrderedAndProject.",
+)
+def q_e4_bm25_topk(spark, sf_dir):
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), ["fast", "stream", "vector"], k=20
+    )

@@ -751,3 +751,39 @@ def test_pack_bins_ffd_invariants(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         pack_bins(docs, max_tokens=0)
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against a hand-mirrored reference: length normalization
+    beats raw term frequency (the shorter doc outranks the 2x-tf longer
+    one), non-matching docs never appear, k truncates, and scores equal
+    the formula to quantization precision."""
+    import math
+
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "fast fast slow"), (2, "fast"), (3, "slow table")],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ["fast"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [2, 1]  # d3 matches nothing
+    assert [r["rank"] for r in got] == [1, 2]
+
+    n, avg = 3, (3 + 1 + 2) / 3
+    idf = float(f"{math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0):.6f}")
+
+    def score(tf, ln):
+        return idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (ln / avg))))
+
+    by_id = {r["doc_id"]: r["score"] for r in got}
+    assert abs(by_id[2] - score(1, 1)) < 1e-6
+    assert abs(by_id[1] - score(2, 3)) < 1e-6
+
+    assert bm25_topk(docs, ["fast"], k=1).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [])
+    with _pytest.raises(ValueError, match="positive"):
+        bm25_topk(docs, ["fast"], k=0)
