@@ -112,3 +112,47 @@ def bm25_topk(
     # window is k-sized, never corpus-sized
     w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return topk.select(id_col, "score", F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 10,
+    kappa: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): fuse N ranked candidate
+    lists into one by score = sum over lists of 1/(kappa + rank),
+    missing entries contributing 0 — the standard hybrid-retrieval
+    combiner (lexical BM25 + vector ANN) because it needs NO score
+    calibration between sources, only ranks.
+
+    Exactness: each term is one double division with exact-integer
+    operands and the per-document sum has a fixed source order, so the
+    fused scores are bit-identical across engines — no quantization
+    needed. Candidate lists are top-N-sized (k-scale, not corpus-scale),
+    so the outer-join chain is broadcast-trivial; the final top-k is a
+    TakeOrderedAndProject."""
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    if k <= 0 or kappa <= 0:
+        raise ValueError("k and kappa must be positive")
+    fused = None
+    for i, df in enumerate(ranked):
+        part = df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(kappa) + F.col(rank_col)).cast("double"))
+            .alias(f"_r{i}"),
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(F.col(f"_r{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    w = W.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.select(F.col(id_col), score.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "rrf_score", F.row_number().over(w).alias("rank"))
+    )

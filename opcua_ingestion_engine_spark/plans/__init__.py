@@ -50,6 +50,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_tf_snapshots",
     "q_e4_incremental_model_quality",
     "q_e4_bm25_topk",
+    "q_e3_hybrid_rrf",
     # Family canaries: the LEAST-recently-checked oracle member of each
     # operator family (tests/test_registry_window.py pins one per
     # family), so a regression in shared family machinery surfaces in
@@ -75,7 +76,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_a4_rowcount_effects",
     "q_agg_count_distinct",
     "q_agg_groupby_lineitem",
-    "q_agg_having",
     "q_f10_projection",
     "q_f2_change_only",
     "q_f4_quality_split",
@@ -98,10 +98,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_s11_bulk_reset",
     # (q_w_lag_lead / q_w_row_number_rank /
     # q_join_semi_customers_with_orders / q_join_right_orders_customer /
-    # q_agg_cube / q_agg_rollup yield their backfill slots to the
-    # round-8 DSIR, snapshots, streaming-quality-gate, and BM25
-    # queries; all keep their lifetime r2 green rows and stay
-    # oracle-checked in pytest via verify_contract.)
+    # q_agg_cube / q_agg_rollup / q_agg_having yield their backfill
+    # slots to the round-8 DSIR, snapshots, streaming-quality-gate,
+    # BM25, and hybrid-RRF queries; all keep their lifetime r2 green
+    # rows and stay oracle-checked in pytest via verify_contract.)
 )
 
 

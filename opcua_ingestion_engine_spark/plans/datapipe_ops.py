@@ -1940,3 +1940,89 @@ def q_e4_bm25_topk(spark, sf_dir):
     return bm25_topk(
         _docs(spark, sf_dir), ["fast", "stream", "vector"], k=20
     )
+
+
+@register(
+    "q_e3_hybrid_rrf",
+    """
+    WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS s
+        FROM lens
+    ),
+    hits AS (
+        SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ('fast', 'stream', 'vector')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    idf AS (
+        SELECT term,
+               CAST(ln((tot.n - df + 0.5) / (df + 0.5) + 1.0)
+                    AS DECIMAL(38,6)) AS idf
+        FROM dfreq, tot
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS INT)
+                   AS rank
+        FROM (
+            SELECT h.doc_id,
+                   SUM(CAST(
+                       CAST(i.idf AS DOUBLE)
+                       * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75
+                            * (l.len / (CAST(tot.s AS DOUBLE) / tot.n)))))
+                       AS DECIMAL(38,6))) AS sd
+            FROM hits h JOIN idf i USING (term) JOIN lens l USING (doc_id),
+                 tot
+            GROUP BY h.doc_id)
+        ORDER BY sd DESC, doc_id LIMIT 50
+    ),
+    vec AS (
+        SELECT doc_id, rank FROM (
+            SELECT b.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                                DESC, b.vec_id) AS INT) AS rank
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id = 0)
+        WHERE rank <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               COALESCE(1.0 / (60 + l.rank), 0)
+             + COALESCE(1.0 / (60 + v.rank), 0) AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+    )
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (
+               ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15
+    """,
+    "E3/E4 — HYBRID retrieval: BM25 top-50 (lexical) and exact-cosine "
+    "top-50 around query vector 0 (dense), fused by reciprocal-rank "
+    "fusion score = sum 1/(60 + rank) — the calibration-free hybrid "
+    "combiner. Each RRF term is one exact-integer-operand double "
+    "division with a fixed summation order, so fused scores match the "
+    "oracle bitwise; candidate lists are k-scale, the fusion join is "
+    "broadcast-trivial, and the final cut is one TakeOrderedAndProject. "
+    "(Cosine ranks are selection-stable: the fixtures' smallest "
+    "adjacent top-k gap is ~1e-5 vs ~1e-15 cross-engine float noise — "
+    "the established E3 oracle discipline.)",
+)
+def q_e3_hybrid_rrf(spark, sf_dir):
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = C.load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["fast", "stream", "vector"], k=50)
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex.select("doc_id", "rank"), vec], k=15)

@@ -787,3 +787,36 @@ def test_bm25_topk_hand_computed(spark):
         bm25_topk(docs, [])
     with _pytest.raises(ValueError, match="positive"):
         bm25_topk(docs, ["fast"], k=0)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc ranked well in BOTH lists beats single-list docs;
+    missing entries contribute zero; ties break on id; validation."""
+    from opcua_ingestion_engine_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2), (1, 3)], "doc_id long, rank int"
+    )
+    got = rrf_fuse([a, b], k=10).collect()
+    by_id = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in got}
+    # doc 2: 1/62 + 1/61; doc 1: 1/61 + 1/63; both-list docs beat
+    # single-list docs (3: 1/63, 4: 1/62)
+    assert by_id[2][0] == 1 / 62 + 1 / 61
+    assert by_id[1][0] == 1 / 61 + 1 / 63
+    order = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [2, 1, 4, 3]
+
+    # k truncates; single-list fusion is a monotone transform of it
+    assert rrf_fuse([a, b], k=2).count() == 2
+    solo = rrf_fuse([a], k=10).collect()
+    assert [r["doc_id"] for r in sorted(solo, key=lambda r: r["rank"])] == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="positive"):
+        rrf_fuse([a], k=0)

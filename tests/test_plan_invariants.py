@@ -119,6 +119,11 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     "q_e8_dsir_weights": (0, 1, {"documents": 2}),
     "q_e8_dsir_sample": (0, 1, {"documents": 2}),
     "q_e8_dsir_bigram_weights": (0, 1, {"documents": 2}),
+    # RRF fusion joins the two TOP-K candidate lists FULL OUTER — Spark
+    # can never broadcast a full-outer side, so the sort-merge is
+    # structural; both inputs are k-sized (50 rows), not corpus-sized.
+    # documents x2: the BM25 stage's token explode + length projection
+    "q_e3_hybrid_rrf": (0, 1, {"documents": 2}),
     "q_e3_lsh_ann": (0, 0, {"embeddings": 2}),
     # centroid explode pass + fold-scoring pass over the corpus
     "q_e3_domain_diversity": (0, 0, {"embeddings": 2}),
