@@ -56,9 +56,11 @@ def _hash_token(tok: str, n_features: int) -> int:
 
 def _doc_features(text: str, n_features: int, memo: dict) -> "tuple":
     """Hashed token-count features of one whitespace-tokenized document:
-    (slot indices, counts) with per-partition token->slot memoization."""
+    (slot indices, counts) with per-partition token->slot memoization.
+    NULL text scores as the empty document (zero features), matching the
+    rules gate and the vocab path — not a crash (ADVICE r8)."""
     counts: dict[int, int] = {}
-    for t in text.split(" "):
+    for t in (text.split(" ") if isinstance(text, str) else ()):
         if not t:
             continue
         h = memo.get(t)
@@ -191,8 +193,17 @@ def score_quality(
             # (memoized per partition), gather weights, and segment-sum
             # per document with ONE bincount — no per-document matmul
             # loop on the corpus-scale path
+            # NULL text (None/NaN under Arrow) scores NULL, matching the
+            # vocab path's SQL semantics (split(NULL) -> NULL logit);
+            # previously crashed on txt.split of None (ADVICE r8).
+            null_mask = np.fromiter(
+                (not isinstance(txt, str) for txt in pdf[text_col]),
+                dtype=bool,
+                count=len(pdf),
+            )
             tok_lists = [
-                [t for t in txt.split(" ") if t] for txt in pdf[text_col]
+                [t for t in txt.split(" ") if t] if isinstance(txt, str) else []
+                for txt in pdf[text_col]
             ]
             n_tok = np.fromiter(
                 (len(lst) for lst in tok_lists),
@@ -216,11 +227,13 @@ def score_quality(
             )
             out = pdf.copy()
             with np.errstate(over="ignore"):
-                out[out_col] = np.where(
+                scores = np.where(
                     zs >= 0,
                     1.0 / (1.0 + np.exp(-zs)),
                     np.exp(zs) / (1.0 + np.exp(zs)),
                 )
+            # NaN -> NULL under Arrow's from_pandas conversion
+            out[out_col] = np.where(null_mask, np.nan, scores)
             yield out
 
     schema = ", ".join(

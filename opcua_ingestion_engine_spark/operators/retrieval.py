@@ -62,8 +62,22 @@ def bm25_topk(
     ).collect()[0]
     n_docs, total = int(row["n"]), int(row["tot"] or 0)
     if n_docs == 0:
+        # derive the id type from the input so the empty result unions
+        # cleanly with non-empty results (e.g. rrf_fuse over string-id
+        # corpora) — ADVICE r8
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        from pyspark.sql.types import DoubleType
+
+        src_id = docs.schema[id_col]
         return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, score double, rank int"
+            [],
+            StructType(
+                [
+                    StructField(id_col, src_id.dataType, src_id.nullable),
+                    StructField("score", DoubleType(), True),
+                    StructField("rank", IntegerType(), False),
+                ]
+            ),
         )
     avg_len = total / n_docs  # exact-int division: same double everywhere
 
@@ -77,6 +91,25 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)  # consumed by df-counts AND scoring
     )
+    return _bm25_score(hits, lens, terms, n_docs, avg_len, k, k1, b, id_col)
+
+
+def _bm25_score(
+    hits: DataFrame,
+    lens: DataFrame,
+    terms: "list[str]",
+    n_docs: int,
+    avg_len: float,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The shared BM25 scoring tail: per-(doc, term) ``tf`` hits +
+    per-doc ``_len`` lengths + corpus totals -> top-k (id, score, rank).
+    One code path for the one-shot ``bm25_topk`` AND the maintained
+    index's ``bm25_topk_from_index``, so incremental == one-shot is an
+    identity of the arithmetic, not a re-derivation."""
     # per-term document frequency -> idf as a DECIMAL literal map
     dfreq = {
         r["term"]: int(r["n"])

@@ -916,6 +916,15 @@ def _pairs_from_cells(
                 counts["cells_truncated"],
                 counts["members_dropped"],
             )
+    else:
+        # aggregate skipped (nobody can observe the counts this call):
+        # rebind the last-call diagnostic to an explicit unknown so a
+        # later module-attribute reader can't mistake a PREVIOUS call's
+        # counts for this one's (ADVICE r8)
+        globals()["LAST_SEMDEDUP_TRUNCATION"] = {
+            "cells_truncated": None,
+            "members_dropped": None,
+        }
     cells = (
         pre.withColumn("ids", F.slice(F.col("ids"), 1, max_cell))
         .filter(F.size("ids") >= 2)

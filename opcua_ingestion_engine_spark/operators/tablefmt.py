@@ -56,6 +56,7 @@ import shutil
 import time
 import uuid
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,7 +116,12 @@ def _scrub_app(app: dict | None) -> dict:
 
 
 def _try_commit(
-    df: DataFrame, root: str, parent: int | None, app: dict | None = None
+    df: DataFrame,
+    root: str,
+    parent: int | None,
+    app: dict | None = None,
+    bloom: "tuple[str, ...]" = (),
+    sums: "tuple[str, ...]" = (),
 ) -> int | None:
     """One optimistic commit attempt on top of ``parent``: write data to a
     unique directory, then CAS-claim the next manifest. Returns the
@@ -130,6 +136,15 @@ def _try_commit(
 
     os.makedirs(_versions_dir(root), exist_ok=True)
     rel = os.path.relpath(data_dir, root)
+    entry = _dir_stats(root, rel)
+    if bloom:
+        blooms = _write_dir_blooms(root, rel, tuple(bloom))
+        if blooms:
+            entry[_STATS_BLOOMS] = blooms
+    if sums:
+        col_sums = _dir_col_sums(root, rel, tuple(sums))
+        if col_sums:
+            entry[_STATS_SUMS] = col_sums
     manifest = {
         "version": version,
         "ts": _now(),
@@ -137,7 +152,7 @@ def _try_commit(
         "data": rel,
         "schema": df.schema.jsonValue(),
         "app": app or {},
-        "stats": {rel: _dir_stats(root, rel)},
+        "stats": {rel: entry},
     }
     man_path = _manifest_path(root, version)
     tmp = f"{man_path}.{token}.tmp"
@@ -215,7 +230,237 @@ _STATS_ROWS = "__rows__"
 _STATS_NULLS = "__nulls__"
 _STATS_COLS = "__cols__"
 _STATS_EXACT = "__exact__"
-_STATS_RESERVED = {_STATS_ROWS, _STATS_NULLS, _STATS_COLS, _STATS_EXACT}
+_STATS_BLOOMS = "__blooms__"
+_STATS_SUMS = "__sums__"
+_STATS_RESERVED = {
+    _STATS_ROWS, _STATS_NULLS, _STATS_COLS, _STATS_EXACT, _STATS_BLOOMS,
+    _STATS_SUMS,
+}
+
+
+def _dir_col_sums(root: str, rel_dir: str, cols: tuple) -> dict:
+    """Commit-time exact column sums for one new data directory —
+    recorded in the manifest stats entry (``__sums__``) so
+    ``stats_agg(sums=...)`` can serve SUM with zero data reads, the way
+    ``__rows__`` serves COUNT. INTEGER columns only (Python bignum
+    accumulation — exact, overflow-free; float sums are order-dependent
+    and NaN-poisoned, so they stay on the scan path). One column-pruned
+    pyarrow read of the new directory, same O(batch) amortization as
+    the footer pass. NULLs contribute zero (SQL SUM semantics; the
+    all-NULL case is disambiguated by ``__nulls__``)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as patypes
+
+    full = os.path.join(root, rel_dir)
+    try:
+        names = [n for n in os.listdir(full) if n.endswith(".parquet")]
+    except OSError:
+        return {}
+    out: dict = {}
+    for c in cols:
+        total = 0
+        ok = True
+        for name in names:
+            try:
+                tbl = pq.read_table(os.path.join(full, name), columns=[c])
+            except Exception:
+                ok = False
+                break
+            col = tbl[c]
+            if not patypes.is_integer(col.type):
+                ok = False
+                break
+            arr = col.drop_null().to_numpy(zero_copy_only=False)
+            if len(arr):
+                # per-file int64 sum, Python-bignum accumulation across
+                # files: exact unless ONE file's sum exceeds 2^63 (needs
+                # >9e18 — unreachable for counts/lengths)
+                total += int(arr.sum(dtype=np.int64))
+        if ok:
+            out[c] = total
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-directory bloom filters — point-lookup data skipping
+# ---------------------------------------------------------------------------
+# [min,max] bounds are useless for EQUALITY on a high-cardinality key
+# whose values scatter across directories (every directory's range
+# covers every key). A small per-directory bloom filter — recorded at
+# commit time in the same pass that harvests footer stats, Delta's
+# bloom-filter-index discipline — lets ``prune={col: ('=', v)}`` drop a
+# directory that provably does not contain v. The filter lives INSIDE
+# its data directory as ``_bloom_<col>`` (Spark ignores _-prefixed
+# files, vacuum reclaims it with the directory, carry-by-reference is
+# automatic); the manifest stats entry records its parameters. Sizing:
+# 16 bits per distinct value, k=7 probes -> ~0.5% false-positive rate;
+# false positives only KEEP a directory (pruning stays an optimization,
+# never a filter).
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer over uint64 — the stable, vectorizable hash
+    both the build (numpy array) and the point probe (scalar) share.
+    uint64 wrap-around is the intended arithmetic (errstate silences
+    numpy's scalar-overflow warning; array ops wrap silently anyway)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _bloom_h12(value) -> "tuple[int, int] | None":
+    """The two base hashes (double hashing) of one lookup value; None
+    for types the filter doesn't index (the caller must keep)."""
+    import hashlib
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, (int, np.integer)):
+        h1 = int(_splitmix64(np.uint64(np.int64(int(value)))))
+        h2 = int(_splitmix64(np.uint64(h1) ^ np.uint64(0xA5A5A5A5A5A5A5A5)))
+        return h1, h2 | 1
+    if isinstance(value, str):
+        d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
+        return (
+            int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1,
+        )
+    return None
+
+
+_BLOOM_K = 7
+
+
+def _bloom_build(values) -> "tuple[bytes, int] | None":
+    """Build the packed bitmap over the distinct values of one column
+    (int64/int32 vectorized through SplitMix64; strings through
+    blake2b). Returns (bitmap bytes, m bits), or None when the column's
+    type isn't indexable."""
+    arr = np.asarray(values)
+    n = max(1, len(arr))
+    m = 1 << max(13, (16 * n - 1).bit_length())  # >= 8192 bits, pow2
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if arr.dtype.kind in ("i", "u"):
+        h1 = _splitmix64(arr.astype(np.int64).view(np.uint64))
+        h2 = _splitmix64(h1 ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+        return bits.tobytes(), m
+    if arr.dtype.kind in ("U", "O", "S"):
+        for v in arr:
+            hh = _bloom_h12(str(v))
+            if hh is None:
+                continue
+            h1, h2 = hh
+            for i in range(_BLOOM_K):
+                pos = (h1 + i * h2) % m
+                bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+        return bits.tobytes(), m
+    return None
+
+
+def _bloom_contains(bitmap: bytes, m: int, value) -> bool:
+    """Might the filter contain ``value``? False = PROVABLY absent."""
+    hh = _bloom_h12(value)
+    if hh is None:
+        return True  # unindexable probe value — keep, stay correct
+    h1, h2 = hh
+    for i in range(_BLOOM_K):
+        pos = (h1 + i * h2) % m
+        if not (bitmap[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _write_dir_blooms(root: str, rel_dir: str, cols: tuple) -> dict:
+    """Commit-time bloom sidecars for one new data directory: one
+    column-pruned pyarrow read of the requested columns (O(new
+    directory), same amortization as the footer pass), one ``_bloom_<c>``
+    file per indexable column, parameters returned for the manifest
+    stats entry. Unreadable data or unindexable types record nothing —
+    absence of a filter always keeps."""
+    import pyarrow.parquet as pq
+
+    full = os.path.join(root, rel_dir)
+    try:
+        names = [n for n in os.listdir(full) if n.endswith(".parquet")]
+    except OSError:
+        return {}
+    out: dict = {}
+    for c in cols:
+        chunks = []
+        ok = True
+        for name in names:
+            try:
+                tbl = pq.read_table(os.path.join(full, name), columns=[c])
+            except Exception:
+                ok = False
+                break
+            chunks.append(tbl[c].drop_null().to_numpy(zero_copy_only=False))
+        if not ok or not chunks:
+            continue
+        distinct = np.unique(np.concatenate(chunks))
+        built = _bloom_build(distinct)
+        if built is None:
+            continue
+        blob, m = built
+        fname = f"_bloom_{c}"
+        tmp = os.path.join(full, f"{fname}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(full, fname))
+        out[c] = {"file": fname, "m": m, "k": _BLOOM_K, "n": int(len(distinct))}
+    return out
+
+
+def _prune_dirs(
+    root: str, manifest: dict, dirs: list, prune: dict
+) -> list:
+    """The shared directory-skipping pass: interval test per recorded
+    [min,max] (equality prunes as the degenerate [v,v] range), then the
+    bloom membership probe for ``('=', v)`` entries on directories that
+    recorded a filter for that column. Bloom reads are driver-side,
+    lazy, and only for directories the ranges could not already drop."""
+    stats = manifest.get("stats") or {}
+    eq = {c: b[1] for c, b in prune.items() if _is_eq_bound(b)}
+    kept = []
+    for p in dirs:
+        entry = stats.get(p)
+        if not _keep_dir(entry, prune):
+            continue
+        drop = False
+        for c, v in eq.items():
+            meta = (entry or {}).get(_STATS_BLOOMS, {}).get(c)
+            if not meta:
+                continue
+            try:
+                with open(
+                    os.path.join(root, p, meta["file"]), "rb"
+                ) as f:
+                    blob = f.read()
+            except OSError:
+                continue  # sidecar missing — keep, stay correct
+            if len(blob) * 8 != meta["m"]:
+                continue  # torn/foreign sidecar — keep
+            if not _bloom_contains(blob, meta["m"], v):
+                drop = True
+                break
+        if not drop:
+            kept.append(p)
+    return kept
+
+
+def _is_eq_bound(b) -> bool:
+    """Is a prune bound the equality form ``('=', v)``?"""
+    return isinstance(b, tuple) and len(b) == 2 and b[0] == "="
 
 
 def _dir_stats(root: str, rel_dir: str) -> dict:
@@ -233,6 +478,7 @@ def _dir_stats(root: str, rel_dir: str) -> dict:
     rows = 0
     nulls: dict[str, int] = {}
     exact: dict[str, bool] = {}
+    float_cols: set[str] = set()
     try:
         names = [n for n in os.listdir(full) if n.endswith(".parquet")]
     except OSError:
@@ -250,6 +496,8 @@ def _dir_stats(root: str, rel_dir: str) -> dict:
                 path = col.path_in_schema
                 if "." in path:  # nested leaves don't map to a column
                     continue
+                if col.physical_type in ("FLOAT", "DOUBLE"):
+                    float_cols.add(path)
                 st = col.statistics
                 exact.setdefault(path, True)
                 if (
@@ -278,6 +526,35 @@ def _dir_stats(root: str, rel_dir: str) -> dict:
                         agg[path] = [min(cur[0], lo), max(cur[1], hi)]
                     except TypeError:
                         agg[path] = None
+    # NaN soundness (Iceberg's nan_value_counts discipline, ADVICE r8):
+    # parquet footer min/max EXCLUDE NaN, while Spark (and DuckDB) order
+    # NaN above every value — so a float column's footer bounds are only
+    # trustworthy once NaN absence is PROVEN. One column-pruned pyarrow
+    # read of just the float columns at commit time (O(new directory's
+    # float bytes), amortized into the commit like the footer pass)
+    # settles it; NaN-bearing columns lose both their pruning bounds and
+    # their exact flag, demoting their consumers to the scan path.
+    live_floats = sorted(c for c in float_cols if exact.get(c) or agg.get(c))
+    if live_floats:
+        import pyarrow.compute as pc
+
+        nan_counts = dict.fromkeys(live_floats, 0)
+        for name in names:
+            try:
+                tbl = pq.read_table(
+                    os.path.join(full, name), columns=live_floats
+                )
+            except Exception:
+                nan_counts = dict.fromkeys(live_floats, -1)  # unprovable
+                break
+            for c in live_floats:
+                nan_counts[c] += pc.sum(
+                    pc.is_nan(tbl[c]), min_count=0
+                ).as_py()
+        for c, n in nan_counts.items():
+            if n != 0:
+                exact[c] = False
+                agg[c] = None
     out: dict = {c: v for c, v in agg.items() if v not in (None, ...)}
     out[_STATS_ROWS] = rows
     out[_STATS_COLS] = sorted(exact)
@@ -292,10 +569,13 @@ def _keep_dir(stats: dict | None, prune: dict) -> bool:
     [min,max] proves no overlap with its bound (sound for conjunctive
     predicates only — matching ``read_version(prune=)``'s contract).
     Missing stats (no entry, no dict at all) always keep — pruning is
-    an optimization, never a filter."""
+    an optimization, never a filter. The equality form ``('=', v)``
+    tests as the degenerate [v, v] range here (its bloom probe lives in
+    ``_prune_dirs``)."""
     if not stats:
         return True
-    for col, (lo, hi) in prune.items():
+    for col, bound in prune.items():
+        lo, hi = (bound[1], bound[1]) if _is_eq_bound(bound) else bound
         rng = stats.get(col)
         if not rng:
             continue
@@ -323,6 +603,8 @@ def commit_append(
     max_retries: int = 20,
     app: dict | None = None,
     evolve: bool = False,
+    bloom: "tuple[str, ...]" = (),
+    sums: "tuple[str, ...]" = (),
 ) -> int:
     """Append-structured commit: write ONLY ``df``'s rows as a new data
     directory and publish a manifest that lists the parent's data
@@ -350,7 +632,9 @@ def commit_append(
     for _ in range(max_retries):
         parent = latest_version(root)
         if parent is None:
-            v = _try_commit(df, root, None, app)
+            v = _try_commit(
+                df, root, None, app, bloom=tuple(bloom), sums=tuple(sums)
+            )
             if v is not None:
                 return v
             continue
@@ -428,6 +712,19 @@ def commit_append(
         # only the new tail's footers are read — O(batch) per commit
         stats = dict(pm.get("stats") or {})
         stats[rel] = _dir_stats(root, rel)
+        if bloom:
+            # point-lookup skipping index for the new tail (opt-in,
+            # Delta's bloom-filter-index discipline): O(batch) build,
+            # enables prune={col: ('=', v)} to drop this directory
+            blooms = _write_dir_blooms(root, rel, tuple(bloom))
+            if blooms:
+                stats[rel][_STATS_BLOOMS] = blooms
+        if sums:
+            # metadata-only SUM support for the new tail (opt-in):
+            # stats_agg(sums=...) then answers SUM(col) manifest-only
+            col_sums = _dir_col_sums(root, rel, tuple(sums))
+            if col_sums:
+                stats[rel][_STATS_SUMS] = col_sums
         manifest = {
             "version": version,
             "ts": _now(),
@@ -437,6 +734,10 @@ def commit_append(
             "app": app or {},
             "stats": stats,
         }
+        if _dv_map(pm):
+            # parent directories are immutable — their deletion vectors
+            # carry verbatim (dropping them would resurrect deleted rows)
+            manifest["dv"] = _dv_map(pm)
         if evolved:
             # directories under this manifest have heterogeneous file
             # schemas — readers must resolve them by name against the
@@ -617,6 +918,7 @@ def read_version(
     version: int | None = None,
     prune: dict | None = None,
     as_of_ts: "float | None" = None,
+    audit: "dict | None" = None,
 ) -> DataFrame:
     """Read the latest committed snapshot, or time-travel to ``version``
     (or to ``as_of_ts`` — resolved via ``version_as_of``; mutually
@@ -640,7 +942,15 @@ def read_version(
     it into the remaining parquet scans). At 100 TB this is the manifest
     half of partition pruning: a time-range read of an append-built
     event table touches only the directories whose footer ranges
-    intersect, decided driver-side from the one small manifest JSON."""
+    intersect, decided driver-side from the one small manifest JSON.
+
+    A prune entry may also be the EQUALITY form ``('=', v)`` — it tests
+    as the [v, v] range AND, on directories committed with
+    ``commit_append(bloom=(col,))``, probes the per-directory bloom
+    filter: the point-lookup case where ranges are useless (every
+    directory's [min,max] of a high-cardinality scattered key covers
+    every value) but membership is cheap to disprove. ``audit``
+    (optional dict) receives ``{"dirs_total", "dirs_kept"}``."""
     if as_of_ts is not None:
         if version is not None:
             raise ValueError("pass version OR as_of_ts, not both")
@@ -659,8 +969,11 @@ def read_version(
         )
     dirs = _data_list(manifest)
     if prune:
-        stats = manifest.get("stats") or {}
-        dirs = [p for p in dirs if _keep_dir(stats.get(p), prune)]
+        dirs = _prune_dirs(root, manifest, dirs, prune)
+    if audit is not None:
+        audit.update(
+            dirs_total=len(_data_list(manifest)), dirs_kept=len(dirs)
+        )
     if not dirs:
         # every directory pruned out of range, or the version holds zero
         # data directories (a full-table delete_where) — an empty frame
@@ -676,10 +989,14 @@ def read_version(
         # schemas, so resolve every file by NAME against the manifest's
         # union schema — columns a directory predates read as NULL
         # (forced nullable so the read schema never over-promises)
-        return spark.read.schema(_evolved_read_schema(manifest)).parquet(
+        df = spark.read.schema(_evolved_read_schema(manifest)).parquet(
             *paths
         )
-    return spark.read.parquet(*paths)
+    else:
+        df = spark.read.parquet(*paths)
+    # merge-on-read: subtract any deletion vectors recorded for the
+    # directories this read kept (pruned-out dirs never pay the join)
+    return _apply_dv(spark, root, manifest, dirs, df)
 
 
 def _evolved_read_schema(manifest: dict):
@@ -694,8 +1011,14 @@ def _evolved_read_schema(manifest: dict):
 
 #: Parquet physical types whose footer min/max are EXACT values of the
 #: column (byte-array statistics may be truncated by writers, so string/
-#: decimal-FLBA columns are never served from metadata).
+#: decimal-FLBA columns are never served from metadata). FLOAT/DOUBLE
+#: qualify ONLY at commit time, where ``_dir_stats`` proves NaN absence
+#: with a column-pruned read (footer bounds exclude NaN while Spark and
+#: DuckDB order NaN above everything — ADVICE r8); the manifest-free
+#: footer fallback (``_dir_footer_agg``) has no such proof, so it uses
+#: the narrower set.
 _EXACT_STAT_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+_FOOTER_EXACT_PHYSICAL = {"INT32", "INT64", "BOOLEAN"}
 
 
 def _dir_footer_agg(root: str, rel_dir: str, cols: tuple) -> "dict | None":
@@ -744,10 +1067,12 @@ def _dir_footer_agg(root: str, rel_dir: str, cols: tuple) -> "dict | None":
                     st is None
                     or not st.has_min_max
                     or not st.has_null_count
-                    or col.physical_type not in _EXACT_STAT_PHYSICAL
+                    or col.physical_type not in _FOOTER_EXACT_PHYSICAL
                 ):
-                    # no/partial stats, or a possibly-truncated byte-array
-                    # bound — this column cannot be served from metadata
+                    # no/partial stats, a possibly-truncated byte-array
+                    # bound, or a float column with no NaN-absence proof
+                    # (footer bounds exclude NaN; Spark orders NaN above
+                    # all) — cannot be served from metadata
                     cur["exact"] = False
                     continue
                 cur["nulls"] += st.null_count
@@ -758,7 +1083,9 @@ def _dir_footer_agg(root: str, rel_dir: str, cols: tuple) -> "dict | None":
     return {"rows": rows, "cols": out}
 
 
-def _serve_from_manifest(entry: dict, prune: dict, cols: tuple):
+def _serve_from_manifest(
+    entry: dict, prune: dict, cols: tuple, sums: tuple = ()
+):
     """Classify one directory for ``stats_agg`` from its manifest stats
     entry ALONE (the commit-time row-level keys) — zero footer I/O.
     Returns None when the entry predates the row-level keys, or when a
@@ -766,7 +1093,10 @@ def _serve_from_manifest(entry: dict, prune: dict, cols: tuple):
     JSON min/max is a string — ISO datetimes lose their type in the
     manifest; the footer fallback serves them typed). Otherwise
     ("exclude", None), ("scan", None), or ("include", contrib) with
-    contrib = {"rows", "mins", "maxs", "cnts"}."""
+    contrib = {"rows", "mins", "maxs", "cnts", "sums", "sumcnts"}. A
+    requested ``sums`` column demotes to scan unless the directory was
+    committed with ``sums=`` covering it (``__sums__``) and its null
+    count is known."""
     if not entry or _STATS_ROWS not in entry:
         return None
     rows = entry[_STATS_ROWS]
@@ -793,7 +1123,10 @@ def _serve_from_manifest(entry: dict, prune: dict, cols: tuple):
                 return ("scan", None)
         except TypeError:
             return ("scan", None)
-    contrib = {"rows": rows, "mins": {}, "maxs": {}, "cnts": {}}
+    contrib = {
+        "rows": rows, "mins": {}, "maxs": {}, "cnts": {},
+        "sums": {}, "sumcnts": {},
+    }
     for c in cols:
         if c not in present:
             continue  # absent under evolution: contributes nothing
@@ -807,6 +1140,14 @@ def _serve_from_manifest(entry: dict, prune: dict, cols: tuple):
         contrib["mins"][c] = rng[0]
         contrib["maxs"][c] = rng[1]
         contrib["cnts"][c] = rows - nulls.get(c, 0)
+    col_sums = entry.get(_STATS_SUMS) or {}
+    for c in sums:
+        if c not in present:
+            continue  # absent under evolution: contributes zero
+        if c not in col_sums or c not in exact:
+            return ("scan", None)  # no commit-time sum for this dir
+        contrib["sums"][c] = int(col_sums[c])
+        contrib["sumcnts"][c] = rows - nulls.get(c, 0)
     return ("include", contrib)
 
 
@@ -818,6 +1159,7 @@ def stats_agg(
     prune: dict | None = None,
     audit: "dict | None" = None,
     counts: bool = False,
+    sums: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Metadata-only aggregate over a committed snapshot — the Iceberg
     metadata-table shape: serve ``count(*)`` plus ``min``/``max`` of
@@ -869,24 +1211,48 @@ def stats_agg(
     prune = prune or {}
     dirs = _data_list(manifest)
     man_stats = manifest.get("stats") or {}
+    # bloom-aware skipping pass first (subsumes _keep_dir's interval
+    # test, adds the ('=', v) membership probe); downstream consumers
+    # (_serve_from_manifest, footer classification, the scan predicate)
+    # see equality normalized to the [v, v] range
+    bloom_kept = (
+        set(_prune_dirs(root, manifest, dirs, prune)) if prune else set(dirs)
+    )
+    prune = {
+        c: ((b[1], b[1]) if _is_eq_bound(b) else b)
+        for c, b in prune.items()
+    }
 
     rows = 0
     mins: dict[str, object] = {c: None for c in cols}
     maxs: dict[str, object] = {c: None for c in cols}
     cnts: dict[str, int] = {c: 0 for c in cols}
+    sums_acc: dict[str, int] = {c: 0 for c in sums}
+    sums_nn: dict[str, int] = {c: 0 for c in sums}
     scan_dirs: list[str] = []
     n_excluded = n_meta = 0
     n_manifest = 0
+    dv = _dv_map(manifest)
     for rel in dirs:
         # cheap manifest-stats disjointness first (no footer I/O at all)
-        if prune and not _keep_dir(man_stats.get(rel), prune):
+        # — still sound for a vectored directory: a DV only REMOVES
+        # rows, so the recorded [min,max] stay over-approximations
+        if prune and rel not in bloom_kept:
             n_excluded += 1
+            continue
+        if rel in dv:
+            # deletion vectors: manifest/footer row counts overcount
+            # the deleted rows and min/max may be stale — scan, with
+            # the vectors applied below
+            scan_dirs.append(rel)
             continue
         # manifest fast path: commit-time row-level stats decide the
         # directory with ZERO footer re-reads (and stay correct even
         # for vacuumed historical versions — the manifest outlives the
         # directory)
-        served = _serve_from_manifest(man_stats.get(rel) or {}, prune, cols)
+        served = _serve_from_manifest(
+            man_stats.get(rel) or {}, prune, cols, sums
+        )
         if served is not None:
             decision, contrib = served
             if decision == "exclude":
@@ -906,6 +1272,10 @@ def stats_agg(
                     mins[c] = contrib["mins"][c]
                 if maxs[c] is None or contrib["maxs"][c] > maxs[c]:
                     maxs[c] = contrib["maxs"][c]
+            for c in sums:
+                if c in contrib["sums"]:
+                    sums_acc[c] += contrib["sums"][c]
+                    sums_nn[c] += contrib["sumcnts"][c]
             continue
         agg = _dir_footer_agg(root, rel, tuple({*cols, *prune}))
         if agg is None:
@@ -941,6 +1311,10 @@ def stats_agg(
         if decided == "exclude":
             n_excluded += 1
             continue
+        if decided == "include" and sums:
+            # footers carry no column sums — only the manifest fast
+            # path (commit-time __sums__) can include a dir for SUM
+            decided = "scan"
         if decided == "include":
             # every requested column must also be footer-servable here
             # (a present column with inexact stats forces the scan path)
@@ -974,6 +1348,7 @@ def stats_agg(
             )
         else:
             df = spark.read.parquet(*paths)
+        df = _apply_dv(spark, root, manifest, scan_dirs, df)
         cond = F.lit(True)
         for c, (lo, hi) in prune.items():
             if lo is not None:
@@ -985,14 +1360,34 @@ def stats_agg(
             aggs.append(F.min(c).alias(f"_min_{c}"))
             aggs.append(F.max(c).alias(f"_max_{c}"))
             aggs.append(F.count(F.col(c)).alias(f"_cnt_{c}"))
+        for c in sums:
+            aggs.append(F.sum(F.col(c)).alias(f"_sum_{c}"))
+            aggs.append(F.count(F.col(c)).alias(f"_scnt_{c}"))
         row = df.filter(cond).agg(*aggs).collect()[0]
         rows += row["_rows"]
+        for c in sums:
+            if row[f"_sum_{c}"] is not None:
+                sums_acc[c] += int(row[f"_sum_{c}"])
+                sums_nn[c] += int(row[f"_scnt_{c}"])
+
+        def _is_nan(v) -> bool:
+            return isinstance(v, float) and v != v
+
         for c in cols:
+            # merge with Spark MIN/MAX ordering: NaN sorts ABOVE every
+            # value (Python's NaN comparisons are all-False, which would
+            # silently drop a scanned partition's NaN max)
             lo_v, hi_v = row[f"_min_{c}"], row[f"_max_{c}"]
             cnts[c] += row[f"_cnt_{c}"]
-            if lo_v is not None and (mins[c] is None or lo_v < mins[c]):
+            if lo_v is not None and (
+                mins[c] is None or _is_nan(mins[c])
+                or (not _is_nan(lo_v) and lo_v < mins[c])
+            ):
                 mins[c] = lo_v
-            if hi_v is not None and (maxs[c] is None or hi_v > maxs[c]):
+            if hi_v is not None and (
+                maxs[c] is None or _is_nan(hi_v)
+                or (not _is_nan(maxs[c]) and hi_v > maxs[c])
+            ):
                 maxs[c] = hi_v
 
     if audit is not None:
@@ -1016,12 +1411,19 @@ def stats_agg(
         out_fields.append(StructField(f"max_{c}", by_name[c], True))
         if counts:
             out_fields.append(StructField(f"cnt_{c}", _long_type(), False))
+    for c in sums:
+        if c not in by_name:
+            raise ValueError(f"stats_agg sums column {c!r} not in table schema")
+        # SQL SUM semantics: NULL on zero non-null matching rows
+        out_fields.append(StructField(f"sum_{c}", _long_type(), True))
     values = [rows]
     for c in cols:
         values.append(mins[c])
         values.append(maxs[c])
         if counts:
             values.append(int(cnts[c]))
+    for c in sums:
+        values.append(int(sums_acc[c]) if sums_nn[c] > 0 else None)
     return spark.createDataFrame([tuple(values)], StructType(out_fields))
 
 
@@ -1283,6 +1685,16 @@ def table_snapshots(spark: SparkSession, root: str) -> DataFrame:
                 total = None
                 break
             total += memo[rel]
+        if total is not None:
+            # merge-on-read deletes: the manifest's dv row counts are
+            # exact (recorded at delete commit time), so the snapshot
+            # row count stays manifest-only
+            dset = set(dirs)
+            total -= sum(
+                int(e.get("rows", 0))
+                for d, e in _dv_map(man).items()
+                if d in dset
+            )
         app = man.get("app") or {}
         bid = app.get("batch_id")
         out.append(
@@ -1376,12 +1788,26 @@ def vacuum(
     retained_paths = {
         p for m in hist if m["version"] in retained for p in _data_list(m)
     }
+    # deletion-vector sidecars are shared the same way (a carried dir's
+    # dv list rides through later manifests verbatim)
+    retained_dv = {
+        p
+        for m in hist
+        if m["version"] in retained
+        for e in _dv_map(m).values()
+        for p in e["paths"]
+    }
     removed = []
     for m in hist:
         v = m["version"]
         if v in retained:
             continue
         os.remove(_manifest_path(root, v))
+        for p in {
+            q for e in _dv_map(m).values() for q in e["paths"]
+        }:
+            if p not in retained_dv:
+                shutil.rmtree(os.path.join(root, p), ignore_errors=True)
         for p in _data_list(m):
             if p not in retained_paths:
                 shutil.rmtree(os.path.join(root, p), ignore_errors=True)
@@ -1425,6 +1851,19 @@ def vacuum(
                 and rel not in manifested_top
                 and _old_enough(full)
             ):
+                shutil.rmtree(full, ignore_errors=True)
+    # orphan dv sidecars: written before the CAS, stranded by a lost
+    # race or crash — same grace-window rule as data orphans
+    dv_root = os.path.join(root, "dv")
+    manifested_dv = {
+        p for m in history(root) for e in _dv_map(m).values()
+        for p in e["paths"]
+    }
+    if os.path.isdir(dv_root):
+        for name in os.listdir(dv_root):
+            rel = os.path.join("dv", name)
+            full = os.path.join(dv_root, name)
+            if rel not in manifested_dv and _old_enough(full):
                 shutil.rmtree(full, ignore_errors=True)
     # manifest .tmp debris: a writer killed between the CAS link and its
     # tmp unlink leaves v*.json.<token>.tmp behind forever otherwise
@@ -1572,6 +2011,10 @@ def _commit_rewrite_where(
             )
         else:
             source = spark.read.parquet(*touched_paths)
+        # merge-on-read: a touched directory's deletion vectors apply
+        # BEFORE the rewrite (the rewrite must not resurrect deleted
+        # rows) and are folded away by it — the new tail is vector-free
+        source = _apply_dv(spark, root, pm, touched, source)
         rewritten = rewrite_fn(source)
         committed = [
             (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
@@ -1624,6 +2067,11 @@ def _commit_rewrite_where(
             },
             "stats": stats,
         }
+        dv_carried = {
+            d: e for d, e in _dv_map(pm).items() if d in set(carried)
+        }
+        if dv_carried:
+            manifest["dv"] = dv_carried
         if pm.get("evolved") and carried:
             # carried directories keep their pre-evolution file schemas —
             # the union-read contract must survive this commit (the
@@ -1746,6 +2194,216 @@ def update_where(
     )
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read row-level deletes
+# ---------------------------------------------------------------------------
+
+#: Above this many recorded DV rows across the directories being read,
+#: the read-time anti-join is left unhinted (AQE picks the strategy);
+#: at or below it the DV side is broadcast — the common case (point and
+#: small-range deletes) then costs ZERO shuffle of the fact table.
+_DV_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _dv_map(manifest: dict) -> dict:
+    """The manifest's deletion-vector map: ``{data_dir_rel: {"paths":
+    [dv_dir_rel, ...], "rows": n}}``. Absent on tables that never took
+    a merge-on-read delete."""
+    return manifest.get("dv") or {}
+
+
+def _dv_key_cols(root: str) -> "tuple[Column, Column]":
+    """The two row-address columns every DV read/write shares:
+    ``_dv_path`` (the source file's path RELATIVE to the table root —
+    relocatable, unique per file including z-order subdirectories) and
+    ``_dv_pos`` (the row's position within that file,
+    ``_metadata.row_index`` — stable because committed parquet files
+    are immutable). Must be selected on a frame read directly from
+    parquet (the hidden ``_metadata`` column does not survive joins)."""
+    norm = F.regexp_replace(
+        F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+    )
+    start = len(os.path.abspath(root)) + 2  # 1-indexed, past the slash
+    rel = norm.substr(F.lit(start), F.length(norm))
+    return (
+        rel.alias("_dv_path"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+
+
+def _apply_dv(
+    spark: SparkSession, root: str, manifest: dict, dirs: list, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read: subtract the manifest's deletion vectors from a
+    frame just read from ``dirs``. ``df`` must be the DIRECT parquet
+    read (``_metadata`` available). DV sidecars are O(deleted rows);
+    when small (the normal case) they broadcast, so the subtraction is
+    a broadcast-hash LEFT ANTI join — a per-partition hash-table probe
+    with NO shuffle of the fact side, the Spark-native equivalent of
+    Delta's bitmap-at-scan application."""
+    dv = _dv_map(manifest)
+    hit = [d for d in dirs if d in dv]
+    if not hit:
+        return df
+    paths = sorted({p for d in hit for p in dv[d]["paths"]})
+    dv_df = spark.read.parquet(
+        *[os.path.join(root, p) for p in paths]
+    ).select("_dv_path", "_dv_pos")
+    total = sum(int(dv[d].get("rows", 0)) for d in hit)
+    if total <= _DV_BROADCAST_MAX_ROWS:
+        dv_df = F.broadcast(dv_df)
+    cols = df.columns
+    keyed = df.select("*", *_dv_key_cols(root))
+    return keyed.join(
+        dv_df, ["_dv_path", "_dv_pos"], "left_anti"
+    ).select(*cols)
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    bounds: dict | None = None,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Predicate DELETE as a MERGE-ON-READ commit — the Delta/Iceberg
+    deletion-vector shape: instead of rewriting every directory the
+    predicate touches (``delete_where``'s copy-on-write, O(touched
+    directories) write amplification), record the matched rows'
+    addresses (relative file path + row position) in a parquet sidecar
+    and map each affected directory to it in the manifest. Readers
+    subtract the vectors at scan time (``_apply_dv``); ``compact()``
+    folds them away (it reads through ``read_version`` and commits a
+    vector-free rewrite). Write amplification is O(deleted rows) — a
+    point delete on a 100 TB table writes a few-KB sidecar and one
+    manifest, never a data directory. The semantic anchor is the
+    reference's row-granular mutation discipline
+    (``Services/OpcSubscribeService.cs:600-654`` ctid row locks): row
+    deletes must not cost directory rewrites.
+
+    Commit anatomy: the data-directory list, stats, and schema carry
+    VERBATIM (footer [min,max] remain sound over-approximations — a DV
+    only removes rows); only the ``dv`` map changes. Already-deleted
+    rows are excluded before matching, so re-deleting is a no-op and DV
+    row counts never double-count. ``bounds`` is the same conservative
+    skip hint as ``delete_where``. A DV commit does not extend the
+    parent's directory list, so change-feed ranges spanning it take the
+    keyed endpoint diff (pass-through would resurrect the deleted
+    rows); ``stats_agg`` demotes vectored directories to its scan path
+    (their manifest row counts overcount). Returns the new version, or
+    the unchanged parent when nothing matched."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        stats = pm.get("stats") or {}
+        dirs = _data_list(pm)
+        candidates = [
+            p for p in dirs
+            if not bounds or _keep_dir(stats.get(p), bounds)
+        ]
+        if not candidates:
+            return parent  # no directory can contain a match
+        paths = [os.path.join(root, p) for p in candidates]
+        if pm.get("evolved"):
+            src = spark.read.schema(_evolved_read_schema(pm)).parquet(
+                *paths
+            )
+        else:
+            src = spark.read.parquet(*paths)
+        # address every candidate row, drop the already-deleted, keep
+        # the predicate's matches: the new DV increment
+        keyed = src.select("*", *_dv_key_cols(root))
+        dv = _dv_map(pm)
+        prior = [d for d in candidates if d in dv]
+        if prior:
+            prior_paths = sorted({p for d in prior for p in dv[d]["paths"]})
+            prior_df = spark.read.parquet(
+                *[os.path.join(root, p) for p in prior_paths]
+            ).select("_dv_path", "_dv_pos")
+            if sum(int(dv[d]["rows"]) for d in prior) <= _DV_BROADCAST_MAX_ROWS:
+                prior_df = F.broadcast(prior_df)
+            keyed = keyed.join(
+                prior_df, ["_dv_path", "_dv_pos"], "left_anti"
+            )
+        inc = (
+            keyed.where(F.expr(condition))
+            .select("_dv_path", "_dv_pos")
+            .localCheckpoint(eager=True)
+        )
+        total = inc.count()
+        if total == 0:
+            return parent  # nothing matched — commit no no-op
+        per_dir = {
+            r["_d"]: int(r["n"])
+            for r in inc.groupBy(
+                F.regexp_extract("_dv_path", "^(.*)/[^/]+$", 1).alias("_d")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        dv_dir = os.path.join(root, "dv", f"v{version:05d}-{token}")
+        out = inc.repartition(1) if total <= _DV_BROADCAST_MAX_ROWS else inc
+        out.write.mode("overwrite").parquet(dv_dir)
+        rel_dv = os.path.relpath(dv_dir, root)
+        new_dv = dict(dv)
+        for d, n in per_dir.items():
+            e = new_dv.get(d) or {"paths": [], "rows": 0}
+            new_dv[d] = {
+                "paths": list(e["paths"]) + [rel_dv],
+                "rows": int(e["rows"]) + n,
+            }
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": dirs,
+            "schema": pm["schema"],
+            "app": {
+                "op": "delete_where_dv",
+                "predicate": condition,
+                "dv_rows": total,
+                "dv_dirs": len(per_dir),
+                "rewritten_dirs": 0,
+                "carried_dirs": len(dirs),
+                **_scrub_app(app),
+            },
+            "stats": stats,
+            "dv": new_dv,
+        }
+        if pm.get("evolved"):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            continue  # lost — rebase the match set onto the new latest
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"delete_where_dv lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
 def restore(root: str, version: int, max_retries: int = 20,
             app: dict | None = None) -> int:
     """Delta-style RESTORE: make ``version``'s data the LIVE table again
@@ -1779,8 +2437,11 @@ def restore(root: str, version: int, max_retries: int = 20,
         # them) while we were losing the CAS to other writers
         with open(_manifest_path(root, version)) as f:
             tm = json.load(f)
+        dv_paths = sorted(
+            {p for e in _dv_map(tm).values() for p in e["paths"]}
+        )
         gone = [
-            p for p in _data_list(tm)
+            p for p in (*_data_list(tm), *dv_paths)
             if not os.path.isdir(os.path.join(root, p))
         ]
         if gone:
@@ -1805,6 +2466,8 @@ def restore(root: str, version: int, max_retries: int = 20,
             "app": {"restore_of": version, **_scrub_app(app)},
             "stats": tm.get("stats") or {},
         }
+        if _dv_map(tm):
+            manifest["dv"] = _dv_map(tm)
         if tm.get("evolved"):
             manifest["evolved"] = True
         man_path = _manifest_path(root, new_version)
@@ -1947,6 +2610,9 @@ def commit_upsert(
                 old = spark.read.parquet(
                     *[os.path.join(root, p) for p in touched]
                 )
+            # touched dirs' deletion vectors apply before the merge and
+            # fold into the rewritten tail
+            old = _apply_dv(spark, root, pm, touched, old)
             tail = old.join(
                 F.broadcast(bkeys), keys, "left_anti"
             ).unionByName(batch)
@@ -1990,6 +2656,11 @@ def commit_upsert(
             },
             "stats": new_stats,
         }
+        dv_carried = {
+            d: e for d, e in _dv_map(pm).items() if d in set(carried)
+        }
+        if dv_carried:
+            manifest["dv"] = dv_carried
         if pm.get("evolved") and carried:
             manifest["evolved"] = True
         man_path = _manifest_path(root, version)
@@ -2012,6 +2683,228 @@ def commit_upsert(
         return version
     raise RuntimeError(
         f"commit_upsert lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
+def commit_full_sync(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    probe: bool = True,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Full-sync MERGE — the three-clause Delta MERGE (``WHEN MATCHED
+    UPDATE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE
+    DELETE``) in one commit: after it, the table's rows EQUAL
+    ``source``'s. The reference's J5 Venn reconcile
+    (``Extensions/CommonExtensions.cs:9-48``: partition a desired-state
+    set against current state into add/update/remove) at table scale.
+
+    Directory efficiency is the point — a naive implementation is
+    ``commit_version(source)`` (rewrite everything). Here:
+
+    1. one keyed diff of source vs the current snapshot classifies
+       every key as unchanged / updated / inserted / deleted (null-safe
+       struct equality — the ``snapshot_diff`` comparison);
+    2. directories are split exactly like ``commit_upsert``: a
+       directory whose footer stats prove it disjoint from the
+       (updated ∪ deleted) key range — or, with ``probe``, one whose
+       rows broadcast-semi-join that key set empty — holds ONLY
+       unchanged rows and is CARRIED by reference, stats and deletion
+       vectors verbatim;
+    3. touched directories are read once (vectors applied), their
+       changed/deleted keys anti-joined out, and the source's updated +
+       inserted rows appended as ONE new tail directory.
+
+    Write amplification is O(touched dirs + changes), not O(table): a
+    daily config mirror against an id-clustered table rewrites the
+    directories where something actually changed. UNCHANGED matched
+    rows are carried — their column values stay byte-identical, which
+    is what distinguishes this from upserting the whole source.
+
+    A full-sync commit does not extend the parent's directory list, so
+    change-feed ranges spanning it take the keyed endpoint diff (which
+    then reports exactly the insert/update/delete set). ``source`` must
+    match the committed schema and be key-unique (enforced). Returns
+    the new version, or the unchanged parent when source == table."""
+    if not keys:
+        raise ValueError("commit_full_sync requires at least one key column")
+    app = _scrub_app(app)
+    source = source.localCheckpoint(eager=True)
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    ).count()
+    if dup:
+        raise ValueError(
+            "commit_full_sync source has duplicate keys — resolve to one "
+            "row per key upstream"
+        )
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            v = _try_commit(source, root, None, app)
+            if v is not None:
+                return v
+            continue
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        committed = [
+            (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
+        ]
+        produced = [
+            (f_["name"], f_["type"])
+            for f_ in source.schema.jsonValue()["fields"]
+        ]
+        if committed != produced:
+            raise ValueError(
+                "commit_full_sync source must match the committed schema; "
+                f"committed={committed} source={produced}"
+            )
+        current = read_version(spark, root, parent)
+        cols = source.columns
+        nonkeys = [c for c in cols if c not in keys]
+        payload = (
+            F.struct(*[F.col(c) for c in nonkeys]) if nonkeys else F.lit(0)
+        )
+        cur_k = current.select(*keys, payload.alias("_pre"))
+        src_k = source.select(*keys, payload.alias("_post"))
+        j = cur_k.join(src_k, keys, "full_outer").select(
+            *keys,
+            F.col("_pre").isNull().alias("_ins"),
+            F.col("_post").isNull().alias("_del"),
+            (
+                F.col("_pre").isNotNull()
+                & F.col("_post").isNotNull()
+                & ~F.col("_pre").eqNullSafe(F.col("_post"))
+            ).alias("_upd"),
+        )
+        # keys whose TABLE rows must leave their directories: updated
+        # (replaced by the source row) or deleted (gone)
+        badkeys = (
+            j.filter(F.col("_upd") | F.col("_del"))
+            .select(*keys)
+            .localCheckpoint(eager=True)
+        )
+        # rows the new tail gains: the source's updated + inserted rows
+        newkeys = j.filter(F.col("_upd") | F.col("_ins")).select(*keys)
+        n_changed = badkeys.count()
+        tail_rows = source.join(
+            F.broadcast(newkeys), keys, "left_semi"
+        ).localCheckpoint(eager=True)
+        n_new = tail_rows.count()
+        if n_changed == 0 and n_new == 0:
+            return parent  # source == table: a no-op commits nothing
+        # directory split on the departing keys' range (commit_upsert's
+        # discipline); a table with nothing to remove touches nothing
+        stats = pm.get("stats") or {}
+        carried: list[str] = []
+        if n_changed:
+            agg = badkeys.agg(
+                *[F.min(k).alias(f"lo_{k}") for k in keys],
+                *[F.max(k).alias(f"hi_{k}") for k in keys],
+            ).collect()[0]
+            bounds = {k: (agg[f"lo_{k}"], agg[f"hi_{k}"]) for k in keys}
+            candidates: list[str] = []
+            for p in _data_list(pm):
+                if not _keep_dir(stats.get(p), bounds):
+                    carried.append(p)
+                else:
+                    candidates.append(p)
+            if probe and candidates:
+                hit = _dirs_with_matches(
+                    spark, root, pm, candidates,
+                    lambda df: df.join(
+                        F.broadcast(badkeys), keys, "left_semi"
+                    ),
+                )
+                touched = [p for p in candidates if p in hit]
+                carried += [p for p in candidates if p not in hit]
+            else:
+                touched = candidates
+        else:
+            carried = list(_data_list(pm))
+            touched = []
+        if touched:
+            touched_paths = [os.path.join(root, p) for p in touched]
+            if pm.get("evolved"):
+                old = spark.read.schema(_evolved_read_schema(pm)).parquet(
+                    *touched_paths
+                )
+            else:
+                old = spark.read.parquet(*touched_paths)
+            old = _apply_dv(spark, root, pm, touched, old)
+            tail = old.join(
+                F.broadcast(badkeys), keys, "left_anti"
+            ).unionByName(tail_rows)
+        else:
+            tail = tail_rows
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
+        tail.write.mode("overwrite").parquet(data_dir)
+        rel = os.path.relpath(data_dir, root)
+        try:
+            has_rows = any(
+                n.endswith(".parquet") for n in os.listdir(data_dir)
+            )
+        except OSError:
+            has_rows = False
+        if not has_rows:
+            shutil.rmtree(data_dir, ignore_errors=True)
+        new_stats = {p: s for p, s in stats.items() if p in set(carried)}
+        if has_rows:
+            new_stats[rel] = _dir_stats(root, rel)
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": carried + ([rel] if has_rows else []),
+            "schema": pm["schema"],
+            "app": {
+                "op": "full_sync",
+                "carried_dirs": len(carried),
+                "rewritten_dirs": len(touched),
+                "rows_changed": int(n_changed),
+                "rows_landed": int(n_new),
+                **_scrub_app(app),
+            },
+            "stats": new_stats,
+        }
+        dv_carried = {
+            d: e for d, e in _dv_map(pm).items() if d in set(carried)
+        }
+        if dv_carried:
+            manifest["dv"] = dv_carried
+        if pm.get("evolved") and carried:
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            if has_rows:
+                shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # lost — rebase the diff and split
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"commit_full_sync lost the manifest CAS {max_retries} times at "
         f"{root} — writer contention is pathological; raise max_retries "
         "or serialize writers upstream"
     )

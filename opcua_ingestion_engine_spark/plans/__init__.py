@@ -30,78 +30,70 @@ from . import datapipe_ops  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship first — unchanged since round 1.
     "q_flagship_modvalues",
-    # Round-8 rotation (round-7 verdict item 1): the five oracle queries
-    # registered AFTER the round-7 window froze take slots first — after
-    # this rotation every oracle-checkable query in the registry has a
-    # lifetime driver-green row. All rotated-out members remain
-    # oracle-checked every round via verify_contract / test_parity.
-    "q_e3_embedding_profile",
-    "q_e8_sliding_chunks",
-    "q_e8_softdedup_weights",
-    "q_e8_token_budget",
-    "q_tf_zorder_pruned_read",
-    # New round-8 oracle queries (registered this round, checked this
-    # round).
-    "q_e4_model_quality",
-    "q_tf_stats_agg",
-    "q_e8_dsir_weights",
-    "q_e8_dsir_sample",
-    "q_e8_dsir_bigram_weights",
-    "q_tf_snapshots",
-    "q_e4_incremental_model_quality",
-    "q_e4_bm25_topk",
-    "q_e3_hybrid_rrf",
+    # New round-9 oracle queries (registered this round, checked this
+    # round): deletion vectors, bloom point lookup, the maintained
+    # inverted index, and the three-clause full-sync MERGE.
+    "q_tf_deletion_vectors",
+    "q_tf_point_lookup",
+    "q_e4_incremental_bm25",
+    "q_tf_merge_full_sync",
     # Family canaries: the LEAST-recently-checked oracle member of each
     # operator family (tests/test_registry_window.py pins one per
     # family), so a regression in shared family machinery surfaces in
-    # the driver artifact, not just pytest.
-    "q_e1_exact_dedup",  # r7
-    "q_e2_jaccard_neardup",  # r4
-    "q_e4_fingerprint",  # r4
-    "q_e5_frame_sample",  # r6
-    "q_e6_timeseries_similarity",  # r7
-    "q_e7_curation_clustered",  # r4
-    "q_tpch_q18_large_volume_customer",  # r4
-    "q_asof_join_purchase_view",  # r7
-    "q_range_join_purchase_errors",  # r7
-    "q_w_sessionize",  # r7
-    # Freshness backfill: the round-2-era cohort (43 queries whose only
-    # driver row is three regenerations of testdata ago) rotates back
-    # in oldest-first — re-verifying old greens against the CURRENT
-    # parquet fixtures, since the driver regenerates testdata between
-    # rounds and physical schema drift has bitten before (TIMESTAMP
-    # NANOS -> MICROS in round 2).
-    "q_a1_distinct_devices",
-    "q_a3_device_liveness",
-    "q_a4_rowcount_effects",
-    "q_agg_count_distinct",
-    "q_agg_groupby_lineitem",
-    "q_f10_projection",
-    "q_f2_change_only",
-    "q_f4_quality_split",
-    "q_f5_self_measure_exclusion",
-    "q_f6_browse_exclusion",
-    "q_f7_node_class",
-    "q_f8_online_probe",
-    "q_f9_row_existence",
-    "q_j1_device_points",
-    "q_j2_device_server_urls",
-    "q_j4_connection_exclusions",
-    "q_j5_venn_reconcile",
-    "q_j7_heartbeat_lockset",
-    "q_join_anti_customers_without_orders",
-    "q_join_full_nation_supplier",
-    "q_join_inner_orders_customer",
-    "q_join_left_customer_orders",
-    "q_join_three_way",
-    "q_s10_insert_if_missing",
-    "q_s11_bulk_reset",
-    # (q_w_lag_lead / q_w_row_number_rank /
-    # q_join_semi_customers_with_orders / q_join_right_orders_customer /
-    # q_agg_cube / q_agg_rollup / q_agg_having yield their backfill
-    # slots to the round-8 DSIR, snapshots, streaming-quality-gate,
-    # BM25, and hybrid-RRF queries; all keep their lifetime r2 green
-    # rows and stay oracle-checked in pytest via verify_contract.)
+    # the driver artifact, not just pytest. (e2/e4/e7/tpch/windows/
+    # reference_core are covered by the backfill cohort below.)
+    "q_e1_exact_dedup",  # r8 (sole e1 member)
+    "q_e3_ann_cosine_topk",  # r6
+    "q_e5_multimodal_meta",  # r7
+    "q_e6_timeseries_similarity",  # r8 (sole e6 member)
+    "q_asof_join_purchase_view",  # r8 (oldest asof)
+    "q_range_join_purchase_errors",  # r8 (oldest range)
+    "q_w_sessionize",  # r8 (sole sessionize)
+    # Round-9 rotation (round-8 verdict item 2): the LEAST-recently-
+    # checked oracle rows, oldest first — the round-2 cohort (scalar
+    # functions, extended joins/aggs/windows, three testdata
+    # regenerations old), then round-4, then the three oldest round-5
+    # members (q_e7_curation_pipeline keeps e7 family coverage). All
+    # rotated-out members keep their lifetime green rows and stay
+    # oracle-checked every round via verify_contract / test_parity.
+    "q_agg_cube",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_join_right_orders_customer",
+    "q_join_semi_customers_with_orders",
+    "q_w_lag_lead",
+    "q_w_row_number_rank",
+    "q_w_running_sum",
+    "q_x10_json_parse",
+    "q_x11_url_parse",
+    "q_x12_null_coalesce",
+    "q_x13_trim",
+    "q_x4_try_cast_skip",
+    "q_x5_timestamp_text",
+    "q_x6_node_id_concat",
+    "q_x7_lowercase",
+    "q_x8_aes_roundtrip",
+    "q_x9_utf8_encode",
+    "q_e4_lang_id",
+    "q_e4_pattern_extract",
+    "q_e4_quality_filter",
+    "q_e4_sentiment",
+    "q_e4_text_stats",
+    "q_e4_token_count",
+    "q_e4_winnowing",
+    "q_e8_pack_chunks",
+    "q_s4_device_scan",
+    "q_t10_tumbling_window",
+    "q_t3_heartbeat_refresh",
+    "q_tpch_q21_waiting_suppliers",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q6_forecast_revenue",
+    "q_w_ntile_dist",
+    "q_x2_point_slope_general",
+    "q_x3_scale_dispatch",
+    "q_e2_dedup_clusters",
+    "q_e7_curation_pipeline",
+    "q_e2_embedding_neardup",
 )
 
 

@@ -1,0 +1,247 @@
+"""Streaming-incremental inverted index — maintained BM25 (E4,
+deployment form).
+
+``operators/retrieval.bm25_topk`` recomputes the corpus aggregates
+(document lengths, term frequencies, df/N) on every query — right for
+one-shot audits, wrong for a serving deployment over a growing corpus.
+This sink maintains the classic IR decomposition as durable state,
+the lexical twin of ``streaming/annindex.py``:
+
+- **postings** table: one row per (doc, term) with its term frequency —
+  committed per micro-batch through the versioned-table layer
+  (``operators/tablefmt``) as an APPEND (O(batch) write amplification),
+  with a bloom filter on ``term`` so a query's handful of terms prunes
+  postings directories that provably lack them (the manifest-level
+  analogue of seeking a term's postings list).
+- **doclens** table: one row per doc with its token count, committed
+  with ``sums=('doc_len',)`` so the corpus totals BM25 needs (N docs,
+  total tokens -> avglen) are served from MANIFEST METADATA alone —
+  zero data reads per query (``stats_agg`` counts + sums).
+- the same manifest batch-id ledger as every durable sink here: a
+  replayed ``foreachBatch`` delivery is skipped, a restarted sink
+  recovers which batches landed from the manifests, two writers CAS-
+  rebase rather than lose updates.
+
+Serving (``bm25_topk_from_index``) reads the query's term rows from the
+postings table (a term-filtered, bloom-prunable scan), joins the
+candidate docs' lengths, and scores through the SAME code path as the
+one-shot operator (``retrieval._bm25_score``) — so incremental ==
+one-shot is an identity of the arithmetic (pinned by pytest and by the
+shared driver oracle of ``q_e4_incremental_bm25``).
+
+Crash anatomy: doclens commits FIRST, postings LAST; the postings
+manifest's batch_id is the commit point. A crash between them leaves a
+doclens commit whose batch replays — the doclens ledger then skips the
+re-commit and only the postings half lands, converging to the same
+state as an uninterrupted run.
+
+Re-ingested doc ids are at-least-once duplicates and are DROPPED (the
+append-mode discipline of ``IncrementalAnnIndexSink``); a corpus that
+re-ingests ids with NEW text runs an offline rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import tablefmt as TF
+from ..operators.retrieval import _bm25_score
+
+
+def _postings_root(index_root: str) -> str:
+    return os.path.join(index_root, "postings")
+
+
+def _doclens_root(index_root: str) -> str:
+    return os.path.join(index_root, "doclens")
+
+
+def _tokenize(docs: DataFrame, id_col: str, text_col: str):
+    """The whitespace tokenization every BM25 surface here shares."""
+    toks = F.split(F.col(text_col), " ")
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclens = docs.select(
+        F.col(id_col), F.size(toks).cast("long").alias("doc_len")
+    )
+    return postings, doclens
+
+
+class IncrementalBm25IndexSink:
+    """foreachBatch sink: feed micro-batches of (id, text) rows via
+    ``process_batch``; serve lexical top-k from the committed index via
+    ``search`` (or module-level ``bm25_topk_from_index``)."""
+
+    def __init__(
+        self,
+        index_root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        auto_compact: "int | None" = 64,
+    ):
+        self.index_root = index_root
+        self.id_col = id_col
+        self.text_col = text_col
+        self.auto_compact = auto_compact
+        self._postings_batches: set[int] = {
+            man["app"]["batch_id"]
+            for man in TF.history(_postings_root(index_root))
+            if "batch_id" in man.get("app", {})
+        }
+        self._doclens_batches: set[int] = {
+            man["app"]["batch_id"]
+            for man in TF.history(_doclens_root(index_root))
+            if "batch_id" in man.get("app", {})
+        }
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        if batch_id in self._postings_batches:
+            return  # redelivery of a fully-committed batch
+        spark = docs.sparkSession
+        docs = docs.dropDuplicates([self.id_col])
+        dl_root = _doclens_root(self.index_root)
+        po_root = _postings_root(self.index_root)
+        if batch_id in self._doclens_batches:
+            # crash-window replay: this batch's doclens landed but its
+            # postings did not. The doclens rows (stamped with their
+            # batch_id) are the authoritative record of WHICH ids this
+            # batch registered — re-derive postings for exactly those
+            # (the naive seen-guard would drop them as "already seen"
+            # and lose the batch's postings forever)
+            mine = (
+                TF.read_version(spark, dl_root)
+                .filter(F.col("batch_id") == batch_id)
+                .select(self.id_col)
+            )
+            docs = docs.join(mine, self.id_col, "left_semi")
+        elif TF.latest_version(dl_root) is not None:
+            # drop re-ingested ids (at-least-once source duplicates):
+            # the doclens table is the id registry
+            seen = TF.read_version(spark, dl_root).select(self.id_col)
+            docs = docs.join(seen, self.id_col, "left_anti")
+        docs = docs.localCheckpoint(eager=True)
+        postings, doclens = _tokenize(docs, self.id_col, self.text_col)
+        if batch_id not in self._doclens_batches:
+            TF.commit_append(
+                doclens.withColumn(
+                    "batch_id", F.lit(batch_id).cast("long")
+                ),
+                dl_root,
+                app={"batch_id": batch_id},
+                sums=("doc_len",),
+            )
+            self._doclens_batches.add(batch_id)
+        # the commit point: a batch counts as landed only when its
+        # postings manifest exists
+        TF.commit_append(
+            postings, po_root,
+            app={"batch_id": batch_id},
+            bloom=("term",),
+        )
+        self._postings_batches.add(batch_id)
+        if self.auto_compact:
+            # NOTE: compaction rewrites directories without re-running
+            # the bloom/sums passes — skipping then falls back to scans
+            # (correct, slower) until the next indexed append; doclens
+            # totals keep serving from the per-dir manifest entries that
+            # survive in carried directories
+            TF.maybe_compact(spark, po_root, self.auto_compact)
+            TF.maybe_compact(spark, dl_root, self.auto_compact)
+
+    def search(
+        self, spark: SparkSession, query_terms: "list[str]", k: int = 10,
+        k1: float = 1.2, b: float = 0.75,
+    ) -> DataFrame:
+        return bm25_topk_from_index(
+            spark, self.index_root, query_terms, k=k, k1=k1, b=b,
+            id_col=self.id_col,
+        )
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_root: str,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    audit: "dict | None" = None,
+) -> DataFrame:
+    """Serve Okapi BM25 top-k from a maintained index — any process, no
+    sink instance needed. Corpus totals (N, avglen) come from the
+    doclens manifests (``stats_agg`` counts + commit-time sums: zero
+    data reads when every directory carries them — ``audit`` receives
+    that call's audit dict); the query's postings rows come from a
+    term-filtered scan whose per-directory bloom filters skip
+    directories lacking ALL query terms. Scoring is the one-shot
+    operator's own tail (``retrieval._bm25_score``) — identical
+    quantized-decimal arithmetic, identical result."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    stats = TF.stats_agg(
+        spark, _doclens_root(index_root), sums=("doc_len",), audit=audit
+    ).collect()[0]
+    n_docs, total = int(stats["row_cnt"]), int(stats["sum_doc_len"] or 0)
+    if n_docs == 0:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        lens_schema = TF.read_version(
+            spark, _doclens_root(index_root)
+        ).schema
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, lens_schema[id_col].dataType, True),
+                    StructField("score", DoubleType(), True),
+                    StructField("rank", IntegerType(), False),
+                ]
+            ),
+        )
+    avg_len = total / n_docs  # exact-int division, like the one-shot
+
+    po_root = _postings_root(index_root)
+    # bloom skipping per term, union of kept dirs: a directory survives
+    # if ANY query term might live in it
+    with open(
+        TF._manifest_path(po_root, TF.latest_version(po_root))
+    ) as f:
+        import json
+
+        man = json.load(f)
+    all_dirs = TF._data_list(man)
+    keep: list[str] = []
+    for d in all_dirs:
+        if any(
+            d in set(TF._prune_dirs(po_root, man, [d], {"term": ("=", t)}))
+            for t in terms
+        ):
+            keep.append(d)
+    if not keep:
+        hits = TF.read_version(spark, po_root).filter(F.lit(False))
+    else:
+        paths = [os.path.join(po_root, p) for p in keep]
+        hits = spark.read.parquet(*paths)
+        hits = TF._apply_dv(spark, po_root, man, keep, hits)
+    hits = hits.filter(F.col("term").isin(*terms)).localCheckpoint(
+        eager=True
+    )
+    lens = TF.read_version(spark, _doclens_root(index_root)).select(
+        F.col(id_col), F.col("doc_len").alias("_len")
+    )
+    return _bm25_score(hits, lens, terms, n_docs, avg_len, k, k1, b, id_col)

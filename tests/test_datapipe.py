@@ -820,3 +820,27 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError, match="positive"):
         rrf_fuse([a], k=0)
+
+
+def test_bm25_empty_corpus_schema_matches_id_type(spark):
+    """The empty-corpus early return must carry the INPUT's id type so
+    it unions cleanly with non-empty results (ADVICE r8: it hardcoded
+    long, breaking rrf_fuse over string-id corpora)."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    full = spark.createDataFrame(
+        [("a", "fast fast slow"), ("b", "fast")], "doc_id string, text string"
+    )
+    empty = full.filter(F.lit(False))
+    got_empty = bm25_topk(empty, ["fast"], k=5)
+    got_full = bm25_topk(full, ["fast"], k=5)
+    assert got_empty.schema == got_full.schema
+    assert got_empty.count() == 0
+    # the downstream union that used to break
+    fused = rrf_fuse([got_full, got_empty], k=5, id_col="doc_id")
+    assert [r["doc_id"] for r in fused.orderBy("rank").collect()] == ["b", "a"]

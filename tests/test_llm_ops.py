@@ -1794,3 +1794,45 @@ def test_random_projection_jl_properties(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         S.random_project(emb, k=0)
+
+
+def test_semdedup_truncation_sentinel_when_unobserved(spark):
+    """When the truncation aggregate is skipped (no audit dict AND
+    WARNING logging disabled), the module-level last-call diagnostic
+    must rebind to an explicit unknown — not silently retain a previous
+    call's counts (ADVICE r8)."""
+    import logging
+
+    import numpy as np
+    from opcua_ingestion_engine_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    base /= np.linalg.norm(base)
+    rows = [
+        (i, [float(x) for x in (base + rng.randn(8) * 1e-3)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # observed run plants real counts in the global
+    S.semantic_dedup_pairs(
+        emb, eps=0.9, n_cells=1, max_cell=5, train_sample=None, audit={}
+    ).count()
+    assert S.LAST_SEMDEDUP_TRUNCATION["cells_truncated"] == 1
+
+    logger = logging.getLogger(
+        "opcua_ingestion_engine_spark.operators.similarity"
+    )
+    prev = logger.level
+    logger.setLevel(logging.ERROR)
+    try:
+        S.semantic_dedup_pairs(
+            emb, eps=0.9, n_cells=1, max_cell=5, train_sample=None
+        ).count()
+    finally:
+        logger.setLevel(prev)
+    assert S.LAST_SEMDEDUP_TRUNCATION == {
+        "cells_truncated": None,
+        "members_dropped": None,
+    }

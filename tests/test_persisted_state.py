@@ -3170,3 +3170,648 @@ def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
         _os.replace(mp + ".tmp", mp)
     with pytest.raises(ValueError, match="0 timestamped"):
         TF.version_as_of(root, 1e12)
+
+
+def test_stats_agg_nan_floats_demote_to_scan(spark, tmp_path):
+    """Parquet footer min/max EXCLUDE NaN while Spark (and DuckDB)
+    order NaN above every value — so commit-time stats must prove NaN
+    absence before a float column is metadata-servable (ADVICE r8:
+    previously a NaN-bearing directory could be wrongly excluded by
+    pruning, or serve a finite max where a real scan reports NaN)."""
+    import math
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "nanstats")
+    # dir 0: clean doubles [0.0 .. 22.5]; dir 1: contains one NaN
+    clean = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    dirty = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 15, F.lit(float("nan")))
+        .otherwise(F.col("id") * 2.5)
+        .alias("v"),
+    )
+    TF.commit_append(clean, root)
+    TF.commit_append(dirty, root)
+
+    # max(v) must be NaN — the dirty dir demotes to the scan path and
+    # the driver-side merge must not drop the scanned NaN max
+    audit = {}
+    row = TF.stats_agg(spark, root, cols=("v",), audit=audit).collect()[0]
+    assert math.isnan(row["max_v"]), row
+    assert row["min_v"] == 0.0
+    assert audit["dirs_scanned"] == 1 and audit["dirs_metadata"] == 1
+
+    # pruning on v must not exclude the NaN dir: under Spark semantics
+    # the NaN row MATCHES v >= 100 even though footer bounds say [25,
+    # 47.5]. Full relational truth: exactly one row (the NaN).
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), prune={"v": (100.0, None)}, audit=audit
+    ).collect()[0]
+    assert row["row_cnt"] == 1 and row["min_k"] == 15
+    assert audit["dirs_scanned"] >= 1  # the NaN dir was scanned, not pruned
+
+    # read_version(prune=) keeps the NaN dir too
+    got = TF.read_version(
+        spark, root, prune={"v": (100.0, None)}
+    ).filter(F.col("v") >= 100.0)
+    assert [r["k"] for r in got.collect()] == [15]
+
+    # the clean dir still serves floats from metadata: NaN-free proof
+    # recorded at commit time keeps the fast path
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("v",), prune={"k": (None, 9)}, audit=audit
+    ).collect()[0]
+    assert audit["dirs_scanned"] == 0 and audit["dirs_metadata"] == 1
+    assert (row["min_v"], row["max_v"]) == (0.0, 22.5)
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """Merge-on-read row deletes (Delta/Iceberg deletion vectors): a
+    predicate delete that writes O(deleted rows), not O(directory) —
+    data directories, stats, and schema carry verbatim; readers
+    subtract the vector sidecar at scan time; compaction folds vectors
+    away. Anchors the reference's row-granular mutation discipline
+    (Services/OpcSubscribeService.cs:600-654 ctid row locks)."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "dvt")
+    full = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for i in range(3):
+        TF.commit_append(
+            full.filter((F.col("k") >= i * 10) & (F.col("k") < (i + 1) * 10)),
+            root,
+        )
+    parent_data = TF._data_list(
+        json.load(open(TF._manifest_path(root, 2)))
+    )
+
+    v = TF.delete_where_dv(spark, root, "k % 7 = 0")  # 0,7,14,21,28
+    m = json.load(open(TF._manifest_path(root, v)))
+
+    # --- write amplification is O(deleted rows): zero data directories
+    # rewritten, the data list IS the parent's, the only new bytes are
+    # the one dv sidecar (5 addresses)
+    assert m["app"]["rewritten_dirs"] == 0
+    assert m["app"]["dv_rows"] == 5
+    assert TF._data_list(m) == parent_data
+    dv_paths = {p for e in m["dv"].values() for p in e["paths"]}
+    assert len(dv_paths) == 1
+    sidecar = spark.read.parquet(
+        os.path.join(root, next(iter(dv_paths)))
+    )
+    assert sidecar.count() == 5  # O(deleted rows), not O(dir rows)
+
+    # --- merge-on-read correctness
+    got = sorted(r["k"] for r in TF.read_version(spark, root).collect())
+    assert got == [k for k in range(30) if k % 7 != 0]
+    # time travel: the pre-delete snapshot is untouched
+    assert TF.read_version(spark, root, 2).count() == 30
+    # re-delete is a no-op (already-deleted rows never re-match)
+    assert TF.delete_where_dv(spark, root, "k % 7 = 0") == v
+    # vectors accumulate across delete commits
+    v2 = TF.delete_where_dv(spark, root, "k = 1")
+    assert sorted(
+        r["k"] for r in TF.read_version(spark, root).collect()
+    ) == [k for k in range(30) if k % 7 != 0 and k != 1]
+
+    # --- pruned reads still skip, and kept dirs apply their vectors
+    pruned = TF.read_version(spark, root, prune={"k": (0, 9)})
+    assert sorted(r["k"] for r in pruned.collect()) == [
+        2, 3, 4, 5, 6, 8, 9,
+    ]
+
+    # --- stats_agg: vectored dirs demote to scan, answer stays exact
+    audit = {}
+    row = TF.stats_agg(
+        spark, root, cols=("k",), audit=audit
+    ).collect()[0]
+    assert row["row_cnt"] == 24 and row["min_k"] == 2
+    assert audit["dirs_scanned"] == 3 and audit["dirs_metadata"] == 0
+
+    # --- table_snapshots: dv commits report the post-delete row count
+    snaps = {
+        r["version"]: r["rows"]
+        for r in TF.table_snapshots(spark, root).collect()
+    }
+    assert snaps[2] == 30 and snaps[v] == 25 and snaps[v2] == 24
+
+    # --- change feed: a dv commit is a rewrite-class step (no silent
+    # pass-through that would resurrect rows); keyed diff sees deletes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys"):
+        TF.table_changes(spark, root, 2, v)
+    feed = TF.table_changes(spark, root, 2, v, keys=["k"])
+    dels = sorted(
+        r["k"] for r in feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [0, 7, 14, 21, 28]
+
+    # --- copy-on-write ops fold touched dirs' vectors (no resurrection)
+    u = TF.update_where(spark, root, "k = 2", {"v": "v + 1000"})
+    d = {r["k"]: r["v"] for r in TF.read_version(spark, root).collect()}
+    assert d[2] == 1004 and 0 not in d and 1 not in d
+    mu = json.load(open(TF._manifest_path(root, u)))
+    # carried dirs keep their vectors; the rewritten dir drops its own
+    assert all(
+        dd in set(TF._data_list(mu)) for dd in (mu.get("dv") or {})
+    )
+
+    # --- compact folds every remaining vector away
+    cv = TF.compact(spark, root)
+    mc = json.load(open(TF._manifest_path(root, cv)))
+    assert "dv" not in mc
+    assert TF.read_version(spark, root).count() == 24
+
+    # --- vacuum reclaims dv sidecars once no retained manifest
+    # references them (keep the compacted tip only)
+    TF.vacuum(root, keep=1, orphan_grace_s=0.0)
+    dv_root = os.path.join(root, "dv")
+    leftover = os.listdir(dv_root) if os.path.isdir(dv_root) else []
+    assert leftover == [], leftover
+    assert TF.read_version(spark, root).count() == 24
+
+
+def test_deletion_vectors_restore_append_and_bounds(spark, tmp_path):
+    """DV interplay with the rest of the table layer: appends carry
+    vectors verbatim (no resurrection), restore revives a vectored
+    version with its vectors, bounds skip disjoint directories without
+    reading them, and a full-miss predicate commits nothing."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "dvr")
+    full = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(full.filter(F.col("k") < 10), root)
+    TF.commit_append(full.filter(F.col("k") >= 10), root)
+
+    v = TF.delete_where_dv(
+        spark, root, "k = 3", bounds={"k": (3, 3)}
+    )
+    m = json.load(open(TF._manifest_path(root, v)))
+    # bounds skipped the [10,20) dir entirely: one dir took a vector
+    assert m["app"]["dv_dirs"] == 1
+
+    # append after the delete: vectors carry, deleted row stays gone
+    TF.commit_append(
+        spark.createDataFrame([(100, 200)], "k long, v long"), root
+    )
+    got = sorted(r["k"] for r in TF.read_version(spark, root).collect())
+    assert 3 not in got and 100 in got and len(got) == 20
+
+    # a no-match predicate returns the parent unchanged
+    live = TF.latest_version(root)
+    assert TF.delete_where_dv(spark, root, "k = 99999") == live
+
+    # restore to the vectored version: vectors ride along
+    rv = TF.restore(root, v)
+    mr = json.load(open(TF._manifest_path(root, rv)))
+    assert mr.get("dv") == m.get("dv")
+    got = sorted(r["k"] for r in TF.read_version(spark, root).collect())
+    assert 3 not in got and 100 not in got and len(got) == 19
+
+
+def test_bloom_point_lookup_skipping(spark, tmp_path):
+    """Per-directory bloom filters (Delta's bloom-filter index): an
+    equality prune on a scattered high-cardinality key drops
+    directories that provably lack the value where [min,max] bounds
+    keep everything; false positives and missing sidecars only ever
+    KEEP (pruning stays an optimization, never a filter)."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "bloomt")
+    # k clusters per directory; u scatters pseudo-randomly (each dir's
+    # u-range spans nearly everything, each u value lives in ONE dir)
+    full = spark.range(2000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % (2**31)).alias("u"),
+        F.concat(
+            F.lit("s"), ((F.col("id") * 2654435761) % (2**31)).cast("string")
+        ).alias("su"),
+    )
+    for i in range(4):
+        TF.commit_append(
+            full.filter((F.col("k") >= i * 500) & (F.col("k") < (i + 1) * 500)),
+            root,
+            bloom=("u", "su"),
+        )
+    m = json.load(open(TF._manifest_path(root, TF.latest_version(root))))
+    for entry in m["stats"].values():
+        assert set(entry["__blooms__"]) == {"u", "su"}
+        assert entry["__blooms__"]["u"]["n"] == 500
+
+    rows = {r["k"]: (r["u"], r["su"]) for r in full.collect()}
+
+    # completeness: every present value is FOUND (bloom never drops a
+    # directory that holds the key) — int and string forms
+    for k in (3, 517, 1033, 1999):
+        u, su = rows[k]
+        audit = {}
+        got = TF.read_version(
+            spark, root, prune={"u": ("=", u)}, audit=audit
+        ).filter(F.col("u") == u)
+        assert [r["k"] for r in got.collect()] == [k]
+        assert audit["dirs_kept"] < audit["dirs_total"], audit
+        got_s = TF.read_version(
+            spark, root, prune={"su": ("=", su)}
+        ).filter(F.col("su") == su)
+        assert [r["k"] for r in got_s.collect()] == [k]
+
+    # an absent value prunes everything (modulo fpp — never all four
+    # surviving, p ~ (0.5%)^4)
+    audit = {}
+    n = TF.read_version(
+        spark, root, prune={"u": ("=", 2**31 + 12345)}, audit=audit
+    ).count()
+    assert n == 0 and audit["dirs_kept"] < audit["dirs_total"]
+
+    # stats_agg shares the equality form and the skipping
+    audit = {}
+    u0, _ = rows[3]
+    row = TF.stats_agg(
+        spark, root, cols=("k",), prune={"u": ("=", u0)}, audit=audit
+    ).collect()[0]
+    assert row["row_cnt"] == 1 and row["min_k"] == 3
+    assert audit["dirs_excluded"] >= 1
+
+    # a deleted sidecar only KEEPS: the lookup still answers correctly
+    first_dir = TF._data_list(m)[0]
+    os.remove(os.path.join(root, first_dir, "_bloom_u"))
+    u3, _ = rows[3]  # k=3 lives in the first dir
+    got = TF.read_version(
+        spark, root, prune={"u": ("=", u3)}
+    ).filter(F.col("u") == u3)
+    assert [r["k"] for r in got.collect()] == [3]
+
+    # compaction rewrites into a bloom-free directory; reads still work
+    cv = TF.compact(spark, root)
+    mc = json.load(open(TF._manifest_path(root, cv)))
+    assert all(
+        "__blooms__" not in e for e in mc["stats"].values()
+    )
+    got = TF.read_version(
+        spark, root, prune={"u": ("=", rows[1999][0])}
+    ).filter(F.col("u") == rows[1999][0])
+    assert [r["k"] for r in got.collect()] == [1999]
+
+
+def test_incremental_bm25_index_equals_one_shot(spark, tmp_path):
+    """The maintained inverted index (streaming/bm25index.py) serves
+    EXACTLY the one-shot operator's answer — same quantized-decimal
+    scoring tail — across multi-batch ingest, foreachBatch redelivery,
+    a crash between the doclens and postings commits, and a restart."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+    from opcua_ingestion_engine_spark.streaming import bm25index as B
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast slow"),
+            (2, "fast"),
+            (3, "slow table"),
+            (4, "fast table chair"),
+            (5, "chair fast fast"),
+            (6, "table stream vector stream"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "bmidx")
+    sink = B.IncrementalBm25IndexSink(root)
+    sink.process_batch(docs.filter(F.col("doc_id") <= 2), 0)
+    sink.process_batch(
+        docs.filter((F.col("doc_id") > 2) & (F.col("doc_id") <= 4)), 1
+    )
+    sink.process_batch(docs.filter(F.col("doc_id") > 4), 2)
+    # redelivery of a committed batch: skipped
+    sink.process_batch(docs.filter(F.col("doc_id") <= 2), 0)
+
+    def rows(df):
+        return [(r["doc_id"], r["score"], r["rank"]) for r in df.collect()]
+
+    for q in (["fast", "table"], ["stream"], ["chair", "vector", "slow"]):
+        one = rows(bm25_topk(docs, q, k=10))
+        audit = {}
+        inc = rows(
+            B.bm25_topk_from_index(spark, root, q, k=10, audit=audit)
+        )
+        assert inc == one, (q, inc, one)
+        assert audit["dirs_scanned"] == 0, audit  # totals manifest-only
+
+    # absent term: empty everywhere, bloom prunes every postings dir
+    assert (
+        B.bm25_topk_from_index(spark, root, ["zzz_absent"], k=5).count()
+        == 0
+    )
+
+    # crash window: doclens committed, postings NOT (simulate by a sink
+    # that dies between the two) -> replay converges to serial state
+    root2 = str(tmp_path / "bmidx2")
+    s2 = B.IncrementalBm25IndexSink(root2)
+    s2.process_batch(docs.filter(F.col("doc_id") <= 3), 0)
+
+    class Dies(B.IncrementalBm25IndexSink):
+        def process_batch(self, d, batch_id):
+            if batch_id in self._postings_batches:
+                return
+            d = d.dropDuplicates([self.id_col])
+            dl_root = B._doclens_root(self.index_root)
+            if TF.latest_version(dl_root) is not None:
+                seen = TF.read_version(d.sparkSession, dl_root).select(
+                    self.id_col
+                )
+                d = d.join(seen, self.id_col, "left_anti")
+            d = d.localCheckpoint(eager=True)
+            _, doclens = B._tokenize(d, self.id_col, self.text_col)
+            if batch_id not in self._doclens_batches:
+                TF.commit_append(
+                    doclens.withColumn(
+                        "batch_id", F.lit(batch_id).cast("long")
+                    ),
+                    dl_root, app={"batch_id": batch_id},
+                    sums=("doc_len",),
+                )
+                self._doclens_batches.add(batch_id)
+            raise RuntimeError("crash before postings commit")
+
+    dying = Dies(root2)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash"):
+        dying.process_batch(docs.filter(F.col("doc_id") > 3), 1)
+    # restart: a fresh sink replays batch 1; the doclens ledger skips
+    # the re-commit, the postings half lands, state == serial
+    s3 = B.IncrementalBm25IndexSink(root2)
+    s3.process_batch(docs.filter(F.col("doc_id") > 3), 1)
+    for q in (["fast", "table"], ["stream"]):
+        assert rows(
+            B.bm25_topk_from_index(spark, root2, q, k=10)
+        ) == rows(bm25_topk(docs, q, k=10)), q
+    # doclens took exactly ONE commit per batch despite the crash+replay
+    lens = TF.read_version(spark, B._doclens_root(root2))
+    assert lens.count() == 6
+    assert lens.groupBy("doc_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_commit_full_sync_three_clause_merge(spark, tmp_path):
+    """Full-sync MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT / NOT
+    MATCHED BY SOURCE DELETE): one commit makes the table equal the
+    source, carrying directories the keyed diff proves untouched; the
+    change feed reports exactly the insert/update/delete set; a no-op
+    sync commits nothing; validation is loud."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "fsync")
+    full = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    for i in range(4):
+        TF.commit_append(
+            full.filter((F.col("k") >= i * 10) & (F.col("k") < (i + 1) * 10)),
+            root,
+        )
+    # delete k<5, update 5<=k<10 (v+1), insert 40..42; dirs 1-3 untouched
+    src = (
+        full.filter((F.col("k") >= 5) & (F.col("k") < 40))
+        .withColumn(
+            "v",
+            F.when(F.col("k") < 10, F.col("v") + 1).otherwise(F.col("v")),
+        )
+        .unionByName(
+            spark.range(40, 43).select(
+                F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+            )
+        )
+    )
+    v = TF.commit_full_sync(spark, root, src, keys=["k"])
+    m = json.load(open(TF._manifest_path(root, v)))
+    assert m["app"]["carried_dirs"] == 3, m["app"]
+    assert m["app"]["rewritten_dirs"] == 1
+    assert m["app"]["rows_changed"] == 10  # 5 deletes + 5 updates
+    assert m["app"]["rows_landed"] == 8  # 5 updates + 3 inserts
+
+    got = {r["k"]: r["v"] for r in TF.read_version(spark, root).collect()}
+    assert got == {r["k"]: r["v"] for r in src.collect()}
+    # pre-sync snapshot intact (time travel)
+    assert TF.read_version(spark, root, v - 1).count() == 40
+
+    # the change feed over the sync is the exact three-clause set
+    feed = TF.table_changes(spark, root, v - 1, v, keys=["k"])
+    by_kind: dict = {}
+    for r in feed.collect():
+        by_kind.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_kind["delete"] == set(range(5))
+    assert by_kind["insert"] == {40, 41, 42}
+    assert by_kind["update_preimage"] == set(range(5, 10))
+    assert by_kind["update_postimage"] == set(range(5, 10))
+
+    # idempotent: re-syncing the same source is a no-op
+    assert TF.commit_full_sync(spark, root, src, keys=["k"]) == v
+
+    # unchanged-row byte identity: carried rows were never rewritten
+    # (their directories are the parent's very paths)
+    pm = json.load(open(TF._manifest_path(root, v - 1)))
+    assert set(TF._data_list(m)) & set(TF._data_list(pm)), "no carry"
+
+    # deletion-vector interplay: a dv-deleted row is already absent, so
+    # a source without it syncs as a no-op for that key
+    TF.delete_where_dv(spark, root, "k = 39")
+    v2 = TF.commit_full_sync(
+        spark, root, src.filter(F.col("k") != 39), keys=["k"]
+    )
+    assert v2 == TF.latest_version(root)
+    assert 39 not in {
+        r["k"] for r in TF.read_version(spark, root).collect()
+    }
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        TF.commit_full_sync(
+            spark, root, src.unionByName(src.limit(1)), keys=["k"]
+        )
+    with _pytest.raises(ValueError, match="schema"):
+        TF.commit_full_sync(
+            spark, root, src.withColumn("v", F.col("v").cast("int")),
+            keys=["k"],
+        )
+    with _pytest.raises(ValueError, match="key"):
+        TF.commit_full_sync(spark, root, src, keys=[])
+
+
+@pytest.mark.parametrize("seed", [5, 19, 43])
+def test_quality_gate_sink_two_writer_race(spark, tmp_path, seed):
+    """Two QualityGateSink writers racing on ONE gated-corpus root
+    (seeded schedules, jittered starts, an in-schedule redelivery):
+    the manifest history must stay linearizable, every batch must land
+    exactly once, and the final gated corpus must equal the BATCH gate
+    over the union of both writers' documents — the chaos discipline
+    the round-8 annindex test set (round-8 verdict item 7)."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.quality import (
+        score_quality_vocab,
+    )
+    from opcua_ingestion_engine_spark.streaming.qualitygate import (
+        QualityGateSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    vocab = {"the": 0.35, "and": 0.25, "of": 0.2, "data": -0.6}
+    root = str(tmp_path / f"qgrace{seed}")
+    sinks = [
+        QualityGateSink(root, (vocab, -0.1)),
+        QualityGateSink(root, (vocab, -0.1)),
+    ]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 13 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("doc_id") % 4 < 2
+                    if wave == 0
+                    else F.col("doc_id") % 4 >= 2
+                )
+                batch = docs.filter((F.col("doc_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+                if rng.random() < 0.5:  # at-least-once redelivery
+                    sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    # linearizable manifest chain, each batch exactly once
+    hist = TF.history(root)
+    versions = [m["version"] for m in hist]
+    assert versions == list(range(len(hist)))
+    for m in hist[1:]:
+        assert m["parent"] == m["version"] - 1
+    bids = [
+        m["app"]["batch_id"] for m in hist if "batch_id" in m.get("app", {})
+    ]
+    assert sorted(bids) == [0, 1, 100, 101]  # no redelivered duplicates
+
+    # final state == the batch gate over the union (per-doc pure gate:
+    # any interleaving must converge to the same corpus)
+    got = _rows(TF.read_version(spark, root))
+    want = _rows(
+        score_quality_vocab(docs, vocab, -0.1)
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 31, 53])
+def test_corpus_build_sink_two_writer_race(spark, tmp_path, seed):
+    """Two durable IncrementalCorpusBuildSink writers racing on ONE
+    state root (dedup -> quality -> DECONTAMINATION -> split), disjoint
+    doc classes, seeded jitter, in-schedule redeliveries: manifests
+    linearizable, each batch's two sub-commits exactly once, and the
+    final training manifest + digest state equal a SERIAL replay of the
+    same batches — the decontaminate half of round-8 verdict item 7."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.corpusbuild import (
+        IncrementalCorpusBuildSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    root = str(tmp_path / f"cbrace{seed}")
+    sinks = [
+        IncrementalCorpusBuildSink(bench, state_root=root),
+        IncrementalCorpusBuildSink(bench, state_root=root),
+    ]
+    errors: list = []
+
+    def batch_of(w: int, wave: int):
+        half = (
+            F.col("doc_id") % 4 < 2 if wave == 0 else F.col("doc_id") % 4 >= 2
+        )
+        return docs.filter((F.col("doc_id") % 2 == w) & half)
+
+    def writer(w: int):
+        rng = random.Random(seed * 11 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                sinks[w].process_batch(batch_of(w, wave), w * 100 + wave)
+                if rng.random() < 0.5:
+                    sinks[w].process_batch(batch_of(w, wave), w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    for sub in ("manifest", "digests"):
+        hist = TF.history(f"{root}/{sub}")
+        versions = [m["version"] for m in hist]
+        assert versions == list(range(len(hist))), sub
+        for m in hist[1:]:
+            assert m["parent"] == m["version"] - 1
+        bids = [
+            m["app"]["batch_id"]
+            for m in hist
+            if "batch_id" in m.get("app", {})
+        ]
+        assert sorted(bids) == [0, 1, 100, 101], sub
+
+    # final state == serial replay of the same four batches
+    serial_root = str(tmp_path / f"cbserial{seed}")
+    serial = IncrementalCorpusBuildSink(bench, state_root=serial_root)
+    for w in (0, 1):
+        for wave in range(2):
+            serial.process_batch(batch_of(w, wave), w * 100 + wave)
+    got = _rows(TF.read_version(spark, f"{root}/manifest"))
+    want = _rows(TF.read_version(spark, f"{serial_root}/manifest"))
+    assert got == want and len(got) > 0
+    got_d = _rows(TF.read_version(spark, f"{root}/digests"))
+    want_d = _rows(TF.read_version(spark, f"{serial_root}/digests"))
+    assert got_d == want_d

@@ -209,3 +209,36 @@ def test_curate_corpus_model_mode(spark):
         curate_corpus(df, quality="nonsense")
     with pytest.raises(ValueError, match="model"):
         curate_corpus(df, quality="model", model="not-a-model")
+
+
+def test_null_text_scores_null(spark):
+    """NULL text must score NULL in the hashed-model Arrow kernel —
+    the vocab path's SQL convention (split(NULL) -> NULL logit) — and
+    train as the empty document, instead of crashing on txt.split of
+    None (ADVICE r8)."""
+    labeled = spark.createDataFrame(
+        [
+            (1, "insight analysis rigorous evidence", 1.0),
+            (2, "casino winner free click", 0.0),
+            (3, None, 0.0),  # null text trains as the empty doc
+        ],
+        "doc_id long, text string, label double",
+    )
+    model = Q.train_quality_classifier(
+        labeled, n_features=1 << 10, epochs=5, lr=0.5, l2=0.0
+    )
+    scored = {
+        r["doc_id"]: r["quality_score"]
+        for r in Q.score_quality(labeled, model).collect()
+    }
+    assert scored[3] is None  # NULL score, like split(NULL) in SQL
+    assert 0.0 < scored[1] < 1.0 and 0.0 < scored[2] < 1.0
+    # vocab path has the same convention: NULL text -> NULL logit,
+    # NULL keep (gated out)
+    vdf = Q.score_quality_vocab(
+        labeled, {"insight": 0.5}, bias=-0.25
+    ).collect()
+    by_id = {r["doc_id"]: r for r in vdf}
+    assert by_id[3]["quality_logit"] is None
+    assert by_id[3]["keep"] is None
+    assert by_id[1]["quality_logit"] == pytest.approx(0.25)
