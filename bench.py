@@ -71,6 +71,14 @@ HEADLINE = [
     "q_tf_stats_agg",
     "q_e8_dsir_sample",
     "q_e4_bm25_topk",
+    # Round-9 additions: merge-on-read deletion vectors (O(deleted rows)
+    # writes), bloom-filter point lookup (equality skipping where ranges
+    # prune nothing), the maintained inverted index serving BM25 from
+    # committed postings, and the three-clause full-sync MERGE.
+    "q_tf_deletion_vectors",
+    "q_tf_point_lookup",
+    "q_e4_incremental_bm25",
+    "q_tf_merge_full_sync",
 ]
 
 

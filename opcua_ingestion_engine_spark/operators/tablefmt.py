@@ -1540,6 +1540,12 @@ def table_changes(
       layout, not the data, so it contributes zero changes and merely
       resets the directory baseline — append→compact→append ranges stay
       on the fast path instead of paying an O(table) diff for a no-op.
+      A ``delete_where_dv`` step stays on the fast path too: its
+      changes ARE its new deletion-vector sidecars, so the step
+      contributes ``delete`` rows recovered by reading ONLY the
+      directories the addresses touch (immutable files — the deleted
+      images are exact at any later version), still O(changes), still
+      no ``keys``.
     - **Keyed diff** — otherwise (rewrites/upserts/compactions in the
       range, or intermediate manifests vacuumed), a ``snapshot_diff``
       of the two endpoint snapshots: one full-outer shuffle on
@@ -1567,6 +1573,8 @@ def table_changes(
     tails: list[tuple[int, list[str]]] = []
     fast = True
     prev_list: list[str] | None = None
+    dv_steps: list[tuple[int, list[str]]] = []
+    prev_dv: dict | None = None
     for v in steps:
         try:
             with open(_manifest_path(root, v)) as f:
@@ -1578,22 +1586,45 @@ def table_changes(
             # compaction: layout rewrite, zero data changes — contribute
             # no tail, reset the baseline to the compacted directory list
             prev_list = _data_list(m)
+            prev_dv = _dv_map(m)
             continue
         try:
             if prev_list is None and v > 0:
                 with open(_manifest_path(root, v - 1)) as f:
-                    prev_list = _data_list(json.load(f))
+                    base_m = json.load(f)
+                prev_list = _data_list(base_m)
+                prev_dv = _dv_map(base_m)
         except FileNotFoundError:
             fast = False
             break
         prev = prev_list or []
         cur = _data_list(m)
+        if (
+            cur == prev
+            and (m.get("app") or {}).get("op") == "delete_where_dv"
+        ):
+            # merge-on-read delete: the step's changes ARE its new
+            # deletion-vector sidecars — O(deleted rows), no keys needed
+            known = {
+                p for e in (prev_dv or {}).values() for p in e["paths"]
+            }
+            new_paths = sorted(
+                {p for e in _dv_map(m).values() for p in e["paths"]}
+                - known
+            )
+            if not new_paths:
+                fast = False  # defensive: unrecognizable dv commit
+                break
+            dv_steps.append((v, new_paths))
+            prev_dv = _dv_map(m)
+            continue
         if cur[: len(prev)] != prev or len(cur) <= len(prev):
             fast = False  # a rewrite/upsert step — not an append
             break
         tails.append((v, cur[len(prev):]))
         prev_list = cur
-    if fast and not tails:
+        prev_dv = _dv_map(m)
+    if fast and not tails and not dv_steps:
         # every step in the range was a data-identical layout rewrite —
         # the net change feed is empty
         base = read_version(spark, root, v_to)
@@ -1609,6 +1640,35 @@ def table_changes(
             .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("bigint"))
             for v, dirs in tails
         ]
+        for v, paths in dv_steps:
+            # the sidecar addresses name the touched FILES, hence their
+            # directories — read only those, semi-join on the row
+            # address to recover the deleted rows' images (immutable
+            # files, so the image is exact at every later version).
+            # Sidecars are O(that commit's deleted rows): broadcast.
+            addrs = spark.read.parquet(
+                *[os.path.join(root, p) for p in paths]
+            ).select("_dv_path", "_dv_pos")
+            tdirs = sorted(
+                {
+                    os.path.dirname(r["_dv_path"])
+                    for r in addrs.select("_dv_path").distinct().collect()
+                }
+            )
+            src = spark.read.parquet(
+                *[os.path.join(root, d) for d in tdirs]
+            )
+            cols = src.columns
+            deleted = (
+                src.select("*", *_dv_key_cols(root))
+                .join(
+                    F.broadcast(addrs), ["_dv_path", "_dv_pos"], "left_semi"
+                )
+                .select(*cols)
+                .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("bigint"))
+            )
+            parts.append(deleted)
         out = parts[0]
         for p in parts[1:]:
             # schema-evolved appends may add/omit columns between steps;
@@ -2287,12 +2347,12 @@ def delete_where_dv(
     only removes rows); only the ``dv`` map changes. Already-deleted
     rows are excluded before matching, so re-deleting is a no-op and DV
     row counts never double-count. ``bounds`` is the same conservative
-    skip hint as ``delete_where``. A DV commit does not extend the
-    parent's directory list, so change-feed ranges spanning it take the
-    keyed endpoint diff (pass-through would resurrect the deleted
-    rows); ``stats_agg`` demotes vectored directories to its scan path
-    (their manifest row counts overcount). Returns the new version, or
-    the unchanged parent when nothing matched."""
+    skip hint as ``delete_where``. Change-feed ranges spanning a DV
+    commit stay on the O(changes) fast path: the step's ``delete`` rows
+    are recovered from its sidecar addresses (``table_changes``), no
+    keys needed. ``stats_agg`` demotes vectored directories to its scan
+    path (their manifest row counts overcount). Returns the new
+    version, or the unchanged parent when nothing matched."""
     for _ in range(max_retries):
         parent = latest_version(root)
         if parent is None:

@@ -245,3 +245,41 @@ def bm25_topk_from_index(
         F.col(id_col), F.col("doc_len").alias("_len")
     )
     return _bm25_score(hits, lens, terms, n_docs, avg_len, k, k1, b, id_col)
+
+
+def hybrid_rrf_from_indexes(
+    spark: SparkSession,
+    bm25_root: str,
+    ann_root: str,
+    vectors: DataFrame,
+    query_terms: "list[str]",
+    query_vecs: DataFrame,
+    k: int = 10,
+    k_lex: int = 50,
+    k_vec: int = 50,
+    kappa: int = 60,
+    nprobe: int = 8,
+    rerank: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from maintained state — the
+    deployment form of ``q_e3_hybrid_rrf``: the lexical list from the
+    incremental BM25 index (postings/doclens tables), the dense list
+    from the incremental ANN index (IVF-PQ codes table), fused by
+    reciprocal-rank (``retrieval.rrf_fuse``). No corpus pass anywhere:
+    corpus totals come from manifests, postings from a bloom-pruned
+    term scan, candidates from the codes table; ``vectors`` is touched
+    only by the candidate-sized exact rerank. ``query_vecs`` must hold
+    ONE query row (multi-query fusion would need per-query fusion
+    keys)."""
+    from ..operators.retrieval import rrf_fuse
+    from .annindex import ann_index_search
+
+    lex = bm25_topk_from_index(
+        spark, bm25_root, query_terms, k=k_lex, id_col=id_col
+    ).select(F.col(id_col), "rank")
+    vec = ann_index_search(
+        spark, ann_root, vectors, query_vecs,
+        k=k_vec, nprobe=nprobe, rerank=rerank,
+    ).select(F.col("neighbor_id").alias(id_col), "rank")
+    return rrf_fuse([lex, vec], k=k, kappa=kappa, id_col=id_col)

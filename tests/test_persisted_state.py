@@ -3305,17 +3305,28 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     }
     assert snaps[2] == 30 and snaps[v] == 25 and snaps[v2] == 24
 
-    # --- change feed: a dv commit is a rewrite-class step (no silent
-    # pass-through that would resurrect rows); keyed diff sees deletes
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="keys"):
-        TF.table_changes(spark, root, 2, v)
-    feed = TF.table_changes(spark, root, 2, v, keys=["k"])
-    dels = sorted(
-        r["k"] for r in feed.filter(F.col("_change_type") == "delete").collect()
-    )
+    # --- change feed: a dv commit stays on the O(changes) fast path —
+    # its delete rows come from the sidecar addresses, NO keys needed
+    feed = TF.table_changes(spark, root, 2, v)
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+    dels = sorted(r["k"] for r in feed.collect())
     assert dels == [0, 7, 14, 21, 28]
+    assert {r["_commit_version"] for r in feed.collect()} == {v}
+    # append -> dv-delete -> append range, still keyless: per-commit
+    # inserts AND deletes, and applying them reconstructs the snapshot
+    full_feed = TF.table_changes(spark, root, None, v2)
+    ins = {r["k"] for r in full_feed.collect() if r["_change_type"] == "insert"}
+    del2 = {r["k"] for r in full_feed.collect() if r["_change_type"] == "delete"}
+    assert ins == set(range(30)) and del2 == {0, 7, 14, 21, 28, 1}
+    assert ins - del2 == {
+        r["k"] for r in TF.read_version(spark, root, v2).collect()
+    }
+    # the keyed diff agrees (range-collapsed form)
+    feed_k = TF.table_changes(spark, root, 2, v, keys=["k"])
+    dels_k = sorted(
+        r["k"] for r in feed_k.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels_k == [0, 7, 14, 21, 28]
 
     # --- copy-on-write ops fold touched dirs' vectors (no resurrection)
     u = TF.update_where(spark, root, "k = 2", {"v": "v + 1000"})
@@ -3815,3 +3826,59 @@ def test_corpus_build_sink_two_writer_race(spark, tmp_path, seed):
     got_d = _rows(TF.read_version(spark, f"{root}/digests"))
     want_d = _rows(TF.read_version(spark, f"{serial_root}/digests"))
     assert got_d == want_d
+
+
+def test_hybrid_rrf_from_maintained_indexes(spark, tmp_path):
+    """Hybrid retrieval served from BOTH maintained indexes equals the
+    batch hybrid over the same corpus when the ANN side is run
+    exhaustively (nprobe = all cells, rerank >= corpus => exact
+    brute-force ranking; the lexical side is bitwise-identical by
+    construction)."""
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from opcua_ingestion_engine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink,
+    )
+    from opcua_ingestion_engine_spark.streaming.bm25index import (
+        IncrementalBm25IndexSink,
+        hybrid_rrf_from_indexes,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    emb = C.load_table(spark, SF_SMOKE, "embeddings")
+    n_emb = emb.count()
+
+    lex_root = str(tmp_path / "hyb_lex")
+    lex_sink = IncrementalBm25IndexSink(lex_root)
+    lex_sink.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    lex_sink.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    ann_root = str(tmp_path / "hyb_ann")
+    ann_sink = IncrementalAnnIndexSink(ann_root, n_cells=4)
+    ann_sink.process_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    ann_sink.process_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    q_vec = emb.filter(F.col("vec_id") == 0)
+    terms = ["fast", "stream", "vector"]
+    got = hybrid_rrf_from_indexes(
+        spark, lex_root, ann_root, emb, terms, q_vec,
+        k=15, nprobe=4, rerank=n_emb,
+    ).collect()
+
+    lex = bm25_topk(docs, terms, k=50).select("doc_id", "rank")
+    vec = brute_force_topk(emb, q_vec, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    want = rrf_fuse([lex, vec], k=15).collect()
+    assert [(r["doc_id"], r["rrf_score"], r["rank"]) for r in got] == [
+        (r["doc_id"], r["rrf_score"], r["rank"]) for r in want
+    ]
+    assert len(got) == 15
