@@ -79,6 +79,10 @@ HEADLINE = [
     "q_tf_point_lookup",
     "q_e4_incremental_bm25",
     "q_tf_merge_full_sync",
+    # Late round 9: merge-on-read MERGE (zero directory rewrites) next
+    # to its copy-on-write twin q_tf_upsert_partial — the write-path A/B
+    # the decade sweep should keep measuring.
+    "q_tf_upsert_mor",
 ]
 
 

@@ -1621,6 +1621,13 @@ def table_changes(
         if cur[: len(prev)] != prev or len(cur) <= len(prev):
             fast = False  # a rewrite/upsert step — not an append
             break
+        if _dv_map(m) != (prev_dv or {}):
+            # extends the directory list AND changes deletion vectors —
+            # a merge-on-read upsert/update: its tail rows are inserts
+            # but the new vectors are implicit deletes; treating it as a
+            # pure append would resurrect the replaced rows
+            fast = False
+            break
         tails.append((v, cur[len(prev):]))
         prev_list = cur
         prev_dv = _dv_map(m)
@@ -2464,6 +2471,228 @@ def delete_where_dv(
     )
 
 
+def _commit_mor(
+    spark: SparkSession,
+    root: str,
+    bounds: "dict | None",
+    select_matched,
+    make_tail,
+    op: str,
+    app: dict | None,
+    max_retries: int,
+) -> int:
+    """Shared merge-on-read WRITE core (``commit_upsert(mor=True)`` /
+    ``update_where_dv``): tombstone the matched rows via deletion-vector
+    sidecars (O(matched rows), no directory rewrites) and append the
+    replacement rows as ONE new tail directory. ``select_matched(keyed)``
+    filters the candidates read (``keyed`` carries ``_dv_path``/
+    ``_dv_pos``, already-deleted rows excluded) down to the rows to
+    tombstone; ``make_tail(matched)`` produces the rows to append in the
+    committed schema (may derive from the matched pre-images). The
+    commit extends the data list AND the dv map, so ``table_changes``
+    classifies it as a rewrite-class step (keyed diff), never a pure
+    append. CAS losses rebase both halves."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        stats = pm.get("stats") or {}
+        dirs = _data_list(pm)
+        dv = _dv_map(pm)
+        candidates = [
+            p for p in dirs if not bounds or _keep_dir(stats.get(p), bounds)
+        ]
+        if candidates:
+            paths = [os.path.join(root, p) for p in candidates]
+            if pm.get("evolved"):
+                src = spark.read.schema(
+                    _evolved_read_schema(pm)
+                ).parquet(*paths)
+            else:
+                src = spark.read.parquet(*paths)
+            keyed = src.select("*", *_dv_key_cols(root))
+            prior = [d for d in candidates if d in dv]
+            if prior:
+                prior_paths = sorted(
+                    {p for d in prior for p in dv[d]["paths"]}
+                )
+                prior_df = spark.read.parquet(
+                    *[os.path.join(root, p) for p in prior_paths]
+                ).select("_dv_path", "_dv_pos")
+                if (
+                    sum(int(dv[d]["rows"]) for d in prior)
+                    <= _DV_BROADCAST_MAX_ROWS
+                ):
+                    prior_df = F.broadcast(prior_df)
+                keyed = keyed.join(
+                    prior_df, ["_dv_path", "_dv_pos"], "left_anti"
+                )
+            matched = select_matched(keyed).localCheckpoint(eager=True)
+            n_matched = matched.count()
+        else:
+            # bounds excluded every directory: nothing can match — an
+            # empty keyed frame keeps make_tail's contract uniform
+            from pyspark.sql.types import StructType
+
+            empty = spark.createDataFrame(
+                [], StructType.fromJson(pm["schema"])
+            )
+            matched = empty.select(
+                "*",
+                F.lit("").alias("_dv_path"),
+                F.lit(0).cast("long").alias("_dv_pos"),
+            )
+            n_matched = 0
+        tail = make_tail(matched).localCheckpoint(eager=True)
+        committed = [
+            (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
+        ]
+        produced = [
+            (f_["name"], f_["type"])
+            for f_ in tail.schema.jsonValue()["fields"]
+        ]
+        if committed != produced:
+            raise ValueError(
+                f"{op} tail must match the committed schema; "
+                f"committed={committed} produced={produced}"
+            )
+        n_tail = tail.count()
+        if n_matched == 0 and n_tail == 0:
+            return parent  # nothing to tombstone, nothing to insert
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        new_dv = dict(dv)
+        dv_dir = None
+        if n_matched:
+            addrs = matched.select("_dv_path", "_dv_pos")
+            per_dir = {
+                r["_d"]: int(r["n"])
+                for r in addrs.groupBy(
+                    F.regexp_extract(
+                        "_dv_path", "^(.*)/[^/]+$", 1
+                    ).alias("_d")
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            dv_dir = os.path.join(root, "dv", f"v{version:05d}-{token}")
+            out = (
+                addrs.repartition(1)
+                if n_matched <= _DV_BROADCAST_MAX_ROWS
+                else addrs
+            )
+            out.write.mode("overwrite").parquet(dv_dir)
+            rel_dv = os.path.relpath(dv_dir, root)
+            for d, n in per_dir.items():
+                e = new_dv.get(d) or {"paths": [], "rows": 0}
+                new_dv[d] = {
+                    "paths": list(e["paths"]) + [rel_dv],
+                    "rows": int(e["rows"]) + n,
+                }
+        data_list = list(dirs)
+        new_stats = dict(stats)
+        if n_tail:
+            data_dir = os.path.join(
+                root, "data", f"v{version:05d}-{token}"
+            )
+            tail.write.mode("overwrite").parquet(data_dir)
+            rel = os.path.relpath(data_dir, root)
+            data_list.append(rel)
+            new_stats[rel] = _dir_stats(root, rel)
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": data_list,
+            "schema": pm["schema"],
+            "app": {
+                "op": op,
+                "dv_rows": int(n_matched),
+                "rows_landed": int(n_tail),
+                "rewritten_dirs": 0,
+                "carried_dirs": len(dirs),
+                **_scrub_app(app),
+            },
+            "stats": new_stats,
+        }
+        if new_dv:
+            manifest["dv"] = new_dv
+        if pm.get("evolved"):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            if dv_dir is not None:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+            if n_tail:
+                shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # lost — rebase both halves onto the new latest
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"{op} lost the manifest CAS {max_retries} times at {root} — "
+        "writer contention is pathological; raise max_retries or "
+        "serialize writers upstream"
+    )
+
+
+def update_where_dv(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    set_exprs: "dict[str, str]",
+    bounds: dict | None = None,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Predicate UPDATE, merge-on-read: matched rows are TOMBSTONED via
+    a deletion-vector sidecar and their updated images appended as one
+    tail directory — O(matched rows) write amplification where
+    ``update_where`` rewrites every touched directory. Same pre-image
+    SQL UPDATE semantics (condition and every SET expression evaluate
+    against the original row, one select). The tail lands the updated
+    images, so a point update on a 100 TB table writes the sidecar +
+    the handful of updated rows, never a data directory."""
+    for c in set_exprs:
+        if "." in c:
+            raise ValueError(f"update_where_dv cannot SET nested field {c!r}")
+
+    def matched_rows(keyed: DataFrame) -> DataFrame:
+        return keyed.where(F.expr(condition))
+
+    def tail(matched: DataFrame) -> DataFrame:
+        missing = [c for c in set_exprs if c not in matched.columns]
+        if missing:
+            raise ValueError(
+                f"update_where_dv SET columns not in table: {missing}"
+            )
+        cols = [c for c in matched.columns if c not in ("_dv_path", "_dv_pos")]
+        return matched.select(*[
+            F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+            if c in set_exprs else F.col(c)
+            for c in cols
+        ])
+
+    return _commit_mor(
+        spark, root, bounds, matched_rows, tail,
+        "update_where_dv", app, max_retries,
+    )
+
+
 def restore(root: str, version: int, max_retries: int = 20,
             app: dict | None = None) -> int:
     """Delta-style RESTORE: make ``version``'s data the LIVE table again
@@ -2562,6 +2791,7 @@ def commit_upsert(
     probe: bool = True,
     app: dict | None = None,
     max_retries: int = 20,
+    mor: bool = False,
 ) -> int:
     """Keyed MERGE with PARTIAL rewrite — the Delta MERGE INTO shape:
     batch rows REPLACE same-key table rows (last-writer-wins, whole
@@ -2619,6 +2849,20 @@ def commit_upsert(
     ).collect()[0]
     bounds = {k: (agg[f"lo_{k}"], agg[f"hi_{k}"]) for k in keys}
     bkeys = batch.select(*keys)
+
+    if mor and latest_version(root) is not None:
+        # merge-on-read MERGE (Delta's deletion-vector-enabled MERGE):
+        # matched table rows are TOMBSTONED via a DV sidecar and the
+        # whole batch appended as one tail — O(batch + matched rows)
+        # write amplification, zero directory rewrites; the
+        # copy-on-write default remains right when matched rows cluster
+        # densely in few directories (the rewrite then also compacts)
+        return _commit_mor(
+            spark, root, bounds,
+            lambda keyed: keyed.join(F.broadcast(bkeys), keys, "left_semi"),
+            lambda matched: batch,
+            "upsert_mor", app, max_retries,
+        )
 
     for _ in range(max_retries):
         parent = latest_version(root)

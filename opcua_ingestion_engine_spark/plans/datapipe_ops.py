@@ -1302,6 +1302,43 @@ def q_tf_schema_evolution(spark, sf_dir):
     "asserted in-query.",
 )
 def q_tf_upsert_partial(spark, sf_dir):
+    return _tf_upsert(spark, sf_dir, mor=False)
+
+
+@register(
+    "q_tf_upsert_mor",
+    """
+    WITH s AS (SELECT max(o_orderkey) // 3 + 1 AS step FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey BETWEEN s.step AND 2 * s.step - 1
+                         AND o_orderkey % 7 = 0
+                    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey BETWEEN s.step AND 2 * s.step - 1
+                         AND o_orderkey % 7 = 0
+                    THEN o_totalprice + 5000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders, s
+    )
+    GROUP BY o_orderstatus
+    """,
+    "Merge-on-read MERGE (commit_upsert(mor=True), Delta's DV-enabled "
+    "MERGE) — the same middle-range keyed update as q_tf_upsert_partial "
+    "but with ZERO directory rewrites: matched rows are tombstoned via "
+    "a deletion-vector sidecar (O(matched) new bytes) and the batch "
+    "appended as one tail; the in-query audit pins rewritten_dirs == 0 "
+    "and all parent directories carried. Shares the copy-on-write "
+    "twin's oracle verbatim — both forms must produce the identical "
+    "table.",
+)
+def q_tf_upsert_mor(spark, sf_dir):
+    return _tf_upsert(spark, sf_dir, mor=True)
+
+
+def _tf_upsert(spark, sf_dir, mor: bool):
     import json
 
     from ..operators import tablefmt as TF
@@ -1312,7 +1349,7 @@ def q_tf_upsert_partial(spark, sf_dir):
     )
     hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
     step = hi // 3 + 1
-    root = scratch_root("tf_upsert")
+    root = scratch_root("tf_upsert_mor" if mor else "tf_upsert")
     for i in range(3):
         TF.commit_append(
             orders.filter(
@@ -1330,10 +1367,21 @@ def q_tf_upsert_partial(spark, sf_dir):
         .withColumn("o_orderstatus", F.lit("X"))
         .withColumn("o_totalprice", F.col("o_totalprice") + 5000.0)
     )
-    v = TF.commit_upsert(spark, root, batch, keys=["o_orderkey"])
+    v = TF.commit_upsert(spark, root, batch, keys=["o_orderkey"], mor=mor)
     with open(TF._manifest_path(root, v)) as f:
         m = json.load(f)
-    assert m["app"]["carried_dirs"] == 2 and m["app"]["rewritten_dirs"] == 1
+    if mor:
+        # merge-on-read: every parent directory carried, zero rewrites,
+        # the only new data is the batch tail + the DV sidecar
+        assert m["app"]["op"] == "upsert_mor", m["app"]
+        assert m["app"]["rewritten_dirs"] == 0, m["app"]
+        assert m["app"]["carried_dirs"] == 3, m["app"]
+        assert m["app"]["dv_rows"] > 0, m["app"]
+    else:
+        assert (
+            m["app"]["carried_dirs"] == 2
+            and m["app"]["rewritten_dirs"] == 1
+        )
     return (
         TF.read_version(spark, root, v)
         .groupBy("o_orderstatus")
@@ -2090,6 +2138,52 @@ def q_tf_merge_full_sync(spark, sf_dir):
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_tf_sum_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_cnt,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+    FROM events
+    WHERE event_id <= (SELECT (max(event_id) + 1) // 2 FROM events)
+    """,
+    "Table-layer metadata-only SUM — events committed as four "
+    "contiguous-id append batches with commit_append(sums=('user_id',)) "
+    "recording exact per-directory integer column sums in the manifest; "
+    "stats_agg(sums=) then answers a range-filtered COUNT+SUM with data "
+    "reads only for the one boundary-straddling directory (in-query "
+    "audit: at least one directory manifest-served, at most one "
+    "scanned). The oracle is the plain filtered aggregate.",
+)
+def q_tf_sum_agg(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    root = scratch_root("sum_agg")
+    for i in range(4):
+        TF.commit_append(
+            ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            root,
+            sums=("user_id",),
+        )
+    audit: dict = {}
+    out = TF.stats_agg(
+        spark,
+        root,
+        sums=("user_id",),
+        prune={"event_id": (None, hi // 2)},
+        audit=audit,
+    )
+    assert audit["dirs_metadata"] >= 1, audit
+    assert audit["dirs_scanned"] <= 1, audit
+    return out
 
 
 @register(

@@ -3882,3 +3882,252 @@ def test_hybrid_rrf_from_maintained_indexes(spark, tmp_path):
         (r["doc_id"], r["rrf_score"], r["rank"]) for r in want
     ]
     assert len(got) == 15
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_deletion_vector_two_writer_race(spark, tmp_path, seed):
+    """Two delete_where_dv writers racing each other AND a concurrent
+    appender on one table: every CAS loser must rebase its match set
+    onto the new latest (a racing append's rows land in the retry's
+    candidate read), manifests stay linearizable, and the final state
+    equals the serial application of the same operations."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / f"dvrace{seed}")
+    full = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(full.filter(F.col("k") < 40), root)
+    errors: list = []
+
+    def deleter(w: int):
+        rng = random.Random(seed * 3 + w)
+        try:
+            _time.sleep(rng.random() * 0.05)
+            # writer 0 deletes k%5==0, writer 1 deletes k%7==0
+            TF.delete_where_dv(
+                spark, root, f"k % {5 if w == 0 else 7} = 0"
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    def appender():
+        try:
+            _time.sleep(random.Random(seed).random() * 0.03)
+            TF.commit_append(full.filter(F.col("k") >= 40), root)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("app", exc))
+
+    threads = [
+        threading.Thread(target=deleter, args=(0,)),
+        threading.Thread(target=deleter, args=(1,)),
+        threading.Thread(target=appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    hist = TF.history(root)
+    versions = [m["version"] for m in hist]
+    assert versions == list(range(len(hist)))
+    for m in hist[1:]:
+        assert m["parent"] == m["version"] - 1
+
+    got = sorted(r["k"] for r in TF.read_version(spark, root).collect())
+    # serial truth: the appended rows exist iff the append landed BEFORE
+    # a deleter's final (winning) match read — every interleaving must
+    # equal SOME serial order, and all serial orders agree on k < 40;
+    # for k >= 40 a row is gone iff a deleter ran after the append.
+    kept_low = [k for k in range(40) if k % 5 != 0 and k % 7 != 0]
+    assert [k for k in got if k < 40] == kept_low
+    high = [k for k in got if k >= 40]
+    assert set(high) <= {k for k in range(40, 60)}
+    # linearizability of the high half: whichever deleters' manifests
+    # FOLLOW the append commit must have removed their matches from it
+    app_v = next(
+        m["version"] for m in hist
+        if m["version"] > 0 and (m.get("app") or {}).get("op") is None
+    )
+    later_preds = [
+        5 if "5" in m["app"]["predicate"] else 7
+        for m in hist
+        if (m.get("app") or {}).get("op") == "delete_where_dv"
+        and m["version"] > app_v
+    ]
+    expect_high = [
+        k for k in range(40, 60)
+        if all(k % p != 0 for p in later_preds)
+    ]
+    assert high == expect_high, (high, expect_high, later_preds)
+
+
+@pytest.mark.parametrize("seed", [9, 27])
+def test_bm25_index_two_writer_race(spark, tmp_path, seed):
+    """Two IncrementalBm25IndexSink writers racing on one index root
+    (disjoint doc classes, jittered schedules, redeliveries): postings
+    and doclens manifest chains stay linearizable, each batch lands
+    exactly once per table, and the served ranking equals the one-shot
+    operator over the union corpus."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+    from opcua_ingestion_engine_spark.streaming import bm25index as B
+
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "fast fast slow",
+                    "fast",
+                    "slow table",
+                    "fast table chair",
+                    "chair fast fast",
+                    "table stream vector stream",
+                    "stream stream fast",
+                    "vector table",
+                ]
+            )
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / f"bmrace{seed}")
+    sinks = [
+        B.IncrementalBm25IndexSink(root),
+        B.IncrementalBm25IndexSink(root),
+    ]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 5 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("doc_id") % 4 < 2
+                    if wave == 0
+                    else F.col("doc_id") % 4 >= 2
+                )
+                batch = docs.filter((F.col("doc_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+                if rng.random() < 0.5:
+                    sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    for sub in ("postings", "doclens"):
+        hist = TF.history(f"{root}/{sub}")
+        versions = [m["version"] for m in hist]
+        assert versions == list(range(len(hist))), sub
+        bids = [
+            m["app"]["batch_id"]
+            for m in hist
+            if "batch_id" in m.get("app", {})
+        ]
+        assert sorted(bids) == [0, 1, 100, 101], sub
+
+    for q in (["fast", "table"], ["stream"], ["vector", "chair"]):
+        got = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in B.bm25_topk_from_index(spark, root, q, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, q, k=10).collect()
+        ]
+        assert got == want, q
+
+
+def test_merge_on_read_upsert_and_update(spark, tmp_path):
+    """Merge-on-read WRITE paths (Delta's DV-enabled MERGE):
+    commit_upsert(mor=True) tombstones matched rows via a sidecar and
+    appends the batch as one tail (O(batch + matched), zero directory
+    rewrites); update_where_dv does the same for a predicate UPDATE
+    with pre-image SET semantics. Change feeds refuse to treat the
+    commit as a pure append (the tail is inserts but the vectors are
+    implicit deletes); compaction folds everything."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "mor")
+    full = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    for i in range(4):
+        TF.commit_append(
+            full.filter((F.col("k") >= i * 10) & (F.col("k") < (i + 1) * 10)),
+            root,
+        )
+    b = spark.createDataFrame(
+        [(3, 999), (25, 888), (100, 777)], "k long, v long"
+    )
+    v = TF.commit_upsert(spark, root, b, keys=["k"], mor=True)
+    m = json.load(open(TF._manifest_path(root, v)))
+    assert m["app"]["op"] == "upsert_mor"
+    assert m["app"]["rewritten_dirs"] == 0
+    assert m["app"]["dv_rows"] == 2 and m["app"]["rows_landed"] == 3
+    # the parent's four data dirs all carried; one tail added
+    assert len(TF._data_list(m)) == 5
+    d = {r["k"]: r["v"] for r in TF.read_version(spark, root).collect()}
+    assert (d[3], d[25], d[100], len(d)) == (999, 888, 777, 41)
+    assert TF.read_version(spark, root, v - 1).count() == 40
+
+    # pre-image SET semantics on the DV update: v doubles ONCE
+    u = TF.update_where_dv(spark, root, "k = 7", {"v": "v + k"})
+    d = {r["k"]: r["v"] for r in TF.read_version(spark, root).collect()}
+    assert d[7] == 77
+    mu = json.load(open(TF._manifest_path(root, u)))
+    assert mu["app"]["rewritten_dirs"] == 0 and mu["app"]["dv_rows"] == 1
+    # no-op predicate commits nothing
+    assert TF.update_where_dv(spark, root, "k = 424242", {"v": "v"}) == u
+
+    # bounds exclude everything: still a no-op, loudly validated SETs
+    assert (
+        TF.update_where_dv(
+            spark, root, "k = 3", {"v": "v"}, bounds={"k": (10_000, None)}
+        )
+        == u
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table"):
+        TF.update_where_dv(spark, root, "k = 3", {"zzz": "1"})
+
+    # change feed across the MoR commit: keyed diff, exact change set
+    feed = TF.table_changes(spark, root, v - 1, v, keys=["k"])
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by["insert"] == {100}
+    assert by["update_postimage"] == {3, 25}
+    # keyless ranges across it refuse the append fast path (the tail
+    # alone would resurrect the replaced rows)
+    with _pytest.raises(ValueError, match="keys"):
+        TF.table_changes(spark, root, v - 1, v)
+
+    # stats_agg stays exact over the tombstoned table
+    row = TF.stats_agg(spark, root, cols=("v",)).collect()[0]
+    assert row["row_cnt"] == 41 and row["max_v"] == 999
+
+    # compaction folds vectors and tails into one clean directory
+    cv = TF.compact(spark, root)
+    mc = json.load(open(TF._manifest_path(root, cv)))
+    assert "dv" not in mc
+    assert TF.read_version(spark, root).count() == 41
