@@ -1241,9 +1241,18 @@ def stats_agg(
             n_excluded += 1
             continue
         if rel in dv:
-            # deletion vectors: manifest/footer row counts overcount
-            # the deleted rows and min/max may be stale — scan, with
-            # the vectors applied below
+            entry = man_stats.get(rel) or {}
+            if not prune and not cols and not sums and _STATS_ROWS in entry:
+                # bare COUNT(*): the manifest's dv row count is exact
+                # (recorded at delete-commit time), so a vectored dir
+                # still serves metadata-only — rows minus tombstones
+                n_meta += 1
+                n_manifest += 1
+                rows += entry[_STATS_ROWS] - int(dv[rel].get("rows", 0))
+                continue
+            # otherwise: manifest/footer row counts overcount the
+            # deleted rows and min/max may be stale — scan, with the
+            # vectors applied below
             scan_dirs.append(rel)
             continue
         # manifest fast path: commit-time row-level stats decide the
@@ -2859,7 +2868,11 @@ def commit_upsert(
         # densely in few directories (the rewrite then also compacts)
         return _commit_mor(
             spark, root, bounds,
-            lambda keyed: keyed.join(F.broadcast(bkeys), keys, "left_semi"),
+            # addresses only: the tail is the batch itself, so column
+            # pruning cuts the candidates scan to keys + _metadata
+            lambda keyed: keyed.join(
+                F.broadcast(bkeys), keys, "left_semi"
+            ).select("_dv_path", "_dv_pos"),
             lambda matched: batch,
             "upsert_mor", app, max_retries,
         )

@@ -4131,3 +4131,32 @@ def test_merge_on_read_upsert_and_update(spark, tmp_path):
     mc = json.load(open(TF._manifest_path(root, cv)))
     assert "dv" not in mc
     assert TF.read_version(spark, root).count() == 41
+
+
+def test_stats_agg_bare_count_on_vectored_dirs_is_metadata_only(
+    spark, tmp_path
+):
+    """COUNT(*) with no predicate and no columns stays metadata-only
+    even on deletion-vectored directories: the manifest's dv row counts
+    are commit-time-exact, so the answer is rows minus tombstones with
+    zero data reads."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "dvcount")
+    full = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for i in range(3):
+        TF.commit_append(
+            full.filter((F.col("k") >= i * 10) & (F.col("k") < (i + 1) * 10)),
+            root,
+        )
+    TF.delete_where_dv(spark, root, "k % 4 = 0")  # 8 rows
+    audit = {}
+    row = TF.stats_agg(spark, root, audit=audit).collect()[0]
+    assert row["row_cnt"] == 22
+    assert audit["dirs_scanned"] == 0 and audit["dirs_manifest"] == 3
+    # any column/prune/sums request still demotes to the exact scan
+    audit = {}
+    row = TF.stats_agg(spark, root, cols=("k",), audit=audit).collect()[0]
+    assert row["row_cnt"] == 22 and audit["dirs_scanned"] == 3
