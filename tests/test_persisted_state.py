@@ -4160,3 +4160,55 @@ def test_stats_agg_bare_count_on_vectored_dirs_is_metadata_only(
     audit = {}
     row = TF.stats_agg(spark, root, cols=("k",), audit=audit).collect()[0]
     assert row["row_cnt"] == 22 and audit["dirs_scanned"] == 3
+
+
+def test_matview_over_dv_deletes_stays_incremental(spark, tmp_path):
+    """A materialized view over an append + merge-on-read-delete source
+    folds the keyless DV fast-path feed correctly: the delete rows
+    subtract, a MIN whose extremum was tombstoned recomputes, and the
+    view equals a from-scratch aggregate — also for rows inserted AND
+    dv-deleted within one refresh range (net zero). Even a view WITHOUT
+    row_keys works: the feed never needs the keyed fallback."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.matview import (
+        MaterializedAggView,
+    )
+
+    src, vr = str(tmp_path / "dsrc"), str(tmp_path / "dview")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, g string, x double")
+    view = MaterializedAggView(
+        src, vr, group_keys=["g"], sum_cols=["x"], min_cols=["x"]
+    )
+    TF.commit_version(
+        mk([(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0)]), src
+    )
+    assert view.refresh(spark) == 0
+
+    # one refresh range holding: an append, a dv-delete of an OLD row
+    # (the group-'a' minimum), and a dv-delete of a row appended within
+    # the SAME range (net zero for k=6)
+    TF.commit_append(mk([(4, "b", 8.0), (6, "c", 64.0)]), src)
+    TF.delete_where_dv(spark, src, "k = 1")
+    TF.delete_where_dv(spark, src, "k = 6")
+    assert view.refresh(spark) == 1
+    got = {
+        (r["g"], r["n"], float(r["sum_x"]), r["min_x"])
+        for r in view.result(spark).collect()
+    }
+    # group a: min recomputed after its extremum was tombstoned;
+    # group c: fully net-zero, absent from the view
+    assert got == {("a", 1, 2.0, 2.0), ("b", 2, 12.0, 4.0)}
+
+    # from-scratch equality
+    want = {
+        (r["g"], r["n"], float(r["s"]), r["m"])
+        for r in TF.read_version(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
