@@ -1310,3 +1310,59 @@ def test_quality_gate_sink_matches_batch_and_recovers(spark, tmp_path):
 
     with pytest.raises(ValueError, match="model"):
         QualityGateSink(str(tmp_path / "bad"), model="nope")
+
+
+def test_bm25_index_sink_real_stream_end_to_end(spark, tmp_path):
+    """IncrementalBm25IndexSink driven by a REAL Structured Streaming
+    query (file source, one file per micro-batch, foreachBatch): after
+    the stream drains, the maintained index serves exactly the one-shot
+    BM25 answer over the full corpus — the deployment wiring, not just
+    direct process_batch calls."""
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+    from opcua_ingestion_engine_spark.streaming.bm25index import (
+        IncrementalBm25IndexSink,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast slow"),
+            (2, "fast"),
+            (3, "slow table"),
+            (4, "fast table chair"),
+            (5, "chair fast fast"),
+            (6, "table stream vector stream"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    for i, half in enumerate(
+        (F.col("doc_id") <= 3, F.col("doc_id") > 3)
+    ):
+        docs.filter(half).coalesce(1).write.parquet(f"{src}/batch_{i}")
+
+    root = str(tmp_path / "bm25_stream_idx")
+    sink = IncrementalBm25IndexSink(root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(sink._postings_batches) == [0, 1]
+    for terms in (["fast", "table"], ["stream"]):
+        got = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk_from_index(spark, root, terms, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, terms, k=10).collect()
+        ]
+        assert got == want, terms
