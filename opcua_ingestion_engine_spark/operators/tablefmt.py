@@ -1624,7 +1624,12 @@ def table_changes(
             if not new_paths:
                 fast = False  # defensive: unrecognizable dv commit
                 break
-            dv_steps.append((v, new_paths))
+            # evolved tables: the addressed files have heterogeneous
+            # schemas — the delete-image read must resolve by name
+            # against the union schema, like every evolved read
+            dv_steps.append(
+                (v, new_paths, m["schema"] if m.get("evolved") else None)
+            )
             prev_dv = _dv_map(m)
             continue
         if cur[: len(prev)] != prev or len(cur) <= len(prev):
@@ -1656,7 +1661,7 @@ def table_changes(
             .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("bigint"))
             for v, dirs in tails
         ]
-        for v, paths in dv_steps:
+        for v, paths, ev_schema in dv_steps:
             # the sidecar addresses name the touched FILES, hence their
             # directories — read only those, semi-join on the row
             # address to recover the deleted rows' images (immutable
@@ -1671,9 +1676,13 @@ def table_changes(
                     for r in addrs.select("_dv_path").distinct().collect()
                 }
             )
-            src = spark.read.parquet(
-                *[os.path.join(root, d) for d in tdirs]
-            )
+            tpaths = [os.path.join(root, d) for d in tdirs]
+            if ev_schema is not None:
+                src = spark.read.schema(
+                    _evolved_read_schema({"schema": ev_schema})
+                ).parquet(*tpaths)
+            else:
+                src = spark.read.parquet(*tpaths)
             cols = src.columns
             deleted = (
                 src.select("*", *_dv_key_cols(root))

@@ -4212,3 +4212,58 @@ def test_matview_over_dv_deletes_stays_incremental(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_deletion_vectors_under_schema_evolution(spark, tmp_path):
+    """DV reads compose with evolved-schema union reads: vectors
+    recorded before AND after a column was added apply correctly, the
+    pre-evolution directory's rows read NULL for the new column, and a
+    copy-on-write rewrite of an evolved+vectored directory folds its
+    vectors without resurrecting rows."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "dvev")
+    TF.commit_append(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"),
+        root,
+    )
+    # dv-delete BEFORE evolution
+    TF.delete_where_dv(spark, root, "k = 2")
+    # evolve: add column w
+    TF.commit_append(
+        spark.createDataFrame(
+            [(4, 40, "x"), (5, 50, "y")], "k long, v long, w string"
+        ),
+        root,
+        evolve=True,
+    )
+    # dv-delete AFTER evolution, matching rows in BOTH eras
+    TF.delete_where_dv(spark, root, "k IN (3, 5)")
+    got = {
+        (r["k"], r["v"], r["w"])
+        for r in TF.read_version(spark, root).collect()
+    }
+    assert got == {(1, 10, None), (4, 40, "x")}
+    # change feed across the evolve-append AND the dv step, keyless
+    # (fast path): the append's inserts + the sidecar's deletes
+    feed = TF.table_changes(spark, root, 1, 3)
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r["_change_type"], []).append(r["k"])
+    assert sorted(by["insert"]) == [4, 5]
+    assert sorted(by["delete"]) == [3, 5]
+    # the delete IMAGES resolve against the union schema: the
+    # post-evolution row keeps its new-column value, the pre-evolution
+    # row reads NULL for it
+    imgs = {
+        r["k"]: r["w"]
+        for r in feed.collect()
+        if r["_change_type"] == "delete"
+    }
+    assert imgs == {3: None, 5: "y"}
+    # copy-on-write update folds the touched dir's vectors
+    TF.update_where(spark, root, "k = 1", {"v": "v + 1"})
+    got = {
+        (r["k"], r["v"]) for r in TF.read_version(spark, root).collect()
+    }
+    assert got == {(1, 11), (4, 40)}
