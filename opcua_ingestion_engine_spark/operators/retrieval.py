@@ -96,7 +96,7 @@ def bm25_topk(
 
 def _bm25_score(
     hits: DataFrame,
-    lens: DataFrame,
+    lens: "DataFrame | None",
     terms: "list[str]",
     n_docs: int,
     avg_len: float,
@@ -133,8 +133,12 @@ def _bm25_score(
         F.try_element_at(idf_map, F.col("term")).cast("double")
         * (tf * F.lit(k1 + 1.0) / denom)
     ).cast("decimal(38,6)")
+    # lens=None: hits already carry their per-doc ``_len`` (the
+    # maintained index denormalizes doc_len onto postings rows) — the
+    # scoring arithmetic is identical either way, only the join goes
+    scored_src = hits if lens is None else hits.join(lens, id_col)
     topk = (
-        hits.join(lens, id_col)
+        scored_src
         .select(F.col(id_col), partial.alias("_p"))
         .groupBy(id_col)
         .agg(F.sum("_p").cast("double").alias("score"))

@@ -176,6 +176,21 @@ def _try_commit(
     return version
 
 
+def _meta_cols(manifest: dict) -> "tuple[tuple[str, ...], tuple[str, ...]]":
+    """The (bloom columns, sums columns) a table is maintaining, read
+    off the manifest's per-directory stats entries — the source of
+    truth a maintenance rewrite must PRESERVE: a compaction that drops
+    a directory's ``__blooms__``/``__sums__`` sidecars permanently
+    demotes point-lookup skipping and metadata-only SUM on the
+    rewritten span (an append only adds sidecars for its own tail)."""
+    blooms: set = set()
+    sums: set = set()
+    for e in (manifest.get("stats") or {}).values():
+        blooms.update((e.get(_STATS_BLOOMS) or {}).keys())
+        sums.update((e.get(_STATS_SUMS) or {}).keys())
+    return tuple(sorted(blooms)), tuple(sorted(sums))
+
+
 def commit_version(
     df: DataFrame, root: str, max_retries: int = 20, app: dict | None = None
 ) -> int:
@@ -272,10 +287,18 @@ def _dir_col_sums(root: str, rel_dir: str, cols: tuple) -> dict:
                 break
             arr = col.drop_null().to_numpy(zero_copy_only=False)
             if len(arr):
-                # per-file int64 sum, Python-bignum accumulation across
-                # files: exact unless ONE file's sum exceeds 2^63 (needs
-                # >9e18 — unreachable for counts/lengths)
-                total += int(arr.sum(dtype=np.int64))
+                # int64 reduction wraps silently; large-magnitude int64
+                # values (epoch-nanos ~9e18/row) overflow within a few
+                # rows. Bound-check before trusting it; otherwise chunk
+                # so each partial fits int64, accumulating in Python
+                # bignums — exact for any input.
+                mx = max(abs(int(arr.min())), abs(int(arr.max())))
+                if mx == 0 or len(arr) <= (2**62) // mx:
+                    total += int(arr.sum(dtype=np.int64))
+                else:
+                    step = max(1, (2**62) // mx)
+                    for i in range(0, len(arr), step):
+                        total += int(arr[i : i + step].sum(dtype=np.int64))
         if ok:
             out[c] = total
     return out
@@ -318,7 +341,13 @@ def _bloom_h12(value) -> "tuple[int, int] | None":
     if isinstance(value, bool) or value is None:
         return None
     if isinstance(value, (int, np.integer)):
-        h1 = int(_splitmix64(np.uint64(np.int64(int(value)))))
+        try:
+            v64 = np.int64(int(value))
+        except OverflowError:
+            # outside int64 — no indexed column can hold it; returning
+            # None keeps the directory (pruning stays conservative)
+            return None
+        h1 = int(_splitmix64(np.uint64(v64)))
         h2 = int(_splitmix64(np.uint64(h1) ^ np.uint64(0xA5A5A5A5A5A5A5A5)))
         return h1, h2 | 1
     if isinstance(value, str):
@@ -800,6 +829,10 @@ def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
         # applied AFTER the scrub, so no caller-supplied dict can forge
         # it onto a data-changing commit (table_changes trusts it)
         _reserved_app={"data_identical": True},
+        # maintenance must not demote the table's metadata surfaces:
+        # re-derive the bloom/sums sidecars the parent was maintaining
+        # for the rewritten directory (same pass commit_append runs)
+        inherit_meta=True,
     )
 
 
@@ -808,6 +841,7 @@ def maybe_compact(
     app: dict | None = None,
     zorder: "tuple[str, str] | None" = None,
     zorder_dirs: int = 16,
+    max_dv_sidecars: "int | None" = 16,
 ) -> int | None:
     """The compaction CADENCE: compact only when the live manifest's
     data-directory list has reached ``max_dirs`` entries. Append-only
@@ -817,6 +851,11 @@ def maybe_compact(
     ``max_dirs`` appends, so per-batch amortized compaction work is
     O(table/max_dirs). ``None`` disables. Returns the compacted version,
     or None when below the threshold (including an empty table).
+
+    Below the directory threshold the cadence still runs DV-sidecar
+    consolidation (``consolidate_dv``) once ``max_dv_sidecars``
+    distinct sidecar directories accumulate — merge-on-read writers
+    call one maintenance entry point and both read-path bounds hold.
 
     Deliberately does NOT vacuum: old manifests carry the batch_id
     ledger durable sinks recover their redelivery guards from, and
@@ -847,6 +886,20 @@ def maybe_compact(
     with open(_manifest_path(root, live)) as f:
         manifest = json.load(f)
     if len(_data_list(manifest)) < max_dirs:
+        # below the rewrite threshold, still bound the merge-on-read
+        # read path: a hot table accumulates one DV sidecar per
+        # dv-commit and every scan unions all of them — fold them into
+        # one (data untouched) once they reach max_dv_sidecars. A full
+        # compaction subsumes this (it commits vector-free), so the
+        # check only runs when compaction does not.
+        if max_dv_sidecars is not None:
+            n_sidecars = len(
+                {p for e in _dv_map(manifest).values() for p in e["paths"]}
+            )
+            if n_sidecars >= max_dv_sidecars:
+                return consolidate_dv(
+                    spark, root, min_sidecars=2, app=app
+                )
         return None
     if zorder is not None:
         return compact_zorder(
@@ -862,6 +915,7 @@ def commit_merge(
     max_retries: int = 20,
     app: dict | None = None,
     _reserved_app: dict | None = None,
+    inherit_meta: bool = False,
 ) -> int:
     """Optimistic MERGE: ``merge_fn(current: DataFrame | None) ->
     DataFrame`` is applied to the latest committed snapshot and the
@@ -877,7 +931,20 @@ def commit_merge(
     for _ in range(max_retries):
         parent = latest_version(root)
         current = read_version(spark, root, parent) if parent is not None else None
-        v = _try_commit(merge_fn(current), root, parent, app)
+        bloom: tuple = ()
+        sums: tuple = ()
+        if inherit_meta and parent is not None:
+            # per-attempt (a rebase must see the racer's columns too):
+            # carry forward whatever bloom/sums sidecars the parent's
+            # directories were maintaining
+            try:
+                with open(_manifest_path(root, parent)) as f:
+                    bloom, sums = _meta_cols(json.load(f))
+            except FileNotFoundError:
+                pass  # parent vacuumed mid-attempt; CAS will rebase
+        v = _try_commit(
+            merge_fn(current), root, parent, app, bloom=bloom, sums=sums
+        )
         if v is not None:
             return v
     raise RuntimeError(
@@ -1423,6 +1490,17 @@ def stats_agg(
     for c in sums:
         if c not in by_name:
             raise ValueError(f"stats_agg sums column {c!r} not in table schema")
+        # _dir_col_sums records integer columns only; a double/decimal
+        # column would demote every directory to the scan path and then
+        # silently truncate fractions into the long-typed output —
+        # refuse instead of returning a wrong SUM.
+        if by_name[c].typeName() not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"stats_agg sums column {c!r} has non-integral type "
+                f"{by_name[c].simpleString()}; metadata sums are "
+                "integer-only — aggregate float/decimal columns with a "
+                "regular query"
+            )
         # SQL SUM semantics: NULL on zero non-null matching rows
         out_fields.append(StructField(f"sum_{c}", _long_type(), True))
     values = [rows]
@@ -2032,12 +2110,12 @@ def _dirs_with_matches(
         )
     else:
         src = spark.read.parquet(*paths)
-    files = (
-        match_fn(src)
-        .select(F.input_file_name().alias("_f"))
-        .distinct()
-        .collect()
-    )
+    # capture the file name in a projection DIRECTLY over the scan:
+    # input_file_name() evaluated after match_fn would return '' whenever
+    # the join shuffles this side (sort-merge on a diff too big to
+    # broadcast) — as a materialized column it survives any exchange
+    src = src.withColumn("_f", F.input_file_name())
+    files = match_fn(src).select("_f").distinct().collect()
     abs_root = os.path.abspath(root)
     hit: set[str] = set()
     for r in files:
@@ -2144,11 +2222,11 @@ def _commit_rewrite_where(
             "data": data_list,
             "schema": pm["schema"],
             "app": {
+                **_scrub_app(app),
                 "op": op,
                 "predicate": condition,
                 "carried_dirs": len(carried),
                 "rewritten_dirs": len(touched),
-                **_scrub_app(app),
             },
             "stats": stats,
         }
@@ -2451,13 +2529,13 @@ def delete_where_dv(
             "data": dirs,
             "schema": pm["schema"],
             "app": {
+                **_scrub_app(app),
                 "op": "delete_where_dv",
                 "predicate": condition,
                 "dv_rows": total,
                 "dv_dirs": len(per_dir),
                 "rewritten_dirs": 0,
                 "carried_dirs": len(dirs),
-                **_scrub_app(app),
             },
             "stats": stats,
             "dv": new_dv,
@@ -2627,12 +2705,12 @@ def _commit_mor(
             "data": data_list,
             "schema": pm["schema"],
             "app": {
+                **_scrub_app(app),
                 "op": op,
                 "dv_rows": int(n_matched),
                 "rows_landed": int(n_tail),
                 "rewritten_dirs": 0,
                 "carried_dirs": len(dirs),
-                **_scrub_app(app),
             },
             "stats": new_stats,
         }
@@ -2711,6 +2789,116 @@ def update_where_dv(
     )
 
 
+def consolidate_dv(
+    spark: SparkSession,
+    root: str,
+    min_sidecars: int = 2,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> "int | None":
+    """DV-only maintenance: merge every deletion-vector sidecar the
+    live manifest references into ONE, data untouched. A hot
+    merge-on-read table accumulates one sidecar directory per
+    ``delete_where_dv``/``update_where_dv``/``commit_upsert(mor=True)``
+    commit, and ``_apply_dv`` unions ALL of them on every scan — after
+    N point-deletes each read pays N small parquet opens. This folds
+    them into a single sidecar (and drops addresses whose data
+    directory has since been rewritten out of the dv map — dead weight
+    the anti-join could never match), the cheap half of Delta's DV
+    compaction: O(deleted rows) read+write, ZERO data directories
+    touched.
+
+    The commit is ``data_identical``-stamped — the visible rows are
+    bit-for-bit the same, so change-feed ranges spanning it stay on the
+    append fast path (pass-through), exactly like ``compact()``.
+    Returns the new version, or None when fewer than ``min_sidecars``
+    distinct sidecar directories exist (nothing worth folding). CAS
+    losses rebase onto the racer's dv map."""
+    if min_sidecars < 2:
+        raise ValueError("min_sidecars must be >= 2 (1 is already folded)")
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            return None
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        dv = _dv_map(pm)
+        all_paths = sorted({p for e in dv.values() for p in e["paths"]})
+        if len(all_paths) < min_sidecars:
+            return None
+        dv_df = spark.read.parquet(
+            *[os.path.join(root, p) for p in all_paths]
+        ).select("_dv_path", "_dv_pos")
+        # keep only addresses into directories still dv-mapped: a
+        # rewritten directory's tombstones are unreachable by any read
+        dv_df = dv_df.filter(
+            F.regexp_extract("_dv_path", "^(.*)/[^/]+$", 1).isin(
+                *dv.keys()
+            )
+        )
+        total = sum(int(e.get("rows", 0)) for e in dv.values())
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        dv_dir = os.path.join(root, "dv", f"v{version:05d}-{token}")
+        out = (
+            dv_df.repartition(1)
+            if total <= _DV_BROADCAST_MAX_ROWS
+            else dv_df
+        )
+        out.write.mode("overwrite").parquet(dv_dir)
+        rel_dv = os.path.relpath(dv_dir, root)
+        new_dv = {
+            d: {"paths": [rel_dv], "rows": int(e["rows"])}
+            for d, e in dv.items()
+        }
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": _data_list(pm),
+            "schema": pm["schema"],
+            "app": {
+                **_scrub_app(app),
+                "op": "consolidate_dv",
+                "dv_sidecars_before": len(all_paths),
+                "dv_sidecars_after": 1,
+                "dv_rows": total,
+                # layer-owned pass-through marker: same rows visible
+                "data_identical": True,
+            },
+            "stats": pm.get("stats") or {},
+            "dv": new_dv,
+        }
+        if pm.get("evolved"):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            continue  # lost — rebase onto the racer's dv map
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"consolidate_dv lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
 def restore(root: str, version: int, max_retries: int = 20,
             app: dict | None = None) -> int:
     """Delta-style RESTORE: make ``version``'s data the LIVE table again
@@ -2770,7 +2958,7 @@ def restore(root: str, version: int, max_retries: int = 20,
             "parent": parent,
             "data": _data_list(tm),
             "schema": tm["schema"],
-            "app": {"restore_of": version, **_scrub_app(app)},
+            "app": {**_scrub_app(app), "restore_of": version},
             "stats": tm.get("stats") or {},
         }
         if _dv_map(tm):
@@ -2975,10 +3163,10 @@ def commit_upsert(
             "data": carried + ([rel] if has_rows else []),
             "schema": pm["schema"],
             "app": {
+                **_scrub_app(app),
                 "op": "upsert",
                 "carried_dirs": len(carried),
                 "rewritten_dirs": len(touched),
-                **_scrub_app(app),
             },
             "stats": new_stats,
         }
@@ -3119,10 +3307,28 @@ def commit_full_sync(
             .localCheckpoint(eager=True)
         )
         # rows the new tail gains: the source's updated + inserted rows
-        newkeys = j.filter(F.col("_upd") | F.col("_ins")).select(*keys)
+        newkeys = (
+            j.filter(F.col("_upd") | F.col("_ins"))
+            .select(*keys)
+            .localCheckpoint(eager=True)
+        )
         n_changed = badkeys.count()
+        # unlike commit_upsert's batch-bounded keys, these diff frames can
+        # approach the whole source on a divergent first sync — broadcast
+        # only under the DV threshold, otherwise leave the strategy to AQE
+        n_gain = newkeys.count()
+        gain_keys = (
+            F.broadcast(newkeys)
+            if n_gain <= _DV_BROADCAST_MAX_ROWS
+            else newkeys
+        )
+        bad_keys = (
+            F.broadcast(badkeys)
+            if n_changed <= _DV_BROADCAST_MAX_ROWS
+            else badkeys
+        )
         tail_rows = source.join(
-            F.broadcast(newkeys), keys, "left_semi"
+            gain_keys, keys, "left_semi"
         ).localCheckpoint(eager=True)
         n_new = tail_rows.count()
         if n_changed == 0 and n_new == 0:
@@ -3146,9 +3352,7 @@ def commit_full_sync(
             if probe and candidates:
                 hit = _dirs_with_matches(
                     spark, root, pm, candidates,
-                    lambda df: df.join(
-                        F.broadcast(badkeys), keys, "left_semi"
-                    ),
+                    lambda df: df.join(bad_keys, keys, "left_semi"),
                 )
                 touched = [p for p in candidates if p in hit]
                 carried += [p for p in candidates if p not in hit]
@@ -3166,9 +3370,9 @@ def commit_full_sync(
             else:
                 old = spark.read.parquet(*touched_paths)
             old = _apply_dv(spark, root, pm, touched, old)
-            tail = old.join(
-                F.broadcast(badkeys), keys, "left_anti"
-            ).unionByName(tail_rows)
+            tail = old.join(bad_keys, keys, "left_anti").unionByName(
+                tail_rows
+            )
         else:
             tail = tail_rows
         version = parent + 1
@@ -3194,12 +3398,12 @@ def commit_full_sync(
             "data": carried + ([rel] if has_rows else []),
             "schema": pm["schema"],
             "app": {
+                **_scrub_app(app),
                 "op": "full_sync",
                 "carried_dirs": len(carried),
                 "rewritten_dirs": len(touched),
                 "rows_changed": int(n_changed),
                 "rows_landed": int(n_new),
-                **_scrub_app(app),
             },
             "stats": new_stats,
         }
@@ -3314,6 +3518,19 @@ def compact_zorder(
             for d in subdirs
         ]
         stats = {rel: _dir_stats(root, rel) for rel in rels}
+        # metadata-preserving maintenance: re-derive the bloom/sums
+        # sidecars the parent's directories were maintaining for each
+        # z-bucket (same pass commit_append runs on its tail)
+        zb_cols, zs_cols = _meta_cols(pm)
+        for rel in rels:
+            if zb_cols:
+                blooms = _write_dir_blooms(root, rel, zb_cols)
+                if blooms:
+                    stats[rel][_STATS_BLOOMS] = blooms
+            if zs_cols:
+                col_sums = _dir_col_sums(root, rel, zs_cols)
+                if col_sums:
+                    stats[rel][_STATS_SUMS] = col_sums
         manifest = {
             "version": version,
             "ts": _now(),

@@ -2316,12 +2316,19 @@ def q_e4_incremental_bm25(spark, sf_dir):
     )
     from .scratch import scratch_root
 
+    import os
+
+    from ..operators import tablefmt as TF
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    step = hi // 3 + 1
+    n_batches = 6
+    step = hi // n_batches + 1
     root = scratch_root("bm25_index")
-    sink = IncrementalBm25IndexSink(root)
-    for i in range(3):
+    # cadence 4 < batches 6: at least one auto-compaction fires DURING
+    # the build — the maintenance window the round-9 audit could not see
+    sink = IncrementalBm25IndexSink(root, auto_compact=4)
+    for i in range(n_batches):
         sink.process_batch(
             docs.filter(
                 (F.col("doc_id") >= i * step)
@@ -2330,12 +2337,20 @@ def q_e4_incremental_bm25(spark, sf_dir):
             batch_id=i,
         )
     sink.process_batch(docs.limit(50), batch_id=1)  # redelivery: skipped
+    # prove a compaction actually rewrote the index tables in-run
+    compacted = any(
+        (m.get("app") or {}).get("data_identical")
+        for sub in ("postings", "doclens")
+        for m in TF.history(os.path.join(root, sub))
+    )
+    assert compacted, "cadence never fired — the audit below proves nothing"
     audit: dict = {}
     out = bm25_topk_from_index(
         spark, root, ["fast", "stream", "vector"], k=20, audit=audit
     )
-    # corpus totals (N docs, total tokens) must be manifest-served:
-    # the maintained index's whole point is no corpus pass per query
+    # corpus totals (N docs, total tokens) must be manifest-served EVEN
+    # AFTER maintenance: compaction re-derives the doc_len sums sidecar
+    # for the directories it rewrites (round-10 queue #1)
     assert audit["dirs_scanned"] == 0, audit
     return out
 

@@ -3470,16 +3470,26 @@ def test_bloom_point_lookup_skipping(spark, tmp_path):
     ).filter(F.col("u") == u3)
     assert [r["k"] for r in got.collect()] == [3]
 
-    # compaction rewrites into a bloom-free directory; reads still work
+    # compaction is metadata-PRESERVING: the rewritten directory
+    # re-derives the blooms it collapses (round-10: a maintenance pass
+    # must not demote point-lookup skipping permanently)
     cv = TF.compact(spark, root)
     mc = json.load(open(TF._manifest_path(root, cv)))
     assert all(
-        "__blooms__" not in e for e in mc["stats"].values()
+        set(e.get("__blooms__", {})) == {"u", "su"}
+        for e in mc["stats"].values()
     )
     got = TF.read_version(
         spark, root, prune={"u": ("=", rows[1999][0])}
     ).filter(F.col("u") == rows[1999][0])
     assert [r["k"] for r in got.collect()] == [1999]
+    # an absent probe still prunes AFTER the compaction (the rebuilt
+    # bloom, not range bounds, does the work: u-ranges span everything)
+    audit = {}
+    n = TF.read_version(
+        spark, root, prune={"u": ("=", 2**31 + 54321)}, audit=audit
+    ).count()
+    assert n == 0 and audit["dirs_kept"] == 0, audit
 
 
 def test_incremental_bm25_index_equals_one_shot(spark, tmp_path):
@@ -4267,3 +4277,383 @@ def test_deletion_vectors_under_schema_evolution(spark, tmp_path):
         (r["k"], r["v"]) for r in TF.read_version(spark, root).collect()
     }
     assert got == {(1, 11), (4, 40)}
+
+
+def test_compaction_preserves_bloom_and_sums_sidecars(spark, tmp_path):
+    """Round-10 queue #1: ``compact``/``maybe_compact``/``compact_zorder``
+    re-derive the ``__blooms__``/``__sums__`` sidecars for the
+    directories they rewrite — one maintenance pass must never demote
+    metadata-only SUM or bloom point-lookup skipping permanently."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "metacompact")
+    full = spark.range(1200).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % (2**31)).alias("u"),
+        (F.col("id") % 97).alias("v"),
+    )
+    for i in range(3):
+        TF.commit_append(
+            full.filter(
+                (F.col("k") >= i * 400) & (F.col("k") < (i + 1) * 400)
+            ),
+            root,
+            bloom=("u",),
+            sums=("v",),
+        )
+    want_sum = sum(i % 97 for i in range(1200))
+
+    # plain compact: ONE directory, blooms + sums re-derived
+    cv = TF.compact(spark, root)
+    mc = json.load(open(TF._manifest_path(root, cv)))
+    entries = list(mc["stats"].values())
+    assert len(entries) == 1
+    assert set(entries[0]["__blooms__"]) == {"u"}
+    assert entries[0]["__sums__"] == {"v": want_sum}
+
+    # SUM stays manifest-only (zero data reads) after the rewrite
+    audit = {}
+    row = TF.stats_agg(spark, root, sums=("v",), audit=audit).collect()[0]
+    assert row["sum_v"] == want_sum and audit["dirs_scanned"] == 0, audit
+
+    # bloom point lookup still prunes: the compacted directory's
+    # u-range spans everything, so only the rebuilt bloom can drop it
+    audit = {}
+    n = TF.read_version(
+        spark, root, prune={"u": ("=", 2**31 + 7)}, audit=audit
+    ).count()
+    assert n == 0 and audit["dirs_kept"] == 0, audit
+
+    # more appends, then the CADENCE path (maybe_compact -> compact)
+    for i in range(3):
+        TF.commit_append(
+            full.filter(F.col("k") < 100).withColumn(
+                "k", F.col("k") + 1200 + i * 100
+            ),
+            root,
+            bloom=("u",),
+            sums=("v",),
+        )
+    assert TF.maybe_compact(spark, root, max_dirs=2) is not None
+    audit = {}
+    row = TF.stats_agg(spark, root, sums=("v",), audit=audit).collect()[0]
+    assert audit["dirs_scanned"] == 0
+    assert row["sum_v"] == want_sum + 3 * sum(i % 97 for i in range(100))
+
+    # z-order maintenance preserves the sidecars per bucket too
+    zv = TF.compact_zorder(spark, root, "k", "u", n_dirs=4)
+    mz = json.load(open(TF._manifest_path(root, zv)))
+    for e in mz["stats"].values():
+        assert set(e.get("__blooms__", {})) == {"u"}
+        assert "v" in e.get("__sums__", {})
+    audit = {}
+    row = TF.stats_agg(spark, root, sums=("v",), audit=audit).collect()[0]
+    assert audit["dirs_scanned"] == 0
+    assert row["sum_v"] == want_sum + 3 * sum(i % 97 for i in range(100))
+
+
+def test_bm25_index_survives_compaction_metadata_only(spark, tmp_path):
+    """Round-10 queue #1 (BM25 face): drive the maintained inverted
+    index PAST its auto-compaction cadence; the manifest-served corpus
+    totals (N, avglen) and bloom-pruned postings scans must stay
+    metadata-only afterwards — serving must not silently degrade to a
+    per-query full scan."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.bm25index import (
+        IncrementalBm25IndexSink, bm25_topk_from_index,
+    )
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+
+    root = str(tmp_path / "bm25c")
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma doc{i % 7} " + "pad " * (i % 5 + 1))
+            for i in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    # cadence 3: six batches force >= 1 auto-compaction on both tables
+    sink = IncrementalBm25IndexSink(root, auto_compact=3)
+    for b in range(6):
+        sink.process_batch(
+            docs.filter((F.col("doc_id") % 6) == b), b
+        )
+    po_m = json.load(
+        open(TF._manifest_path(
+            root + "/postings", TF.latest_version(root + "/postings")
+        ))
+    )
+    dl_m = json.load(
+        open(TF._manifest_path(
+            root + "/doclens", TF.latest_version(root + "/doclens")
+        ))
+    )
+    # compaction actually fired (directory list collapsed below count)
+    assert any(
+        (m.get("app") or {}).get("data_identical")
+        for m in (po_m, dl_m)
+        for _ in [0]
+    ) or len(TF._data_list(po_m)) < 6
+    # every live postings directory still carries its term bloom;
+    # every live doclens directory still carries its doc_len sum
+    for e in po_m["stats"].values():
+        assert "term" in e.get("__blooms__", {}), po_m["stats"]
+    for e in dl_m["stats"].values():
+        assert "doc_len" in e.get("__sums__", {}), dl_m["stats"]
+
+    # corpus totals serve with ZERO data directories scanned
+    audit = {}
+    TF.stats_agg(
+        spark, root + "/doclens", sums=("doc_len",), audit=audit
+    ).collect()
+    assert audit["dirs_scanned"] == 0, audit
+
+    # and the served ranking still equals the one-shot oracle exactly
+    got = bm25_topk_from_index(
+        spark, root, ["alpha", "doc3"], k=10
+    ).collect()
+    want = bm25_topk(docs, ["alpha", "doc3"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_bm25_serve_never_touches_doclens_data(spark, tmp_path):
+    """Round-10 queue #3: ``doc_len`` is denormalized onto postings rows
+    at commit time, so the serve path touches ONLY candidate-sized
+    postings state — corpus totals come from manifest sums and the
+    O(docs) doclens table is off the per-query path entirely. Pin it
+    the sharp way: physically delete every doclens parquet file and
+    serving must still answer, bit-equal to the one-shot oracle."""
+    import glob
+    import os
+
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+    from opcua_ingestion_engine_spark.streaming.bm25index import (
+        IncrementalBm25IndexSink, bm25_topk_from_index,
+    )
+
+    root = str(tmp_path / "bm25lean")
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta doc{i % 5} " + "pad " * (i % 4 + 1))
+            for i in range(90)
+        ],
+        "doc_id long, text string",
+    )
+    sink = IncrementalBm25IndexSink(root, auto_compact=None)
+    for b in range(3):
+        sink.process_batch(docs.filter((F.col("doc_id") % 3) == b), b)
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, ["alpha", "doc2"], k=10).collect()
+    ]
+
+    # the sharp pin: no doclens DATA remains, only manifests
+    removed = 0
+    for f in glob.glob(os.path.join(root, "doclens", "data", "*", "*.parquet")):
+        os.remove(f)
+        removed += 1
+    assert removed > 0
+
+    audit = {}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(
+            spark, root, ["alpha", "doc2"], k=10, audit=audit
+        ).collect()
+    ]
+    assert got == want
+    assert audit["dirs_scanned"] == 0, audit
+
+
+def test_consolidate_dv_folds_sidecars(spark, tmp_path):
+    """Round-10 queue #4: a hot merge-on-read table accumulates one DV
+    sidecar per dv-commit; ``consolidate_dv`` folds them into ONE
+    (data untouched, ``data_identical``-stamped), bounding the
+    per-scan sidecar-file count, GC-ing addresses into rewritten-away
+    directories, and keeping change-feed ranges spanning it on the
+    keyless fast path."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "dvfold")
+    full = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    TF.commit_append(full.filter(F.col("k") < 50), root)
+    TF.commit_append(full.filter(F.col("k") >= 50), root)
+    # five point deletes + one mor update: six sidecar directories
+    for k in (3, 17, 55, 71, 99):
+        TF.delete_where_dv(spark, root, f"k = {k}")
+    TF.update_where_dv(spark, root, "k = 20", {"v": "v + 1000"})
+
+    m = json.load(open(TF._manifest_path(root, TF.latest_version(root))))
+    sidecars_before = {
+        p for e in TF._dv_map(m).values() for p in e["paths"]
+    }
+    assert len(sidecars_before) == 6
+    rows_before = {
+        d: e["rows"] for d, e in TF._dv_map(m).items()
+    }
+    want = sorted(tuple(r) for r in TF.read_version(spark, root).collect())
+
+    cv = TF.consolidate_dv(spark, root)
+    assert cv == TF.latest_version(root)
+    mc = json.load(open(TF._manifest_path(root, cv)))
+    app = mc["app"]
+    assert app["op"] == "consolidate_dv" and app["data_identical"]
+    assert app["dv_sidecars_before"] == 6 and app["dv_sidecars_after"] == 1
+    paths_after = {p for e in TF._dv_map(mc).values() for p in e["paths"]}
+    assert len(paths_after) == 1
+    # per-directory tombstone counts carry verbatim
+    assert {d: e["rows"] for d, e in TF._dv_map(mc).items()} == rows_before
+    # visible rows are bit-identical
+    got = sorted(tuple(r) for r in TF.read_version(spark, root).collect())
+    assert got == want
+
+    # idempotence: a second consolidation is a no-op (already folded)
+    assert TF.consolidate_dv(spark, root) is None
+
+    # change-feed across the consolidation stays KEYLESS fast path:
+    # append -> dv-deletes -> consolidate -> append must serve O(changes)
+    TF.commit_append(
+        spark.createDataFrame([(200, 600)], "k long, v long"), root
+    )
+    feed = TF.table_changes(spark, root, cv - 1)  # spans consolidation
+    kinds = {r[TF.CHANGE_TYPE_COL] for r in feed.collect()}
+    assert kinds == {"insert"}
+    assert sorted(r["k"] for r in feed.collect()) == [200]
+
+    # sidecar GC: rewrite one directory out of the dv map (CoW delete
+    # touches it), then consolidation must drop its dead addresses
+    TF.delete_where(spark, root, "k >= 50 AND k <= 60")  # CoW rewrite
+    for k in (5, 7):
+        TF.delete_where_dv(spark, root, f"k = {k}")
+    cv2 = TF.consolidate_dv(spark, root)
+    m2 = json.load(open(TF._manifest_path(root, cv2)))
+    only = next(iter(
+        {p for e in TF._dv_map(m2).values() for p in e["paths"]}
+    ))
+    folded = spark.read.parquet(os.path.join(root, only))
+    live_dirs = set(TF._dv_map(m2).keys())
+    addr_dirs = {
+        os.path.dirname(r["_dv_path"]) for r in folded.collect()
+    }
+    assert addr_dirs <= live_dirs
+
+
+def test_maybe_compact_runs_dv_consolidation_on_cadence(spark, tmp_path):
+    """Below the directory-count threshold, ``maybe_compact`` still
+    folds DV sidecars once ``max_dv_sidecars`` accumulate — one
+    maintenance entry point bounds both read-path costs."""
+    import json
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "dvcad")
+    TF.commit_append(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        root,
+    )
+    for k in (1, 2, 3):
+        TF.delete_where_dv(spark, root, f"k = {k}")
+    # 3 sidecars < 4: cadence does nothing
+    assert TF.maybe_compact(
+        spark, root, max_dirs=64, max_dv_sidecars=4
+    ) is None
+    TF.delete_where_dv(spark, root, "k = 4")
+    v = TF.maybe_compact(spark, root, max_dirs=64, max_dv_sidecars=4)
+    assert v is not None
+    m = json.load(open(TF._manifest_path(root, v)))
+    assert m["app"]["op"] == "consolidate_dv"
+    assert len({p for e in TF._dv_map(m).values() for p in e["paths"]}) == 1
+    got = sorted(r["k"] for r in TF.read_version(spark, root).collect())
+    assert got == [0] + list(range(5, 40))
+
+
+@pytest.mark.parametrize("seed", [11, 29, 83])
+def test_consolidate_dv_two_writer_race(spark, tmp_path, seed):
+    """Chaos: a consolidator racing two dv-deleters and an appender.
+    Every CAS loser rebases; the final visible rows equal the serial
+    truth regardless of interleaving, and the history is linear."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / f"dvconsrace{seed}")
+    full = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(full.filter(F.col("k") < 40), root)
+    TF.delete_where_dv(spark, root, "k = 39")  # seed one sidecar
+    TF.delete_where_dv(spark, root, "k = 38")  # and another
+    errors: list = []
+
+    def deleter(w: int):
+        rng = random.Random(seed * 5 + w)
+        try:
+            _time.sleep(rng.random() * 0.05)
+            TF.delete_where_dv(
+                spark, root, f"k % {5 if w == 0 else 7} = 0"
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    def consolidator():
+        rng = random.Random(seed * 11)
+        try:
+            for _ in range(2):
+                _time.sleep(rng.random() * 0.04)
+                TF.consolidate_dv(spark, root)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("cons", exc))
+
+    def appender():
+        try:
+            _time.sleep(random.Random(seed).random() * 0.03)
+            TF.commit_append(full.filter(F.col("k") >= 40), root)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("app", exc))
+
+    threads = [
+        threading.Thread(target=deleter, args=(0,)),
+        threading.Thread(target=deleter, args=(1,)),
+        threading.Thread(target=consolidator),
+        threading.Thread(target=appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    hist = TF.history(root)
+    versions = [m["version"] for m in hist]
+    assert versions == list(range(len(hist)))
+    for m in hist[1:]:
+        assert m["parent"] == m["version"] - 1
+
+    # consolidation never changes visible rows: low half is the serial
+    # truth of both delete predicates + the two seeds
+    got = sorted(r["k"] for r in TF.read_version(spark, root).collect())
+    kept_low = [
+        k for k in range(38) if k % 5 != 0 and k % 7 != 0
+    ]
+    assert [k for k in got if k < 40] == kept_low
+    # and a final consolidation still serves the same rows
+    TF.consolidate_dv(spark, root)
+    assert sorted(
+        r["k"] for r in TF.read_version(spark, root).collect()
+    ) == got
