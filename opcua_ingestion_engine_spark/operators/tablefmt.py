@@ -1632,7 +1632,12 @@ def table_changes(
       contributes ``delete`` rows recovered by reading ONLY the
       directories the addresses touch (immutable files — the deleted
       images are exact at any later version), still O(changes), still
-      no ``keys``.
+      no ``keys``. Merge-on-read upserts/updates (``upsert_mor``,
+      ``update_where_dv``) ride the same machinery: new sidecar
+      addresses contribute ``delete`` pre-images and the appended tail
+      contributes ``insert`` rows — the delete+insert decomposition of
+      an update (the keyed endpoint diff labels the same keys
+      update_pre/postimage; net-equivalent for consumers).
     - **Keyed diff** — otherwise (rewrites/upserts/compactions in the
       range, or intermediate manifests vacuumed), a ``snapshot_diff``
       of the two endpoint snapshots: one full-outer shuffle on
@@ -1710,14 +1715,51 @@ def table_changes(
             )
             prev_dv = _dv_map(m)
             continue
+        if (
+            (m.get("app") or {}).get("op") in ("upsert_mor", "update_where_dv")
+            and cur[: len(prev)] == prev
+        ):
+            # merge-on-read upsert/update: the step's changes ARE its
+            # new sidecar addresses (the tombstoned pre-images, emitted
+            # as ``delete`` rows) plus its appended tail (the new
+            # images, emitted as ``insert`` rows) — the delete+insert
+            # decomposition of an update, keyless and O(changes) like
+            # the dv-delete fast path. (The keyed endpoint diff would
+            # label the matched keys update_pre/postimage instead; the
+            # decomposition is net-equivalent for feed consumers, which
+            # apply updates as delete-then-insert anyway.) The dv map
+            # must be strictly ADDITIVE over the step — anything else
+            # is not the _commit_mor shape and takes the keyed diff.
+            known = {
+                p for e in (prev_dv or {}).values() for p in e["paths"]
+            }
+            cur_paths = {
+                p for e in _dv_map(m).values() for p in e["paths"]
+            }
+            if not known <= cur_paths:
+                fast = False  # a sidecar vanished — not additive
+                break
+            new_paths = sorted(cur_paths - known)
+            if not new_paths and len(cur) == len(prev):
+                fast = False  # neither tombstones nor tail: unrecognizable
+                break
+            if new_paths:
+                dv_steps.append(
+                    (v, new_paths, m["schema"] if m.get("evolved") else None)
+                )
+            if len(cur) > len(prev):
+                tails.append((v, cur[len(prev):]))
+            prev_list = cur
+            prev_dv = _dv_map(m)
+            continue
         if cur[: len(prev)] != prev or len(cur) <= len(prev):
             fast = False  # a rewrite/upsert step — not an append
             break
         if _dv_map(m) != (prev_dv or {}):
             # extends the directory list AND changes deletion vectors —
-            # a merge-on-read upsert/update: its tail rows are inserts
-            # but the new vectors are implicit deletes; treating it as a
-            # pure append would resurrect the replaced rows
+            # a merge-on-read step of a shape the branches above do not
+            # recognize; treating it as a pure append would resurrect
+            # the replaced rows
             fast = False
             break
         tails.append((v, cur[len(prev):]))

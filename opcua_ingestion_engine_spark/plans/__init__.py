@@ -30,70 +30,70 @@ from . import datapipe_ops  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship first — unchanged since round 1.
     "q_flagship_modvalues",
-    # New round-9 oracle queries (registered this round, checked this
-    # round): deletion vectors, bloom point lookup, the maintained
-    # inverted index, and the three-clause full-sync MERGE.
-    "q_tf_deletion_vectors",
-    "q_tf_point_lookup",
-    "q_e4_incremental_bm25",
-    "q_tf_merge_full_sync",
+    # The only oracle queries without a lifetime driver row (registered
+    # after the round-9 window froze — first in line per the standing
+    # rotation rule), then the two NEW round-10 oracle queries:
+    # DV-sidecar consolidation and the keyless mor-upsert change feed.
+    "q_tf_sum_agg",
+    "q_tf_upsert_mor",
+    "q_tf_consolidate_dv",
+    "q_tf_changefeed_mor",
     # Family canaries: the LEAST-recently-checked oracle member of each
-    # operator family (tests/test_registry_window.py pins one per
-    # family), so a regression in shared family machinery surfaces in
-    # the driver artifact, not just pytest. (e2/e4/e7/tpch/windows/
-    # reference_core are covered by the backfill cohort below.)
-    "q_e1_exact_dedup",  # r8 (sole e1 member)
-    "q_e3_ann_cosine_topk",  # r6
-    "q_e5_multimodal_meta",  # r7
-    "q_e6_timeseries_similarity",  # r8 (sole e6 member)
-    "q_asof_join_purchase_view",  # r8 (oldest asof)
-    "q_range_join_purchase_errors",  # r8 (oldest range)
-    "q_w_sessionize",  # r8 (sole sessionize)
-    # Round-9 rotation (round-8 verdict item 2): the LEAST-recently-
-    # checked oracle rows, oldest first — the round-2 cohort (scalar
-    # functions, extended joins/aggs/windows, three testdata
-    # regenerations old), then round-4, then the three oldest round-5
-    # members (q_e7_curation_pipeline keeps e7 family coverage). All
-    # rotated-out members keep their lifetime green rows and stay
-    # oracle-checked every round via verify_contract / test_parity.
-    "q_agg_cube",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_join_right_orders_customer",
-    "q_join_semi_customers_with_orders",
-    "q_w_lag_lead",
-    "q_w_row_number_rank",
-    "q_w_running_sum",
-    "q_x10_json_parse",
-    "q_x11_url_parse",
-    "q_x12_null_coalesce",
-    "q_x13_trim",
-    "q_x4_try_cast_skip",
-    "q_x5_timestamp_text",
-    "q_x6_node_id_concat",
-    "q_x7_lowercase",
-    "q_x8_aes_roundtrip",
-    "q_x9_utf8_encode",
-    "q_e4_lang_id",
-    "q_e4_pattern_extract",
-    "q_e4_quality_filter",
-    "q_e4_sentiment",
-    "q_e4_text_stats",
-    "q_e4_token_count",
-    "q_e4_winnowing",
-    "q_e8_pack_chunks",
-    "q_s4_device_scan",
-    "q_t10_tumbling_window",
-    "q_t3_heartbeat_refresh",
-    "q_tpch_q21_waiting_suppliers",
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q6_forecast_revenue",
-    "q_w_ntile_dist",
-    "q_x2_point_slope_general",
-    "q_x3_scale_dispatch",
-    "q_e2_dedup_clusters",
-    "q_e7_curation_pipeline",
-    "q_e2_embedding_neardup",
+    # family not already covered by the backfill cohort below
+    # (tests/test_registry_window.py pins one per family).
+    "q_e1_exact_dedup",  # r9 (sole e1 member)
+    "q_e5_frame_sample",  # r8 (oldest e5)
+    "q_e6_timeseries_similarity",  # r9 (sole e6 member)
+    "q_e7_curation_quality_rep",  # r7 (oldest e7)
+    "q_asof_join_purchase_view",  # r9 (sole-family asof)
+    "q_range_join_purchase_errors",  # r9 (sole-family range)
+    "q_w_sessionize",  # r9 (covers sessionize + windows patterns)
+    # Round-10 rotation (round-9 verdict item 2): the least-recently-
+    # checked cohort — every row last driver-checked in round 5, then
+    # as much of the round-6 cohort as fits (the q_tf_change_feed*
+    # rows jump their cohort order because this round's mor-upsert
+    # fast path touches exactly that machinery). All rotated-out
+    # members keep their lifetime green rows and stay oracle-checked
+    # every round via verify_contract / test_parity.
+    "q_f1_monitored_devices",
+    "q_f3_staleness_filter",
+    "q_t_downsample_ohlc",
+    "q_t_multires_rollup",
+    "q_t_funnel_conversion",
+    "q_t_cohort_retention",
+    "q_e8_split_assignment",
+    "q_e8_stratified_sample",
+    "q_e8_contamination",
+    "q_e4_pii_redact",
+    "q_e4_repetition",
+    "q_e4_token_entropy",
+    "q_e8_global_shuffle",
+    "q_e8_quality_topk",
+    "q_e8_epoch_expand",
+    # round-6 cohort (23 of 34; the remaining 11 lead round 11's queue)
+    "q_a2_latest_per_key",
+    "q_s9_upsert_matched",
+    "q_b1_browse_tree",
+    "q_sort_topk_orders",
+    "q_set_intersect",
+    "q_t10_session_window",
+    "q_e2_repeated_spans",
+    "q_e2_incremental_spans",
+    "q_e2_durable_spans",
+    "q_e2_span_trim",
+    "q_e2_incremental_span_trim",
+    "q_e3_domain_diversity",
+    "q_s8_default_injection",
+    "q_tpch_q5_local_supplier_volume",
+    "q_t_anomaly_zscore",
+    "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q12_priority_classes",
+    "q_agg_mode_per_group",
+    "q_tf_change_feed",
+    "q_tf_change_feed_append",
+    "q_tf_incremental_view",
 )
 
 

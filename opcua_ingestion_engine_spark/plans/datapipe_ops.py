@@ -2439,3 +2439,139 @@ def q_e3_hybrid_rrf(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") == 0), k=50
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex.select("doc_id", "rank"), vec], k=15)
+
+
+@register(
+    "q_tf_consolidate_dv",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 11 <> 0 AND user_id % 13 <> 0 AND user_id % 17 <> 0
+      AND user_id % 19 <> 0 AND user_id % 23 <> 0
+    GROUP BY event_type
+    """,
+    "Table-layer DV-sidecar CONSOLIDATION (round 10) — five scattered "
+    "merge-on-read point-delete commits leave five parquet sidecar "
+    "directories that every scan must union; consolidate_dv folds them "
+    "into ONE with the data directories untouched (in-query audit: "
+    "op == consolidate_dv, data_identical stamped, sidecars 5 -> 1, "
+    "data list carried verbatim) so the per-scan sidecar file count "
+    "stays bounded on a hot table. The visible rows are bit-identical "
+    "before and after; the oracle is the aggregate over the conjunction "
+    "of the five NOT(predicate)s.",
+)
+def q_tf_consolidate_dv(spark, sf_dir):
+    import json as _json
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    root = scratch_root("consolidate_dv")
+    for i in range(4):
+        TF.commit_append(
+            ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            root,
+        )
+    for p in (11, 13, 17, 19, 23):
+        TF.delete_where_dv(spark, root, f"user_id % {p} = 0")
+    with open(TF._manifest_path(root, TF.latest_version(root))) as f:
+        before = _json.load(f)
+    n_before = len(
+        {p for e in TF._dv_map(before).values() for p in e["paths"]}
+    )
+    # at tiny SFs a predicate can match nothing (no commit, no sidecar);
+    # the fold is audited against the sidecars that actually landed
+    assert n_before >= 2, f"need >=2 sidecars to fold, got {n_before}"
+    v = TF.consolidate_dv(spark, root)
+    with open(TF._manifest_path(root, v)) as f:
+        m = _json.load(f)
+    assert m["app"]["op"] == "consolidate_dv", m["app"]
+    assert m["app"]["data_identical"] is True, m["app"]
+    assert m["app"]["dv_sidecars_before"] == n_before, m["app"]
+    n_after = len({p for e in TF._dv_map(m).values() for p in e["paths"]})
+    assert n_after == 1, f"sidecars must fold to 1, got {n_after}"
+    assert TF._data_list(m) == TF._data_list(before), (
+        "data list must carry verbatim — consolidation touches no data"
+    )
+    return (
+        TF.read_version(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_tf_changefeed_mor",
+    """
+    WITH h AS (SELECT (max(event_id) + 1) // 2 AS half FROM events),
+    ev AS (SELECT event_id, user_id, value FROM events)
+    SELECT event_id, user_id, value,
+           'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM ev, h WHERE event_id < half AND user_id % 7 = 0
+    UNION ALL
+    SELECT event_id, user_id, value + 1000.0 AS value,
+           'insert', CAST(1 AS BIGINT)
+    FROM ev, h WHERE event_id < half AND user_id % 7 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, 'insert', CAST(1 AS BIGINT)
+    FROM ev, h WHERE event_id >= half AND user_id % 5 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, 'insert', CAST(2 AS BIGINT)
+    FROM ev, h WHERE event_id >= half AND user_id % 5 <> 0
+    """,
+    "Keyless O(changes) change feed across a merge-on-read MERGE "
+    "(round 10) — base table of the low-id half, then one "
+    "commit_upsert(mor=True) whose batch UPDATES the user_id%7 rows "
+    "(value + 1000) and INSERTS the high-half user_id%5 rows, then a "
+    "plain append of the rest. table_changes serves the spanning range "
+    "WITHOUT keys: the mor step's sidecar addresses recover the "
+    "tombstoned pre-images as delete rows and its tail contributes "
+    "insert rows (the delete+insert decomposition of an update), each "
+    "step O(its own changes) — the keyed endpoint diff would re-shuffle "
+    "the whole table. The oracle constructs the same change set "
+    "relationally: delete pre-images, updated post-images, the two "
+    "insert cohorts, versions stamped 1 and 2.",
+)
+def q_tf_changefeed_mor(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    half = (ev.agg(F.max("event_id")).collect()[0][0] + 1) // 2
+    root = scratch_root("changefeed_mor")
+    base = ev.filter(F.col("event_id") < half)
+    TF.commit_version(base, root)  # v0
+    batch = base.filter(F.col("user_id") % 7 == 0).select(
+        "event_id", "user_id", (F.col("value") + F.lit(1000.0)).alias("value")
+    ).unionByName(
+        ev.filter(
+            (F.col("event_id") >= half) & (F.col("user_id") % 5 == 0)
+        )
+    )
+    TF.commit_upsert(spark, root, batch, keys=["event_id"], mor=True)  # v1
+    TF.commit_append(
+        ev.filter(
+            (F.col("event_id") >= half) & (F.col("user_id") % 5 != 0)
+        ),
+        root,
+    )  # v2
+    # keyless: the spanning read must ride the fast path (the keyed
+    # fallback REQUIRES keys=, so success here IS the plan assertion)
+    return TF.table_changes(spark, root, 0)

@@ -128,7 +128,6 @@ class IncrementalHeavyHittersSink:
             from ..operators import tablefmt as TF
 
             spark = batch_docs.sparkSession
-            trimmed = mg_trim(merged, self.capacity)
             if batch_id not in self._docs_done:
                 TF.commit_append(
                     batch_state, self._docs_root, app={"batch_id": batch_id}
@@ -137,17 +136,47 @@ class IncrementalHeavyHittersSink:
             # sketch LAST: its commit is the batch's durability point —
             # a crash between the two retries by re-merging the batch
             # counts into the OLD persisted sketch (the correct base)
-            # and skipping the already-landed docs append
+            # and skipping the already-landed docs append.
+            # commit_merge, NOT commit_version: a CAS loss must rebase
+            # the BATCH's counts onto the racing writer's committed
+            # sketch — re-committing this writer's in-memory merge
+            # would silently erase the racer's counts (MG summaries
+            # merge by count addition + trim, Agarwal et al., so the
+            # superset guarantee survives the rebase)
             if batch_id not in self._sketch_done:
-                TF.commit_version(
-                    spark.createDataFrame(
-                        sorted(trimmed.items()), "token string, cnt long"
-                    ),
-                    self._sketch_root,
+                batch_counts: Counter = Counter()
+                for r in part_rows:
+                    batch_counts[r["token"]] += r["cnt"]
+                cap_ = self.capacity
+
+                def merge_sketch(current: DataFrame | None) -> DataFrame:
+                    base: Counter = (
+                        Counter()
+                        if current is None
+                        else Counter(
+                            {
+                                r["token"]: r["cnt"]
+                                for r in current.collect()  # O(capacity)
+                            }
+                        )
+                    )
+                    base.update(batch_counts)
+                    return spark.createDataFrame(
+                        sorted(mg_trim(base, cap_).items()),
+                        "token string, cnt long",
+                    )
+
+                TF.commit_merge(
+                    spark, self._sketch_root, merge_sketch,
                     app={"batch_id": batch_id},
                 )
                 self._sketch_done.add(batch_id)
-            self.sketch = trimmed
+            # serve from the COMMITTED sketch (under concurrency the
+            # table may carry a racer's counts this writer never saw)
+            self.sketch = Counter({
+                r["token"]: r["cnt"]
+                for r in TF.read_version(spark, self._sketch_root).collect()
+            })
             self.batches_seen += 1
             self._done_batch_ids.add(batch_id)
             # maintenance after the durability point (docs only — the

@@ -848,16 +848,18 @@ def test_durable_heavy_hitters_restart_crash_and_equality(
     sink.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
 
     # crash between the docs append and the sketch commit of wave 1
-    real_cv = TF.commit_version
+    # (the sketch lands via commit_merge since round 10 — two-writer
+    # rebase safety — so the injection targets that entry point)
+    real_cm = TF.commit_merge
     boom = {"armed": True}
 
-    def failing_cv(df, root_, **kw):
+    def failing_cm(spark_, root_, merge_fn, **kw):
         if boom["armed"] and root_.endswith("/sketch"):
             boom["armed"] = False
             raise RuntimeError("injected crash before sketch commit")
-        return real_cv(df, root_, **kw)
+        return real_cm(spark_, root_, merge_fn, **kw)
 
-    monkeypatch.setattr(TF, "commit_version", failing_cv)
+    monkeypatch.setattr(TF, "commit_merge", failing_cm)
     import pytest as _pytest
 
     wave1 = docs.filter(F.col("doc_id") % 3 == 1)
@@ -4120,17 +4122,20 @@ def test_merge_on_read_upsert_and_update(spark, tmp_path):
     with _pytest.raises(ValueError, match="not in table"):
         TF.update_where_dv(spark, root, "k = 3", {"zzz": "1"})
 
-    # change feed across the MoR commit: keyed diff, exact change set
-    feed = TF.table_changes(spark, root, v - 1, v, keys=["k"])
+    # change feed across the MoR commit: the keyless fast path (round
+    # 10) serves the delete+insert decomposition — pre-images from the
+    # sidecar addresses, new images from the tail. NO keys needed, and
+    # the tail alone never resurrects the replaced rows (their deletes
+    # ride along).
+    feed = TF.table_changes(spark, root, v - 1, v)
     by = {}
+    vals = {}
     for r in feed.collect():
         by.setdefault(r["_change_type"], set()).add(r["k"])
-    assert by["insert"] == {100}
-    assert by["update_postimage"] == {3, 25}
-    # keyless ranges across it refuse the append fast path (the tail
-    # alone would resurrect the replaced rows)
-    with _pytest.raises(ValueError, match="keys"):
-        TF.table_changes(spark, root, v - 1, v)
+        vals[(r["_change_type"], r["k"])] = r["v"]
+    assert by["insert"] == {3, 25, 100}
+    assert by["delete"] == {3, 25}
+    assert vals[("insert", 3)] == 999 and vals[("delete", 3)] == 30
 
     # stats_agg stays exact over the tombstoned table
     row = TF.stats_agg(spark, root, cols=("v",)).collect()[0]
@@ -4657,3 +4662,351 @@ def test_consolidate_dv_two_writer_race(spark, tmp_path, seed):
     assert sorted(
         r["k"] for r in TF.read_version(spark, root).collect()
     ) == got
+
+
+def test_change_feed_fast_path_across_mor_upserts(spark, tmp_path):
+    """Round-10 queue #5: a ``commit_upsert(mor=True)`` /
+    ``update_where_dv`` step's changes ARE its sidecar addresses
+    (pre-images -> ``delete``) plus its tail (new images ->
+    ``insert``) — the keyless O(changes) fast path must span them
+    instead of demanding keys for the O(table) endpoint diff."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "morfeed")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    TF.commit_append(mk([(1, 10), (2, 20), (3, 30)]), root)       # v0
+    TF.commit_append(mk([(4, 40), (5, 50)]), root)                # v1
+    # mor upsert: k=2 updated, k=6 inserted                        v2
+    TF.commit_upsert(spark, root, mk([(2, 222), (6, 60)]), keys=["k"], mor=True)
+    # mor predicate update: k=4 gets v+1                           v3
+    TF.update_where_dv(spark, root, "k = 4", {"v": "v + 1"})
+    TF.commit_append(mk([(7, 70)]), root)                          # v4
+
+    # keyless: must NOT raise (pre-round-10 this demanded keys=)
+    feed = TF.table_changes(spark, root, 0)
+    rows = [
+        (r["k"], r["v"], r[TF.CHANGE_TYPE_COL], r[TF.COMMIT_VERSION_COL])
+        for r in feed.collect()
+    ]
+    assert sorted(rows) == sorted([
+        (4, 40, "insert", 1), (5, 50, "insert", 1),
+        (2, 20, "delete", 2),                      # pre-image tombstoned
+        (2, 222, "insert", 2), (6, 60, "insert", 2),
+        (4, 40, "delete", 3),                      # pre-image tombstoned
+        (4, 41, "insert", 3),
+        (7, 70, "insert", 4),
+    ])
+
+    # replaying the whole-history feed (from None) reproduces the
+    # live snapshot exactly
+    full = TF.table_changes(spark, root, None)
+    state: set = set()
+    by_v: dict = {}
+    for r in full.collect():
+        by_v.setdefault(r[TF.COMMIT_VERSION_COL], []).append(r)
+    for v in sorted(by_v):
+        for r in by_v[v]:
+            if r[TF.CHANGE_TYPE_COL] == "delete":
+                state.discard((r["k"], r["v"]))
+            else:
+                state.add((r["k"], r["v"]))
+    live = {
+        (r["k"], r["v"]) for r in TF.read_version(spark, root).collect()
+    }
+    assert state == live
+
+    # a matview WITHOUT row_keys refreshes over the whole range: the
+    # feed never needs the keyed fallback, and the view equals a
+    # from-scratch aggregate
+    from opcua_ingestion_engine_spark.operators.matview import (
+        MaterializedAggView,
+    )
+
+    src2, vr2 = str(tmp_path / "morsrc2"), str(tmp_path / "morview2")
+    mkg = lambda rows: spark.createDataFrame(rows, "k long, g string, x long")
+    view = MaterializedAggView(src2, vr2, group_keys=["g"], sum_cols=["x"])
+    TF.commit_append(mkg([(1, "a", 1), (2, "a", 2), (3, "b", 4)]), src2)
+    assert view.refresh(spark) == 0
+    TF.commit_upsert(
+        spark, src2, mkg([(2, "a", 200), (9, "b", 8)]), keys=["k"], mor=True
+    )
+    TF.commit_append(mkg([(10, "c", 16)]), src2)
+    assert view.refresh(spark) == 1
+    got = {
+        (r["g"], r["n"], r["sum_x"]) for r in view.result(spark).collect()
+    }
+    assert got == {("a", 2, 201), ("b", 2, 12), ("c", 1, 16)}
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59])
+def test_rollup_sink_two_writer_race(spark, tmp_path, seed):
+    """Round-10 queue #6 (rollup face): two durable rollup writers on
+    ONE state root, disjoint event halves, seeded jitter + an
+    in-schedule redelivery. The additive commit_merge must rebase CAS
+    losers, the manifest history stays linear, every batch lands once,
+    and the final cascade equals the one-shot batch cascade over the
+    union."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators import timeseries as TS
+    from opcua_ingestion_engine_spark.streaming.rollup import (
+        IncrementalRollupSink,
+    )
+
+    ev = C.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    want = _rows(TS.multires_rollup(ev))
+    root = str(tmp_path / f"rlrace{seed}")
+    sinks = [
+        IncrementalRollupSink(state_root=root),
+        IncrementalRollupSink(state_root=root),
+    ]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 13 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("event_id") % 4 < 2
+                    if wave == 0
+                    else F.col("event_id") % 4 >= 2
+                )
+                batch = ev.filter((F.col("event_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+                if rng.random() < 0.5:
+                    sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    hist = TF.history(root)
+    assert [m["version"] for m in hist] == list(range(len(hist)))
+    bids = [
+        m["app"]["batch_id"] for m in hist if "batch_id" in m.get("app", {})
+    ]
+    assert sorted(bids) == [0, 1, 100, 101]  # exactly once, no doubles
+
+    final = IncrementalRollupSink(state_root=root)
+    assert _rows(final.result()) == want and want
+
+
+@pytest.mark.parametrize("seed", [3, 23, 71])
+def test_heavy_hitters_sink_two_writer_race(spark, tmp_path, seed):
+    """Round-10 queue #6 (heavy-hitters face): two durable MG-sketch
+    writers on ONE root. The sketch lands via commit_merge (round-10
+    fix — a commit_version rewrite would ERASE the racer's counts on a
+    CAS rebase); mergeable-summaries addition keeps the candidate
+    superset guarantee, so the exact recount equals the batch answer
+    over the union regardless of interleaving."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators import text as T
+    from opcua_ingestion_engine_spark.streaming.heavyhitters import (
+        IncrementalHeavyHittersSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    want = _rows(T.frequent_tokens(docs, min_frac=0.01, capacity=600))
+    assert want
+    root = str(tmp_path / f"hhrace{seed}")
+    sinks = [
+        IncrementalHeavyHittersSink(capacity=600, state_root=root),
+        IncrementalHeavyHittersSink(capacity=600, state_root=root),
+    ]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 17 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("doc_id") % 4 < 2
+                    if wave == 0
+                    else F.col("doc_id") % 4 >= 2
+                )
+                batch = docs.filter((F.col("doc_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+                if rng.random() < 0.5:
+                    sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    for sub in ("docs", "sketch"):
+        hist = TF.history(root + "/" + sub)
+        assert [m["version"] for m in hist] == list(range(len(hist)))
+    bids = [
+        m["app"]["batch_id"]
+        for m in TF.history(root + "/docs")
+        if "batch_id" in m.get("app", {})
+    ]
+    assert sorted(bids) == [0, 1, 100, 101]
+
+    final = IncrementalHeavyHittersSink(capacity=600, state_root=root)
+    assert _rows(final.result(0.01)) == want
+
+
+@pytest.mark.parametrize("seed", [9, 37, 61])
+def test_span_sink_two_writer_race(spark, tmp_path, seed):
+    """Round-10 queue #6 (span-dedup face): two durable span writers,
+    disjoint doc halves. Postings/seen are append-structured (CAS
+    rebase commutes), the report aggregates at read time, so every
+    interleaving must serve the one-shot batch report over the union."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark import catalog as C
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.spans import (
+        IncrementalSpanDedupSink,
+    )
+
+    docs = C.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 150)
+    want = _rows(D.repeated_spans(docs, k=15))
+    assert want
+    root = str(tmp_path / f"spanrace{seed}")
+    sinks = [
+        IncrementalSpanDedupSink(k=15, state_root=root),
+        IncrementalSpanDedupSink(k=15, state_root=root),
+    ]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 19 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("doc_id") % 4 < 2
+                    if wave == 0
+                    else F.col("doc_id") % 4 >= 2
+                )
+                batch = docs.filter((F.col("doc_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+                if rng.random() < 0.5:
+                    sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    for sub in ("postings", "seen"):
+        hist = TF.history(root + "/" + sub)
+        assert [m["version"] for m in hist] == list(range(len(hist)))
+    # no doc contributed windows twice (disjoint halves + seen guard)
+    p = TF.read_version(spark, root + "/postings")
+    assert p.groupBy("doc_id", "start").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+    final = IncrementalSpanDedupSink(k=15, state_root=root)
+    assert _rows(final.result()) == want
+
+
+@pytest.mark.parametrize("seed", [17, 41, 97])
+def test_neardup_sink_two_writer_race(spark, tmp_path, seed):
+    """Round-10 queue #6 (near-dup face): two durable MinHash-LSH
+    writers, disjoint doc halves whose near-dup clusters are
+    parity-homogeneous by construction (every true pair lives inside
+    one writer) — so every interleaving must converge to the batch
+    pipeline's exact verified pairs over the union; shingles/index/
+    pairs tables stay linearizable and exactly-once."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark.operators import dedup as D
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.neardup import (
+        IncrementalNearDupSink,
+    )
+
+    # cluster c occupies ids {4c, 4c+2} (writer 0) or {4c+1, 4c+3}
+    # (writer 1): near-identical text inside a cluster, disjoint
+    # vocabulary across clusters
+    rows = []
+    for c in range(10):
+        base = " ".join(f"tok{c}_{j}" for j in range(30))
+        tweak = base.replace(f"tok{c}_7", f"tok{c}_7x")
+        lo = 4 * c + (c % 2)
+        rows.append((lo, base))
+        rows.append((lo + 2, tweak))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _rows(
+        D.minhash_neardup_pairs(docs, threshold=0.2)
+        .select("doc_a", "doc_b")
+    )
+    assert want
+    root = str(tmp_path / f"ndrace{seed}")
+    kw = dict(threshold=0.2, state_root=root)
+    sinks = [IncrementalNearDupSink(**kw), IncrementalNearDupSink(**kw)]
+    errors: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 23 + w)
+        try:
+            for wave in range(2):
+                _time.sleep(rng.random() * 0.05)
+                half = (
+                    F.col("doc_id") % 4 < 2
+                    if wave == 0
+                    else F.col("doc_id") % 4 >= 2
+                )
+                batch = docs.filter((F.col("doc_id") % 2 == w) & half)
+                sinks[w].process_batch(batch, w * 100 + wave)
+                if rng.random() < 0.5:
+                    sinks[w].process_batch(batch, w * 100 + wave)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+
+    for sub in ("shingles", "index", "pairs"):
+        hist = TF.history(root + "/" + sub)
+        assert [m["version"] for m in hist] == list(range(len(hist)))
+    sh = TF.read_version(spark, root + "/shingles")
+    assert sh.count() == sh.select("doc_id").distinct().count()
+
+    final = IncrementalNearDupSink(**kw)
+    got = _rows(final.pairs.select("doc_a", "doc_b").distinct())
+    assert got == want
