@@ -83,6 +83,11 @@ HEADLINE = [
     # to its copy-on-write twin q_tf_upsert_partial — the write-path A/B
     # the decade sweep should keep measuring.
     "q_tf_upsert_mor",
+    # Round-10 additions: DV-sidecar consolidation (read-path bound for
+    # hot merge-on-read tables) and the keyless O(changes) change feed
+    # spanning a merge-on-read MERGE.
+    "q_tf_consolidate_dv",
+    "q_tf_changefeed_mor",
 ]
 
 

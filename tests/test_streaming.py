@@ -1366,3 +1366,167 @@ def test_bm25_index_sink_real_stream_end_to_end(spark, tmp_path):
             for r in bm25_topk(docs, terms, k=10).collect()
         ]
         assert got == want, terms
+
+
+def test_liveness_composition_one_session(spark, fixtures, tmp_path):
+    """Round-10 queue #7: T8 startup reset + T9 merge sink + T4
+    watchdog + T3 heartbeat composed as ONE streaming session — two
+    CONCURRENT queries over the same replayed file source — with an
+    injected outage (one device never publishes; the source then goes
+    silent). Each concern was pinned separately in earlier rounds; this
+    drives them together:
+
+    - a previous session's modvalues table is bulk-reset at startup
+      (T8) through the versioned-table layer;
+    - the merge sink (T9) and the applyInPandasWithState watchdog (T4)
+      consume the SAME source concurrently;
+    - the watchdog trips on the outage; the heartbeat (T3) then stamps
+      exactly the devices the liveness output called online;
+    - the final modvalues state equals the batch flagship over the
+      replayed updates, and the silent device survives ONLY as its
+      reset (offline) rows.
+    """
+    import time
+
+    from opcua_ingestion_engine_spark.operators import ingest, sink as SK
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming import replay
+    from opcua_ingestion_engine_spark.streaming import state as ST
+
+    updates = fixtures["updates"]
+    prev = ingest.modvalues_snapshot(
+        updates, fixtures["devices"], fixtures["templates"],
+        fixtures["connections"],
+    )
+    # injected outage, part 1: device D (a monitored device with rows in
+    # the previous session's table) never publishes this session
+    dead = (
+        prev.select(F.col("device").alias("daq_name"))
+        .join(updates.select("daq_name").distinct(), "daq_name", "left_semi")
+        .orderBy("daq_name")
+        .first()["daq_name"]
+    )
+    live_updates = updates.filter(F.col("daq_name") != dead)
+
+    # ---- T8: bulk-reset the PREVIOUS session's modvalues table -------
+    prev_root = str(tmp_path / "prev_modvalues")
+    TF.commit_version(prev, prev_root)
+    reset_text = "2024-06-01T00:00:00.000000"
+    TF.commit_version(
+        SK.bulk_reset_online(
+            TF.read_version(spark, prev_root), reset_text
+        ),
+        prev_root,
+    )
+    reset_tbl = TF.read_version(spark, prev_root)
+    onl = reset_tbl.filter(F.col("tag_name") == "myPV_online")
+    assert onl.filter(
+        (F.col("tag_value") != 0.0) | (F.col("last_updated") != reset_text)
+    ).count() == 0
+
+    # ---- ONE session, TWO concurrent queries over one source ---------
+    src = str(tmp_path / "src")
+    replay.write_replay_batches(live_updates, src, 3)
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*")
+    )
+    collected: list = []
+    watchdog_q = (
+        ST.liveness_stream(stream, timeout_ms=2500)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_watchdog"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        merge_sink = replay.ModvaluesMergeSink(
+            fixtures["devices"], fixtures["templates"],
+            fixtures["connections"],
+            state_root=str(tmp_path / "state"),
+        )
+        replay.run_replay_stream(
+            spark, updates.schema, src, str(tmp_path / "ckpt_merge"),
+            merge_sink,
+        )
+
+        # T9 equality while the watchdog query is still live
+        batch = ingest.modvalues_snapshot(
+            live_updates, fixtures["devices"], fixtures["templates"],
+            fixtures["connections"],
+        )
+        snap = merge_sink.snapshot()
+        assert _rows(snap) == _rows(batch)
+
+        # injected outage, part 2: the source is exhausted — the
+        # watchdog's processing-time timeout must mark every device
+        # that DID publish offline, exactly once each; the dead device
+        # never appears (it was never keyed)
+        devices = {r["daq_name"] for r in live_updates.select(
+            "daq_name").distinct().collect()}
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            timed_out = {
+                r["daq_name"] for r in collected if r["reason"] == "timeout"
+            }
+            if devices <= timed_out:
+                break
+            time.sleep(1)
+        timed_out = {
+            r["daq_name"] for r in collected if r["reason"] == "timeout"
+        }
+        assert devices <= timed_out, devices - timed_out
+        assert dead not in {r["daq_name"] for r in collected}
+    finally:
+        watchdog_q.stop()
+
+    # ---- T3: heartbeat stamps exactly the liveness-online set --------
+    # pre-outage online set: devices whose latest data-driven emission
+    # said online (the heartbeat the service would have run mid-session)
+    last_update: dict = {}
+    for r in collected:
+        if r["reason"] != "update":
+            continue
+        cur = last_update.get(r["daq_name"])
+        if cur is None or r["last_ts_us"] >= cur["last_ts_us"]:
+            last_update[r["daq_name"]] = r
+    online_pre = spark.createDataFrame(
+        [(k,) for k, r in last_update.items() if r["online"] == 1.0]
+        or [("__none__",)],
+        "device string",
+    )
+    hb_text = "2099-01-01T00:00:00.000000"
+    stamped = ST.heartbeat_refresh(snap, online_pre, hb_text)
+    online_names = {
+        r["device"] for r in online_pre.collect() if r["device"] != "__none__"
+    }
+    for r in stamped.collect():
+        if r["device"] in online_names:
+            assert r["last_updated"] == hb_text
+        else:
+            assert r["last_updated"] != hb_text
+
+    # post-outage the online set is EMPTY (every publisher timed out):
+    # the heartbeat is a provable no-op
+    online_post = spark.createDataFrame([("__none__",)], "device string")
+    assert _rows(ST.heartbeat_refresh(snap, online_post, hb_text)) == _rows(
+        snap
+    )
+
+    # ---- composition with the reset table: the dead device carries NO
+    # session data — its rebuilt rows are the template defaults with
+    # liveness OFFLINE (no update ever arrived), and its reset-table
+    # rows keep the T8 stamp untouched
+    dead_live = snap.filter(
+        (F.col("device") == dead) & (F.col("tag_name") == "myPV_online")
+    ).collect()
+    assert dead_live and all(r["tag_value"] == 0.0 for r in dead_live)
+    dead_rows = reset_tbl.filter(
+        (F.col("device") == dead) & (F.col("tag_name") == "myPV_online")
+    ).collect()
+    assert dead_rows and all(
+        r["tag_value"] == 0.0 and r["last_updated"] == reset_text
+        for r in dead_rows
+    )
