@@ -88,6 +88,8 @@ HEADLINE = [
     # spanning a merge-on-read MERGE.
     "q_tf_consolidate_dv",
     "q_tf_changefeed_mor",
+    "q_tf_stream_changefeed",
+    "q_tf_check_constraints",
 ]
 
 

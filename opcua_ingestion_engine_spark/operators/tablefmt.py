@@ -115,6 +115,96 @@ def _scrub_app(app: dict | None) -> dict:
     return {k: v for k, v in (app or {}).items() if k not in _RESERVED_APP_KEYS}
 
 
+def _constraints_path(root: str) -> str:
+    return os.path.join(root, "_constraints.json")
+
+
+def table_constraints(root: str) -> dict:
+    """The table's CHECK constraints: ``{name: sql_expr}``. Table
+    PROPERTIES, not snapshot state (Delta's semantics — a RESTORE does
+    not resurrect dropped constraints), so they live beside the version
+    chain in one atomically-replaced JSON file."""
+    try:
+        with open(_constraints_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> None:
+    """Delta's ``ALTER TABLE ADD CONSTRAINT ... CHECK (expr)``: register
+    a row-level CHECK every subsequent write must satisfy. The LIVE
+    snapshot is validated first (one violation-probe scan — a
+    constraint the existing data breaks is refused, like Delta), then
+    the constraint lands atomically. SQL CHECK semantics: a row fails
+    only when the expression is FALSE — NULL passes."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"constraint name must be identifier-like: {name!r}")
+    cons = table_constraints(root)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists at {root}")
+    if latest_version(root) is not None:
+        bad = (
+            read_version(spark, root)
+            .filter(F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r} ({expr}): existing "
+                f"rows violate it, e.g. {tuple(bad[0])}"
+            )
+    cons[name] = expr
+    tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
+    os.makedirs(root, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _constraints_path(root))
+
+
+def drop_constraint(root: str, name: str) -> None:
+    """Remove a CHECK constraint. Missing names raise (a silent no-op
+    would hide a typo that leaves the real constraint enforced)."""
+    cons = table_constraints(root)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} at {root}")
+    del cons[name]
+    tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _constraints_path(root))
+
+
+def _enforce_constraints(df: DataFrame, root: str, op: str) -> None:
+    """Validate the rows a commit is about to LAND against the table's
+    CHECK constraints — called at every write path with exactly the new
+    or rewritten frame (deletes land nothing; carried directories hold
+    rows valid by induction). One violation-probe job per constraint,
+    LIMIT 1 so the scan short-circuits — the Delta write-path
+    enforcement shape. Raises BEFORE any file is written, so a refused
+    commit leaves neither data nor manifest."""
+    for name, expr in table_constraints(root).items():
+        bad = (
+            df.filter(
+                F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by {op} "
+                f"at {root}: e.g. {tuple(bad[0])}"
+            )
+
+
 def _try_commit(
     df: DataFrame,
     root: str,
@@ -129,6 +219,7 @@ def _try_commit(
     loser's data directory is removed; vacuum would also reclaim it).
     ``app`` is caller-owned JSON metadata recorded in the manifest (e.g.
     a streaming sink's batch_id for exact-once commit dedup)."""
+    _enforce_constraints(df, root, "commit")
     version = 0 if parent is None else parent + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
@@ -732,6 +823,7 @@ def commit_append(
                 f_["name"] not in app_names
                 for f_ in pm["schema"]["fields"]
             )
+        _enforce_constraints(df, root, "commit_append")
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
@@ -2233,6 +2325,7 @@ def _commit_rewrite_where(
                 f"{op} must preserve the committed schema; "
                 f"committed={committed} produced={produced}"
             )
+        _enforce_constraints(rewritten, root, op)
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
         rewritten.write.mode("overwrite").parquet(data_dir)
         rel = os.path.relpath(data_dir, root)
@@ -2733,6 +2826,7 @@ def _commit_mor(
         data_list = list(dirs)
         new_stats = dict(stats)
         if n_tail:
+            _enforce_constraints(tail, root, op)
             data_dir = os.path.join(
                 root, "data", f"v{version:05d}-{token}"
             )
@@ -3174,6 +3268,7 @@ def commit_upsert(
             ).unionByName(batch)
         else:
             tail = batch
+        _enforce_constraints(tail, root, "upsert")
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
@@ -3417,6 +3512,7 @@ def commit_full_sync(
             )
         else:
             tail = tail_rows
+        _enforce_constraints(tail, root, "full_sync")
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")

@@ -32,12 +32,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_flagship_modvalues",
     # The only oracle queries without a lifetime driver row (registered
     # after the round-9 window froze — first in line per the standing
-    # rotation rule), then the two NEW round-10 oracle queries:
-    # DV-sidecar consolidation and the keyless mor-upsert change feed.
+    # rotation rule), then the four NEW round-10 oracle queries:
+    # DV-sidecar consolidation, the keyless mor-upsert change feed, the
+    # table-as-streaming-source twin (shares the mor feed's oracle
+    # verbatim — streaming == batch IS the check), and CHECK constraints.
     "q_tf_sum_agg",
     "q_tf_upsert_mor",
     "q_tf_consolidate_dv",
     "q_tf_changefeed_mor",
+    "q_tf_stream_changefeed",
+    "q_tf_check_constraints",
     # Family canaries: the LEAST-recently-checked oracle member of each
     # family not already covered by the backfill cohort below
     # (tests/test_registry_window.py pins one per family).
@@ -70,7 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_e8_global_shuffle",
     "q_e8_quality_topk",
     "q_e8_epoch_expand",
-    # round-6 cohort (23 of 34; the remaining 11 lead round 11's queue)
+    # round-6 cohort (21 of 34; the remaining 13 lead round 11's queue)
     "q_a2_latest_per_key",
     "q_s9_upsert_matched",
     "q_b1_browse_tree",
@@ -89,8 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_tpch_q7_volume_shipping",
     "q_tpch_q8_market_share",
     "q_tpch_q9_product_profit",
-    "q_tpch_q12_priority_classes",
-    "q_agg_mode_per_group",
     "q_tf_change_feed",
     "q_tf_change_feed_append",
     "q_tf_incremental_view",

@@ -2575,3 +2575,143 @@ def q_tf_changefeed_mor(spark, sf_dir):
     # keyless: the spanning read must ride the fast path (the keyed
     # fallback REQUIRES keys=, so success here IS the plan assertion)
     return TF.table_changes(spark, root, 0)
+
+
+@register(
+    "q_tf_stream_changefeed",
+    """
+    WITH h AS (SELECT (max(event_id) + 1) // 2 AS half FROM events),
+    ev AS (SELECT event_id, user_id, value FROM events)
+    SELECT event_id, user_id, value,
+           'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM ev, h WHERE event_id < half AND user_id % 7 = 0
+    UNION ALL
+    SELECT event_id, user_id, value + 1000.0 AS value,
+           'insert', CAST(1 AS BIGINT)
+    FROM ev, h WHERE event_id < half AND user_id % 7 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, 'insert', CAST(1 AS BIGINT)
+    FROM ev, h WHERE event_id >= half AND user_id % 5 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, 'insert', CAST(2 AS BIGINT)
+    FROM ev, h WHERE event_id >= half AND user_id % 5 <> 0
+    """,
+    "The versioned table as a Structured Streaming SOURCE (round 10 — "
+    "Delta readStream/readChangeFeed parity): the SAME base/mor-MERGE/"
+    "append history as q_tf_changefeed_mor, but the change rows are "
+    "served by a REAL streaming query over the custom table_changes "
+    "DataSource (offsets = commit versions, one input partition per "
+    "(step, directory), executor-side pyarrow reads, availableNow "
+    "drain into a parquet sink — no driver collect of data). Sharing "
+    "q_tf_changefeed_mor's oracle verbatim makes streaming == batch "
+    "the driver-checked identity.",
+)
+def q_tf_stream_changefeed(spark, sf_dir):
+    import os
+
+    from ..operators import tablefmt as TF
+    from ..streaming.tablestream import TableChangesDataSource
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    half = (ev.agg(F.max("event_id")).collect()[0][0] + 1) // 2
+    work = scratch_root("stream_changefeed")
+    root = os.path.join(work, "table")
+    base = ev.filter(F.col("event_id") < half)
+    TF.commit_version(base, root)  # v0
+    batch = base.filter(F.col("user_id") % 7 == 0).select(
+        "event_id", "user_id", (F.col("value") + F.lit(1000.0)).alias("value")
+    ).unionByName(
+        ev.filter(
+            (F.col("event_id") >= half) & (F.col("user_id") % 5 == 0)
+        )
+    )
+    TF.commit_upsert(spark, root, batch, keys=["event_id"], mor=True)  # v1
+    TF.commit_append(
+        ev.filter(
+            (F.col("event_id") >= half) & (F.col("user_id") % 5 != 0)
+        ),
+        root,
+    )  # v2
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir = os.path.join(work, "out")
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        # baseline at v0: the feed starts at the mor MERGE, like the
+        # batch twin's table_changes(root, 0)
+        .option("starting_version", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "value", "_change_type", "_commit_version"
+    )
+
+
+@register(
+    "q_tf_check_constraints",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN user_id % 9 = 0 THEN value + 500.0
+                              ELSE value END AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
+    FROM events
+    """,
+    "Table-layer CHECK constraints (round 10 — Delta ALTER TABLE ADD "
+    "CONSTRAINT parity): events committed, a row-level CHECK "
+    "registered (validated against the live snapshot first), then the "
+    "write paths are exercised against it IN-QUERY — a violating "
+    "append and a violating merge-on-read update must refuse BEFORE "
+    "landing anything (version asserted unchanged), and a valid "
+    "merge-on-read MERGE (value + 500 on the user_id%9 cohort) passes "
+    "enforcement and lands. The oracle is the final-state aggregate "
+    "computed relationally.",
+)
+def q_tf_check_constraints(spark, sf_dir):
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = scratch_root("check_constraints")
+    TF.commit_version(ev, root)
+    TF.add_constraint(
+        spark, root, "ck_ids", "event_id >= 0 AND user_id >= 0"
+    )
+    v0 = TF.latest_version(root)
+    bad = spark.createDataFrame(
+        [(-1, -1, 0.0)], "event_id long, user_id long, value double"
+    )
+    for attempt in (
+        lambda: TF.commit_append(bad, root),
+        lambda: TF.update_where_dv(
+            spark, root, "user_id % 9 = 1", {"user_id": "0 - user_id"}
+        ),
+    ):
+        try:
+            attempt()
+        except ValueError as e:
+            assert "ck_ids" in str(e), e
+        else:
+            raise AssertionError("violating write must refuse")
+    assert TF.latest_version(root) == v0, "refused writes must land nothing"
+    batch = ev.filter(F.col("user_id") % 9 == 0).select(
+        "event_id", "user_id",
+        (F.col("value") + F.lit(500.0)).alias("value"),
+    )
+    TF.commit_upsert(spark, root, batch, keys=["event_id"], mor=True)
+    return TF.read_version(spark, root).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

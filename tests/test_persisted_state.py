@@ -5010,3 +5010,63 @@ def test_neardup_sink_two_writer_race(spark, tmp_path, seed):
     final = IncrementalNearDupSink(**kw)
     got = _rows(final.pairs.select("doc_a", "doc_b").distinct())
     assert got == want
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Round-10 [EXT]: Delta-parity CHECK constraints — table
+    properties validated at ADD time against the live snapshot and
+    enforced on the rows every write path lands (append, upsert tail,
+    CoW update rewrite, MoR update tail, full sync). A refused commit
+    leaves neither data nor manifest; NULL evaluations PASS (SQL CHECK
+    semantics); DROP lifts enforcement."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "ck")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    TF.commit_version(mk([(1, 10), (2, 20)]), root)
+    TF.add_constraint(spark, root, "v_nonneg", "v >= 0")
+
+    # duplicate name refused; violating ADD refused
+    with _pytest.raises(ValueError, match="already exists"):
+        TF.add_constraint(spark, root, "v_nonneg", "v >= 0")
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        TF.add_constraint(spark, root, "v_small", "v < 15")
+
+    # valid writes pass
+    TF.commit_append(mk([(3, 30)]), root)
+    TF.commit_upsert(spark, root, mk([(2, 200)]), keys=["k"])
+
+    v_before = TF.latest_version(root)
+    # every violating write path refuses BEFORE landing anything
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.commit_append(mk([(9, -1)]), root)
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.commit_upsert(spark, root, mk([(1, -5)]), keys=["k"])
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.commit_upsert(spark, root, mk([(1, -5)]), keys=["k"], mor=True)
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.update_where(spark, root, "k = 1", {"v": "0 - v"})
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.update_where_dv(spark, root, "k = 1", {"v": "0 - v"})
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.commit_full_sync(spark, root, mk([(1, -10)]), keys=["k"])
+    assert TF.latest_version(root) == v_before  # nothing landed
+    got = sorted(tuple(r) for r in TF.read_version(spark, root).collect())
+    assert got == [(1, 10), (2, 200), (3, 30)]
+
+    # NULL evaluations pass (SQL CHECK semantics)
+    TF.commit_append(
+        spark.createDataFrame([(4, None)], "k long, v long"), root
+    )
+
+    # deletes never violate (they land no rows)
+    TF.delete_where_dv(spark, root, "k = 3")
+
+    # drop lifts enforcement; unknown names raise
+    with _pytest.raises(ValueError, match="no constraint"):
+        TF.drop_constraint(root, "nope")
+    TF.drop_constraint(root, "v_nonneg")
+    TF.commit_append(mk([(9, -1)]), root)
+    assert TF.table_constraints(root) == {}

@@ -1530,3 +1530,88 @@ def test_liveness_composition_one_session(spark, fixtures, tmp_path):
         r["tag_value"] == 0.0 and r["last_updated"] == reset_text
         for r in dead_rows
     )
+
+
+def test_table_changes_streaming_source(spark, tmp_path):
+    """Round-10 [EXT]: the versioned table as a Structured Streaming
+    SOURCE (Delta readStream/readChangeFeed parity). Offsets are commit
+    versions; each micro-batch is planned O(changes) from manifests
+    alone (appends -> inserts, dv-deletes -> pre-image deletes,
+    mor-upserts -> both, maintenance pass-through); a checkpointed
+    restart resumes from the committed offset and serves ONLY the new
+    versions; rewrite-class commits refuse at plan time."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.tablestream import (
+        TableChangesDataSource, _plan_steps,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "srctbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    TF.commit_append(mk([(1, 10), (2, 20), (3, 30)]), root)        # v0
+    TF.commit_append(mk([(4, 40), (5, 50)]), root)                 # v1
+    TF.delete_where_dv(spark, root, "k = 1")                       # v2
+    TF.commit_upsert(                                              # v3
+        spark, root, mk([(2, 222), (6, 60)]), keys=["k"], mor=True
+    )
+    TF.compact(spark, root)                                        # v4 (pass-through)
+    TF.commit_append(mk([(7, 70)]), root)                          # v5
+
+    def drain(ckpt: str) -> list:
+        got: list = []
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _id: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    ckpt = str(tmp_path / "ckpt")
+    got = drain(ckpt)
+    want = TF.table_changes(spark, root, None).collect()
+    key = lambda r: (
+        r["_commit_version"], r["_change_type"], r["k"], r["v"]
+    )
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    # the compaction contributed nothing; versions present are the
+    # data-changing ones only
+    assert {r["_commit_version"] for r in got} == {0, 1, 2, 3, 5}
+
+    # checkpointed restart: ONLY the versions committed after the drain
+    TF.delete_where_dv(spark, root, "k = 7")                       # v6
+    TF.commit_append(mk([(8, 80)]), root)                          # v7
+    got2 = drain(ckpt)
+    assert sorted(map(key, got2)) == sorted([
+        (6, "delete", 7, 70), (7, "insert", 8, 80)
+    ])
+
+    # a fresh checkpoint with starting_version skips older history
+    got3: list = []
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .option("starting_version", "6")
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: got3.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(map(key, got3)) == sorted([
+        (6, "delete", 7, 70), (7, "insert", 8, 80)
+    ])
+
+    # rewrite-class commits refuse at PLAN time (restore is one)
+    TF.restore(root, 5)                                            # v8
+    with _pytest.raises(ValueError, match="rewrite-class"):
+        _plan_steps(root, 7, TF.latest_version(root))
