@@ -498,3 +498,74 @@ class MaterializedAggView:
             f"matview refresh lost the manifest CAS {max_retries} times at "
             f"{self.view_root} — refresher contention is pathological"
         )
+
+    def streaming_maintainer(self, max_retries: int = 20):
+        """A ``foreachBatch`` callable that maintains this view from a
+        ``table_changes`` STREAMING query over the source table
+        (``streaming/tablestream.py``) — the continuously-maintained
+        materialized view: the engine plans each micro-batch O(changes)
+        from the manifest log and this fold applies it O(changes), so
+        the view tracks the table with no polling loop and no rescans.
+
+        Exactly-once from either side's replay: the streaming engine
+        replays version RANGES (offsets are commit versions, rows carry
+        ``_commit_version``), and the view's manifest-CAS cursor trims
+        any rows at or below what a previous attempt — or a concurrent
+        batch-side ``refresh`` — already folded. A fully-applied replay
+        commits nothing."""
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            # the batch is bounded (one version range): its max version
+            # is the cursor this fold will claim
+            row = batch_df.agg(
+                F.max(TF.COMMIT_VERSION_COL).alias("v")
+            ).collect()[0]
+            target = row["v"]
+            if target is None:
+                return  # empty micro-batch
+            batch_df = batch_df.localCheckpoint(eager=True)
+            for _ in range(max_retries):
+                parent = TF.latest_version(self.view_root)
+                cur = self.cursor()
+                if cur is not None and cur >= target:
+                    return  # replayed range already folded
+                changes = (
+                    batch_df.filter(F.col(TF.COMMIT_VERSION_COL) > cur)
+                    if cur is not None
+                    else batch_df
+                )
+                state = (
+                    TF.read_version(spark, self.view_root, parent)
+                    if parent is not None
+                    else None
+                )
+                if (
+                    self.min_cols or self.max_cols
+                    or self.avg_cols or self.distinct_cols
+                ):
+                    folded = self._fold_with_extrema(
+                        spark, state, changes, target
+                    )
+                else:
+                    deltas = changes_to_deltas(
+                        changes, self.group_keys, self.sum_cols,
+                        self.count_col,
+                    )
+                    folded = _fold(
+                        state, deltas, self.group_keys, self.sum_cols,
+                        self.count_col,
+                    )
+                v = TF._try_commit(
+                    folded, self.view_root, parent, app={"cursor": target}
+                )
+                if v is not None:
+                    return
+                # lost the CAS — a concurrent refresher advanced the
+                # view; re-read the cursor and fold what remains
+            raise RuntimeError(
+                f"streaming matview fold lost the manifest CAS "
+                f"{max_retries} times at {self.view_root}"
+            )
+
+        return _apply

@@ -139,7 +139,17 @@ def add_constraint(
     snapshot is validated first (one violation-probe scan — a
     constraint the existing data breaks is refused, like Delta), then
     the constraint lands atomically. SQL CHECK semantics: a row fails
-    only when the expression is FALSE — NULL passes."""
+    only when the expression is FALSE — NULL passes.
+
+    Known race (documented, not closed): the constraints file lives
+    BESIDE the manifest CAS chain, so a writer whose enforcement probe
+    ran before this constraint landed can commit a violating row
+    concurrently with the ADD's validation scan. Delta closes this by
+    carrying metadata in the same log as data commits; here, run ADD
+    while writers are quiesced (the same operational rule as changing
+    a vacuum keep-window). Once the file exists every write path
+    enforces it race-free — the probe runs on the writer's own frame
+    immediately before its write."""
     if not name or not name.replace("_", "").isalnum():
         raise ValueError(f"constraint name must be identifier-like: {name!r}")
     cons = table_constraints(root)

@@ -1615,3 +1615,81 @@ def test_table_changes_streaming_source(spark, tmp_path):
     TF.restore(root, 5)                                            # v8
     with _pytest.raises(ValueError, match="rewrite-class"):
         _plan_steps(root, 7, TF.latest_version(root))
+
+
+def test_streaming_maintained_matview(spark, tmp_path):
+    """Round-10 [EXT] composition: a materialized aggregate maintained
+    by a STREAMING query over the table_changes source — each
+    micro-batch is a version range planned O(changes) from manifests,
+    folded O(changes) into the view; checkpointed restarts continue;
+    a from-scratch replay (fresh checkpoint, same history) folds
+    nothing thanks to the view's manifest-CAS cursor."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.matview import (
+        MaterializedAggView,
+    )
+    from opcua_ingestion_engine_spark.streaming.tablestream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    src, vr = str(tmp_path / "mvsrc"), str(tmp_path / "mvview")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, g string, x long")
+    TF.commit_append(mk([(1, "a", 1), (2, "a", 2), (3, "b", 4)]), src)
+    TF.commit_upsert(
+        spark, src, mk([(2, "a", 200), (9, "b", 8)]), keys=["k"], mor=True
+    )
+    TF.delete_where_dv(spark, src, "k = 3")
+    view = MaterializedAggView(src, vr, group_keys=["g"], sum_cols=["x"])
+
+    def drain(ckpt: str) -> None:
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(view.streaming_maintainer())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def want():
+        return sorted(
+            tuple(r)
+            for r in TF.read_version(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            )
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            tuple(r)
+            for r in view.result(spark).select("g", "n", "sum_x").collect()
+        )
+
+    ckpt = str(tmp_path / "ck1")
+    drain(ckpt)
+    assert got() == want()
+    assert view.cursor() == TF.latest_version(src)
+
+    # live advance: more commits, same checkpoint — only the new
+    # versions are planned and folded
+    TF.commit_append(mk([(10, "c", 16), (11, "a", 32)]), src)
+    TF.update_where_dv(spark, src, "k = 9", {"x": "x + 100"})
+    v_view = TF.latest_version(vr)
+    drain(ckpt)
+    assert got() == want()
+    assert TF.latest_version(vr) > v_view
+
+    # from-scratch replay with a FRESH checkpoint: the engine re-serves
+    # the whole history, the cursor trims everything, the view commits
+    # nothing new
+    v_view = TF.latest_version(vr)
+    drain(str(tmp_path / "ck2"))
+    assert TF.latest_version(vr) == v_view
+    assert got() == want()
