@@ -1693,3 +1693,84 @@ def test_streaming_maintained_matview(spark, tmp_path):
     drain(str(tmp_path / "ck2"))
     assert TF.latest_version(vr) == v_view
     assert got() == want()
+
+
+@pytest.mark.parametrize("seed", [5, 21, 77])
+def test_table_stream_equals_batch_feed_random_histories(spark, tmp_path, seed):
+    """Property (seeded): for a RANDOM mix of appends, dv-deletes,
+    mor-upserts, mor-updates, compactions and DV consolidations, the
+    streaming source's full drain equals ``table_changes(None)`` row
+    for row — the two planners must classify every manifest step
+    identically, whatever the interleaving."""
+    import random
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.tablestream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    rng = random.Random(seed)
+    root = str(tmp_path / f"rnd{seed}")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    next_k = 0
+
+    def fresh(n):
+        nonlocal next_k
+        rows = [(next_k + i, (next_k + i) * 10) for i in range(n)]
+        next_k += n
+        return rows
+
+    TF.commit_append(mk(fresh(8)), root)
+    for _ in range(10):
+        op = rng.choice(
+            ["append", "dvdel", "morup", "morupd", "compact", "consol"]
+        )
+        if op == "append":
+            TF.commit_append(mk(fresh(rng.randint(1, 5))), root)
+        elif op == "dvdel":
+            k = rng.randrange(next_k)
+            TF.delete_where_dv(spark, root, f"k = {k}")
+        elif op == "morup":
+            ups = [(rng.randrange(next_k), rng.randint(0, 999))]
+            ups += fresh(1)
+            TF.commit_upsert(spark, root, mk(ups), keys=["k"], mor=True)
+        elif op == "morupd":
+            k = rng.randrange(next_k)
+            TF.update_where_dv(spark, root, f"k = {k}", {"v": "v + 1"})
+        elif op == "compact":
+            TF.compact(spark, root)
+        else:
+            TF.consolidate_dv(spark, root)
+
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in TF.table_changes(spark, root, None).collect()
+    )
+    got: list = []
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / f"ck{seed}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_k = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in got
+    )
+    assert got_k == want
+    # and replaying the feed reproduces the live snapshot
+    state: dict = {}
+    for v_, ct, k, val in got_k:
+        if ct == "delete":
+            state.pop((k, val), None)
+        else:
+            state[(k, val)] = True
+    live = {
+        (r["k"], r["v"]) for r in TF.read_version(spark, root).collect()
+    }
+    assert set(state) == live
