@@ -229,7 +229,11 @@ def _try_commit(
     loser's data directory is removed; vacuum would also reclaim it).
     ``app`` is caller-owned JSON metadata recorded in the manifest (e.g.
     a streaming sink's batch_id for exact-once commit dedup)."""
-    _enforce_constraints(df, root, "commit")
+    # data-identical maintenance (compact/z-order/consolidation) lands
+    # rows that are valid by induction — re-probing them would add a
+    # full scan per constraint to every maintenance pass at 100 TB
+    if not (app or {}).get("data_identical"):
+        _enforce_constraints(df, root, "commit")
     version = 0 if parent is None else parent + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")

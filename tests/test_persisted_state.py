@@ -5070,3 +5070,34 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     TF.drop_constraint(root, "v_nonneg")
     TF.commit_append(mk([(9, -1)]), root)
     assert TF.table_constraints(root) == {}
+
+
+def test_constraints_skip_data_identical_maintenance(spark, tmp_path, monkeypatch):
+    """Maintenance rewrites (compact) land rows valid by induction —
+    they must NOT pay a violation-probe scan per constraint, while real
+    writes still do and enforcement survives the compaction."""
+    import pytest as _pytest
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / "ckmaint")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    TF.commit_version(mk([(1, 10), (2, 20)]), root)
+    TF.add_constraint(spark, root, "v_nonneg", "v >= 0")
+    TF.commit_append(mk([(3, 30)]), root)
+
+    probed: list = []
+    real = TF._enforce_constraints
+
+    def spy(df, root_, op):
+        probed.append(op)
+        return real(df, root_, op)
+
+    monkeypatch.setattr(TF, "_enforce_constraints", spy)
+    TF.compact(spark, root)
+    assert probed == []  # identity rewrite: no probe
+
+    # enforcement still live after the maintenance pass
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        TF.commit_append(mk([(9, -1)]), root)
+    assert probed == ["commit_append"]
