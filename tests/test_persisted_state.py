@@ -5101,3 +5101,56 @@ def test_constraints_skip_data_identical_maintenance(spark, tmp_path, monkeypatc
     with _pytest.raises(ValueError, match="v_nonneg"):
         TF.commit_append(mk([(9, -1)]), root)
     assert probed == ["commit_append"]
+
+
+@pytest.mark.parametrize("seed", [13, 57])
+def test_constraints_two_writer_race(spark, tmp_path, seed):
+    """Once the constraints file EXISTS, enforcement is race-free per
+    writer (each probes its own frame immediately before its write):
+    two appenders race, one always violating — every violating attempt
+    refuses, every valid batch lands exactly once, and the final table
+    satisfies the constraint everywhere."""
+    import random
+    import threading
+    import time as _time
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path / f"ckrace{seed}")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    TF.commit_version(mk([(0, 0)]), root)
+    TF.add_constraint(spark, root, "v_nonneg", "v >= 0")
+    errors: list = []
+    refused: list = []
+
+    def writer(w: int):
+        rng = random.Random(seed * 7 + w)
+        try:
+            for wave in range(3):
+                _time.sleep(rng.random() * 0.04)
+                k0 = 1000 * (w + 1) + 10 * wave
+                if w == 1 and wave == 1:
+                    try:
+                        TF.commit_append(mk([(k0, -5)]), root)
+                    except ValueError as e:
+                        assert "v_nonneg" in str(e)
+                        refused.append(wave)
+                    else:
+                        errors.append((w, "violating append landed"))
+                else:
+                    TF.commit_append(mk([(k0, k0)]), root)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [] and refused == [1]
+
+    hist = TF.history(root)
+    assert [m["version"] for m in hist] == list(range(len(hist)))
+    rows = TF.read_version(spark, root)
+    assert rows.filter(F.col("v") < 0).count() == 0
+    assert rows.count() == 1 + 5  # base + five valid waves

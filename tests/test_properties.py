@@ -302,3 +302,40 @@ def test_y4m_codec_roundtrip_property(data, n, h, w, num, den):
     assert (got_w, got_h) == (w, h)
     assert got_fps == num / den
     assert frames.shape == clip.shape and (frames == clip).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=60,
+    ),
+    st.booleans(),
+)
+def test_dir_col_sums_exact_for_any_int64_column(tmp_path_factory, vals, split):
+    """Property: the commit-time column-sum pass is EXACT for any int64
+    column — including magnitudes where a naive int64 reduction wraps
+    (round-9 ADVICE: epoch-nano-scale values overflowed within a few
+    rows and the garbage was served as metadata-exact). Pure
+    pyarrow/numpy path, no Spark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+
+    root = str(tmp_path_factory.mktemp("sums"))
+    d = "data/v00000-prop"
+    full = f"{root}/{d}"
+    import os
+
+    os.makedirs(full, exist_ok=True)
+    # optionally split across two files (the per-file/bignum boundary)
+    halves = [vals[: len(vals) // 2], vals[len(vals) // 2:]] if split else [vals]
+    for i, h in enumerate(halves):
+        pq.write_table(
+            pa.table({"v": pa.array(h, pa.int64())}),
+            f"{full}/part-{i}.parquet",
+        )
+    got = TF._dir_col_sums(root, d, ("v",))
+    assert got == {"v": sum(vals)}
