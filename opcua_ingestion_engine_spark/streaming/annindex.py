@@ -276,3 +276,19 @@ class IncrementalAnnIndexSink:
             k, nprobe, rerank, version, self.id_col, self.vec_col,
             filter_col,
         )
+
+
+def ann_index_forget(spark: SparkSession, index_root: str, ids) -> None:
+    """Remove vectors from the maintained ANN index without a rebuild —
+    one merge-on-read delete on the codes table (O(deleted rows)
+    sidecar, zero directory rewrites). Every serve path reads the codes
+    through ``read_version``, which subtracts the vectors at scan time,
+    so forgotten ids can never appear as candidates (and therefore
+    never in results — the exact rerank only sees candidates). The
+    codes maintenance cadence (compaction) folds the vectors away
+    later. Forgetting an id re-opens it for append-mode ingestion (the
+    seen-guard reads the live codes table)."""
+    from .bm25index import _in_condition
+
+    cond = _in_condition("neighbor_id", ids)
+    TF.delete_where_dv(spark, os.path.join(index_root, "codes"), cond)

@@ -37,7 +37,10 @@ state as an uninterrupted run.
 
 Re-ingested doc ids are at-least-once duplicates and are DROPPED (the
 append-mode discipline of ``IncrementalAnnIndexSink``); a corpus that
-re-ingests ids with NEW text runs an offline rebuild.
+re-ingests ids with NEW text first removes them with
+``bm25_forget_ids`` (the right-to-be-forgotten path: one merge-on-read
+delete per index table, no rebuild — forgetting an id re-opens it for
+ingestion), or runs an offline rebuild for bulk re-statements.
 """
 
 from __future__ import annotations
@@ -306,3 +309,49 @@ def hybrid_rrf_from_indexes(
         k=k_vec, nprobe=nprobe, rerank=rerank,
     ).select(F.col("neighbor_id").alias(id_col), "rank")
     return rrf_fuse([lex, vec], k=k, kappa=kappa, id_col=id_col)
+
+
+def _in_condition(col: str, ids) -> str:
+    """SQL membership condition for a BATCH-SIZED id list (a GDPR
+    forget request, not a join side). Ints pass through; strings are
+    quoted with doubled single-quotes."""
+    ids = list(ids)
+    if not ids:
+        raise ValueError("ids must be non-empty")
+    if len(ids) > 100_000:
+        raise ValueError(
+            f"{len(ids)} ids in one forget call — batch requests this "
+            "large belong in an anti-join rebuild, not a predicate"
+        )
+    parts = []
+    for i in ids:
+        if isinstance(i, bool) or not isinstance(i, (int, str)):
+            raise ValueError(f"unsupported id type: {type(i).__name__}")
+        parts.append(str(i) if isinstance(i, int) else
+                     "'" + i.replace("'", "''") + "'")
+    return f"{col} IN ({', '.join(parts)})"
+
+
+def bm25_forget_ids(
+    spark: SparkSession, index_root: str, ids, id_col: str = "doc_id"
+) -> None:
+    """Remove documents from the maintained index WITHOUT rebuilding it
+    — the right-to-be-forgotten path: one merge-on-read delete per
+    index table (O(deleted rows) sidecars, zero directory rewrites).
+    Serving stays exact immediately: corpus totals for deletion-
+    vectored directories demote from manifest sums to stats_agg's scan
+    path (which subtracts the vectors), and the postings scan drops the
+    docs' term rows at read time — so post-forget serving equals the
+    one-shot operator over the REMAINING corpus bit-for-bit. The next
+    maintenance pass (``maybe_compact`` cadence: compaction folds the
+    vectors and re-derives the bloom/sums sidecars) restores
+    metadata-only totals.
+
+    Order: postings first, doclens (the id registry) LAST — a crash
+    between them leaves the id still registered (re-ingest stays
+    blocked) with its postings already gone; the retry converges.
+    Forgetting an id re-OPENS it for ingestion (it leaves the
+    registry)."""
+    cond = _in_condition(id_col, ids)
+    TF.delete_where_dv(spark, _postings_root(index_root), cond)
+    TF.delete_where_dv(spark, _doclens_root(index_root), cond)

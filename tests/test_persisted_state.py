@@ -5154,3 +5154,135 @@ def test_constraints_two_writer_race(spark, tmp_path, seed):
     rows = TF.read_version(spark, root)
     assert rows.filter(F.col("v") < 0).count() == 0
     assert rows.count() == 1 + 5  # base + five valid waves
+
+
+def test_bm25_forget_ids_right_to_be_forgotten(spark, tmp_path):
+    """Round-10 [EXT]: forget documents from the maintained BM25 index
+    WITHOUT a rebuild — one merge-on-read delete per index table.
+    Post-forget serving equals the one-shot operator over the REMAINING
+    corpus bit-for-bit (totals demote to the DV-subtracting scan path),
+    and the next compaction folds the vectors and restores
+    metadata-only totals with the answer unchanged. A forgotten id
+    re-opens for ingestion."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.operators.retrieval import bm25_topk
+    from opcua_ingestion_engine_spark.streaming.bm25index import (
+        IncrementalBm25IndexSink, bm25_forget_ids, bm25_topk_from_index,
+    )
+
+    root = str(tmp_path / "bm25forget")
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta doc{i % 5} " + "pad " * (i % 4 + 1))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    sink = IncrementalBm25IndexSink(root, auto_compact=None)
+    for b in range(3):
+        sink.process_batch(docs.filter((F.col("doc_id") % 3) == b), b)
+
+    gone = [7, 12, 31]
+    keep_docs = docs.filter(~F.col("doc_id").isin(gone))
+    bm25_forget_ids(spark, root, gone)
+
+    # serving == one-shot over the remaining corpus, exactly; totals
+    # came off the scan path (doclens dirs are vectored now)
+    audit = {}
+    got = bm25_topk_from_index(
+        spark, root, ["alpha", "doc2"], k=10, audit=audit
+    ).collect()
+    want = bm25_topk(keep_docs, ["alpha", "doc2"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert audit["dirs_scanned"] >= 1, audit
+    assert not any(r["doc_id"] in gone for r in got)
+
+    # maintenance restores metadata-only totals; the answer is unchanged
+    TF.compact(spark, root + "/postings")
+    TF.compact(spark, root + "/doclens")
+    audit = {}
+    got2 = bm25_topk_from_index(
+        spark, root, ["alpha", "doc2"], k=10, audit=audit
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got2] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert audit["dirs_scanned"] == 0, audit
+
+    # a forgotten id has left the registry: re-ingest with NEW text
+    sink2 = IncrementalBm25IndexSink(root, auto_compact=None)
+    sink2.process_batch(
+        spark.createDataFrame(
+            [(7, "alpha alpha alpha doc2")], "doc_id long, text string"
+        ),
+        99,
+    )
+    re_docs = keep_docs.unionByName(
+        spark.createDataFrame(
+            [(7, "alpha alpha alpha doc2")], "doc_id long, text string"
+        )
+    )
+    got3 = bm25_topk_from_index(spark, root, ["alpha", "doc2"], k=10).collect()
+    want3 = bm25_topk(re_docs, ["alpha", "doc2"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got3] == [
+        (r["doc_id"], r["score"]) for r in want3
+    ]
+
+
+def test_ann_forget_ids_right_to_be_forgotten(spark, tmp_path):
+    """Round-10 [EXT]: forget vectors from the maintained ANN index —
+    one merge-on-read delete on the codes table; forgotten ids can
+    never surface (the rerank only sees candidates, and candidates come
+    from the DV-subtracted codes read). Append-mode re-ingest re-opens
+    the id."""
+    import numpy as np
+
+    from opcua_ingestion_engine_spark.streaming.annindex import (
+        IncrementalAnnIndexSink, ann_index_forget, ann_index_search,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(80, 8))
+    # id 3 is the EXACT duplicate of the query: guaranteed top-1
+    q_vec = base[3].copy()
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q_vec])], "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "annforget")
+    sink = IncrementalAnnIndexSink(
+        root, n_cells=4, m=4, ksub=16, mode="append", auto_compact=None
+    )
+    for b in range(2):
+        sink.process_batch(vectors.filter((F.col("vec_id") % 2) == b), b)
+
+    before = ann_index_search(
+        spark, root, vectors, queries, k=5, nprobe=4, rerank=40
+    ).collect()
+    assert before[0]["neighbor_id"] == 3  # the planted duplicate wins
+
+    ann_index_forget(spark, root, [3])
+    after = ann_index_search(
+        spark, root, vectors, queries, k=5, nprobe=4, rerank=40
+    ).collect()
+    ids_after = [r["neighbor_id"] for r in after]
+    assert 3 not in ids_after and len(ids_after) == 5
+    # the rest of the ranking is the before-list with id 3 removed,
+    # promoted by one (the rerank is exact over candidates)
+    assert ids_after[:4] == [r["neighbor_id"] for r in before[1:5]]
+
+    # forgotten id re-opens for append-mode ingestion with a NEW vector
+    sink.process_batch(
+        spark.createDataFrame(
+            [(3, [float(x) for x in q_vec])],
+            "vec_id long, embedding array<double>",
+        ),
+        7,
+    )
+    again = ann_index_search(
+        spark, root, vectors, queries, k=5, nprobe=4, rerank=40
+    ).collect()
+    assert again[0]["neighbor_id"] == 3
