@@ -88,6 +88,20 @@ class _DvPartition(InputPartition):
         self.sidecars = sidecars
 
 
+class _SnapshotPartition(InputPartition):
+    """One data directory of the INITIAL-SNAPSHOT batch: its live rows
+    (deletion vectors subtracted positionally) emitted as ``insert`` @
+    the snapshot version — Delta's readStream initial snapshot."""
+
+    def __init__(
+        self, root: str, version: int, dir_rel: str, dv_paths: list
+    ):
+        self.root = root
+        self.version = version
+        self.dir_rel = dir_rel
+        self.dv_paths = dv_paths
+
+
 def _plan_steps(root: str, v_from: int, v_to: int) -> list:
     """Classify every manifest step in ``(v_from, v_to]`` into input
     partitions — the driver-side planning pass. Pure manifest reads;
@@ -183,6 +197,42 @@ def _read_partition(partition, names: list):
                     tbl, "insert", partition.version, names
                 ).to_batches()
         return
+    if isinstance(partition, _SnapshotPartition):
+        # initial snapshot: the directory's live rows — subtract its
+        # deletion vectors POSITIONALLY (the executor-side twin of
+        # _apply_dv's anti join; single-file pyarrow reads are
+        # file-ordered, so position == row index)
+        import pyarrow as pa
+
+        dead: dict = {}
+        if partition.dv_paths:
+            dv_files = [
+                os.path.join(partition.root, p, n)
+                for p in partition.dv_paths
+                for n in sorted(
+                    os.listdir(os.path.join(partition.root, p))
+                )
+                if n.endswith(".parquet")
+            ]
+            dv = pq.read_table(dv_files, columns=["_dv_path", "_dv_pos"])
+            prefix = partition.dir_rel + "/"
+            for p, pos in zip(
+                dv["_dv_path"].to_pylist(), dv["_dv_pos"].to_pylist()
+            ):
+                if p.startswith(prefix):
+                    dead.setdefault(p, set()).add(pos)
+        for name in files:
+            rel = partition.dir_rel + "/" + name
+            tbl = pq.read_table(os.path.join(full, name))
+            gone = dead.get(rel)
+            if gone:
+                keep = [i for i in range(len(tbl)) if i not in gone]
+                tbl = tbl.take(pa.array(keep, pa.int64()))
+            if len(tbl):
+                yield from _arrow_with_cdf(
+                    tbl, "insert", partition.version, names
+                ).to_batches()
+        return
     # _DvPartition: recover the tombstoned pre-images — addresses are
     # (file path relative to root, row position within the file); a
     # single-file pyarrow read is file-ordered, so position == row index
@@ -223,17 +273,67 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # exclusive lower bound: -1 serves the whole history (v0's rows
         # arrive as inserts @ 0), matching table_changes(v_from=None)
         self._initial = int(start) - 1 if start is not None else -1
+        # Delta's readStream initial snapshot: the FIRST micro-batch is
+        # the live rows of the anchor version (starting_version, else
+        # the latest at stream start) emitted as inserts; the feed then
+        # follows from there. This is the in-product form of the
+        # rewrite-class refusal's "re-seed from a snapshot".
+        self._snapshot = str(
+            options.get("initial_snapshot", "false")
+        ).lower() in ("true", "1", "yes")
+        if self._snapshot:
+            from ..operators.tablefmt import latest_version
+
+            if start is not None:
+                self._anchor = int(start)
+            else:
+                live = latest_version(self.root)
+                if live is None:
+                    raise ValueError(
+                        f"initial_snapshot at {self.root}: no committed "
+                        "version to snapshot"
+                    )
+                self._anchor = live
 
     def initialOffset(self) -> dict:
+        if self._snapshot:
+            return {"version": self._anchor, "snap": 1}
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
         from ..operators.tablefmt import latest_version
 
+        if self._snapshot and getattr(self, "_snap_pending", True):
+            # serve the snapshot batch first; follow-up batches advance
+            # normally (the committed offset carries snap: 0, so a
+            # checkpointed restart never re-serves the snapshot)
+            self._snap_pending = False
+            return {"version": self._anchor, "snap": 0}
         live = latest_version(self.root)
-        return {"version": self._initial if live is None else live}
+        floor = self._anchor if self._snapshot else self._initial
+        return {"version": floor if live is None else max(floor, live)}
 
     def partitions(self, start: dict, end: dict):
+        if start.get("snap"):
+            # the initial-snapshot batch: every data directory of the
+            # anchor manifest, DV-subtracted, as insert partitions
+            m = _read_manifest(self.root, end["version"])
+            if m.get("evolved"):
+                raise ValueError(
+                    f"initial_snapshot at {self.root}: version "
+                    f"{end['version']} is schema-evolved — the streaming "
+                    "source serves a single schema"
+                )
+            from ..operators.tablefmt import _data_list, _dv_map
+
+            dv = _dv_map(m)
+            return [
+                _SnapshotPartition(
+                    self.root, end["version"], d,
+                    list((dv.get(d) or {}).get("paths", [])),
+                )
+                for d in _data_list(m)
+            ]
         return _plan_steps(self.root, start["version"], end["version"])
 
     def read(self, partition):

@@ -1774,3 +1774,72 @@ def test_table_stream_equals_batch_feed_random_histories(spark, tmp_path, seed):
         (r["k"], r["v"]) for r in TF.read_version(spark, root).collect()
     }
     assert set(state) == live
+
+
+def test_table_stream_initial_snapshot_mode(spark, tmp_path):
+    """Round-10 [EXT]: ``initial_snapshot`` — Delta readStream's
+    snapshot-then-follow: the first micro-batch is the anchor
+    version's LIVE rows (deletion vectors subtracted positionally,
+    executor-side) as inserts; the feed then follows. This is the
+    in-product path for tables whose older history is rewrite-class
+    (where a from-scratch CDF drain refuses)."""
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.streaming.tablestream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "snapsrc")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    TF.commit_version(mk([(i, i * 10) for i in range(8)]), root)   # v0
+    TF.delete_where(spark, root, "k = 0")       # v1: CoW REWRITE step
+    TF.delete_where_dv(spark, root, "k = 3")    # v2: live rows carry a DV
+    anchor = TF.latest_version(root)
+
+    def drain(ckpt: str) -> list:
+        got: list = []
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", root)
+            .option("initial_snapshot", "true")
+            .load()
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    # from-scratch CDF (no snapshot option) refuses across the rewrite
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="rewrite-class"):
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(lambda df, _id: None)
+            .option("checkpointLocation", str(tmp_path / "ck_refuse"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt = str(tmp_path / "ck")
+    got = drain(ckpt)
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+    # the snapshot: live rows at the anchor (k=0 rewritten away, k=3
+    # dv-subtracted), all inserts stamped with the anchor version
+    assert sorted(map(key, got)) == sorted(
+        (anchor, "insert", k, k * 10) for k in range(1, 8) if k != 3
+    )
+
+    # follow: later commits stream as usual on the same checkpoint
+    TF.commit_append(mk([(20, 200)]), root)
+    TF.delete_where_dv(spark, root, "k = 5")
+    got2 = drain(ckpt)
+    assert sorted(map(key, got2)) == sorted([
+        (anchor + 1, "insert", 20, 200),
+        (anchor + 2, "delete", 5, 50),
+    ])
