@@ -825,6 +825,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
     audit: "dict | None" = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """E2 (SemDeDup candidate stage) — within-cluster semantic near-dup
     pairs: cosine(a, b) >= eps, where candidates are generated ONLY
@@ -850,12 +851,21 @@ def semantic_dedup_pairs(
     auto-sizes from the corpus count (one count job;
     ``SEMDEDUP_TARGET_CELL_SIZE`` vectors per cell) so the paper's
     n_cells ∝ corpus discipline is the default rather than a manual
-    knob whose mis-set failure mode is invisible."""
-    if n_cells is None:
-        n_cells = _auto_n_cells(embeddings, SEMDEDUP_TARGET_CELL_SIZE)
-    cent = _centroid_matrix(
-        embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
-    )
+    knob whose mis-set failure mode is invisible.
+
+    ``centroids`` (optional) supplies an externally-trained FROZEN
+    quantizer instead of training here — the incremental maintenance
+    twin (``streaming/semdedup.py``) freezes one at first ingest and
+    passes the same matrix to this one-shot form for its equality
+    pin."""
+    if centroids is not None:
+        cent = centroids
+    else:
+        if n_cells is None:
+            n_cells = _auto_n_cells(embeddings, SEMDEDUP_TARGET_CELL_SIZE)
+        cent = _centroid_matrix(
+            embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
+        )
     if cent is None:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long"
@@ -964,6 +974,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     train_sample: "int | None" = DEFAULT_TRAIN_SAMPLE,
     audit: "dict | None" = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """E2 — SemDeDup: drop all but one member of every semantic-duplicate
     group. Groups are connected components of the within-cell
@@ -983,11 +994,14 @@ def semantic_dedup(
 
     if keep not in ("centroid_far", "min_id"):
         raise ValueError(f"unknown keep rule {keep!r}")
-    if n_cells is None:
-        n_cells = _auto_n_cells(embeddings, SEMDEDUP_TARGET_CELL_SIZE)
-    cent = _centroid_matrix(
-        embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
-    )
+    if centroids is not None:
+        cent = centroids  # externally-trained frozen quantizer
+    else:
+        if n_cells is None:
+            n_cells = _auto_n_cells(embeddings, SEMDEDUP_TARGET_CELL_SIZE)
+        cent = _centroid_matrix(
+            embeddings, n_cells, lloyd_iters, id_col, vec_col, train_sample
+        )
     if cent is None:
         return embeddings  # empty corpus
     # ONE training + assignment, shared by the pair stage and the keep

@@ -115,15 +115,136 @@ def _scrub_app(app: dict | None) -> dict:
     return {k: v for k, v in (app or {}).items() if k not in _RESERVED_APP_KEYS}
 
 
+def _colmap(manifest: dict) -> dict:
+    """COLUMN MAPPING (Delta's column-mapping ``name`` mode, round 11):
+    ``{logical_name: physical_name}``, identity entries omitted. Data
+    files ALWAYS store physical names — a column's physical name is
+    fixed at its first commit and never changes — so ``rename_column``
+    is a metadata-only commit and every file ever written stays
+    readable. The layer's internals (footer stats, blooms, sums, DV
+    addressing, raw directory reads) operate entirely in PHYSICAL
+    space; translation happens exactly at the API boundary
+    (``read_version`` output, commit inputs, predicates, prune keys)."""
+    return dict(manifest.get("colmap") or {})
+
+
+def _physicalize(df: DataFrame, manifest: "dict | None") -> DataFrame:
+    """Rename a LOGICAL user frame to physical column names just before
+    its files are written. Columns outside the mapping pass through."""
+    cm = _colmap(manifest) if manifest else {}
+    if not cm:
+        return df
+    out = [cm.get(c, c) for c in df.columns]
+    if len(set(out)) != len(out):
+        raise ValueError(
+            f"column collision under the table's column mapping {cm}: "
+            f"{df.columns} maps to {out} — a frame may not carry both a "
+            "renamed column and a new column named like its physical slot"
+        )
+    return df.select(
+        *[F.col(c).alias(p) for c, p in zip(df.columns, out)]
+    )
+
+
+def _retired(manifest: "dict | None") -> set:
+    """Physical column slots of METADATA-DROPPED columns — still present
+    in files written before the drop, permanently off-limits to new
+    columns (a re-added logical name gets a fresh physical slot via the
+    column mapping), and projected away by every logical read."""
+    return set((manifest or {}).get("retired") or [])
+
+
+def _logicalize(df: DataFrame, manifest: "dict | None") -> DataFrame:
+    """Rename a PHYSICAL frame (just read from data files) to the
+    manifest's logical column names, dropping retired (metadata-
+    deleted) slots. Non-data columns (``_dv_path``, join keys added
+    downstream) pass through untouched."""
+    cm = _colmap(manifest) if manifest else {}
+    gone = _retired(manifest)
+    if not cm and not gone:
+        return df
+    p2l = {p: l for l, p in cm.items()}
+    return df.select(
+        *[
+            F.col(c).alias(p2l.get(c, c))
+            for c in df.columns
+            if c not in gone
+        ]
+    )
+
+
+def _physical_schema_json(manifest: dict) -> dict:
+    """The manifest's schema with fields renamed to their PHYSICAL
+    names — the schema the data files actually carry."""
+    cm = _colmap(manifest)
+    if not cm:
+        return manifest["schema"]
+    return dict(
+        manifest["schema"],
+        fields=[
+            dict(f_, name=cm.get(f_["name"], f_["name"]))
+            for f_ in manifest["schema"]["fields"]
+        ],
+    )
+
+
+def _physical_names(manifest: dict, cols) -> list:
+    """Translate logical column names to physical for footer/stats/
+    bloom/sums lookups. Unknown names pass through (callers validate
+    against the logical schema where it matters)."""
+    cm = _colmap(manifest)
+    return [cm.get(c, c) for c in cols]
+
+
+def _dump_manifest(manifest: dict, f, root: str) -> None:
+    """The single choke point every commit path serializes its manifest
+    through: carry the PARENT's constraint set and column mapping into
+    the child unless the commit sets its own (``add_constraint``/
+    ``drop_constraint``/``rename_column``) — Delta's metadata-in-the-log
+    discipline, so metadata changes ride the CAS chain and serialize
+    with data commits. The inherited column mapping is filtered to the
+    child's schema (a full-replace commit that drops a renamed column
+    drops its mapping entry with it)."""
+    parent = manifest.get("parent")
+    pm: "dict | None" = None
+    if parent is not None and (
+        "constraints" not in manifest
+        or "colmap" not in manifest
+        or "retired" not in manifest
+    ):
+        with open(_manifest_path(root, parent)) as pf:
+            pm = json.load(pf)
+    if "constraints" not in manifest:
+        if pm is not None and "constraints" in pm:
+            manifest["constraints"] = pm["constraints"]
+        else:
+            legacy = _legacy_constraints(root)
+            if legacy:
+                manifest["constraints"] = legacy
+    if "colmap" not in manifest and pm is not None:
+        inherited = _colmap(pm)
+        if inherited:
+            names = {f_["name"] for f_ in manifest["schema"]["fields"]}
+            kept = {l: p for l, p in inherited.items() if l in names}
+            if kept:
+                manifest["colmap"] = kept
+    if "retired" not in manifest and pm is not None and pm.get("retired"):
+        # retired physical slots carry VERBATIM forever: any retained
+        # manifest may still reference files that hold them, and the
+        # cost of a permanent tombstone is one string per dropped column
+        manifest["retired"] = pm["retired"]
+    json.dump(manifest, f)
+
+
 def _constraints_path(root: str) -> str:
     return os.path.join(root, "_constraints.json")
 
 
-def table_constraints(root: str) -> dict:
-    """The table's CHECK constraints: ``{name: sql_expr}``. Table
-    PROPERTIES, not snapshot state (Delta's semantics — a RESTORE does
-    not resurrect dropped constraints), so they live beside the version
-    chain in one atomically-replaced JSON file."""
+def _legacy_constraints(root: str) -> dict:
+    """The pre-round-11 side-file constraint store — still written for
+    tables with NO committed version yet (there is no manifest to carry
+    the set), and still read as the fallback for manifests that predate
+    the in-chain ``constraints`` key."""
     try:
         with open(_constraints_path(root)) as f:
             return json.load(f)
@@ -131,33 +252,110 @@ def table_constraints(root: str) -> dict:
         return {}
 
 
+def table_constraints(root: str, version: "int | None" = None) -> dict:
+    """The table's CHECK constraints: ``{name: sql_expr}``. Table
+    PROPERTIES with Delta's metadata-in-the-log discipline (round 11):
+    the set rides IN the manifest CAS chain, so ADD/DROP serialize with
+    data commits and every writer re-probes against the constraint set
+    of the exact parent it rebases onto. A manifest carrying the
+    ``constraints`` key (even empty) is authoritative; older manifests
+    fall back to the legacy side file. A RESTORE inherits the LIVE set
+    (its parent is the live latest), so it does not resurrect dropped
+    constraints — Delta's semantics."""
+    v = latest_version(root) if version is None else version
+    if v is not None:
+        with open(_manifest_path(root, v)) as f:
+            m = json.load(f)
+        if "constraints" in m:
+            return dict(m["constraints"])
+    return _legacy_constraints(root)
+
+
+def _try_constraints_commit(root: str, parent: int, cons: dict, app: dict):
+    """One CAS attempt at a metadata-only constraints commit: data,
+    schema, stats, and deletion vectors verbatim from the parent;
+    ``data_identical`` so change feeds and the streaming source pass it
+    through. Returns the committed version, or None on a lost race."""
+    with open(_manifest_path(root, parent)) as f:
+        pm = json.load(f)
+    version = parent + 1
+    token = uuid.uuid4().hex[:8]
+    manifest = {
+        "version": version,
+        "ts": _now(),
+        "parent": parent,
+        "data": _data_list(pm),
+        "schema": pm["schema"],
+        "app": {**app, "data_identical": True},
+        "stats": pm.get("stats") or {},
+        "constraints": dict(cons),
+    }
+    if _dv_map(pm):
+        manifest["dv"] = _dv_map(pm)
+    if pm.get("evolved"):
+        manifest["evolved"] = True
+    man_path = _manifest_path(root, version)
+    tmp = f"{man_path}.{token}.tmp"
+    with open(tmp, "w") as f:
+        _dump_manifest(manifest, f, root)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+    except FileExistsError:
+        os.unlink(tmp)
+        return None
+    os.unlink(tmp)
+    ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+    with open(ptr_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(ptr_tmp, _pointer_path(root))
+    return version
+
+
 def add_constraint(
-    spark: SparkSession, root: str, name: str, expr: str
+    spark: SparkSession, root: str, name: str, expr: str,
+    max_retries: int = 20,
 ) -> None:
     """Delta's ``ALTER TABLE ADD CONSTRAINT ... CHECK (expr)``: register
     a row-level CHECK every subsequent write must satisfy. The LIVE
     snapshot is validated first (one violation-probe scan — a
     constraint the existing data breaks is refused, like Delta), then
-    the constraint lands atomically. SQL CHECK semantics: a row fails
-    only when the expression is FALSE — NULL passes.
+    the constraint lands as a metadata-only commit IN the manifest CAS
+    chain. SQL CHECK semantics: a row fails only when the expression is
+    FALSE — NULL passes.
 
-    Known race (documented, not closed): the constraints file lives
-    BESIDE the manifest CAS chain, so a writer whose enforcement probe
-    ran before this constraint landed can commit a violating row
-    concurrently with the ADD's validation scan. Delta closes this by
-    carrying metadata in the same log as data commits; here, run ADD
-    while writers are quiesced (the same operational rule as changing
-    a vacuum keep-window). Once the file exists every write path
-    enforces it race-free — the probe runs on the writer's own frame
-    immediately before its write."""
+    The round-10 ADD-vs-writer race is closed by construction (round
+    11): because the ADD claims a version, any writer whose enforcement
+    probe predates it LOSES the CAS on that version and re-probes
+    against the new constraint set on its rebase; and because the ADD's
+    own validation scan re-runs per attempt, a data commit that slips
+    in ahead of it forces the ADD to revalidate against exactly the
+    snapshot it lands on top of. Either serialization order leaves the
+    Delta guarantee intact: once ADD succeeds, no violating row is (or
+    can later be) committed. Tables with no committed version yet keep
+    the set in the legacy side file; the first commit lifts it into the
+    chain."""
     if not name or not name.replace("_", "").isalnum():
         raise ValueError(f"constraint name must be identifier-like: {name!r}")
-    cons = table_constraints(root)
-    if name in cons:
-        raise ValueError(f"constraint {name!r} already exists at {root}")
-    if latest_version(root) is not None:
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        cons = table_constraints(root, parent)
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists at {root}")
+        cons[name] = expr
+        if parent is None:
+            # pre-v0: nothing to validate, no chain to ride — side file
+            tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
+            os.makedirs(root, exist_ok=True)
+            with open(tmp, "w") as f:
+                json.dump(cons, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _constraints_path(root))
+            return
         bad = (
-            read_version(spark, root)
+            read_version(spark, root, parent)
             .filter(F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False))
             .limit(1)
             .collect()
@@ -167,29 +365,242 @@ def add_constraint(
                 f"cannot add CHECK constraint {name!r} ({expr}): existing "
                 f"rows violate it, e.g. {tuple(bad[0])}"
             )
-    cons[name] = expr
-    tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
-    os.makedirs(root, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(cons, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _constraints_path(root))
+        if _try_constraints_commit(
+            root, parent, cons,
+            {"op": "add_constraint", "constraint": name},
+        ) is not None:
+            return
+        # lost the CAS to a concurrent commit — revalidate on its top
+    raise RuntimeError(
+        f"add_constraint lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
 
 
-def drop_constraint(root: str, name: str) -> None:
-    """Remove a CHECK constraint. Missing names raise (a silent no-op
-    would hide a typo that leaves the real constraint enforced)."""
-    cons = table_constraints(root)
-    if name not in cons:
-        raise ValueError(f"no constraint {name!r} at {root}")
-    del cons[name]
-    tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(cons, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _constraints_path(root))
+def drop_constraint(root: str, name: str, max_retries: int = 20) -> None:
+    """Remove a CHECK constraint — a metadata-only commit in the CAS
+    chain (pre-v0 tables edit the side file). Missing names raise (a
+    silent no-op would hide a typo that leaves the real constraint
+    enforced)."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        cons = table_constraints(root, parent)
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} at {root}")
+        del cons[name]
+        if parent is None:
+            tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(cons, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _constraints_path(root))
+            return
+        if _try_constraints_commit(
+            root, parent, cons,
+            {"op": "drop_constraint", "constraint": name},
+        ) is not None:
+            return
+    raise RuntimeError(
+        f"drop_constraint lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
+#: column names the layer itself materializes — a user column may never
+#: be renamed onto one (DV addressing and the change feed would collide)
+_RESERVED_COL_NAMES = frozenset(
+    {"_dv_path", "_dv_pos", "_metadata", "_change_type", "_commit_version"}
+)
+
+
+def rename_column(
+    root: str, old: str, new: str, max_retries: int = 20
+) -> int:
+    """Delta's column-mapping ``ALTER TABLE RENAME COLUMN`` — a
+    METADATA-ONLY commit in the CAS chain that rewrites zero data
+    bytes: the files keep the column's PHYSICAL name (fixed at its
+    first commit), the manifest's logical schema takes the new name,
+    and the ``colmap`` entry records logical→physical so every reader
+    (snapshot, time travel, pruned reads, change feed, matviews)
+    serves the renamed schema over the old files. Reference parity
+    target: what the reference would do with an EF-Core rename
+    migration, minus the table rewrite.
+
+    Refused when: the table is empty (nothing to rename), ``old`` is
+    not a live logical column, ``new`` already names one, ``new`` is
+    layer-reserved, or a CHECK constraint references ``old`` (drop the
+    constraint first — Delta's rule — rather than silently breaking
+    its expression). Returns the committed version."""
+    import re
+
+    if not new or not new.replace("_", "").isalnum():
+        raise ValueError(f"column name must be identifier-like: {new!r}")
+    if new in _RESERVED_COL_NAMES:
+        raise ValueError(f"{new!r} is reserved by the table layer")
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        with open(_manifest_path(root, parent)) as f:
+            pm = json.load(f)
+        names = [f_["name"] for f_ in pm["schema"]["fields"]]
+        if old not in names:
+            raise ValueError(
+                f"no column {old!r} at {root} (have {names})"
+            )
+        if new in names:
+            raise ValueError(f"column {new!r} already exists at {root}")
+        for cname, expr in table_constraints(root, parent).items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"cannot rename {old!r}: CHECK constraint {cname!r} "
+                    f"({expr}) references it — drop the constraint first"
+                )
+        cm = _colmap(pm)
+        phys = cm.pop(old, old)
+        if new != phys:
+            cm[new] = phys
+        schema = dict(
+            pm["schema"],
+            fields=[
+                dict(f_, name=new) if f_["name"] == old else dict(f_)
+                for f_ in pm["schema"]["fields"]
+            ],
+        )
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": _data_list(pm),
+            "schema": schema,
+            "app": {
+                "op": "rename_column", "from": old, "to": new,
+                "data_identical": True,
+            },
+            "stats": pm.get("stats") or {},
+            "colmap": cm,
+        }
+        if _dv_map(pm):
+            manifest["dv"] = _dv_map(pm)
+        if pm.get("evolved"):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            _dump_manifest(manifest, f, root)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost — revalidate against the new latest
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"rename_column lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
+
+
+def drop_column(root: str, name: str, max_retries: int = 20) -> int:
+    """Delta's column-mapping ``ALTER TABLE DROP COLUMN`` — a
+    METADATA-ONLY commit that rewrites zero data bytes: the field
+    leaves the logical schema, its PHYSICAL slot joins the manifest's
+    ``retired`` tombstone set (files written before the drop still hold
+    it; every logical read projects it away; the next compaction's
+    rewrite reclaims the bytes — Delta's REORG PURGE), and the slot is
+    permanently off-limits to new columns, so a later re-ADD of the
+    same logical name maps to a FRESH physical slot via the column
+    mapping (``commit_append(evolve=True)`` auto-assigns it).
+
+    Refused when: the table is empty, ``name`` is not a live logical
+    column, it is the table's LAST column, or a CHECK constraint
+    references it (drop the constraint first). Keyed change feeds
+    spanning the drop project the old endpoint down to the surviving
+    columns. Returns the committed version."""
+    import re
+
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        with open(_manifest_path(root, parent)) as f:
+            pm = json.load(f)
+        names = [f_["name"] for f_ in pm["schema"]["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} at {root} (have {names})")
+        if len(names) == 1:
+            raise ValueError(
+                f"cannot drop {name!r}: it is the table's last column"
+            )
+        for cname, expr in table_constraints(root, parent).items():
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"cannot drop {name!r}: CHECK constraint {cname!r} "
+                    f"({expr}) references it — drop the constraint first"
+                )
+        cm = _colmap(pm)
+        phys = cm.pop(name, name)
+        schema = dict(
+            pm["schema"],
+            fields=[
+                dict(f_) for f_ in pm["schema"]["fields"]
+                if f_["name"] != name
+            ],
+        )
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": _data_list(pm),
+            "schema": schema,
+            "app": {
+                "op": "drop_column", "column": name,
+                "data_identical": True,
+            },
+            "stats": pm.get("stats") or {},
+            "colmap": cm,
+            "retired": sorted(_retired(pm) | {phys}),
+        }
+        if _dv_map(pm):
+            manifest["dv"] = _dv_map(pm)
+        if pm.get("evolved"):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            _dump_manifest(manifest, f, root)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost — revalidate against the new latest
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"drop_column lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize writers upstream"
+    )
 
 
 def _enforce_constraints(df: DataFrame, root: str, op: str) -> None:
@@ -237,16 +648,22 @@ def _try_commit(
     version = 0 if parent is None else parent + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-    df.write.mode("overwrite").parquet(data_dir)
+    pmc: "dict | None" = None
+    if parent is not None:
+        with open(_manifest_path(root, parent)) as pf:
+            pmc = json.load(pf)
+    _physicalize(df, pmc).write.mode("overwrite").parquet(data_dir)
 
     os.makedirs(_versions_dir(root), exist_ok=True)
     rel = os.path.relpath(data_dir, root)
     entry = _dir_stats(root, rel)
     if bloom:
+        bloom = tuple(_physical_names(pmc, bloom)) if pmc else tuple(bloom)
         blooms = _write_dir_blooms(root, rel, tuple(bloom))
         if blooms:
             entry[_STATS_BLOOMS] = blooms
     if sums:
+        sums = tuple(_physical_names(pmc, sums)) if pmc else tuple(sums)
         col_sums = _dir_col_sums(root, rel, tuple(sums))
         if col_sums:
             entry[_STATS_SUMS] = col_sums
@@ -262,7 +679,7 @@ def _try_commit(
     man_path = _manifest_path(root, version)
     tmp = f"{man_path}.{token}.tmp"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        _dump_manifest(manifest, f, root)
         f.flush()
         os.fsync(f.fileno())
     try:
@@ -562,7 +979,13 @@ def _prune_dirs(
     [min,max] (equality prunes as the degenerate [v,v] range), then the
     bloom membership probe for ``('=', v)`` entries on directories that
     recorded a filter for that column. Bloom reads are driver-side,
-    lazy, and only for directories the ranges could not already drop."""
+    lazy, and only for directories the ranges could not already drop.
+    Prune keys are LOGICAL column names; stats/bloom sidecars are keyed
+    by the physical names the files carry, so the mapping translates
+    here — the one place pruning meets the manifest."""
+    cm = _colmap(manifest)
+    if cm:
+        prune = {cm.get(c, c): b for c, b in prune.items()}
     stats = manifest.get("stats") or {}
     eq = {c: b[1] for c, b in prune.items() if _is_eq_bound(b)}
     kept = []
@@ -795,6 +1218,7 @@ def commit_append(
         ]
         schema_json = pm["schema"]
         evolved = bool(pm.get("evolved"))
+        remap: dict = {}  # evolve-added logical name -> fresh physical slot
         if committed != appended:
             if not evolve:
                 raise ValueError(
@@ -824,6 +1248,19 @@ def commit_append(
                 for f_ in app_fields
                 if f_["name"] not in by_name
             ]
+            # under column mapping, physical slots of RENAMED columns
+            # (still occupied in the files) and of DROPPED columns
+            # (retired tombstones) cannot be claimed by a new logical
+            # column — auto-assign a fresh versioned physical slot
+            # instead, Delta's re-add-after-drop/rename semantics (Delta
+            # uses UUID physical names; a versioned suffix keeps ours
+            # human-readable and unique — one commit per version)
+            taken_phys = set(_colmap(pm).values()) | _retired(pm)
+            remap = {
+                f_["name"]: f"{f_['name']}__p{parent + 1}"
+                for f_ in new_fields
+                if f_["name"] in taken_phys
+            }
             merged = [
                 # a committed column the append omits reads NULL for the
                 # new rows, so it must be nullable from here on
@@ -841,7 +1278,10 @@ def commit_append(
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        df.write.mode("overwrite").parquet(data_dir)
+        pm_eff = (
+            dict(pm, colmap={**_colmap(pm), **remap}) if remap else pm
+        )
+        _physicalize(df, pm_eff).write.mode("overwrite").parquet(data_dir)
         rel = os.path.relpath(data_dir, root)
         # parent stats carry forward verbatim (those dirs are immutable);
         # only the new tail's footers are read — O(batch) per commit
@@ -851,13 +1291,17 @@ def commit_append(
             # point-lookup skipping index for the new tail (opt-in,
             # Delta's bloom-filter-index discipline): O(batch) build,
             # enables prune={col: ('=', v)} to drop this directory
-            blooms = _write_dir_blooms(root, rel, tuple(bloom))
+            blooms = _write_dir_blooms(
+                root, rel, tuple(_physical_names(pm, bloom))
+            )
             if blooms:
                 stats[rel][_STATS_BLOOMS] = blooms
         if sums:
             # metadata-only SUM support for the new tail (opt-in):
             # stats_agg(sums=...) then answers SUM(col) manifest-only
-            col_sums = _dir_col_sums(root, rel, tuple(sums))
+            col_sums = _dir_col_sums(
+                root, rel, tuple(_physical_names(pm, sums))
+            )
             if col_sums:
                 stats[rel][_STATS_SUMS] = col_sums
         manifest = {
@@ -878,10 +1322,14 @@ def commit_append(
             # schemas — readers must resolve them by name against the
             # union schema (read_version checks this flag)
             manifest["evolved"] = True
+        if remap:
+            # explicit: the inherited map plus the fresh slots this
+            # evolve-append assigned (re-add after drop/rename)
+            manifest["colmap"] = {**_colmap(pm), **remap}
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -1045,7 +1493,14 @@ def commit_merge(
             # directories were maintaining
             try:
                 with open(_manifest_path(root, parent)) as f:
-                    bloom, sums = _meta_cols(json.load(f))
+                    pm_meta = json.load(f)
+                bloom, sums = _meta_cols(pm_meta)
+                # _meta_cols reads stats keys — PHYSICAL names; map back
+                # to logical (``_try_commit`` re-physicalizes), so the
+                # round-trip is exact under column mapping
+                p2l = {p: l for l, p in _colmap(pm_meta).items()}
+                bloom = tuple(p2l.get(c, c) for c in bloom)
+                sums = tuple(p2l.get(c, c) for c in sums)
             except FileNotFoundError:
                 pass  # parent vacuumed mid-attempt; CAS will rebase
         v = _try_commit(
@@ -1161,25 +1616,32 @@ def read_version(
         # schema-evolved table: data directories have heterogeneous file
         # schemas, so resolve every file by NAME against the manifest's
         # union schema — columns a directory predates read as NULL
-        # (forced nullable so the read schema never over-promises)
+        # (forced nullable so the read schema never over-promises).
+        # Resolution runs in PHYSICAL name space (the names the files
+        # carry — renames never rewrite them).
         df = spark.read.schema(_evolved_read_schema(manifest)).parquet(
             *paths
         )
     else:
         df = spark.read.parquet(*paths)
     # merge-on-read: subtract any deletion vectors recorded for the
-    # directories this read kept (pruned-out dirs never pay the join)
-    return _apply_dv(spark, root, manifest, dirs, df)
+    # directories this read kept (pruned-out dirs never pay the join);
+    # DV addressing is positional, so it runs before the rename to the
+    # logical schema (``colmap`` — a pure projection Catalyst folds
+    # into the scan, so pushdown and pruning are unaffected)
+    return _logicalize(_apply_dv(spark, root, manifest, dirs, df), manifest)
 
 
 def _evolved_read_schema(manifest: dict):
-    """The manifest's union schema with every field forced nullable —
-    any directory may predate any column, so no column can promise
-    non-null across the whole union."""
+    """The manifest's union schema in PHYSICAL names with every field
+    forced nullable — any directory may predate any column, so no
+    column can promise non-null across the whole union; files resolve
+    by the names they actually carry (renames are metadata-only)."""
     from pyspark.sql.types import StructType
 
-    fields = [dict(f_, nullable=True) for f_ in manifest["schema"]["fields"]]
-    return StructType.fromJson(dict(manifest["schema"], fields=fields))
+    phys = _physical_schema_json(manifest)
+    fields = [dict(f_, nullable=True) for f_ in phys["fields"]]
+    return StructType.fromJson(dict(phys, fields=fields))
 
 
 #: Parquet physical types whose footer min/max are EXACT values of the
@@ -1391,6 +1853,17 @@ def stats_agg(
     bloom_kept = (
         set(_prune_dirs(root, manifest, dirs, prune)) if prune else set(dirs)
     )
+    # COLUMN MAPPING: everything below (manifest stats, footers, raw
+    # scans) is keyed by the PHYSICAL names the files carry; ``cols``/
+    # ``sums``/``prune`` arrive logical (``_prune_dirs`` above does its
+    # own translation), and ``p2l`` restores logical labels on the
+    # output row. Translation is a no-op for unmapped tables.
+    cm = _colmap(manifest)
+    p2l = {p: l for l, p in cm.items()}
+    if cm:
+        cols = tuple(cm.get(c, c) for c in cols)
+        sums = tuple(cm.get(c, c) for c in sums)
+        prune = {cm.get(c, c): b for c, b in prune.items()}
     prune = {
         c: ((b[1], b[1]) if _is_eq_bound(b) else b)
         for c, b in prune.items()
@@ -1583,32 +2056,40 @@ def stats_agg(
             dirs_manifest=n_manifest,
         )
 
-    table_schema = StructType.fromJson(manifest["schema"])
+    table_schema = StructType.fromJson(_physical_schema_json(manifest))
     by_name = {f_.name: f_.dataType for f_ in table_schema.fields}
     out_fields = [StructField("row_cnt", _long_type(), False)]
     for c in cols:
         if c not in by_name:
-            raise ValueError(f"stats_agg column {c!r} not in table schema")
-        out_fields.append(StructField(f"min_{c}", by_name[c], True))
-        out_fields.append(StructField(f"max_{c}", by_name[c], True))
+            raise ValueError(
+                f"stats_agg column {p2l.get(c, c)!r} not in table schema"
+            )
+        lc = p2l.get(c, c)
+        out_fields.append(StructField(f"min_{lc}", by_name[c], True))
+        out_fields.append(StructField(f"max_{lc}", by_name[c], True))
         if counts:
-            out_fields.append(StructField(f"cnt_{c}", _long_type(), False))
+            out_fields.append(StructField(f"cnt_{lc}", _long_type(), False))
     for c in sums:
         if c not in by_name:
-            raise ValueError(f"stats_agg sums column {c!r} not in table schema")
+            raise ValueError(
+                f"stats_agg sums column {p2l.get(c, c)!r} not in table "
+                "schema"
+            )
         # _dir_col_sums records integer columns only; a double/decimal
         # column would demote every directory to the scan path and then
         # silently truncate fractions into the long-typed output —
         # refuse instead of returning a wrong SUM.
         if by_name[c].typeName() not in ("byte", "short", "integer", "long"):
             raise ValueError(
-                f"stats_agg sums column {c!r} has non-integral type "
+                f"stats_agg sums column {p2l.get(c, c)!r} has non-integral type "
                 f"{by_name[c].simpleString()}; metadata sums are "
                 "integer-only — aggregate float/decimal columns with a "
                 "regular query"
             )
         # SQL SUM semantics: NULL on zero non-null matching rows
-        out_fields.append(StructField(f"sum_{c}", _long_type(), True))
+        out_fields.append(
+            StructField(f"sum_{p2l.get(c, c)}", _long_type(), True)
+        )
     values = [rows]
     for c in cols:
         values.append(mins[c])
@@ -1815,10 +2296,9 @@ def table_changes(
                 break
             # evolved tables: the addressed files have heterogeneous
             # schemas — the delete-image read must resolve by name
-            # against the union schema, like every evolved read
-            dv_steps.append(
-                (v, new_paths, m["schema"] if m.get("evolved") else None)
-            )
+            # against the union schema (in PHYSICAL names), like every
+            # evolved read, so the step's whole manifest rides along
+            dv_steps.append((v, new_paths, m if m.get("evolved") else None))
             prev_dv = _dv_map(m)
             continue
         if (
@@ -1851,7 +2331,7 @@ def table_changes(
                 break
             if new_paths:
                 dv_steps.append(
-                    (v, new_paths, m["schema"] if m.get("evolved") else None)
+                    (v, new_paths, m if m.get("evolved") else None)
                 )
             if len(cur) > len(prev):
                 tails.append((v, cur[len(prev):]))
@@ -1881,13 +2361,21 @@ def table_changes(
             .limit(0)
         )
     if fast:
+        # the feed serves v_to's LOGICAL schema: physical names are
+        # stable across renames, so one logicalize against the v_to
+        # manifest is correct for rows of every era in the range
+        with open(_manifest_path(root, v_to)) as f:
+            m_to = json.load(f)
         parts = [
-            spark.read.parquet(*[os.path.join(root, p) for p in dirs])
+            _logicalize(
+                spark.read.parquet(*[os.path.join(root, p) for p in dirs]),
+                m_to,
+            )
             .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
             .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("bigint"))
             for v, dirs in tails
         ]
-        for v, paths, ev_schema in dv_steps:
+        for v, paths, ev_manifest in dv_steps:
             # the sidecar addresses name the touched FILES, hence their
             # directories — read only those, semi-join on the row
             # address to recover the deleted rows' images (immutable
@@ -1903,19 +2391,24 @@ def table_changes(
                 }
             )
             tpaths = [os.path.join(root, d) for d in tdirs]
-            if ev_schema is not None:
+            if ev_manifest is not None:
                 src = spark.read.schema(
-                    _evolved_read_schema({"schema": ev_schema})
+                    _evolved_read_schema(ev_manifest)
                 ).parquet(*tpaths)
             else:
                 src = spark.read.parquet(*tpaths)
             cols = src.columns
             deleted = (
-                src.select("*", *_dv_key_cols(root))
-                .join(
-                    F.broadcast(addrs), ["_dv_path", "_dv_pos"], "left_semi"
+                _logicalize(
+                    src.select("*", *_dv_key_cols(root))
+                    .join(
+                        F.broadcast(addrs),
+                        ["_dv_path", "_dv_pos"],
+                        "left_semi",
+                    )
+                    .select(*cols),
+                    m_to,
                 )
-                .select(*cols)
                 .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                 .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("bigint"))
             )
@@ -1936,6 +2429,26 @@ def table_changes(
         )
     old = None if v_from is None else read_version(spark, root, v_from)
     new = read_version(spark, root, v_to)
+    if old is not None:
+        # a RENAME between the endpoints changes logical names but not
+        # physical slots — serve the OLD endpoint under v_to's logical
+        # names via the physical identity, so the diff (and a rename-
+        # only range) compares the same columns instead of refusing
+        with open(_manifest_path(root, v_from)) as f:
+            fm_ = json.load(f)
+        with open(_manifest_path(root, v_to)) as f:
+            tm_ = json.load(f)
+        cm_f, cm_t = _colmap(fm_), _colmap(tm_)
+        gone_t = _retired(tm_)
+        if cm_f or cm_t or gone_t:
+            p2l_t = {p: l for l, p in cm_t.items()}
+            keep = [
+                c for c in old.columns if cm_f.get(c, c) not in gone_t
+            ]  # metadata-DROPPED columns leave the diff (their values
+            #    are untouched for surviving rows — Delta's CDF shape)
+            ren = {c: p2l_t.get(cm_f.get(c, c), cm_f.get(c, c)) for c in keep}
+            if keep != old.columns or any(ren[c] != c for c in keep):
+                old = old.select(*[F.col(c).alias(ren[c]) for c in keep])
     if old is not None and old.columns != new.columns:
         # schema evolution between the endpoints: align the OLD side to
         # the new snapshot's column set (columns it predates read NULL)
@@ -2217,6 +2730,9 @@ def _split_affected(
     Missing stats always land in the candidate set — elimination is an
     optimization, never a filter."""
     stats = manifest.get("stats") or {}
+    cm_b = _colmap(manifest)
+    if bounds and cm_b:
+        bounds = {cm_b.get(c, c): b for c, b in bounds.items()}
     carried: list[str] = []
     candidates: list[str] = []
     for p in _data_list(manifest):
@@ -2261,8 +2777,9 @@ def _dirs_with_matches(
     # capture the file name in a projection DIRECTLY over the scan:
     # input_file_name() evaluated after match_fn would return '' whenever
     # the join shuffles this side (sort-merge on a diff too big to
-    # broadcast) — as a materialized column it survives any exchange
-    src = src.withColumn("_f", F.input_file_name())
+    # broadcast) — as a materialized column it survives any exchange.
+    # match_fn's predicate speaks the LOGICAL schema — rename first.
+    src = _logicalize(src, manifest).withColumn("_f", F.input_file_name())
     files = match_fn(src).select("_f").distinct().collect()
     abs_root = os.path.abspath(root)
     hit: set[str] = set()
@@ -2325,7 +2842,7 @@ def _commit_rewrite_where(
         # merge-on-read: a touched directory's deletion vectors apply
         # BEFORE the rewrite (the rewrite must not resurrect deleted
         # rows) and are folded away by it — the new tail is vector-free
-        source = _apply_dv(spark, root, pm, touched, source)
+        source = _logicalize(_apply_dv(spark, root, pm, touched, source), pm)
         rewritten = rewrite_fn(source)
         committed = [
             (f_["name"], f_["type"]) for f_ in pm["schema"]["fields"]
@@ -2341,7 +2858,7 @@ def _commit_rewrite_where(
             )
         _enforce_constraints(rewritten, root, op)
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        rewritten.write.mode("overwrite").parquet(data_dir)
+        _physicalize(rewritten, pm).write.mode("overwrite").parquet(data_dir)
         rel = os.path.relpath(data_dir, root)
         data_list = list(carried)
         try:
@@ -2393,7 +2910,7 @@ def _commit_rewrite_where(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -2616,9 +3133,14 @@ def delete_where_dv(
             continue  # parent vacuumed under us — rebase onto new latest
         stats = pm.get("stats") or {}
         dirs = _data_list(pm)
+        cm_b = _colmap(pm)
+        eff_bounds = (
+            {cm_b.get(c, c): b for c, b in bounds.items()}
+            if bounds and cm_b else bounds
+        )
         candidates = [
             p for p in dirs
-            if not bounds or _keep_dir(stats.get(p), bounds)
+            if not eff_bounds or _keep_dir(stats.get(p), eff_bounds)
         ]
         if not candidates:
             return parent  # no directory can contain a match
@@ -2630,8 +3152,10 @@ def delete_where_dv(
         else:
             src = spark.read.parquet(*paths)
         # address every candidate row, drop the already-deleted, keep
-        # the predicate's matches: the new DV increment
-        keyed = src.select("*", *_dv_key_cols(root))
+        # the predicate's matches: the new DV increment. The predicate
+        # is written over LOGICAL names; the scan is physical, so the
+        # frame logicalizes first (the `_dv_*` key columns pass through)
+        keyed = _logicalize(src.select("*", *_dv_key_cols(root)), pm)
         dv = _dv_map(pm)
         prior = [d for d in candidates if d in dv]
         if prior:
@@ -2694,7 +3218,7 @@ def delete_where_dv(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -2749,8 +3273,14 @@ def _commit_mor(
         stats = pm.get("stats") or {}
         dirs = _data_list(pm)
         dv = _dv_map(pm)
+        cm_b = _colmap(pm)
+        eff_bounds = (
+            {cm_b.get(c, c): b for c, b in bounds.items()}
+            if bounds and cm_b else bounds
+        )
         candidates = [
-            p for p in dirs if not bounds or _keep_dir(stats.get(p), bounds)
+            p for p in dirs
+            if not eff_bounds or _keep_dir(stats.get(p), eff_bounds)
         ]
         if candidates:
             paths = [os.path.join(root, p) for p in candidates]
@@ -2760,7 +3290,9 @@ def _commit_mor(
                 ).parquet(*paths)
             else:
                 src = spark.read.parquet(*paths)
-            keyed = src.select("*", *_dv_key_cols(root))
+            # callbacks (predicates, SET exprs, key joins) speak the
+            # LOGICAL schema; the scan is physical — rename first
+            keyed = _logicalize(src.select("*", *_dv_key_cols(root)), pm)
             prior = [d for d in candidates if d in dv]
             if prior:
                 prior_paths = sorted(
@@ -2844,7 +3376,7 @@ def _commit_mor(
             data_dir = os.path.join(
                 root, "data", f"v{version:05d}-{token}"
             )
-            tail.write.mode("overwrite").parquet(data_dir)
+            _physicalize(tail, pm).write.mode("overwrite").parquet(data_dir)
             rel = os.path.relpath(data_dir, root)
             data_list.append(rel)
             new_stats[rel] = _dir_stats(root, rel)
@@ -2871,7 +3403,7 @@ def _commit_mor(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -3027,7 +3559,7 @@ def consolidate_dv(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -3115,10 +3647,18 @@ def restore(root: str, version: int, max_retries: int = 20,
             manifest["dv"] = _dv_map(tm)
         if tm.get("evolved"):
             manifest["evolved"] = True
+        # the TARGET's column mapping travels with its schema (set even
+        # when empty, so the choke point cannot inherit the LIVE map —
+        # which belongs to the live schema, not the restored one);
+        # constraints stay LIVE via the choke (table properties: a
+        # restore neither resurrects dropped ones nor re-validates —
+        # like Delta, it is O(1) metadata and never scans data)
+        manifest["colmap"] = _colmap(tm)
+        manifest["retired"] = sorted(_retired(tm))
         man_path = _manifest_path(root, new_version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -3249,10 +3789,15 @@ def commit_upsert(
                 f"committed={committed} batch={produced}"
             )
         stats = pm.get("stats") or {}
+        cm_b = _colmap(pm)
+        eff_bounds = (
+            {cm_b.get(c, c): b for c, b in bounds.items()}
+            if cm_b else bounds
+        )
         carried: list[str] = []
         candidates: list[str] = []
         for p in _data_list(pm):
-            if not _keep_dir(stats.get(p), bounds):
+            if not _keep_dir(stats.get(p), eff_bounds):
                 carried.append(p)  # disjoint in some key column
             else:
                 candidates.append(p)
@@ -3276,7 +3821,7 @@ def commit_upsert(
                 )
             # touched dirs' deletion vectors apply before the merge and
             # fold into the rewritten tail
-            old = _apply_dv(spark, root, pm, touched, old)
+            old = _logicalize(_apply_dv(spark, root, pm, touched, old), pm)
             tail = old.join(
                 F.broadcast(bkeys), keys, "left_anti"
             ).unionByName(batch)
@@ -3286,7 +3831,7 @@ def commit_upsert(
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        tail.write.mode("overwrite").parquet(data_dir)
+        _physicalize(tail, pm).write.mode("overwrite").parquet(data_dir)
         rel = os.path.relpath(data_dir, root)
         # empty-tail guard (same as _commit_rewrite_where): an empty
         # batch against match-free candidates can write zero parquet
@@ -3331,7 +3876,7 @@ def commit_upsert(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -3494,6 +4039,9 @@ def commit_full_sync(
                 *[F.max(k).alias(f"hi_{k}") for k in keys],
             ).collect()[0]
             bounds = {k: (agg[f"lo_{k}"], agg[f"hi_{k}"]) for k in keys}
+            cm_b = _colmap(pm)
+            if cm_b:
+                bounds = {cm_b.get(c, c): b for c, b in bounds.items()}
             candidates: list[str] = []
             for p in _data_list(pm):
                 if not _keep_dir(stats.get(p), bounds):
@@ -3520,7 +4068,7 @@ def commit_full_sync(
                 )
             else:
                 old = spark.read.parquet(*touched_paths)
-            old = _apply_dv(spark, root, pm, touched, old)
+            old = _logicalize(_apply_dv(spark, root, pm, touched, old), pm)
             tail = old.join(bad_keys, keys, "left_anti").unionByName(
                 tail_rows
             )
@@ -3530,7 +4078,7 @@ def commit_full_sync(
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        tail.write.mode("overwrite").parquet(data_dir)
+        _physicalize(tail, pm).write.mode("overwrite").parquet(data_dir)
         rel = os.path.relpath(data_dir, root)
         try:
             has_rows = any(
@@ -3569,7 +4117,7 @@ def commit_full_sync(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -3656,7 +4204,9 @@ def compact_zorder(
         token = uuid.uuid4().hex[:8]
         data_root = os.path.join(root, "data", f"v{version:05d}-{token}")
         (
-            snap.withColumn("_zb", bucket)
+            # bucket computes over LOGICAL names; files land physical
+            # (the `_zb` partition column passes through the mapping)
+            _physicalize(snap.withColumn("_zb", bucket), pm)
             .repartition("_zb")
             .write.partitionBy("_zb")
             .mode("overwrite")
@@ -3701,7 +4251,7 @@ def compact_zorder(
         man_path = _manifest_path(root, version)
         tmp = f"{man_path}.{token}.tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            _dump_manifest(manifest, f, root)
             f.flush()
             os.fsync(f.fileno())
         try:

@@ -30,73 +30,67 @@ from . import datapipe_ops  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship first — unchanged since round 1.
     "q_flagship_modvalues",
-    # The only oracle queries without a lifetime driver row (registered
-    # after the round-9 window froze — first in line per the standing
-    # rotation rule), then the four NEW round-10 oracle queries:
-    # DV-sidecar consolidation, the keyless mor-upsert change feed, the
-    # table-as-streaming-source twin (shares the mor feed's oracle
-    # verbatim — streaming == batch IS the check), and CHECK constraints.
-    "q_tf_sum_agg",
-    "q_tf_upsert_mor",
-    "q_tf_consolidate_dv",
-    "q_tf_changefeed_mor",
-    "q_tf_stream_changefeed",
-    "q_tf_check_constraints",
-    # Family canaries: the LEAST-recently-checked oracle member of each
-    # family not already covered by the backfill cohort below
-    # (tests/test_registry_window.py pins one per family).
-    "q_e1_exact_dedup",  # r9 (sole e1 member)
-    "q_e5_frame_sample",  # r8 (oldest e5)
-    "q_e6_timeseries_similarity",  # r9 (sole e6 member)
-    "q_e7_curation_quality_rep",  # r7 (oldest e7)
-    "q_asof_join_purchase_view",  # r9 (sole-family asof)
-    "q_range_join_purchase_errors",  # r9 (sole-family range)
-    "q_w_sessionize",  # r9 (covers sessionize + windows patterns)
-    # Round-10 rotation (round-9 verdict item 2): the least-recently-
-    # checked cohort — every row last driver-checked in round 5, then
-    # as much of the round-6 cohort as fits (the q_tf_change_feed*
-    # rows jump their cohort order because this round's mor-upsert
-    # fast path touches exactly that machinery). All rotated-out
-    # members keep their lifetime green rows and stay oracle-checked
-    # every round via verify_contract / test_parity.
-    "q_f1_monitored_devices",
-    "q_f3_staleness_filter",
-    "q_t_downsample_ohlc",
-    "q_t_multires_rollup",
-    "q_t_funnel_conversion",
-    "q_t_cohort_retention",
-    "q_e8_split_assignment",
-    "q_e8_stratified_sample",
-    "q_e8_contamination",
-    "q_e4_pii_redact",
-    "q_e4_repetition",
-    "q_e4_token_entropy",
-    "q_e8_global_shuffle",
-    "q_e8_quality_topk",
-    "q_e8_epoch_expand",
-    # round-6 cohort (21 of 34; the remaining 13 lead round 11's queue)
-    "q_a2_latest_per_key",
-    "q_s9_upsert_matched",
-    "q_b1_browse_tree",
-    "q_sort_topk_orders",
-    "q_set_intersect",
-    "q_t10_session_window",
-    "q_e2_repeated_spans",
-    "q_e2_incremental_spans",
-    "q_e2_durable_spans",
-    "q_e2_span_trim",
-    "q_e2_incremental_span_trim",
-    "q_e3_domain_diversity",
-    "q_s8_default_injection",
-    "q_tpch_q5_local_supplier_volume",
-    "q_t_anomaly_zscore",
-    "q_tpch_q7_volume_shipping",
-    "q_tpch_q8_market_share",
-    "q_tpch_q9_product_profit",
-    "q_tf_change_feed",
-    "q_tf_change_feed_append",
-    "q_tf_incremental_view",
+    # Round-11 rotation (round-10 verdict item 2). New oracle queries
+    # take slots first per the standing rule:
+    "q_tf_column_rename",
+    # ...then the 13 remaining round-6 rows — the least-recently-
+    # checked cohort after round 10 closed lifetime coverage at 100%:
+    "q_tpch_q12_priority_classes",
+    "q_tpch_q14_promo_effect",
+    "q_tpch_q19_disjunctive_revenue",
+    "q_agg_mode_per_group",
+    "q_w_range_frame",
+    "q_t_downtime_report",
+    "q_t4_server_watchdog_batch",
+    "q_e4_unigram_logprob",
+    "q_e4_incremental_heavy_hitters",
+    "q_e8_split_leakage",
+    "q_e8_domain_mix",
+    "q_e8_incremental_corpus_build",
+    "q_e8_durable_corpus_build",
+    # Family canaries (least-recently-checked member of each family
+    # not already covered above; sole members stay by necessity):
+    "q_e1_exact_dedup",
+    "q_e5_multimodal_meta",  # r9 (oldest e5)
+    "q_e6_timeseries_similarity",
+    "q_e7_curation_clustered",  # r8 (oldest e7)
+    "q_asof_join_purchase_view",
+    "q_range_join_purchase_errors",
+    "q_w_sessionize",
+    # The round-7 cohort (first 28 of its 41 rows, registry order; the
+    # remaining 13 — q_tpch_q11/q13/q15/q16/q17/q1/q20/q22/q2/q4,
+    # q_validate_orders, q_x1_slope_intercept, q_x_array_hof,
+    # q_x_unpivot — lead round 12's rotation):
+    "q_agg_corr_moments",
+    "q_agg_grouping_sets",
+    "q_agg_histogram",
+    "q_agg_percentiles",
+    "q_agg_pivot_event_types",
+    "q_agg_salted_skew",
+    "q_e2_cross_corpus_neardup",
+    "q_e2_semantic_dedup",
+    "q_e3_filtered_ann",
+    "q_e4_heavy_hitters",
+    "q_e8_corpus_build",
+    "q_e8_leakage_free_split",
+    "q_profile_lineitem",
+    "q_s3_template_scan",
+    "q_set_except",
+    "q_set_union_all",
+    "q_sort_nulls_ordering",
+    "q_t_incremental_rollup",
+    "q_tf_avg_view",
+    "q_tf_delete_where",
+    "q_tf_distinct_view",
+    "q_tf_minmax_view",
+    "q_tf_pruned_read",
+    "q_tf_restore",
+    "q_tf_schema_evolution",
+    "q_tf_update_where",
+    "q_tf_upsert_partial",
+    "q_tpch_q10_returned_items",
 )
+
 
 
 def _reorder_for_driver_window() -> None:

@@ -2691,10 +2691,19 @@ def q_tf_check_constraints(spark, sf_dir):
     bad = spark.createDataFrame(
         [(-1, -1, 0.0)], "event_id long, user_id long, value double"
     )
+    # Anchor the violating update to a user_id that EXISTS (scalar
+    # collect) and make the set-expression violating for any event_id
+    # >= 0 — update_where_dv is a no-op (and cannot refuse) when its
+    # predicate matches zero rows, so a synthetic cohort like
+    # "user_id % 9 = 1" could be empty at a small scale factor and the
+    # refusal assertion below would trip on a vacuous success.
+    anchor_uid = ev.agg(F.max("user_id").alias("m")).first()["m"]
+    assert anchor_uid is not None and anchor_uid >= 0, anchor_uid
     for attempt in (
         lambda: TF.commit_append(bad, root),
         lambda: TF.update_where_dv(
-            spark, root, "user_id % 9 = 1", {"user_id": "0 - user_id"}
+            spark, root, f"user_id = {int(anchor_uid)}",
+            {"event_id": "0 - event_id - 1"},
         ),
     ):
         try:
@@ -2714,4 +2723,108 @@ def q_tf_check_constraints(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(38,6)"))
         .cast("double")
         .alias("sum_value"),
+    )
+
+
+@register(
+    "q_tf_column_rename",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, value FROM events
+    ),
+    after_del AS (
+        SELECT * FROM base WHERE event_id % 5 <> 0
+    ),
+    after_upd AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 7 = 1 THEN value + 100.0
+                    ELSE value END AS reading
+        FROM after_del
+    ),
+    appended AS (
+        SELECT event_id + 1000000000 AS event_id, user_id,
+               value AS reading
+        FROM base WHERE user_id % 11 = 3
+    ),
+    final AS (
+        SELECT * FROM after_upd UNION ALL SELECT * FROM appended
+    )
+    SELECT CAST(user_id % 3 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(reading AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_reading
+    FROM final
+    GROUP BY 1
+    """,
+    "Column mapping (round 11 — Delta column-mapping RENAME parity): "
+    "events committed, value RENAMED to reading as a METADATA-ONLY "
+    "commit (zero data bytes rewritten — the data file set is asserted "
+    "byte-identical in-query, and time travel still serves the old "
+    "name), then the renamed table is exercised end-to-end: a DV "
+    "delete and a DV update whose predicate/SET speak the new name, an "
+    "append under the new name (stored physically under the original "
+    "slot), a pruned read audited to skip the base directory, and a "
+    "second rename (user_id -> uid) AFTER the mutations. The oracle "
+    "reconstructs the final state relationally.",
+)
+def q_tf_column_rename(spark, sf_dir):
+    import os
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = scratch_root("column_rename")
+    TF.commit_version(ev, root)  # v0
+
+    def data_files():
+        out = {}
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "data")):
+            for n in files:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = (
+                    os.path.getsize(p), os.path.getmtime(p)
+                )
+        return out
+
+    before = data_files()
+    TF.rename_column(root, "value", "reading")  # v1: metadata-only
+    assert data_files() == before, "rename must rewrite zero data bytes"
+    assert TF.read_version(spark, root, 0).columns == [
+        "event_id", "user_id", "value",
+    ], "time travel must serve the pre-rename schema"
+
+    # the renamed column in predicates, SET expressions, and appends
+    TF.delete_where_dv(spark, root, "event_id % 5 = 0")  # v2
+    TF.update_where_dv(
+        spark, root, "event_id % 7 = 1", {"reading": "reading + 100.0"}
+    )  # v3 (no-op rows were already deleted; matches oracle sequencing)
+    batch = ev.filter(F.col("user_id") % 11 == 3).select(
+        (F.col("event_id") + F.lit(1000000000)).alias("event_id"),
+        "user_id",
+        F.col("value").alias("reading"),
+    )
+    TF.commit_append(batch, root)  # v4
+
+    # pruned read over the mapping: the appended tail owns the shifted
+    # id range, so an event_id lower bound keeps ONLY that directory
+    audit = {}
+    tail_only = TF.read_version(
+        spark, root, prune={"event_id": (1000000000, None)}, audit=audit
+    ).filter(F.col("event_id") >= 1000000000)
+    assert audit["dirs_kept"] < audit["dirs_total"], audit
+    assert tail_only.count() == batch.count()
+
+    TF.rename_column(root, "user_id", "uid")  # v5: rename AFTER mutations
+    return (
+        TF.read_version(spark, root)
+        .groupBy((F.col("uid") % 3).cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("reading").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_reading"),
+        )
     )

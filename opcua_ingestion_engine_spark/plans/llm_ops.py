@@ -1734,3 +1734,53 @@ def q_e3_random_projection(spark, sf_dir):
         F.size("embedding").alias("reduced_dim"),
         F.round(F.col("embedding")[0], 6).alias("rp1"),
     )
+
+
+@register(
+    "q_e2_incremental_semdedup",
+    None,  # k-means cells + union-find survivorship are engine-side —
+    # rows-only; the REAL check runs in-query: the maintained state's
+    # survivor set is asserted EQUAL to the one-shot operator under the
+    # same frozen quantizer, and equality under arbitrary batch splits
+    # is pinned in tests/test_incremental_semdedup.py
+    "E2 — incrementally-MAINTAINED SemDeDup (round 11, deployment "
+    "form): embeddings ingested as three micro-batches into a "
+    "versioned codes+pairs state under a frozen first-batch quantizer "
+    "(one bounded within-cell candidate shuffle per batch, never "
+    "all-pairs); survivors served via union-find over the accumulated "
+    "pair graph. In-query assert: maintained survivors == one-shot "
+    "semantic_dedup(centroids=frozen) over the same corpus; a replayed "
+    "batch is skipped exactly-once.",
+)
+def q_e2_incremental_semdedup(spark, sf_dir):
+    from ..streaming.semdedup import IncrementalSemDeDupSink
+    from .scratch import scratch_root
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    root = scratch_root("incremental_semdedup")
+    sink = IncrementalSemDeDupSink(root, eps=0.45, n_cells=8, max_cell=100_000)
+    for bid in range(3):
+        sink.process_batch(
+            emb.filter(F.col("vec_id") % 3 == bid).select(
+                "vec_id", "embedding"
+            ),
+            bid,
+        )
+    sink.process_batch(  # redelivery: must be a no-op
+        emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding"), 1
+    )
+    surv = sink.survivors(spark, keep="min_id")
+    want = S.semantic_dedup(
+        emb, eps=0.45, keep="min_id", centroids=sink.centroids()
+    ).select(F.col("vec_id").alias("vid"))
+    n_sym_diff = (
+        surv.join(want, "vid", "full_outer")
+        .filter(surv["vid"].isNull() | want["vid"].isNull())
+        .count()
+    )
+    assert n_sym_diff == 0, (
+        f"maintained survivors diverge from one-shot by {n_sym_diff} ids"
+    )
+    return surv.join(
+        emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    ).select("vid", "label")

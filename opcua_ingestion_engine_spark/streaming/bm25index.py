@@ -314,7 +314,11 @@ def hybrid_rrf_from_indexes(
 def _in_condition(col: str, ids) -> str:
     """SQL membership condition for a BATCH-SIZED id list (a GDPR
     forget request, not a join side). Ints pass through; strings are
-    quoted with doubled single-quotes."""
+    quoted with doubled single-quotes AND backslash-doubled — Spark's
+    parser treats ``\\`` as an escape inside string literals, so an id
+    ending in a backslash would otherwise swallow the closing quote
+    (and a crafted id could widen the forget predicate to the whole
+    table)."""
     ids = list(ids)
     if not ids:
         raise ValueError("ids must be non-empty")
@@ -327,8 +331,9 @@ def _in_condition(col: str, ids) -> str:
     for i in ids:
         if isinstance(i, bool) or not isinstance(i, (int, str)):
             raise ValueError(f"unsupported id type: {type(i).__name__}")
-        parts.append(str(i) if isinstance(i, int) else
-                     "'" + i.replace("'", "''") + "'")
+        parts.append(
+            str(i) if isinstance(i, int) else
+            "'" + i.replace("\\", "\\\\").replace("'", "''") + "'")
     return f"{col} IN ({', '.join(parts)})"
 
 

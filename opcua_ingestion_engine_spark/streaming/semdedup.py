@@ -1,0 +1,276 @@
+"""Streaming-incremental SemDeDup (E2, deployment form — round 11).
+
+``operators/similarity.semantic_dedup`` is the one-shot batch operator
+(Abbas et al. 2023: cluster the corpus with k-means, generate candidate
+pairs only within cells, keep one member per cosine>=eps component). A
+continuously ingesting pipeline instead needs per-batch redundancy
+decisions WITHOUT re-clustering the corpus. This sink maintains exactly
+that, composing the same three layers as the maintained ANN index
+(``streaming/annindex.py``):
+
+- **Frozen quantizer**: the coarse k-means centroids train ONCE on the
+  first non-empty batch's bounded hash-sample and are persisted with a
+  create-exclusive link (one trainer wins; every writer assigns with
+  the SAME matrix). Cell assignment is then per-row deterministic, so
+  the maintained state is independent of batch arrival order — the
+  property the equality pin rests on.
+- **Candidate generation is incremental and bucketed**: a new batch
+  joins ONLY its cell-mates (existing + in-batch), one bounded-fan-out
+  shuffle per batch, never all-pairs. Every within-cell pair is
+  generated exactly once across the batch sequence (new-vs-existing at
+  the new side's arrival; new-vs-new ordered by id), so the accumulated
+  pair table EQUALS the one-shot candidate stage over the final corpus
+  under the same frozen centroids.
+- **The versioned-table layer** carries the state: ``codes`` (vid,
+  unit vector, cell, centroid cosine) and ``pairs`` (vec_a, vec_b) as
+  append-structured tables with the batch_id ledger in the codes
+  manifests — restart recovery, exactly-once redelivery, multi-writer
+  CAS. Pairs commit BEFORE codes (the durability point), so a crash
+  between them re-appends the same deterministic pairs on redelivery —
+  duplicate edges are harmless to connected components and deduped at
+  serve time.
+
+Equality contract (pinned by pytest under arbitrary batch splits):
+``survivors()`` == ``semantic_dedup(corpus, centroids=frozen)`` for
+both keep rules. The one-shot ``max_cell`` truncation is ORDER-
+dependent, so the maintained form refuses instead of truncating: a
+cell exceeding ``max_cell`` raises (the same "no silent caps"
+discipline — that big a cell means n_cells is undersized; rebuild with
+more cells).
+
+Quantizer staleness is the documented trade (identical to the ANN
+sink): if the embedding distribution drifts far from the first batch,
+within-cell recall decays; the answer is an offline re-cluster plus
+pointer swap.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators import similarity as S
+from ..operators import tablefmt as TF
+
+
+def _centroid_path(root: str) -> str:
+    return os.path.join(root, "centroids.npz")
+
+
+def _load_centroids(root: str) -> "np.ndarray":
+    with np.load(_centroid_path(root)) as z:
+        return z["cent"]
+
+
+class IncrementalSemDeDupSink:
+    """foreachBatch sink: feed micro-batches of (id, vector) rows via
+    ``process_batch``; read per-batch / corpus-level redundancy from
+    the maintained state via ``pairs``/``survivors``."""
+
+    def __init__(
+        self,
+        root: str,
+        eps: float = 0.45,
+        n_cells: int = 16,
+        lloyd_iters: int = 8,
+        max_cell: int = 4000,
+        train_sample: "int | None" = S.DEFAULT_TRAIN_SAMPLE,
+        centroids: "np.ndarray | None" = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        auto_compact: "int | None" = 64,
+    ):
+        self.root = root
+        self.codes_root = os.path.join(root, "codes")
+        self.pairs_root = os.path.join(root, "pairs")
+        self.eps = float(eps)
+        self.n_cells = n_cells
+        self.lloyd_iters = lloyd_iters
+        self.max_cell = max_cell
+        self.train_sample = train_sample
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.auto_compact = auto_compact
+        self._cent = centroids
+        # restart recovery: adopt the persisted quantizer and the codes
+        # manifests' batch_id ledger, so a replayed batch after a
+        # restart is skipped exactly like an in-process redelivery
+        if os.path.exists(_centroid_path(root)):
+            self._cent = _load_centroids(root)
+        self._committed_batch_ids: set = {
+            man["app"]["batch_id"]
+            for man in TF.history(self.codes_root)
+            if "batch_id" in man.get("app", {})
+        }
+
+    # -- quantizer lifecycle ------------------------------------------
+
+    def centroids(self) -> "np.ndarray | None":
+        """The frozen coarse quantizer (None before the first non-empty
+        batch) — pass to ``semantic_dedup(..., centroids=)`` for the
+        one-shot equality oracle."""
+        return self._cent
+
+    def _ensure_centroids(self, batch: DataFrame) -> None:
+        if self._cent is not None:
+            self._persist_centroids()
+            return
+        cent = S._centroid_matrix(
+            batch, self.n_cells, self.lloyd_iters,
+            self.id_col, self.vec_col, train_sample=self.train_sample,
+        )
+        if cent is None:
+            return  # empty first batch — train on the next non-empty one
+        self._cent = cent
+        self._persist_centroids()
+
+    def _persist_centroids(self) -> None:
+        final = _centroid_path(self.root)
+        if os.path.exists(final):
+            self._cent = _load_centroids(self.root)
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, cent=self._cent)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # CAS: exactly one trainer publishes
+        except FileExistsError:
+            self._cent = _load_centroids(self.root)
+        os.unlink(tmp)
+
+    # -- ingest --------------------------------------------------------
+
+    def process_batch(self, vectors: DataFrame, batch_id: int) -> None:
+        if batch_id in self._committed_batch_ids:
+            return  # foreachBatch redelivery of a committed batch
+        spark = vectors.sparkSession
+        vectors = vectors.dropDuplicates([self.id_col])
+        self._ensure_centroids(vectors)
+        if self._cent is None:
+            return  # still no quantizer => batch was empty
+        new = S._cell_assignment(
+            vectors, self._cent, self.id_col, self.vec_col
+        )
+        # an id seen in a PRIOR commit is a source-level at-least-once
+        # duplicate: DROP it (ids never re-cluster — same discipline as
+        # the ANN sink's append mode)
+        have_codes = TF.latest_version(self.codes_root) is not None
+        if have_codes:
+            new = new.join(
+                TF.read_version(spark, self.codes_root).select("vid"),
+                "vid", "left_anti",
+            )
+        new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            # nothing novel: still record the batch_id for exact-once
+            self._commit_codes(spark, new, batch_id)
+            return
+
+        # candidate pairs: new-vs-(existing + new) cell-mates, each pair
+        # exactly once (existing partners pair unconditionally — they
+        # never re-enter as the new side; in-batch partners order by id)
+        sides = new.select(
+            "vid", "uvec", "cell", F.lit(True).alias("_is_new")
+        )
+        if have_codes:
+            sides = sides.unionByName(
+                TF.read_version(spark, self.codes_root).select(
+                    "vid", "uvec", "cell", F.lit(False).alias("_is_new")
+                )
+            )
+        x = new.select(
+            F.col("vid").alias("_xa"), F.col("uvec").alias("_ua"), "cell"
+        )
+        y = sides.select(
+            F.col("vid").alias("_xb"), F.col("uvec").alias("_ub"),
+            "cell", "_is_new",
+        )
+        new_pairs = (
+            x.join(y, "cell")
+            .filter(
+                (~F.col("_is_new") & (F.col("_xb") != F.col("_xa")))
+                | (F.col("_is_new") & (F.col("_xb") > F.col("_xa")))
+            )
+            .filter(S._dot(F.col("_ua"), F.col("_ub")) >= F.lit(self.eps))
+            .select(
+                F.least("_xa", "_xb").alias("vec_a"),
+                F.greatest("_xa", "_xb").alias("vec_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pairs FIRST, codes last (codes carry the batch_id ledger): a
+        # crash in between re-appends the same deterministic pairs on
+        # redelivery — duplicate edges are deduped at serve time
+        if new_pairs.limit(1).count() > 0:
+            TF.commit_append(
+                new_pairs, self.pairs_root, app={"batch_id": batch_id}
+            )
+            TF.maybe_compact(spark, self.pairs_root, self.auto_compact)
+        self._commit_codes(spark, new.select("vid", "uvec", "cell", "cent_sim"), batch_id)
+
+        # no silent caps: the one-shot form truncates oversized cells
+        # (order-dependent), so the maintained form REFUSES instead
+        big = (
+            TF.read_version(spark, self.codes_root)
+            .groupBy("cell").count()
+            .filter(F.col("count") > self.max_cell)
+            .limit(1).collect()
+        )
+        if big:
+            raise ValueError(
+                f"incremental SemDeDup cell {big[0]['cell']} exceeds "
+                f"max_cell={self.max_cell} ({big[0]['count']} members) — "
+                "n_cells is undersized for the corpus; rebuild with more "
+                "cells (the batch itself committed; serving stays exact)"
+            )
+
+    def _commit_codes(self, spark, codes: DataFrame, batch_id: int) -> None:
+        TF.commit_append(codes, self.codes_root, app={"batch_id": batch_id})
+        self._committed_batch_ids.add(batch_id)
+        TF.maybe_compact(spark, self.codes_root, self.auto_compact)
+
+    # -- serve -----------------------------------------------------------
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """The accumulated cosine>=eps within-cell pair graph (deduped;
+        equals the one-shot candidate stage under the frozen
+        centroids)."""
+        if TF.latest_version(self.pairs_root) is None:
+            return spark.createDataFrame([], "vec_a long, vec_b long")
+        return TF.read_version(spark, self.pairs_root).distinct()
+
+    def survivors(self, spark: SparkSession, keep: str = "min_id") -> DataFrame:
+        """Ids that SURVIVE dedup over the corpus ingested so far —
+        equal to ``semantic_dedup(corpus, centroids=frozen,
+        keep=...)``'s surviving id set, whatever the batch split."""
+        from ..operators.graph import connected_components
+
+        if keep not in ("centroid_far", "min_id"):
+            raise ValueError(f"unknown keep rule {keep!r}")
+        if TF.latest_version(self.codes_root) is None:
+            return spark.createDataFrame([], "vid long")
+        codes = TF.read_version(spark, self.codes_root)
+        comp = connected_components(self.pairs(spark), "vec_a", "vec_b")
+        if keep == "min_id":
+            dropped = comp.filter(F.col("node") != F.col("component"))
+        else:
+            sims = codes.select(F.col("vid").alias("node"), "cent_sim")
+            w = W.partitionBy("component").orderBy(
+                F.col("cent_sim").asc(), F.col("node").asc()
+            )
+            dropped = (
+                comp.join(sims, "node")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") > 1)
+            )
+        return codes.select("vid").join(
+            dropped.select(F.col("node").alias("vid")), "vid", "left_anti"
+        )

@@ -24,10 +24,13 @@ committed change as (table columns + ``_change_type`` +
   same convention as ``tablefmt.table_changes``' keyless fast path);
   a ``data_identical`` maintenance step (compaction, z-order,
   DV-sidecar consolidation) is pass-through and contributes nothing.
-- **One input partition per (step, data directory)**: a 1000-directory
-  append fans out to 1000 parallel executor reads, each a plain
-  pyarrow scan — no shuffle at the source, no SparkSession on the
-  executor path.
+- **One input partition per (step, data FILE)** for inserts and the
+  initial snapshot (Delta's per-file split): a monolithic base commit
+  whose single directory holds 32 parquet files fans out to 32
+  parallel executor reads, each a plain pyarrow scan — no shuffle at
+  the source, no SparkSession on the executor path. Delete steps stay
+  per touched directory (their payload is the O(deleted rows)
+  sidecars, not the data files).
 - **Rewrite-class commits refuse loudly** (restore, copy-on-write
   delete/update/upsert rewrites, full_sync touching directories,
   schema evolution): their changes are not recoverable as O(changes)
@@ -66,13 +69,25 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-class _TailPartition(InputPartition):
-    """All rows of one data directory, emitted as ``insert`` @ version."""
+def _list_parquet(root: str, dir_rel: str) -> list:
+    """Parquet file names of one data directory (driver-side planning
+    listing — the same listing Delta's log carries per add-file)."""
+    full = os.path.join(root, dir_rel)
+    return sorted(n for n in os.listdir(full) if n.endswith(".parquet"))
 
-    def __init__(self, root: str, version: int, dir_rel: str):
+
+class _TailPartition(InputPartition):
+    """All rows of ONE data file, emitted as ``insert`` @ version
+    (``file_name=None`` reads the whole directory — legacy form)."""
+
+    def __init__(
+        self, root: str, version: int, dir_rel: str,
+        file_name: "str | None" = None,
+    ):
         self.root = root
         self.version = version
         self.dir_rel = dir_rel
+        self.file_name = file_name
 
 
 class _DvPartition(InputPartition):
@@ -89,17 +104,21 @@ class _DvPartition(InputPartition):
 
 
 class _SnapshotPartition(InputPartition):
-    """One data directory of the INITIAL-SNAPSHOT batch: its live rows
+    """One data FILE of the INITIAL-SNAPSHOT batch: its live rows
     (deletion vectors subtracted positionally) emitted as ``insert`` @
-    the snapshot version — Delta's readStream initial snapshot."""
+    the snapshot version — Delta's readStream initial snapshot, split
+    per file like Delta's add-file tasks (``file_name=None`` reads the
+    whole directory — legacy form)."""
 
     def __init__(
-        self, root: str, version: int, dir_rel: str, dv_paths: list
+        self, root: str, version: int, dir_rel: str, dv_paths: list,
+        file_name: "str | None" = None,
     ):
         self.root = root
         self.version = version
         self.dir_rel = dir_rel
         self.dv_paths = dv_paths
+        self.file_name = file_name
 
 
 def _plan_steps(root: str, v_from: int, v_to: int) -> list:
@@ -146,14 +165,16 @@ def _plan_steps(root: str, v_from: int, v_to: int) -> list:
                 for d in touched:
                     parts.append(_DvPartition(root, v, d, new_sidecars))
             for d in cur[len(prev):]:
-                parts.append(_TailPartition(root, v, d))
+                for name in _list_parquet(root, d):
+                    parts.append(_TailPartition(root, v, d, name))
         elif (
             cur[: len(prev)] == prev
             and len(cur) > len(prev)
             and _dv_map(m) == (prev_dv or {})
         ):
             for d in cur[len(prev):]:
-                parts.append(_TailPartition(root, v, d))
+                for name in _list_parquet(root, d):
+                    parts.append(_TailPartition(root, v, d, name))
         else:
             raise ValueError(
                 f"table_changes stream at {root}: version {v} "
@@ -165,11 +186,19 @@ def _plan_steps(root: str, v_from: int, v_to: int) -> list:
     return parts
 
 
-def _arrow_with_cdf(tbl, change_type: str, version: int, names: list):
-    """Append the two CDF columns and align to the declared output
-    column order."""
+def _arrow_with_cdf(
+    tbl, change_type: str, version: int, names: list,
+    p2l: "dict | None" = None,
+):
+    """Rename physical file columns to the stream's logical names
+    (column mapping — renames never rewrite data files), append the two
+    CDF columns, and align to the declared output column order."""
     import pyarrow as pa
 
+    if p2l:
+        tbl = tbl.rename_columns(
+            [p2l.get(c, c) for c in tbl.column_names]
+        )
     n = len(tbl)
     tbl = tbl.append_column(
         CHANGE_TYPE_COL, pa.array([change_type] * n, pa.string())
@@ -180,13 +209,14 @@ def _arrow_with_cdf(tbl, change_type: str, version: int, names: list):
     return tbl.select(names)
 
 
-def _read_partition(partition, names: list):
+def _read_partition(partition, names: list, p2l: "dict | None" = None):
     """Executor-side read: plain pyarrow over immutable files — no
     SparkSession, no shuffle. Yields Arrow record batches."""
     import pyarrow.parquet as pq
 
     full = os.path.join(partition.root, partition.dir_rel)
-    files = sorted(
+    one = getattr(partition, "file_name", None)
+    files = [one] if one else sorted(
         n for n in os.listdir(full) if n.endswith(".parquet")
     )
     if isinstance(partition, _TailPartition):
@@ -194,7 +224,7 @@ def _read_partition(partition, names: list):
             tbl = pq.read_table(os.path.join(full, name))
             if len(tbl):
                 yield from _arrow_with_cdf(
-                    tbl, "insert", partition.version, names
+                    tbl, "insert", partition.version, names, p2l
                 ).to_batches()
         return
     if isinstance(partition, _SnapshotPartition):
@@ -230,7 +260,7 @@ def _read_partition(partition, names: list):
                 tbl = tbl.take(pa.array(keep, pa.int64()))
             if len(tbl):
                 yield from _arrow_with_cdf(
-                    tbl, "insert", partition.version, names
+                    tbl, "insert", partition.version, names, p2l
                 ).to_batches()
         return
     # _DvPartition: recover the tombstoned pre-images — addresses are
@@ -257,7 +287,7 @@ def _read_partition(partition, names: list):
         taken = tbl.take(pa.array(sorted(positions), pa.int64()))
         if len(taken):
             yield from _arrow_with_cdf(
-                taken, "delete", partition.version, names
+                taken, "delete", partition.version, names, p2l
             ).to_batches()
 
 
@@ -269,6 +299,23 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 "table_changes requires .option('path', <table root>)"
             )
         self._names = names
+        # COLUMN MAPPING: files store PHYSICAL names; the stream serves
+        # the LOGICAL schema captured at stream start (a rename commit
+        # is data_identical pass-through — physical names never change,
+        # so one map is correct for rows of every era; a restart picks
+        # up post-rename logical names, like any streaming schema)
+        from ..operators.tablefmt import _colmap, latest_version as _lv
+
+        live0 = _lv(self.root)
+        self._p2l = (
+            {
+                p: l
+                for l, p in _colmap(
+                    _read_manifest(self.root, live0)
+                ).items()
+            }
+            if live0 is not None else {}
+        )
         start = options.get("starting_version")
         # exclusive lower bound: -1 serves the whole history (v0's rows
         # arrive as inserts @ 0), matching table_changes(v_from=None)
@@ -301,43 +348,50 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
+        # STATELESS by design (round 11): the snapshot is keyed solely
+        # off the ``snap`` marker that ``initialOffset`` plants — which
+        # the engine consults only on a fresh, checkpoint-less start —
+        # so correctness never rests on engine call-ordering across
+        # restarts. Committed offsets are plain {"version": N}.
         from ..operators.tablefmt import latest_version
 
-        if self._snapshot and getattr(self, "_snap_pending", True):
-            # serve the snapshot batch first; follow-up batches advance
-            # normally (the committed offset carries snap: 0, so a
-            # checkpointed restart never re-serves the snapshot)
-            self._snap_pending = False
-            return {"version": self._anchor, "snap": 0}
         live = latest_version(self.root)
         floor = self._anchor if self._snapshot else self._initial
         return {"version": floor if live is None else max(floor, live)}
 
     def partitions(self, start: dict, end: dict):
+        parts: list = []
         if start.get("snap"):
-            # the initial-snapshot batch: every data directory of the
-            # anchor manifest, DV-subtracted, as insert partitions
-            m = _read_manifest(self.root, end["version"])
+            # the initial-snapshot prefix of the FIRST batch: every
+            # live data file of the anchor manifest, DV-subtracted, as
+            # one insert partition per file; the same batch then
+            # follows with the (anchor, end] change steps below.
+            anchor = start["version"]
+            m = _read_manifest(self.root, anchor)
             if m.get("evolved"):
                 raise ValueError(
                     f"initial_snapshot at {self.root}: version "
-                    f"{end['version']} is schema-evolved — the streaming "
+                    f"{anchor} is schema-evolved — the streaming "
                     "source serves a single schema"
                 )
             from ..operators.tablefmt import _data_list, _dv_map
 
             dv = _dv_map(m)
-            return [
-                _SnapshotPartition(
-                    self.root, end["version"], d,
-                    list((dv.get(d) or {}).get("paths", [])),
-                )
-                for d in _data_list(m)
-            ]
-        return _plan_steps(self.root, start["version"], end["version"])
+            for d in _data_list(m):
+                dv_paths = list((dv.get(d) or {}).get("paths", []))
+                for name in _list_parquet(self.root, d):
+                    parts.append(
+                        _SnapshotPartition(
+                            self.root, anchor, d, dv_paths, name
+                        )
+                    )
+        parts.extend(
+            _plan_steps(self.root, start["version"], end["version"])
+        )
+        return parts
 
     def read(self, partition):
-        yield from _read_partition(partition, self._names)
+        yield from _read_partition(partition, self._names, self._p2l)
 
     def commit(self, end: dict) -> None:
         pass  # manifests are the WAL; nothing to acknowledge
