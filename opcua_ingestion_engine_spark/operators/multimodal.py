@@ -18,7 +18,11 @@ Three formats decode for real, everything else raises NotImplementedError:
 - ``fake8`` — the deterministic byte-stream stand-in kept from round 1
   (payload bytes ARE the "pixels"), so plumbing tests stay codec-free.
 
-JPEG/compressed-audio/video still need codecs the container doesn't ship
+``jpeg`` (round 11) — real baseline ITU-T T.81 decode via the
+pure-numpy codec in ``operators/jpeg.py`` (SOF0, 4:4:4/4:2:2/4:2:0,
+restart markers; progressive/arithmetic raise loudly), plus a
+spec-conformant encoder so fixtures exist without an image library.
+Compressed audio/video still need codecs the container doesn't ship
 (verified: no PIL/ffmpeg); their path is the guarded NotImplementedError.
 The Spark plumbing — schema convention, Arrow-batched ``mapInPandas``,
 batch shapes, fan-out sampling — is identical for every format.
@@ -43,6 +47,7 @@ from pyspark.sql import functions as F
 
 FAKE_FORMAT = "fake8"
 PNG_FORMAT = "png"
+JPEG_FORMAT = "jpeg"
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, byte_sum bigint, width int, height int, "
@@ -233,14 +238,22 @@ def decode_image(payload: bytes, fmt: str) -> dict:
     """Decode one payload into pixel features.
 
     ``png`` runs the real stdlib decoder (pixel stats over DECODED bytes,
-    dimensions from IHDR); ``fake8`` treats the payload bytes as the
-    pixels (vectorized ``np.frombuffer`` sum — the shape a real kernel
-    uses, never a per-byte Python loop); every other format raises
-    NotImplementedError (JPEG/audio/video need codecs this environment
-    doesn't ship — the guard IS the documented extension point).
+    dimensions from IHDR); ``jpeg`` runs the real baseline T.81 decoder
+    (``operators/jpeg.py`` — SOF0, 4:4:4/4:2:2/4:2:0, restart markers;
+    progressive raises loudly); ``fake8`` treats the payload bytes as
+    the pixels (vectorized ``np.frombuffer`` sum — the shape a real
+    kernel uses, never a per-byte Python loop); every other format
+    raises NotImplementedError (compressed audio/video still need codecs
+    this environment doesn't ship — the guard IS the documented
+    extension point).
     """
-    if fmt == PNG_FORMAT:
-        px, w, h, _ch = _decode_png(bytes(payload))
+    if fmt in (PNG_FORMAT, JPEG_FORMAT):
+        if fmt == PNG_FORMAT:
+            px, w, h, _ch = _decode_png(bytes(payload))
+        else:
+            from .jpeg import decode_jpeg
+
+            px, w, h, _ch = decode_jpeg(bytes(payload))
         total = int(px.sum(dtype=np.int64))
         return {
             "n_bytes": len(payload),
@@ -313,13 +326,17 @@ def _png_pixels_for(doc_id: int) -> np.ndarray:
 
 
 def attach_payload_mixed(
-    docs: DataFrame, text_col: str = "text", png_every: int = 7
+    docs: DataFrame, text_col: str = "text", png_every: int = 7,
+    jpeg_every: "int | None" = None,
 ) -> DataFrame:
     """Mixed-format corpus: every ``png_every``-th doc_id carries a REAL
     PNG payload (tiny deterministic image, cycling gray/RGB/RGBA,
     encoded by :func:`encode_png` with the scanline filter cycling 0-4 so
-    decode exercises every unfilter path); the rest carry the ``fake8``
-    text-bytes payload.
+    decode exercises every unfilter path); every ``jpeg_every``-th
+    remaining doc_id carries a REAL baseline JPEG (gray/RGB cycling,
+    4:4:4 and 4:2:0 alternating, restart intervals every third one, so
+    decode exercises the sampling/restart paths); the rest carry the
+    ``fake8`` text-bytes payload.
 
     PNG payloads are synthesized inside ``mapInPandas`` — payload
     construction is Python-side by nature here, standing in for bytes
@@ -344,6 +361,26 @@ def attach_payload_mixed(
                     heights.append(h)
                     chans.append(ch)
                     fmts.append(PNG_FORMAT)
+                elif jpeg_every and did % jpeg_every == 0:
+                    from .jpeg import encode_jpeg
+
+                    px = _png_pixels_for(did)
+                    if px.ndim == 3 and px.shape[2] == 4:
+                        px = px[..., :3]  # JPEG has no alpha channel
+                    h, w = px.shape[:2]
+                    ch = 1 if px.ndim == 2 else px.shape[2]
+                    payloads.append(
+                        encode_jpeg(
+                            px,
+                            quality=85 + did % 11,
+                            subsampling="420" if did % 2 else "444",
+                            restart_interval=2 if did % 3 == 0 else 0,
+                        )
+                    )
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(ch)
+                    fmts.append(JPEG_FORMAT)
                 else:
                     payloads.append((text or "").encode("utf-8"))
                     widths.append((did * 7) % 640 + 16)
@@ -368,12 +405,19 @@ def attach_payload_mixed(
     )
 
 
-def multimodal_features(docs: DataFrame, png_every: int | None = None) -> DataFrame:
+def multimodal_features(
+    docs: DataFrame, png_every: int | None = None,
+    jpeg_every: int | None = None,
+) -> DataFrame:
     """E5 — end-to-end: attach payload/meta, flatten for Arrow, decode via
     mapInPandas, return typed features. ``png_every`` switches to the
-    mixed fake8/PNG corpus (real decode on the PNG rows)."""
+    mixed fake8/PNG corpus (real decode on the PNG rows); ``jpeg_every``
+    additionally makes every such remaining doc a REAL baseline JPEG
+    (real T.81 decode)."""
     mm = (
-        attach_payload_mixed(docs, png_every=png_every)
+        attach_payload_mixed(
+            docs, png_every=png_every, jpeg_every=jpeg_every
+        )
         if png_every is not None
         else attach_payload(docs)
     )
@@ -453,22 +497,35 @@ def _gray_plane(px: np.ndarray, w: int, h: int, ch: int) -> np.ndarray:
 
 def image_ahash(mm: DataFrame) -> DataFrame:
     """E5 x E2 — perceptual fingerprint per payload: decode, gray-average
-    the channels, 8x8 average-hash (``png``); byte-profile hash
-    (``fake8``); NotImplementedError guard for undecodable formats.
-    mapInPandas projection — no shuffle; the hash is 8 bytes per doc, so
-    the downstream near-dup search never touches pixels again."""
+    the channels, 8x8 average-hash (``png``/``jpeg`` — real decoders);
+    byte-profile hash (``fake8``); NotImplementedError guard for
+    undecodable formats. ``family`` says which 64-bit hash SPACE a row
+    lives in ("pixel" for decoded images regardless of container,
+    "profile" for the byte stub) — the near-dup bucket key, so a PNG and
+    a JPEG re-encode of the same pixels CAN pair while profile hashes
+    never cross into pixel space. mapInPandas projection — no shuffle;
+    the hash is 8 bytes per doc, so the downstream near-dup search never
+    touches pixels again."""
 
     def do_hash(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in frames:
             hashes = []
+            families = []
             for p, f in zip(pdf["payload"], pdf["fmt"]):
-                if f == PNG_FORMAT:
-                    px, w, h, ch = _decode_png(bytes(p))
+                if f in (PNG_FORMAT, JPEG_FORMAT):
+                    if f == PNG_FORMAT:
+                        px, w, h, ch = _decode_png(bytes(p))
+                    else:
+                        from .jpeg import decode_jpeg
+
+                        px, w, h, ch = decode_jpeg(bytes(p))
                     hashes.append(_ahash64(_gray_plane(px, w, h, ch)))
+                    families.append("pixel")
                 elif f == FAKE_FORMAT:
                     hashes.append(
                         _profile_hash64(np.frombuffer(p, dtype=np.uint8))
                     )
+                    families.append("profile")
                 else:
                     raise NotImplementedError(
                         f"perceptual hash for format {f!r} requires a codec "
@@ -478,6 +535,7 @@ def image_ahash(mm: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "fmt": pdf["fmt"],
+                    "family": families,
                     "phash": pd.Series(hashes, dtype="int64"),
                 }
             )
@@ -485,7 +543,9 @@ def image_ahash(mm: DataFrame) -> DataFrame:
     flat = mm.select(
         "doc_id", "payload", F.col("meta.fmt").alias("fmt")
     )
-    return flat.mapInPandas(do_hash, "doc_id bigint, fmt string, phash bigint")
+    return flat.mapInPandas(
+        do_hash, "doc_id bigint, fmt string, family string, phash bigint"
+    )
 
 
 def image_neardup_pairs(
@@ -494,21 +554,25 @@ def image_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket: int | None = None,
+    jpeg_every: "int | None" = None,
 ) -> DataFrame:
     """E5 x E2 — image near-duplicate pairs over the mixed corpus:
     perceptual aHash fingerprints -> the shared banded hamming search
     (pigeonhole-exact, same engine as the SimHash text path). Catches
     re-encoded / lightly-perturbed images that byte-exact dedup misses;
-    pixels are touched exactly once (the hash pass). Payload format is
-    part of the bucket key (``same_key``): fingerprints of different
-    formats share the 64-bit space but are not comparable, so
-    cross-format rows never pair."""
+    pixels are touched exactly once (the hash pass). The hash FAMILY is
+    the bucket key (``same_key``): every decoded image hashes into one
+    "pixel" space whatever its container — a JPEG re-encode of a PNG
+    pairs — while the fake8 byte-profile hashes live in their own
+    space and never cross in."""
     from .dedup import hamming_neardup_pairs
 
-    mm = attach_payload_mixed(docs, png_every=png_every)
+    mm = attach_payload_mixed(
+        docs, png_every=png_every, jpeg_every=jpeg_every
+    )
     return hamming_neardup_pairs(
         image_ahash(mm), "phash", max_hamming, n_bands, max_bucket,
-        same_key="fmt",
+        same_key="family",
     )
 
 

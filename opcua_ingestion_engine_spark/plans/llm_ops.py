@@ -1477,12 +1477,14 @@ def q_e5_meta(spark, sf_dir):
     # deterministic features are asserted in tests/test_llm_ops.py
     "E5 — image decode via Arrow-batched mapInPandas over a mixed corpus: "
     "every 7th doc carries a real PNG payload decoded by the pure-stdlib "
-    "decoder (real pixel stats from IHDR/IDAT), the rest the deterministic "
-    "fake8 byte stream. JPEG/audio/video stay behind the documented "
-    "NotImplementedError guard.",
+    "decoder (real pixel stats from IHDR/IDAT), every 5th remaining doc a "
+    "real baseline JPEG decoded by the pure-numpy T.81 codec (round 11 — "
+    "4:4:4/4:2:0 and restart intervals cycling through the corpus), the "
+    "rest the deterministic fake8 byte stream. Compressed audio/video "
+    "stay behind the documented NotImplementedError guard.",
 )
 def q_e5_decode(spark, sf_dir):
-    return M.multimodal_features(_docs(spark, sf_dir), png_every=7)
+    return M.multimodal_features(_docs(spark, sf_dir), png_every=7, jpeg_every=5)
 
 
 @register(
@@ -1538,12 +1540,14 @@ def q_e5_audio(spark, sf_dir):
     # rows-only; planted re-encode/perturb/distinct cases pinned in
     # tests/test_llm_ops.py
     "E5 x E2 — image near-dup: perceptual aHash per payload (real 8x8 "
-    "grid hash on the PNG rows, byte-profile hash on fake8) fed through "
-    "the shared banded hamming search. Catches re-encoded and lightly "
-    "perturbed images byte-exact dedup misses; pixels touched once.",
+    "grid hash on decoded PNG and JPEG rows — one pixel hash space, so "
+    "cross-container re-encodes pair; byte-profile hash on fake8) fed "
+    "through the shared banded hamming search. Catches re-encoded and "
+    "lightly perturbed images byte-exact dedup misses; pixels touched "
+    "once.",
 )
 def q_e5_image_neardup(spark, sf_dir):
-    return M.image_neardup_pairs(_docs(spark, sf_dir), png_every=7)
+    return M.image_neardup_pairs(_docs(spark, sf_dir), png_every=7, jpeg_every=5)
 
 
 @register(

@@ -203,3 +203,88 @@ def test_streaming_source_vs_live_writers_chaos(spark, tmp_path, seed):
             state.add((k, val))
     live = {(r["k"], r["v"]) for r in TF.read_version(spark, root).collect()}
     assert state == live
+
+
+@pytest.mark.parametrize("seed", [7, 41, 88])
+def test_rename_vs_writers_chaos(spark, tmp_path, seed):
+    """A metadata-only RENAME races an appender and a dv-deleter. The
+    CAS serializes them: an append either lands (it serialized before
+    the rename, or was already written under the new name) or refuses
+    with a schema mismatch after the rename (its frame speaks the old
+    name against the renamed parent it rebased onto); deletes are
+    name-agnostic here (predicate on the unrenamed key) and always
+    land. No interleaving corrupts the table: every landed batch is
+    present exactly once under the final schema, and the change feed
+    over the full history replays to the live snapshot."""
+    root = str(tmp_path / f"renrace{seed}")
+    TF.commit_version(_mk(spark, [(i, i * 10) for i in range(6)]), root)
+    barrier = threading.Barrier(3)
+    errors: list = []
+    landed: list = []
+    refused: list = []
+
+    def renamer():
+        rng = random.Random(seed)
+        try:
+            barrier.wait()
+            _time.sleep(rng.random() * 0.06)
+            TF.rename_column(root, "v", "val")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def appender():
+        rng = random.Random(seed * 5 + 3)
+        try:
+            barrier.wait()
+            for i in range(6):
+                _time.sleep(rng.random() * 0.03)
+                k = 100 + seed * 10 + i
+                try:
+                    TF.commit_append(_mk(spark, [(k, k * 10)]), root)
+                    landed.append(k)
+                except ValueError as e:
+                    assert "schema mismatch" in str(e), e
+                    refused.append(k)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def deleter():
+        rng = random.Random(seed * 11 + 1)
+        try:
+            barrier.wait()
+            for _ in range(3):
+                _time.sleep(rng.random() * 0.05)
+                TF.delete_where_dv(spark, root, f"k = {rng.randrange(6)}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=renamer),
+        threading.Thread(target=appender),
+        threading.Thread(target=deleter),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+    live = TF.read_version(spark, root)
+    assert live.columns == ["k", "val"]
+    ks = sorted(r["k"] for r in live.collect())
+    for k in landed:
+        assert ks.count(k) == 1, (k, ks)
+    for k in refused:
+        assert k not in ks, (k, ks)
+    # refusals only ever happen AFTER the rename landed — once refused,
+    # an old-name appender never lands again (no reordering anomaly)
+    # and the feed over the full history replays to the live snapshot
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["k"], r["val"])
+    state: set = set()
+    for _v, ct, k, val in sorted(
+        key(r) for r in TF.table_changes(spark, root, None).collect()
+    ):
+        if ct == "delete":
+            state.discard((k, val))
+        else:
+            state.add((k, val))
+    assert state == {(r["k"], r["val"]) for r in live.collect()}

@@ -284,9 +284,14 @@ def test_multimodal_decode_stub(spark, docs):
         assert f["width"] == (r["doc_id"] * 7) % 640 + 16
         assert f["fmt"] == "fake8"
 
-    # formats with no in-container codec stay behind the guard
+    # formats with no in-container codec stay behind the guard (JPEG
+    # left this set in round 11 — operators/jpeg.py — so point the pin
+    # at a still-uncovered format, and check jpeg now FAILS LOUDLY on
+    # a truncated stream instead of hiding behind the guard)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0...", "jpeg")
+        M.decode_image(b"RIFF....WEBP", "webp")
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0\x00\x02", "jpeg")
 
 
 def test_png_roundtrip_all_filters_and_color_types():

@@ -88,6 +88,13 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # same 1-row totals broadcast as the batch form; corpus state comes
     # from per-batch localCheckpoints, so no base-table scans appear
     "q_e4_incremental_heavy_hitters": (1, 0, {}),
+    # maintained-SemDeDup serve: the survivors anti join (committed
+    # codes ids vs union-find dropped ids) keys two COMMITTED scratch
+    # tables whose sizes AQE cannot know pre-exec; at 100 TB the
+    # duplicate set can be a large corpus fraction, so the shuffled
+    # anti join IS the scale-correct shape (never a forced broadcast) —
+    # the SMJ class the gate docstring allows for keyed scratch diffs
+    "q_e2_incremental_semdedup": (0, 1, {}),
     # 1-row corpus-total broadcast; static plan prints vocab-build +
     # scoring-probe + totals scans, but the totals branch resolves to a
     # ReusedExchange of the vocab shuffle at runtime (verified on the
