@@ -244,6 +244,20 @@ def streaming_main() -> None:
     print(json.dumps(artifact))
 
 
+#: Deliberate scope re-baselines (sf0.1): rows whose measured WORK grew
+#: by design in a later round, with the new first-baseline recorded in
+#: BASELINE.md. The adjudicator's best-committed minimum spans every
+#: artifact INCLUDING the smaller-scope era, so without this floor the
+#: row would flag >1.5x forever against a time its current form cannot
+#: reach. Keys: query -> (floor_seconds, "why").
+SCOPE_REBASELINED: dict[str, tuple[float, str]] = {
+    # round 10 doubled the build to 6 micro-batches ACROSS an in-run
+    # auto-compaction + dirs_scanned==0 audit (BASELINE.md round-10
+    # notes; old 3-batch form measured 2.2-2.9 s)
+    "q_e4_incremental_bm25": (5.0, "r10: 3->6 batches + in-run compaction"),
+}
+
+
 def _baseline_table(sf: float, here: "str | None" = None) -> dict[str, float]:
     """Best-known per-query seconds at this SF: the MIN across every
     committed ``BENCH_*.json`` artifact whose ``sf`` matches. Used by
@@ -276,6 +290,10 @@ def _baseline_table(sf: float, here: "str | None" = None) -> dict[str, float]:
         for name, sec in (art.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), float(sec))
+    if sf == 0.1:
+        for name, (floor, _why) in SCOPE_REBASELINED.items():
+            if name in best:
+                best[name] = max(best[name], floor)
     return best
 
 

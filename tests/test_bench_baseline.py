@@ -64,6 +64,35 @@ def test_baseline_table_vs_committed_round_artifacts():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     best = _baseline_table(0.1, here=here)
     assert best, "sf0.1 baseline table must see the BENCH_r*.json rounds"
+    from bench import SCOPE_REBASELINED
+
     r10 = json.load(open(os.path.join(here, "BENCH_r10.json")))["parsed"]
     for name, sec in r10["queries"].items():
-        assert name in best and best[name] <= sec + 1e-9
+        assert name in best
+        if name not in SCOPE_REBASELINED:  # floored rows sit above mins
+            assert best[name] <= sec + 1e-9
+
+
+def test_scope_rebaselined_rows_get_a_floor():
+    """A row whose measured work GREW by design (BASELINE.md records the
+    new first-baseline) must not flag >1.5x forever against its
+    smaller-scope era's minimum — the floor lifts the best-committed
+    table at sf0.1 only."""
+    from bench import SCOPE_REBASELINED
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best = _baseline_table(0.1, here=here)
+    for name, (floor, _why) in SCOPE_REBASELINED.items():
+        assert best[name] >= floor
+    # other rows keep their true minimum (spot-check the flagship)
+    raw = {}
+    import glob
+
+    for p in glob.glob(os.path.join(here, "BENCH_*.json")):
+        art = json.load(open(p))
+        if "queries" not in art and isinstance(art.get("parsed"), dict):
+            art = art["parsed"]
+        if art.get("sf") == 0.1 and art.get("unit") == "sec":
+            for k, v in (art.get("queries") or {}).items():
+                raw[k] = min(raw.get(k, float("inf")), float(v))
+    assert best["q_flagship_modvalues"] == raw["q_flagship_modvalues"]
