@@ -2828,3 +2828,99 @@ def q_tf_column_rename(spark, sf_dir):
             .alias("sum_reading"),
         )
     )
+
+
+@register(
+    "q_tf_column_drop",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, value FROM events
+    ),
+    after_del AS (
+        -- the value column is metadata-dropped BEFORE this delete, so
+        -- the predicate runs over the surviving schema
+        SELECT event_id, user_id FROM base WHERE user_id % 4 <> 1
+    ),
+    readded AS (
+        -- value re-added via schema evolution: a fresh physical slot,
+        -- NULL for every pre-existing row, populated only by the new
+        -- append (shifted ids; + 0.25 marks the new writes)
+        SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+        FROM after_del
+        UNION ALL
+        SELECT event_id + 2000000000 AS event_id, user_id,
+               value + 0.25 AS value
+        FROM base WHERE user_id % 13 = 2
+    )
+    SELECT CAST(user_id % 5 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(value) AS BIGINT) AS n_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM readded
+    GROUP BY 1
+    """,
+    "Column mapping part 2 (round 11 — Delta DROP COLUMN + re-add "
+    "parity): events committed, value DROPPED as a METADATA-ONLY "
+    "commit (data file set asserted byte-identical in-query; time "
+    "travel still serves it), a DV delete runs over the surviving "
+    "schema, then value is RE-ADDED via commit_append(evolve=True) — "
+    "the mapping assigns a fresh physical slot (asserted), so the "
+    "dropped column's old bytes must NOT resurface: pre-existing rows "
+    "read NULL and only the new append carries values. The oracle "
+    "reconstructs drop/re-add relationally; COUNT(value) pins the "
+    "no-resurface guarantee in the hash.",
+)
+def q_tf_column_drop(spark, sf_dir):
+    import json as _json
+    import os
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = scratch_root("column_drop")
+    TF.commit_version(ev, root)  # v0
+
+    def data_files():
+        out = {}
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "data")):
+            for n in files:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = (
+                    os.path.getsize(p), os.path.getmtime(p)
+                )
+        return out
+
+    before = data_files()
+    TF.drop_column(root, "value")  # v1: metadata-only
+    assert data_files() == before, "drop must rewrite zero data bytes"
+    assert TF.read_version(spark, root).columns == ["event_id", "user_id"]
+    assert TF.read_version(spark, root, 0).columns == [
+        "event_id", "user_id", "value",
+    ], "time travel must serve the pre-drop schema"
+
+    TF.delete_where_dv(spark, root, "user_id % 4 = 1")  # v2
+    batch = ev.filter(F.col("user_id") % 13 == 2).select(
+        (F.col("event_id") + F.lit(2000000000)).alias("event_id"),
+        "user_id",
+        (F.col("value") + F.lit(0.25)).alias("value"),
+    )
+    TF.commit_append(batch, root, evolve=True)  # v3: re-add
+    with open(TF._manifest_path(root, TF.latest_version(root))) as f:
+        m = _json.load(f)
+    assert m.get("retired") == ["value"], m.get("retired")
+    assert m["colmap"]["value"].startswith("value__p"), m.get("colmap")
+
+    return (
+        TF.read_version(spark, root)
+        .groupBy((F.col("user_id") % 5).cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col("value")).alias("n_value"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

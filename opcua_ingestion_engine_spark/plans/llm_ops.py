@@ -1762,7 +1762,12 @@ def q_e2_incremental_semdedup(spark, sf_dir):
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
     root = scratch_root("incremental_semdedup")
-    sink = IncrementalSemDeDupSink(root, eps=0.45, n_cells=8, max_cell=100_000)
+    # n_cells ∝ corpus (the paper's discipline, same knob as the batch
+    # form's auto-sizing): bounded in-cell quadratic work at every SF
+    n_cells = max(8, emb.count() // S.SEMDEDUP_TARGET_CELL_SIZE)
+    sink = IncrementalSemDeDupSink(
+        root, eps=0.45, n_cells=n_cells, max_cell=100_000
+    )
     for bid in range(3):
         sink.process_batch(
             emb.filter(F.col("vec_id") % 3 == bid).select(

@@ -107,6 +107,10 @@ class IncrementalSemDeDupSink:
             for man in TF.history(self.codes_root)
             if "batch_id" in man.get("app", {})
         }
+        # per-cell member counts, maintained driver-side (n_cells-sized)
+        # so the max_cell audit is O(batch) per ingest instead of an
+        # O(corpus) groupBy per batch; rebuilt in one scan on restart
+        self._cell_counts: "dict | None" = None
 
     # -- quantizer lifecycle ------------------------------------------
 
@@ -217,19 +221,35 @@ class IncrementalSemDeDupSink:
         self._commit_codes(spark, new.select("vid", "uvec", "cell", "cent_sim"), batch_id)
 
         # no silent caps: the one-shot form truncates oversized cells
-        # (order-dependent), so the maintained form REFUSES instead
-        big = (
-            TF.read_version(spark, self.codes_root)
-            .groupBy("cell").count()
-            .filter(F.col("count") > self.max_cell)
-            .limit(1).collect()
-        )
+        # (order-dependent), so the maintained form REFUSES instead.
+        # The audit is O(batch): the driver-side per-cell counter folds
+        # this batch's (cell, count) rows (n_cells-sized state; restart
+        # pays ONE rebuild scan, not one per batch).
+        if self._cell_counts is None:
+            self._cell_counts = {
+                r["cell"]: int(r["n"])
+                for r in TF.read_version(spark, self.codes_root)
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            for r in new.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect():
+                self._cell_counts[r["cell"]] = (
+                    self._cell_counts.get(r["cell"], 0) + int(r["n"])
+                )
+        big = [
+            (c, n) for c, n in self._cell_counts.items() if n > self.max_cell
+        ]
         if big:
+            c, n = big[0]
             raise ValueError(
-                f"incremental SemDeDup cell {big[0]['cell']} exceeds "
-                f"max_cell={self.max_cell} ({big[0]['count']} members) — "
-                "n_cells is undersized for the corpus; rebuild with more "
-                "cells (the batch itself committed; serving stays exact)"
+                f"incremental SemDeDup cell {c} exceeds "
+                f"max_cell={self.max_cell} ({n} members) — n_cells is "
+                "undersized for the corpus; rebuild with more cells "
+                "(the batch itself committed; serving stays exact)"
             )
 
     def _commit_codes(self, spark, codes: DataFrame, batch_id: int) -> None:

@@ -430,3 +430,29 @@ def test_keyed_diff_spans_a_drop(spark, tmp_path):
     assert rows == [
         ("update_postimage", 2, 999), ("update_preimage", 2, 20),
     ]
+
+
+def test_zorder_compaction_over_renamed_columns(spark, tmp_path):
+    """compact_zorder's quantile/bucket math speaks LOGICAL names; the
+    rewritten z-bucket directories land physical and keep pruning on
+    the renamed columns via the mapping."""
+    root = str(tmp_path / "renz")
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(400)]
+    TF.commit_version(
+        _mk(spark, rows, "k long, x long, y long"), root
+    )
+    TF.rename_column(root, "x", "lon")
+    TF.rename_column(root, "y", "lat")
+    TF.compact_zorder(spark, root, "lon", "lat", n_dirs=4)
+    audit: dict = {}
+    df = TF.read_version(
+        spark, root, prune={"lon": (0, 20), "lat": (0, 20)}, audit=audit
+    ).filter((F.col("lon") <= 20) & (F.col("lat") <= 20))
+    assert audit["dirs_kept"] < audit["dirs_total"], audit
+    want = sorted(
+        (k, x, y) for k, x, y in rows if x <= 20 and y <= 20
+    )
+    assert sorted(tuple(r) for r in df.collect()) == want
+    # an unknown logical column still refuses loudly
+    with pytest.raises(ValueError, match="not in table"):
+        TF.compact_zorder(spark, root, "x", "lat", n_dirs=4)
