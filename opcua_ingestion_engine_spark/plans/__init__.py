@@ -34,6 +34,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # take slots first per the standing rule:
     "q_tf_column_rename",
     "q_tf_column_drop",
+    "q_s14_legacy_config_migration",
     # ...then the 13 remaining round-6 rows — the least-recently-
     # checked cohort after round 10 closed lifetime coverage at 100%:
     "q_tpch_q12_priority_classes",
@@ -58,10 +59,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_asof_join_purchase_view",
     "q_range_join_purchase_errors",
     "q_w_sessionize",
-    # The round-7 cohort (first 27 of its 41 rows, registry order; the
-    # remaining 14 — q_tpch_q10/q11/q13/q15/q16/q17/q1/q20/q22/q2/q4,
-    # q_validate_orders, q_x1_slope_intercept, q_x_array_hof,
-    # q_x_unpivot — lead round 12's rotation):
+    # The round-7 cohort (first 26 of its 41 rows, registry order; the
+    # remaining 15 — q_tf_upsert_partial, q_tpch_q10/q11/q13/q15/q16/
+    # q17/q1/q20/q22/q2/q4, q_validate_orders, q_x1_slope_intercept,
+    # q_x_array_hof, q_x_unpivot — lead round 12's rotation):
     "q_agg_corr_moments",
     "q_agg_grouping_sets",
     "q_agg_histogram",
@@ -88,7 +89,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_tf_restore",
     "q_tf_schema_evolution",
     "q_tf_update_where",
-    "q_tf_upsert_partial",
 )
 
 

@@ -292,3 +292,87 @@ def q_x3(spark, sf_dir):
             F.col("target_min"),
         ).alias("scaled"),
     )
+
+
+@register(
+    "q_s14_legacy_config_migration",
+    C.with_fixture_ctes("""
+        SELECT CAST(conn_id + 1 AS INT) AS id, connection_name, url,
+               max_search, timeout_ms, folder AS exclusion_folder
+        FROM opc_connections LEFT JOIN exclusion_folders USING (conn_id)
+    """),
+    "S14 — the legacy flat-file config migration "
+    "(Migrations/20240718023204_AddClientConfig.cs:87-140): the "
+    "fixture connections+exclusions are serialized to the reference's "
+    "legacy opcua_client_config.json shape, migrated into the two "
+    "relational tables (sequential ids in file order — the reference's "
+    "evident intent; its shipped loop re-initializes the id per client "
+    "and could never migrate a multi-connection file, documented in "
+    "the operator), the legacy file is asserted DELETED, a rerun is "
+    "asserted the already-migrated no-op, and the result is the "
+    "connections LEFT JOIN folders view the post-migration services "
+    "read. New nullable UserName/EncryptedPassword columns asserted "
+    "all-NULL in-query.",
+)
+def q_s14_legacy_config_migration(spark, sf_dir):
+    import json as _json
+    import os
+
+    from ..operators import tablefmt as TF
+    from ..sources.config import migrate_legacy_client_config
+    from .scratch import scratch_root
+
+    conns = C.opc_client_connections(spark).collect()
+    folders = C.browse_exclusion_folders(spark).collect()
+    by_conn: dict = {}
+    for r in folders:
+        by_conn.setdefault(r["conn_id"], []).append(r["folder"])
+    legacy = {
+        "connections": [
+            {
+                "connection_name": r["connection_name"],
+                "max_search": r["max_search"],
+                "staleness_timeout_ms": r["timeout_ms"],
+                "url": r["url"],
+                "browse_exclusion_folders": by_conn.get(r["conn_id"], []),
+            }
+            for r in sorted(conns, key=lambda r: r["conn_id"])
+        ]
+    }
+    work = scratch_root("s14_migration")
+    json_path = os.path.join(work, "opcua_client_config.json")
+    with open(json_path, "w") as f:
+        _json.dump(legacy, f)
+    out_root = os.path.join(work, "tables")
+    vc, vf = migrate_legacy_client_config(spark, json_path, out_root)
+    assert not os.path.exists(json_path), "migration must delete the file"
+    # rerun with the file gone: the already-migrated no-op
+    assert migrate_legacy_client_config(spark, json_path, out_root) == (vc, vf)
+    ct = TF.read_version(
+        spark, os.path.join(out_root, "opc_client_connections")
+    )
+    assert ct.filter(
+        F.col("user_name").isNotNull()
+        | F.col("encrypted_password").isNotNull()
+    ).count() == 0, "new nullable columns must backfill NULL"
+    ft = TF.read_version(
+        spark, os.path.join(out_root, "browse_exclusion_folders")
+    )
+    assert (
+        ft.filter(
+            F.col("connection_opc_client_connection_id")
+            != F.col("opc_client_connection_id")
+        ).count()
+        == 0
+    ), "the migration writes both FK columns identically"
+    return ct.join(
+        ft.select(
+            F.col("opc_client_connection_id").alias("id"),
+            "exclusion_folder",
+        ),
+        "id",
+        "left",
+    ).select(
+        "id", "connection_name", "url", "max_search", "timeout_ms",
+        "exclusion_folder",
+    )

@@ -178,3 +178,85 @@ def load_connection_config(spark: SparkSession, path: str) -> str:
         f"Host={row['host']};Port={row['port']};Database={row['database']};"
         f"Username={row['username']};Password={row['password']}"
     )
+
+
+def migrate_legacy_client_config(
+    spark: SparkSession, json_path: str, out_root: str
+) -> "tuple[int, int]":
+    """S14 — the reference's one-shot legacy-config migration
+    (``Migrations/20240718023204_AddClientConfig.cs:87-140``): lift the
+    flat-file ``opcua_client_config.json`` (``{"connections": [...]}``,
+    each with connection_name / url / max_search / staleness_timeout_ms
+    / browse_exclusion_folders) into the RELATIONAL config tables the
+    post-migration reference reads — ``opc_client_connections`` (with
+    the new nullable UserName / EncryptedPassword columns the migration
+    introduces) and ``browse_exclusion_folders`` (FK rows, one per
+    folder) — then delete the legacy file, exactly the reference's
+    sequence. Tables land as versioned-table commits under
+    ``out_root/<table>``.
+
+    Ids are assigned 1..n in file order. DOCUMENTED DIVERGENCE: the
+    reference re-initializes its id counter INSIDE the per-client loop
+    (``int pgFirstId = 1`` at :108 with the dead ``pgFirstId += 1`` at
+    :137), so every connection inserts with Id=1 and any multi-
+    connection file would fail the primary key — i.e. the shipped
+    migration only ever worked for single-connection files. This port
+    implements the evident intent (sequential ids) rather than the
+    defect.
+
+    Crash-safe and idempotent: content derives deterministically from
+    the file; both tables are full-replace commits; the file is
+    removed LAST, so a crash anywhere re-runs to the same state. A
+    call with the file already gone and both tables committed is the
+    "already migrated" no-op (returns the live versions); with nothing
+    to do at all it raises FileNotFoundError like the reference's
+    missing-config guard."""
+    import json as _json
+    import os
+
+    from ..operators import tablefmt as TF
+
+    conns_root = os.path.join(out_root, "opc_client_connections")
+    folders_root = os.path.join(out_root, "browse_exclusion_folders")
+    if not os.path.exists(json_path):
+        vc, vf = TF.latest_version(conns_root), TF.latest_version(folders_root)
+        if vc is not None and vf is not None:
+            return vc, vf  # already migrated
+        raise FileNotFoundError(
+            f"no legacy config at {json_path} and no migrated tables at "
+            f"{out_root}"
+        )
+    with open(json_path) as f:
+        legacy = _json.load(f)
+    conn_rows = []
+    folder_rows = []
+    fid = 1
+    for i, c in enumerate(legacy["connections"], start=1):
+        conn_rows.append(
+            (
+                i,
+                c["connection_name"],
+                c["url"],
+                int(c["max_search"]),
+                int(c["staleness_timeout_ms"]),
+                None,  # UserName — new nullable column, no legacy value
+                None,  # EncryptedPassword — ditto
+            )
+        )
+        for folder in c.get("browse_exclusion_folders", []):
+            folder_rows.append((fid, i, i, folder))
+            fid += 1
+    conns = spark.createDataFrame(
+        conn_rows,
+        "id int, connection_name string, url string, max_search int, "
+        "timeout_ms int, user_name string, encrypted_password binary",
+    ).coalesce(1)
+    folders = spark.createDataFrame(
+        folder_rows,
+        "id int, connection_opc_client_connection_id int, "
+        "opc_client_connection_id int, exclusion_folder string",
+    ).coalesce(1)
+    vc = TF.commit_version(conns, conns_root, app={"op": "s14_migration"})
+    vf = TF.commit_version(folders, folders_root, app={"op": "s14_migration"})
+    os.remove(json_path)  # the reference's File.Delete — LAST, crash-safe
+    return vc, vf

@@ -210,3 +210,59 @@ def test_tail_and_snapshot_partitions_split_per_file(spark, tmp_path):
         key(r) for r in TF.table_changes(spark, root, None).collect()
     )
     assert sorted(map(key, got)) == want
+
+
+def test_s14_migration_crash_resume_and_refusals(spark, tmp_path):
+    """S14 (round 11 — the last SURVEY §2 component): the legacy-config
+    migration is crash-safe BY ORDERING (tables commit first, the file
+    deletes last), so a crash between the two is resumed by simply
+    re-running; with neither file nor tables it refuses like the
+    reference's missing-config guard; the reference's id-counter defect
+    (resets to 1 per client) is NOT reproduced — ids are sequential."""
+    import json
+    import os
+
+    from opcua_ingestion_engine_spark.operators import tablefmt as TF
+    from opcua_ingestion_engine_spark.sources.config import (
+        migrate_legacy_client_config,
+    )
+
+    legacy = {
+        "connections": [
+            {
+                "connection_name": f"c{i}",
+                "max_search": 600,
+                "staleness_timeout_ms": 30000 * (i + 1),
+                "url": f"opc.tcp://10.0.0.{i}:62541",
+                "browse_exclusion_folders": ["Server"] if i == 0 else [],
+            }
+            for i in range(3)
+        ]
+    }
+    path = str(tmp_path / "opcua_client_config.json")
+    out = str(tmp_path / "tables")
+    with pytest.raises(FileNotFoundError):
+        migrate_legacy_client_config(spark, path, out)
+    with open(path, "w") as f:
+        json.dump(legacy, f)
+    vc, vf = migrate_legacy_client_config(spark, path, out)
+    assert not os.path.exists(path)
+    conns = TF.read_version(spark, os.path.join(out, "opc_client_connections"))
+    # sequential ids — the multi-connection case the shipped reference
+    # migration could never complete (its Id resets to 1 per client)
+    assert sorted(r["id"] for r in conns.collect()) == [1, 2, 3]
+    # crash simulation: tables committed but the file "came back"
+    # (crash happened before the delete) — rerun converges, new
+    # versions, same content
+    with open(path, "w") as f:
+        json.dump(legacy, f)
+    vc2, vf2 = migrate_legacy_client_config(spark, path, out)
+    assert (vc2, vf2) == (vc + 1, vf + 1) and not os.path.exists(path)
+    again = TF.read_version(
+        spark, os.path.join(out, "opc_client_connections")
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, conns.collect())
+    )
+    # already-migrated no-op: no file, both tables live
+    assert migrate_legacy_client_config(spark, path, out) == (vc2, vf2)
