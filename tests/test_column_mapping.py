@@ -456,3 +456,119 @@ def test_zorder_compaction_over_renamed_columns(spark, tmp_path):
     # an unknown logical column still refuses loudly
     with pytest.raises(ValueError, match="not in table"):
         TF.compact_zorder(spark, root, "x", "lat", n_dirs=4)
+
+
+def test_stream_rename_mid_history_contract(spark, tmp_path):
+    """Documented contract: a streaming drain serves the LOGICAL schema
+    captured at ITS start (physical names are stable, so one map covers
+    every era); a rename committed between drains is a data_identical
+    pass-through, and the NEXT drain on the same checkpoint — a new
+    query start — picks up the post-rename names. No re-seed needed,
+    nothing re-served, nothing lost."""
+    from opcua_ingestion_engine_spark.streaming.tablestream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "midren")
+    mk = lambda rows, s="k long, v long": spark.createDataFrame(rows, s)
+    TF.commit_append(mk([(1, 10)]), root)                  # v0
+
+    def drain(ckpt):
+        got: list = []
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _id: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    ckpt = str(tmp_path / "ck")
+    first = drain(ckpt)
+    assert [(r["k"], r["v"]) for r in first] == [(1, 10)]
+    TF.rename_column(root, "v", "val")                     # v1: pass-through
+    TF.commit_append(mk([(2, 20)], "k long, val long"), root)  # v2
+    second = drain(ckpt)
+    # the new drain serves post-rename names and ONLY the new commit
+    # (the rename itself contributed zero rows)
+    assert [(r["k"], r["val"], r["_commit_version"]) for r in second] == [
+        (2, 20, 2)
+    ]
+
+
+@pytest.mark.parametrize("seed", [19, 62])
+def test_drop_column_vs_writers_chaos(spark, tmp_path, seed):
+    """A metadata-only DROP races an appender writing the full schema:
+    each append either serializes before the drop or refuses with a
+    schema mismatch on rebase; whatever the interleaving, the final
+    table serves the surviving schema and every landed row exactly
+    once."""
+    import random
+    import threading
+    import time as _time
+
+    root = str(tmp_path / f"droprace{seed}")
+    spark.createDataFrame(
+        [(0, 0, 0.5)], "k long, v long, w double"
+    ).coalesce(1)
+    TF.commit_version(
+        spark.createDataFrame(
+            [(0, 0, 0.5)], "k long, v long, w double"
+        ).coalesce(1),
+        root,
+    )
+    barrier = threading.Barrier(2)
+    errors: list = []
+    landed: list = []
+    refused: list = []
+
+    def dropper():
+        rng = random.Random(seed)
+        try:
+            barrier.wait()
+            _time.sleep(rng.random() * 0.05)
+            TF.drop_column(root, "w")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def appender():
+        rng = random.Random(seed * 7 + 5)
+        try:
+            barrier.wait()
+            for i in range(6):
+                _time.sleep(rng.random() * 0.03)
+                k = 10 + i
+                try:
+                    TF.commit_append(
+                        spark.createDataFrame(
+                            [(k, k, 0.5)], "k long, v long, w double"
+                        ).coalesce(1),
+                        root,
+                    )
+                    landed.append(k)
+                except ValueError as e:
+                    assert "schema mismatch" in str(e), e
+                    refused.append(k)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=dropper), threading.Thread(target=appender)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == [], errors
+    live = TF.read_version(spark, root)
+    assert live.columns == ["k", "v"]
+    ks = sorted(r["k"] for r in live.collect())
+    for k in landed:
+        assert ks.count(k) == 1
+    for k in refused:
+        assert k not in ks
