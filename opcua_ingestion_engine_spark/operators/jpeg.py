@@ -325,6 +325,25 @@ def _decode_scan(
     data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval
 ):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("JPEG frame with zero dimension")
+    # validate the scan's references BEFORE entropy decoding, so a
+    # corrupted SOS/SOF/DHT/DQT surfaces as a typed refusal instead of
+    # a raw KeyError deep in the MCU loop
+    for c in comps:
+        if c["id"] not in sel:
+            raise ValueError(
+                f"SOS selects no entropy tables for component {c['id']}"
+            )
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"component {c['id']} references missing DQT table "
+                f"{c['tq']}"
+            )
+        if sel[c["id"]]["dc"] not in huff_dc or sel[c["id"]]["ac"] not in huff_ac:
+            raise ValueError(
+                f"component {c['id']} references missing DHT table(s)"
+            )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -173,3 +173,32 @@ def test_cross_container_neardup_pairs_png_with_jpeg(spark):
     assert (1, 2) in pairs, pairs
     assert (3, 4) in pairs, pairs
     assert (1, 3) not in pairs and (2, 4) not in pairs and (1, 4) not in pairs
+
+
+def test_corrupted_streams_fail_typed_never_hang():
+    """Adversarial bytes must raise a TYPED error quickly (ValueError /
+    NotImplementedError / IndexError / struct.error) — never hang, loop,
+    or return garbage silently. Deterministic corruption sweep: every
+    truncation point (stride 7) and single-byte flips (stride 11) of a
+    real stream."""
+    import struct as _struct
+
+    img = _smooth_rgb(16, 16)
+    data = bytearray(encode_jpeg(img, quality=85))
+    allowed = (ValueError, NotImplementedError, IndexError, _struct.error)
+    for cut in range(2, len(data), 7):
+        try:
+            decode_jpeg(bytes(data[:cut]))
+        except allowed:
+            pass  # typed refusal is the contract
+    flips = 0
+    for pos in range(2, len(data), 11):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0x5A
+        try:
+            px, w, h, ch = decode_jpeg(bytes(mutated))
+            # a surviving decode must still honor the declared geometry
+            assert px.shape == (h, w * ch)
+        except allowed:
+            flips += 1
+    assert flips > 0  # the sweep did hit the entropy/marker machinery
