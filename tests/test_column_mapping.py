@@ -572,3 +572,39 @@ def test_drop_column_vs_writers_chaos(spark, tmp_path, seed):
         assert ks.count(k) == 1
     for k in refused:
         assert k not in ks
+
+
+def test_initial_snapshot_over_renamed_table(spark, tmp_path):
+    """initial_snapshot mode must serve the anchor's LIVE rows under
+    the renamed logical schema (snapshot partitions read physical
+    files; the reader's stream-start map renames them) — including a
+    rewrite-class step in the pre-anchor history, which is the mode's
+    reason to exist."""
+    from opcua_ingestion_engine_spark.streaming.tablestream import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "rensnap")
+    TF.commit_version(
+        _mk(spark, [(i, i * 10) for i in range(5)]), root
+    )                                           # v0
+    TF.delete_where(spark, root, "k = 0")       # v1: CoW rewrite step
+    TF.rename_column(root, "v", "val")          # v2
+    TF.delete_where_dv(spark, root, "val = 30")  # v3
+    got: list = []
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .option("initial_snapshot", "true")
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted((r["k"], r["val"], r["_change_type"]) for r in got)
+    assert rows == [
+        (1, 10, "insert"), (2, 20, "insert"), (4, 40, "insert")
+    ]
