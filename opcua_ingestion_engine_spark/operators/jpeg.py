@@ -247,6 +247,12 @@ def decode_jpeg(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — the code is the first non-0xFF byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (fill bytes run to EOF)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

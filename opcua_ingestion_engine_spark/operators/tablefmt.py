@@ -240,16 +240,64 @@ def _constraints_path(root: str) -> str:
     return os.path.join(root, "_constraints.json")
 
 
-def _legacy_constraints(root: str) -> dict:
-    """The pre-round-11 side-file constraint store — still written for
-    tables with NO committed version yet (there is no manifest to carry
-    the set), and still read as the fallback for manifests that predate
-    the in-chain ``constraints`` key."""
+def _legacy_constraints_head(root: str) -> "tuple[int | None, dict]":
+    """(generation, set) of the pre-v0 side-file constraint store.
+    Since round 12 the side file is a CAS chain of create-exclusive
+    ``_constraints.json.g{N}`` files (the previous ``os.replace``
+    publish was last-wins: two concurrent pre-v0 ADDs could silently
+    drop one — round-11 ADVICE). The highest generation wins; the
+    unversioned ``_constraints.json`` written by older rounds is read
+    as generation ``None`` (before g0) so existing tables keep their
+    constraints."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return None, {}
+    gens = []
+    for n in names:
+        if n.startswith("_constraints.json.g"):
+            tail = n[len("_constraints.json.g"):]
+            if tail.isdigit():
+                gens.append(int(tail))
+    if gens:
+        g = max(gens)
+        with open(os.path.join(root, f"_constraints.json.g{g}")) as f:
+            return g, json.load(f)
     try:
         with open(_constraints_path(root)) as f:
-            return json.load(f)
+            return None, json.load(f)
     except FileNotFoundError:
-        return {}
+        return None, {}
+
+
+def _legacy_constraints(root: str) -> dict:
+    """The pre-v0 side-file constraint store — written for tables with
+    NO committed version yet (there is no manifest to carry the set),
+    and read as the fallback for manifests that predate the in-chain
+    ``constraints`` key."""
+    return _legacy_constraints_head(root)[1]
+
+
+def _legacy_constraints_cas(root: str, gen: "int | None", cons: dict) -> bool:
+    """One optimistic publish of the pre-v0 constraint set on top of
+    generation ``gen``: create-exclusive ``os.link`` to the next
+    generation file. Returns False if another writer claimed that
+    generation first (caller re-reads and re-merges)."""
+    new_gen = 0 if gen is None else gen + 1
+    target = os.path.join(root, f"_constraints.json.g{new_gen}")
+    tmp = f"{target}.{uuid.uuid4().hex[:8]}.tmp"
+    os.makedirs(root, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)  # the CAS: atomic, complete-or-absent
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+    os.unlink(tmp)
+    return True
 
 
 def table_constraints(root: str, version: "int | None" = None) -> dict:
@@ -345,15 +393,25 @@ def add_constraint(
             raise ValueError(f"constraint {name!r} already exists at {root}")
         cons[name] = expr
         if parent is None:
-            # pre-v0: nothing to validate, no chain to ride — side file
-            tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
-            os.makedirs(root, exist_ok=True)
-            with open(tmp, "w") as f:
-                json.dump(cons, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, _constraints_path(root))
-            return
+            # pre-v0: nothing to validate, no chain to ride — the side
+            # file, published via the generation CAS (two concurrent
+            # pre-v0 ADDs both land; the loser re-reads and re-merges)
+            gen, head = _legacy_constraints_head(root)
+            if name in head:
+                raise ValueError(
+                    f"constraint {name!r} already exists at {root}"
+                )
+            if not _legacy_constraints_cas(root, gen, {**head, name: expr}):
+                continue  # lost the side-file CAS — re-read and re-merge
+            if latest_version(root) is None:
+                return
+            # a first data commit raced our side-file publish; its
+            # manifest may have lifted the legacy set BEFORE our entry
+            # landed. If the chain carries it we are done; otherwise go
+            # around and land it as an in-chain metadata commit.
+            if name in table_constraints(root):
+                return
+            continue
         bad = (
             read_version(spark, root, parent)
             .filter(F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False))
@@ -390,13 +448,19 @@ def drop_constraint(root: str, name: str, max_retries: int = 20) -> None:
             raise ValueError(f"no constraint {name!r} at {root}")
         del cons[name]
         if parent is None:
-            tmp = f"{_constraints_path(root)}.{uuid.uuid4().hex[:8]}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(cons, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, _constraints_path(root))
-            return
+            gen, head = _legacy_constraints_head(root)
+            if name not in head:
+                raise ValueError(f"no constraint {name!r} at {root}")
+            dropped = {k: v for k, v in head.items() if k != name}
+            if not _legacy_constraints_cas(root, gen, dropped):
+                continue  # lost the side-file CAS — re-read and re-merge
+            if latest_version(root) is None:
+                return
+            # a first data commit raced the drop: if its manifest lifted
+            # the set WITH the entry still present, remove it in-chain.
+            if name not in table_constraints(root):
+                return
+            continue
         if _try_constraints_commit(
             root, parent, cons,
             {"op": "drop_constraint", "constraint": name},
@@ -649,9 +713,30 @@ def _try_commit(
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
     pmc: "dict | None" = None
+    child_colmap: "dict | None" = None
     if parent is not None:
         with open(_manifest_path(root, parent)) as pf:
             pmc = json.load(pf)
+        # Full-replace commits must honor the same slot discipline as
+        # commit_append(evolve=True): a column the replace frame carries
+        # under a name whose IDENTITY physical slot is already occupied
+        # (a retired tombstone from drop_column, or another logical
+        # column's post-rename physical home) gets a fresh versioned
+        # physical slot instead of silently writing into — and then
+        # being projected away from — the off-limits slot.
+        cm = _colmap(pmc)
+        taken_phys = set(cm.values()) | _retired(pmc)
+        remap = {
+            c: f"{c}__p{version}"
+            for c in df.columns
+            if c not in cm and c in taken_phys
+        }
+        if remap:
+            pmc = dict(pmc, colmap={**cm, **remap})
+            child_colmap = {
+                **{l: p for l, p in cm.items() if l in set(df.columns)},
+                **remap,
+            }
     _physicalize(df, pmc).write.mode("overwrite").parquet(data_dir)
 
     os.makedirs(_versions_dir(root), exist_ok=True)
@@ -676,6 +761,10 @@ def _try_commit(
         "app": app or {},
         "stats": {rel: entry},
     }
+    if child_colmap is not None:
+        # explicit so _dump_manifest's verbatim inheritance can't drop
+        # the fresh-slot entries (it only inherits when the key is absent)
+        manifest["colmap"] = child_colmap
     man_path = _manifest_path(root, version)
     tmp = f"{man_path}.{token}.tmp"
     with open(tmp, "w") as f:
