@@ -30,65 +30,67 @@ from . import datapipe_ops  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship first — unchanged since round 1.
     "q_flagship_modvalues",
-    # Round-11 rotation (round-10 verdict item 2). New oracle queries
+    # Round-12 rotation (round-11 verdict item 1). New oracle queries
     # take slots first per the standing rule:
-    "q_tf_column_rename",
-    "q_tf_column_drop",
-    "q_s14_legacy_config_migration",
-    # ...then the 13 remaining round-6 rows — the least-recently-
-    # checked cohort after round 10 closed lifetime coverage at 100%:
-    "q_tpch_q12_priority_classes",
-    "q_tpch_q14_promo_effect",
-    "q_tpch_q19_disjunctive_revenue",
-    "q_agg_mode_per_group",
-    "q_w_range_frame",
-    "q_t_downtime_report",
-    "q_t4_server_watchdog_batch",
-    "q_e4_unigram_logprob",
-    "q_e4_incremental_heavy_hitters",
-    "q_e8_split_leakage",
-    "q_e8_domain_mix",
-    "q_e8_incremental_corpus_build",
-    "q_e8_durable_corpus_build",
-    # Family canaries (least-recently-checked member of each family
-    # not already covered above; sole members stay by necessity):
+    "q_tf_stream_ratelimited",
+    "q_e2_semdedup_serve",
+    # ...then ALL 16 round-7 rows — the least-recently-checked cohort
+    # (the round-11 verdict recounted the recorded 15 to 16):
+    "q_tf_upsert_partial",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q13_customer_distribution",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_cnt",
+    "q_tpch_q17_small_qty_revenue",
+    "q_tpch_q1_pricing_summary",
+    "q_tpch_q20_potential_promotion",
+    "q_tpch_q22_sales_opportunity",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q4_order_priority",
+    "q_validate_orders",
+    "q_x1_slope_intercept",
+    "q_x_array_hof",
+    "q_x_unpivot",
+    # Family canaries (least-recently-checked oracle member of each
+    # family not already covered above; sole members stay by
+    # necessity — q_w_sessionize covers both the sessionize and
+    # window-function families):
     "q_e1_exact_dedup",
-    "q_e5_multimodal_meta",  # r9 (oldest e5)
+    "q_e3_embedding_profile",  # r8 (oldest e3)
+    "q_e4_model_quality",  # r8 (oldest e4)
+    "q_e5_frame_sample",  # r10 (oldest e5)
     "q_e6_timeseries_similarity",
-    "q_e7_curation_clustered",  # r8 (oldest e7)
+    "q_e7_curation_pipeline",  # r9 (oldest e7)
     "q_asof_join_purchase_view",
     "q_range_join_purchase_errors",
     "q_w_sessionize",
-    # The round-7 cohort (first 26 of its 41 rows, registry order; the
-    # remaining 15 — q_tf_upsert_partial, q_tpch_q10/q11/q13/q15/q16/
-    # q17/q1/q20/q22/q2/q4, q_validate_orders, q_x1_slope_intercept,
-    # q_x_array_hof, q_x_unpivot — lead round 12's rotation):
-    "q_agg_corr_moments",
-    "q_agg_grouping_sets",
-    "q_agg_histogram",
-    "q_agg_percentiles",
-    "q_agg_pivot_event_types",
-    "q_agg_salted_skew",
-    "q_e2_cross_corpus_neardup",
-    "q_e2_semantic_dedup",
-    "q_e3_filtered_ann",
-    "q_e4_heavy_hitters",
-    "q_e8_corpus_build",
-    "q_e8_leakage_free_split",
-    "q_profile_lineitem",
-    "q_s3_template_scan",
-    "q_set_except",
-    "q_set_union_all",
-    "q_sort_nulls_ordering",
-    "q_t_incremental_rollup",
-    "q_tf_avg_view",
-    "q_tf_delete_where",
-    "q_tf_distinct_view",
-    "q_tf_minmax_view",
-    "q_tf_pruned_read",
-    "q_tf_restore",
-    "q_tf_schema_evolution",
-    "q_tf_update_where",
+    # ...then the head of the round-8 cohort (42 rows last checked in
+    # round 8; the first 22 in registry order fill the window — the
+    # rest, from q_join_three_way onward in
+    # registry order, lead round 13's rotation):
+    "q_f2_change_only",
+    "q_f4_quality_split",
+    "q_f5_self_measure_exclusion",
+    "q_f6_browse_exclusion",
+    "q_f7_node_class",
+    "q_f8_online_probe",
+    "q_f9_row_existence",
+    "q_f10_projection",
+    "q_j1_device_points",
+    "q_j2_device_server_urls",
+    "q_j4_connection_exclusions",
+    "q_j5_venn_reconcile",
+    "q_j7_heartbeat_lockset",
+    "q_a1_distinct_devices",
+    "q_a3_device_liveness",
+    "q_a4_rowcount_effects",
+    "q_s10_insert_if_missing",
+    "q_s11_bulk_reset",
+    "q_join_inner_orders_customer",
+    "q_join_left_customer_orders",
+    "q_join_full_nation_supplier",
+    "q_join_anti_customers_without_orders",
 )
 
 

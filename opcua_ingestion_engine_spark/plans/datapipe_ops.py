@@ -2657,6 +2657,81 @@ def q_tf_stream_changefeed(spark, sf_dir):
 
 
 @register(
+    "q_tf_stream_ratelimited",
+    """
+    SELECT event_id, user_id, value,
+           'insert' AS _change_type,
+           CAST(event_id % 4 AS BIGINT) AS _commit_version
+    FROM events
+    """,
+    "ADMISSION CONTROL for the table_changes streaming source (round "
+    "12 — Delta maxFilesPerTrigger parity): a 4-commit backlog (each "
+    "commit 2 parquet files) drained under max_files_per_trigger=3 by "
+    "a processing-time trigger. Offsets step THROUGH commit history — "
+    "and mid-commit through its per-file plan — so the backlog lands "
+    "as BOUNDED micro-batches instead of one unbounded sink "
+    "transaction (the 100-TB re-seed shape). In-query audits: the "
+    "drain took >1 micro-batch, and no batch spanned more than 2 "
+    "commits (3-file budget over 2-file commits). Each batch appends "
+    "to a parquet sink distributedly — no driver collect of data.",
+)
+def q_tf_stream_ratelimited(spark, sf_dir):
+    import os
+
+    from ..operators import tablefmt as TF
+    from ..streaming.tablestream import TableChangesDataSource
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    work = scratch_root("stream_ratelimited")
+    root = os.path.join(work, "table")
+    TF.commit_version(
+        ev.filter(F.col("event_id") % 4 == 0).repartition(2), root
+    )  # v0: 2 files
+    for m in (1, 2, 3):
+        TF.commit_append(
+            ev.filter(F.col("event_id") % 4 == m).repartition(2), root
+        )  # v1..v3: 2 files each
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir = os.path.join(work, "out")
+    audit = {"batches": 0, "max_versions": 0}
+
+    def sink(df, _batch_id):
+        # distributed append; the version-span audit is a 2-row agg
+        df.write.mode("append").parquet(out_dir)
+        n = df.select(F.countDistinct("_commit_version")).first()[0]
+        if n:
+            audit["batches"] += 1
+            audit["max_versions"] = max(audit["max_versions"], n)
+
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", root)
+        .option("max_files_per_trigger", "3")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert audit["batches"] > 1, (
+        f"admission control did not bound the drain: {audit}"
+    )
+    assert audit["max_versions"] <= 2, (
+        f"a micro-batch spanned more than 2 commits: {audit}"
+    )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "value", "_change_type", "_commit_version"
+    )
+
+
+@register(
     "q_tf_check_constraints",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,

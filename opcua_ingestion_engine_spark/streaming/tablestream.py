@@ -42,6 +42,35 @@ committed change as (table columns + ``_change_type`` +
 ``starting_version`` (option, default: the table's full history — v0's
 rows arrive as ``insert`` @ 0) positions the initial offset; a
 checkpointed query resumes from the engine's committed offset instead.
+
+**Admission control (round 12 — Delta's ``maxFilesPerTrigger`` /
+``maxBytesPerTrigger``):** with ``.option("max_files_per_trigger", N)``
+or ``.option("max_bytes_per_trigger", B)`` a long backlog or an initial
+snapshot drains as BOUNDED micro-batches instead of one unbounded sink
+transaction. Offsets step THROUGH commit history — and, within a large
+commit or the snapshot, through its stable per-file partition plan:
+
+- ``{"version": N}`` — versions <= N fully served (the clean form every
+  pre-round-12 checkpoint carries; old checkpoints resume unchanged).
+- ``{"version": N, "part": K}`` — versions <= N served, plus the first
+  K partitions of version N+1's deterministic plan.
+- ``{"version": A, "snap": 1, "part": K}`` — the first K per-file
+  partitions of the initial snapshot served.
+
+Each batch admits whole partitions until the file/byte budget is
+reached (always >= 1 partition, so progress is guaranteed; budgets cost
+a driver-side ``stat`` per admitted file, the same accounting Delta
+reads off its log). The stepping needs the LAST offset, which the
+Python streaming API does not pass to ``latestOffset()`` — the reader
+learns it from ``initialOffset`` (fresh start), from every
+``partitions(start, end)`` plan, and from the engine's restart ping
+(``AcceptsLatestSeenOffset`` surfaces the checkpointed offset as a
+``partitions(committed, committed)`` call before the first trigger), so
+a checkpointed restart is rate-limited from its first micro-batch.
+Under ``Trigger.AvailableNow`` the engine captures ONE stepped offset
+per run (the wrapper cannot compose opaque offsets), so each
+``availableNow`` run drains exactly one bounded batch — use a
+processing-time trigger to drain a backlog continuously.
 """
 
 from __future__ import annotations
@@ -291,6 +320,39 @@ def _read_partition(partition, names: list, p2l: "dict | None" = None):
             ).to_batches()
 
 
+def _partition_cost(root: str, p) -> "tuple[int, int]":
+    """(files, bytes) one input partition admits against the trigger
+    budget — driver-side ``stat`` over the partition's immutable files,
+    the same accounting Delta's admission control reads off its log."""
+    if isinstance(p, _DvPartition):
+        n = b = 0
+        for s in p.sidecars:
+            full = os.path.join(root, s)
+            for name in os.listdir(full):
+                if name.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(full, name))
+        return max(n, 1), b
+    full = os.path.join(root, p.dir_rel)
+    if getattr(p, "file_name", None):
+        return 1, os.path.getsize(os.path.join(full, p.file_name))
+    n = b = 0  # legacy whole-directory partition
+    for name in _list_parquet(root, p.dir_rel):
+        n += 1
+        b += os.path.getsize(os.path.join(full, name))
+    return max(n, 1), b
+
+
+def _offset_key(off: dict) -> tuple:
+    """Total order over the stream's offset forms: snapshot-phase
+    offsets precede change-feed offsets; within a phase, (version,
+    part) — ``{"version": N, "part": K}`` sits between ``{"version":
+    N}`` and ``{"version": N+1}``."""
+    if off.get("snap"):
+        return (0, off.get("part", 0), 0)
+    return (1, off["version"], off.get("part", 0))
+
+
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, names: list):
         self.root = options.get("path")
@@ -328,6 +390,27 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self._snapshot = str(
             options.get("initial_snapshot", "false")
         ).lower() in ("true", "1", "yes")
+        # ADMISSION CONTROL (round 12): bound each micro-batch by files
+        # and/or bytes. None/None keeps the pre-round-12 behavior
+        # (latestOffset returns the live head).
+        mft = options.get("max_files_per_trigger")
+        mbt = options.get("max_bytes_per_trigger")
+        self._max_files = int(mft) if mft is not None else None
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {mft}"
+            )
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                f"max_bytes_per_trigger must be >= 1, got {mbt}"
+            )
+        # last offset this reader has seen (initialOffset / every
+        # partitions() call, including the engine's restart ping /
+        # commit) — the base the admission stepping advances from
+        self._pos: "dict | None" = None
+        self._plans: dict = {}  # version -> its partition plan (stable)
+        self._snap_plan: "list | None" = None
         if self._snapshot:
             from ..operators.tablefmt import latest_version
 
@@ -343,30 +426,28 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 self._anchor = live
 
     def initialOffset(self) -> dict:
-        if self._snapshot:
-            return {"version": self._anchor, "snap": 1}
-        return {"version": self._initial}
+        off = (
+            {"version": self._anchor, "snap": 1}
+            if self._snapshot
+            else {"version": self._initial}
+        )
+        self._pos = off
+        return off
 
-    def latestOffset(self) -> dict:
-        # STATELESS by design (round 11): the snapshot is keyed solely
-        # off the ``snap`` marker that ``initialOffset`` plants — which
-        # the engine consults only on a fresh, checkpoint-less start —
-        # so correctness never rests on engine call-ordering across
-        # restarts. Committed offsets are plain {"version": N}.
-        from ..operators.tablefmt import latest_version
+    def _version_plan(self, v: int) -> list:
+        """Version ``v``'s deterministic partition plan (manifests and
+        file listings are immutable, so the plan — and therefore every
+        mid-version ``part`` offset — is stable across calls, restarts
+        and reader instances). Cached; successes only."""
+        if v not in self._plans:
+            self._plans[v] = _plan_steps(self.root, v - 1, v)
+        return self._plans[v]
 
-        live = latest_version(self.root)
-        floor = self._anchor if self._snapshot else self._initial
-        return {"version": floor if live is None else max(floor, live)}
-
-    def partitions(self, start: dict, end: dict):
-        parts: list = []
-        if start.get("snap"):
-            # the initial-snapshot prefix of the FIRST batch: every
-            # live data file of the anchor manifest, DV-subtracted, as
-            # one insert partition per file; the same batch then
-            # follows with the (anchor, end] change steps below.
-            anchor = start["version"]
+    def _snapshot_parts(self, anchor: int) -> list:
+        """The initial snapshot's per-file partition plan: every live
+        data file of the anchor manifest, DV-subtracted — stable for
+        the same reason as ``_version_plan``."""
+        if self._snap_plan is None:
             m = _read_manifest(self.root, anchor)
             if m.get("evolved"):
                 raise ValueError(
@@ -377,6 +458,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             from ..operators.tablefmt import _data_list, _dv_map
 
             dv = _dv_map(m)
+            parts = []
             for d in _data_list(m):
                 dv_paths = list((dv.get(d) or {}).get("paths", []))
                 for name in _list_parquet(self.root, d):
@@ -385,16 +467,127 @@ class TableChangesStreamReader(DataSourceStreamReader):
                             self.root, anchor, d, dv_paths, name
                         )
                     )
-        parts.extend(
-            _plan_steps(self.root, start["version"], end["version"])
-        )
+            self._snap_plan = parts
+        return self._snap_plan
+
+    def latestOffset(self) -> dict:
+        # Without admission options this is STATELESS by design (round
+        # 11): the snapshot is keyed solely off the ``snap`` marker
+        # that ``initialOffset`` plants, and committed offsets are
+        # plain {"version": N}. With admission options the stepping
+        # needs the last offset — learned from initialOffset/
+        # partitions()/commit(), never from engine call-ordering
+        # assumptions: a restart teaches it via the engine's
+        # latest-seen-offset ping before the first trigger.
+        from ..operators.tablefmt import latest_version
+
+        live = latest_version(self.root)
+        floor = self._anchor if self._snapshot else self._initial
+        head = {"version": floor if live is None else max(floor, live)}
+        if self._max_files is None and self._max_bytes is None:
+            return head
+        pos = self._pos
+        if pos is None:
+            # the engine may ask for latestOffset BEFORE initialOffset
+            # on a fresh start (measured: it does). A fresh start's
+            # position is the deterministic initial offset; a RESTART
+            # always teaches the committed offset first via the
+            # latest-seen-offset ping, so this branch can never step
+            # from behind a checkpoint.
+            pos = (
+                {"version": self._anchor, "snap": 1}
+                if self._snapshot
+                else {"version": self._initial}
+            )
+        files = nbytes = 0
+
+        def fits_more() -> bool:
+            return (
+                self._max_files is None or files < self._max_files
+            ) and (self._max_bytes is None or nbytes < self._max_bytes)
+
+        advanced = False
+        cur = dict(pos)
+        if cur.get("snap"):
+            sp = self._snapshot_parts(cur["version"])
+            k = cur.get("part", 0)
+            while k < len(sp) and fits_more():
+                f, b = _partition_cost(self.root, sp[k])
+                files += f
+                nbytes += b
+                k += 1
+                advanced = True
+            if k < len(sp):
+                return {"version": cur["version"], "snap": 1, "part": k}
+            cur = {"version": cur["version"]}
+        v, k = cur["version"], cur.get("part", 0)
+        live_v = head["version"]
+        while (v < live_v or k > 0) and (k > 0 or fits_more()):
+            try:
+                vp = self._version_plan(v + 1)
+            except ValueError:
+                if advanced:
+                    break  # drain what's admitted; the refusal
+                    # surfaces on the next trigger's empty step
+                raise
+            while k < len(vp) and fits_more():
+                f, b = _partition_cost(self.root, vp[k])
+                files += f
+                nbytes += b
+                k += 1
+                advanced = True
+            if k < len(vp):
+                return {"version": v, "part": k}
+            v += 1
+            k = 0
+        return {"version": v}
+
+    def partitions(self, start: dict, end: dict):
+        # teach the admission stepping the engine's position — this is
+        # also how a checkpointed RESTART rate-limits from its first
+        # trigger: AcceptsLatestSeenOffset surfaces the committed
+        # offset as a partitions(committed, committed) ping
+        if self._pos is None or _offset_key(end) > _offset_key(self._pos):
+            self._pos = dict(end)
+        if start == end:
+            return []
+        parts: list = []
+        cursor = dict(start)
+        if cursor.get("snap"):
+            sp = self._snapshot_parts(cursor["version"])
+            k0 = cursor.get("part", 0)
+            if end.get("snap"):
+                return sp[k0 : end.get("part", 0)]
+            parts.extend(sp[k0:])
+            cursor = {"version": cursor["version"]}
+        sv, sk = cursor["version"], cursor.get("part", 0)
+        ev, ek = end["version"], end.get("part", 0)
+        if sk:
+            vp = self._version_plan(sv + 1)
+            if ev == sv:
+                return parts + vp[sk:ek]
+            parts.extend(vp[sk:])
+            sv += 1
+        for v in range(sv + 1, ev + 1):
+            parts.extend(self._version_plan(v))
+        if ek:
+            parts.extend(self._version_plan(ev + 1)[:ek])
         return parts
 
     def read(self, partition):
         yield from _read_partition(partition, self._names, self._p2l)
 
     def commit(self, end: dict) -> None:
-        pass  # manifests are the WAL; nothing to acknowledge
+        # manifests are the WAL; nothing to acknowledge. Keep the
+        # admission position current and bound the plan cache to the
+        # uncommitted tail (O(backlog), not O(history)).
+        if self._pos is None or _offset_key(end) > _offset_key(self._pos):
+            self._pos = dict(end)
+        done = end["version"] if not end.get("snap") else -1
+        for v in [v for v in self._plans if v <= done]:
+            del self._plans[v]
+        if not end.get("snap") and self._snap_plan is not None:
+            self._snap_plan = []  # snapshot fully served
 
 
 class TableChangesDataSource(DataSource):

@@ -95,6 +95,10 @@ ALLOW: dict[str, tuple[int, int, dict[str, int]]] = {
     # anti join IS the scale-correct shape (never a forced broadcast) —
     # the SMJ class the gate docstring allows for keyed scratch diffs
     "q_e2_incremental_semdedup": (0, 1, {}),
+    # same serve path, oracle-scoped twin (round 12): the survivor
+    # anti join against the dropped-id scratch keeps the same
+    # scale-correct shuffled shape
+    "q_e2_semdedup_serve": (0, 1, {}),
     # 1-row corpus-total broadcast; static plan prints vocab-build +
     # scoring-probe + totals scans, but the totals branch resolves to a
     # ReusedExchange of the vocab shuffle at runtime (verified on the
