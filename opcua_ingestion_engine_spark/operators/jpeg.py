@@ -4,20 +4,26 @@ multimodal column family (``operators/multimodal.py``; reference
 anchor: the reference treats device payloads as opaque bytes, so any
 pixel analytics parity lives entirely on this side).
 
-Scope (the baseline process, which covers the overwhelming majority of
-real-world JPEGs):
+Scope (baseline + progressive DCT, which together cover essentially
+all real-world JPEGs):
 
-- **Decoder**: baseline sequential (SOF0), 8-bit samples, 1 or 3
-  components, any sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0),
-  multiple DQT/DHT segments, restart intervals (DRI + RSTn), byte
-  stuffing. Progressive (SOF2), arithmetic coding, 12-bit precision,
-  and 4-component CMYK raise ``NotImplementedError`` loudly.
-- **Encoder** (fixture-grade, spec-conformant output): 4:4:4 colour or
-  single-component grayscale, Annex K quantization tables scaled by a
-  libjpeg-style quality knob, Annex K typical Huffman tables, optional
-  restart intervals. Exists so the decoder is exercised against
+- **Decoder**: baseline sequential (SOF0/1) AND progressive (SOF2,
+  round 12 — spectral selection + successive approximation per T.81
+  G.2, EOB runs, interleaved DC / non-interleaved AC scans), 8-bit
+  samples, 1 or 3 components, any sampling factors in {1, 2} (4:4:4 /
+  4:2:2 / 4:2:0), multiple DQT/DHT segments, restart intervals (DRI +
+  RSTn), byte stuffing, 0xFF fill bytes before markers. Lossless/
+  hierarchical SOFs, arithmetic coding, 12-bit precision, and
+  4-component CMYK raise ``NotImplementedError`` loudly.
+- **Encoder** (fixture-grade, spec-conformant output): sequential
+  (4:4:4/4:2:0 colour or grayscale, Annex K tables, libjpeg-style
+  quality knob, optional restart intervals) and progressive
+  (``encode_jpeg_progressive`` — same quantized coefficients split
+  across an arbitrary scan script, EOBn aggregation via a flat
+  canonical AC table). Exists so the decoder is exercised against
   independently-constructed, marker-complete streams (this container
-  ships no image library to make fixtures with).
+  ships no image library to make fixtures with) — and so sequential
+  vs progressive decode of one image can be pinned BIT-IDENTICAL.
 
 Everything hot is numpy: the IDCT/DCT are separable orthonormal-matrix
 products over all of a component's blocks at once; upsampling is
@@ -244,6 +250,7 @@ def decode_jpeg(data: bytes):
     huff_ac: dict = {}
     frame = None
     restart_interval = 0
+    prog_state = None  # per-component zigzag coefficient grids (SOF2)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -283,7 +290,7 @@ def decode_jpeg(data: bytes):
                     bits, vals
                 )
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
@@ -302,12 +309,13 @@ def decode_jpeg(data: bytes):
                     raise NotImplementedError(
                         f"sampling factors {c['h']}x{c['v']}"
                     )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "progressive/lossless/arithmetic)"
+                f"non-DCT/arithmetic JPEG (SOF marker 0xFF{marker:02X}: "
+                "lossless/hierarchical/arithmetic coding)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -319,11 +327,26 @@ def decode_jpeg(data: bytes):
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 sel[cs] = {"dc": tt >> 4, "ac": tt & 0xF}
-            return _decode_scan(
-                data, pos + seglen, frame, sel, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame.get("prog"):
+                return _decode_scan(
+                    data, pos + seglen, frame, sel, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # SOF2: accumulate this scan into the coefficient state and
+            # keep walking markers — reconstruction happens at EOI
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _prog_init(frame)
+            pos = _prog_scan(
+                data, pos + seglen, frame, sel, ss, se, a >> 4, a & 0xF,
+                prog_state, qt, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += seglen
+    if prog_state is not None:
+        return _prog_reconstruct(frame, prog_state, qt)
     raise ValueError("no SOS segment (truncated JPEG?)")
 
 
@@ -408,12 +431,21 @@ def _decode_scan(
                     planes[ci][gy * (mcux * c["h"]) + gx] = block.reshape(
                         8, 8
                     )
-    # inverse transform every component's blocks at once, assemble,
-    # upsample to full resolution, colour-convert
+    return _assemble(frame, planes, mcux, mcuy)
+
+
+def _assemble(frame, coef_blocks, mcux, mcuy):
+    """Inverse-transform every component's DEQUANTIZED raster blocks at
+    once, assemble the block grids, upsample to full resolution, and
+    colour-convert — the shared tail of the sequential and progressive
+    decode paths."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for ci, c in enumerate(comps):
         bw, bh = mcux * c["h"], mcuy * c["v"]
-        spatial = _blocks_idct(planes[ci]) + 128.0
+        spatial = _blocks_idct(coef_blocks[ci]) + 128.0
         grid = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
         plane = grid.reshape(bh * 8, bw * 8)
         plane = np.repeat(
@@ -430,6 +462,238 @@ def _decode_scan(
     rgb = np.stack([r, g, b], axis=-1)
     px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return px.reshape(h, w * 3), w, h, 3
+
+
+# -- progressive decode (SOF2, T.81 G.2) -------------------------------------
+
+
+def _mcu_grid(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _noninterleaved_dims(frame, c):
+    """(blocks wide, blocks high) of ONE component's non-interleaved
+    scan coverage (T.81 A.2.2): ceil over the component's own sample
+    dimensions, NOT the MCU-padded grid."""
+    hmax, vmax, _, _ = _mcu_grid(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _prog_init(frame):
+    """Per-component zigzag-order coefficient grids sized to the MCU
+    cover, accumulated across scans. int64: successive-approximation
+    refinement is BITWISE on two's-complement values."""
+    _, _, mcux, mcuy = _mcu_grid(frame)
+    return [
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _prog_scan(
+    data, pos, frame, sel, ss, se, ah, al, coefs, qt, huff_dc, huff_ac,
+    restart_interval,
+):
+    """Decode ONE progressive scan (T.81 G.2: spectral selection +
+    successive approximation; the refinement control flow follows the
+    spec's G.1.2.2-G.1.2.3 procedures) into the accumulated
+    coefficient state. Returns the stream position just past this
+    scan's entropy-coded data."""
+    comps = frame["comps"]
+    scomps = []  # (component index, component dict) in SOS order
+    for cs in sel:
+        matches = [i for i, c in enumerate(comps) if c["id"] == cs]
+        if not matches:
+            raise ValueError(f"SOS selects unknown component {cs}")
+        scomps.append((matches[0], comps[matches[0]]))
+    if ss > se or se > 63:
+        raise ValueError(f"invalid spectral selection {ss}..{se}")
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError(
+            "progressive scan mixing DC and AC coefficients (Ss=0 "
+            f"with Se={se})"
+        )
+    if not dc_scan and len(scomps) != 1:
+        raise ValueError("progressive AC scan must select one component")
+    first = ah == 0
+    if not first and ah != al + 1:
+        raise ValueError(
+            f"successive approximation must refine one bit (Ah={ah}, "
+            f"Al={al})"
+        )
+    # table references validated BEFORE entropy decoding (same typed-
+    # refusal discipline as the sequential path); DC refinement scans
+    # read raw bits and need no table at all
+    for _, c in scomps:
+        if dc_scan and first and sel[c["id"]]["dc"] not in huff_dc:
+            raise ValueError(
+                f"component {c['id']} references missing DC table"
+            )
+        if not dc_scan and sel[c["id"]]["ac"] not in huff_ac:
+            raise ValueError(
+                f"component {c['id']} references missing AC table"
+            )
+    hmax, vmax, mcux, mcuy = _mcu_grid(frame)
+    reader = _BitReader(data, pos)
+    pred = {ci: 0 for ci, _ in scomps}
+    state = {"eobrun": 0}
+    p1 = 1 << al
+
+    def _correct(blk, k):
+        # T.81 G.1.2.3 correction bit: append a 1-bit at position Al
+        # of an already-nonzero coefficient's magnitude if not set
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+    def _decode_dc(ci, c, blk):
+        if first:
+            size = reader.decode_symbol(huff_dc[sel[c["id"]]["dc"]])
+            diff = _extend(reader.read_bits(size), size)
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        elif reader.read_bit():
+            blk[0] = int(blk[0]) | p1
+
+    def _decode_ac_first(c, blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tac = huff_ac[sel[c["id"]]["ac"]]
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(tac)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band end")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def _decode_ac_refine(c, blk):
+        tac = huff_ac[sel[c["id"]]["ac"]]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(tac)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement symbol with size > 1"
+                        )
+                    newval = p1 if reader.read_bit() else -p1
+                # advance r zero-history positions, emitting correction
+                # bits for already-nonzero coefficients along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        _correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError(
+                            "AC refinement run past spectral band end"
+                        )
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _correct(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def _decode_unit(ci, c, idx):
+        blk = coefs[ci][idx]
+        if dc_scan:
+            _decode_dc(ci, c, blk)
+        elif first:
+            _decode_ac_first(c, blk)
+        else:
+            _decode_ac_refine(c, blk)
+
+    def _maybe_restart(unit):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_to_marker()
+            if (
+                data[reader.pos] == 0xFF
+                and 0xD0 <= data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+                for ci in pred:
+                    pred[ci] = 0
+                state["eobrun"] = 0
+            else:
+                raise ValueError(f"expected restart marker at unit {unit}")
+
+    if dc_scan and len(scomps) > 1:
+        # interleaved (MCU order), like the sequential path
+        for m in range(mcux * mcuy):
+            _maybe_restart(m)
+            my, mx = divmod(m, mcux)
+            for ci, c in scomps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        gx, gy = mx * c["h"] + bx, my * c["v"] + by
+                        _decode_unit(
+                            ci, c, gy * (mcux * c["h"]) + gx
+                        )
+    else:
+        # non-interleaved: raster over the component's OWN block cover
+        ci, c = scomps[0]
+        cbw, cbh = _noninterleaved_dims(frame, c)
+        row = mcux * c["h"]  # storage-grid row stride
+        for u in range(cbw * cbh):
+            _maybe_restart(u)
+            by, bx = divmod(u, cbw)
+            _decode_unit(ci, c, by * row + bx)
+    reader.align_to_marker()
+    return reader.pos
+
+
+def _prog_reconstruct(frame, coefs, qt):
+    """Dequantize the accumulated coefficient grids and run the shared
+    IDCT/assembly tail."""
+    _, _, mcux, mcuy = _mcu_grid(frame)
+    blocks = []
+    for ci, c in enumerate(frame["comps"]):
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"component {c['id']} references missing DQT table "
+                f"{c['tq']}"
+            )
+        zz = coefs[ci].astype(np.float64) * qt[c["tq"]][None, :]
+        raster = np.zeros_like(zz)
+        raster[:, ZIGZAG] = zz
+        blocks.append(raster.reshape(-1, 8, 8))
+    return _assemble(frame, blocks, mcux, mcuy)
 
 
 # -- encoder (fixture-grade, spec-conformant) --------------------------------
@@ -496,13 +760,14 @@ def _encode_block(writer, zz, pred, dc_tab, ac_tab):
     return int(zz[0])
 
 
-def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 pixels as a
-    baseline JPEG (``subsampling``: "444" or "420"; restart interval is
-    in MCUs)."""
+def _frame_setup(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: colour-convert, subsample, block,
+    DCT, quantize. Returns (h, w, hv, qts, tabs, comp_zz, mcux, mcuy)
+    — ``comp_zz`` are zigzag-order quantized coefficients per
+    component on the MCU-padded grid, the single source both the
+    sequential and progressive scan writers serialize (so the two
+    encodings of one image carry IDENTICAL coefficients — the
+    round-trip equality the conformance tests pin)."""
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -544,46 +809,6 @@ def encode_jpeg(
         else:
             hv = [(1, 1)] * 3
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    # DQT segment(s)
-    seen_q = {}
-    for q, tq in qts:
-        if tq in seen_q:
-            continue
-        seen_q[tq] = q
-        body = bytes([tq]) + bytes(q.astype(np.uint8)[ZIGZAG])
-        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
-    # SOF0
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i in range(ncomp):
-        sof += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], qts[i][1]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT segment(s)
-    seen_h = set()
-    enc_tabs = []
-    for (dc, ac, th) in tabs:
-        enc_tabs.append(
-            (_encode_huffman_sizes(*dc), _encode_huffman_sizes(*ac))
-        )
-        for tc, (bits, vals) in ((0, dc), (1, ac)):
-            if (tc, th) in seen_h:
-                continue
-            seen_h.add((tc, th))
-            body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        sos += bytes([i + 1, (tabs[i][2] << 4) | tabs[i][2]])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
-    # entropy-coded data: quantized zig-zag blocks per component,
-    # interleaved per MCU (per T.81 A.2.3 — h*v blocks of each
-    # component per MCU, raster within the MCU)
     hmax = max(h_ for h_, _ in hv)
     vmax = max(v_ for _, v_ in hv)
     mcux = -(-w // (8 * hmax))
@@ -607,6 +832,67 @@ def encode_jpeg(
             coeffs.reshape(-1, 64)[:, ZIGZAG] / q[ZIGZAG]
         ).astype(np.int64)
         comp_zz.append(zz)
+    return h, w, hv, qts, tabs, comp_zz, mcux, mcuy
+
+
+def _emit_headers(h, w, hv, qts, tabs, restart_interval, sof_marker):
+    """SOI + DQT + SOF + DHT (+ DRI) segments shared by the sequential
+    and progressive encoders. Returns (bytes, per-component encode
+    tables)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    seen_q = {}
+    for q, tq in qts:
+        if tq in seen_q:
+            continue
+        seen_q[tq] = q
+        body = bytes([tq]) + bytes(q.astype(np.uint8)[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    ncomp = len(hv)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], qts[i][1]])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    seen_h = set()
+    enc_tabs = []
+    for (dc, ac, th) in tabs:
+        enc_tabs.append(
+            (_encode_huffman_sizes(*dc), _encode_huffman_sizes(*ac))
+        )
+        for tc, (bits, vals) in ((0, dc), (1, ac)):
+            if (tc, th) in seen_h:
+                continue
+            seen_h.add((tc, th))
+            body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out, enc_tabs
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 pixels as a
+    baseline JPEG (``subsampling``: "444" or "420"; restart interval is
+    in MCUs)."""
+    h, w, hv, qts, tabs, comp_zz, mcux, mcuy = _frame_setup(
+        pixels, quality, subsampling
+    )
+    ncomp = len(hv)
+    out, enc_tabs = _emit_headers(
+        h, w, hv, qts, tabs, restart_interval, 0xC0
+    )
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, (tabs[i][2] << 4) | tabs[i][2]])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded data: quantized zig-zag blocks per component,
+    # interleaved per MCU (per T.81 A.2.3 — h*v blocks of each
+    # component per MCU, raster within the MCU)
     writer = _BitWriter()
     pred = [0] * ncomp
     rst = 0
@@ -632,5 +918,231 @@ def encode_jpeg(
                     )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (fixture-grade, T.81 G.1) ---------------------------
+
+#: AC table for progressive scans: Annex K's tables have NO free code
+#: space for the EOBn symbols (verified — appending 14 length-16 codes
+#: overflows the canonical space), so progressive scans use a flat
+#: canonical 8-bit table covering every (run, size<=14) symbol plus
+#: ZRL and EOB0..EOB14. Fixture-grade compression, full decoder
+#: coverage (EOB runs > 1 included).
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [0x00, 0xF0]
+        + [n << 4 for n in range(1, 15)]
+        + [(r << 4) | s for s in range(1, 15) for r in range(16)]
+    ),
+)
+
+
+def _flush_eobrun(writer, ac_tab, st):
+    """Emit the pending EOBn symbol + its extension bits + the
+    buffered correction bits (T.81 G.1.2.2 EOB-run discipline)."""
+    n = st["eobrun"]
+    if n > 0:
+        nbits = n.bit_length() - 1
+        code, ln = ac_tab[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(n & ((1 << nbits) - 1), nbits)
+        for b in st["bits"]:
+            writer.write(b, 1)
+        st["eobrun"] = 0
+        st["bits"] = []
+
+
+def _enc_dc_first(writer, zz, pred, dc_tab, al):
+    v = int(zz[0]) >> al  # arithmetic shift — T.81 G.1.2.1 point transform
+    diff = v - pred
+    size = int(diff).bit_length() if diff else 0
+    code, ln = dc_tab[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    return v
+
+
+def _enc_ac_first(writer, zz, ss, se, al, ac_tab, st):
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        mag = abs(t) >> al  # magnitude shift — G.1.2.2 point transform
+        if mag == 0:
+            r += 1
+            continue
+        _flush_eobrun(writer, ac_tab, st)
+        while r > 15:
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        size = mag.bit_length()
+        code, ln = ac_tab[(r << 4) | size]
+        writer.write(code, ln)
+        sv = mag if t >= 0 else -mag
+        writer.write(sv if sv > 0 else sv + (1 << size) - 1, size)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] >= 0x7FFF:
+            _flush_eobrun(writer, ac_tab, st)
+
+
+def _enc_ac_refine(writer, zz, ss, se, al, ac_tab, st):
+    """One block of an AC successive-approximation refinement scan
+    (G.1.2.3): newly-nonzero coefficients as (run-of-zero-history, 1)
+    symbols + sign, already-nonzero ones as buffered correction bits
+    emitted after the next symbol (or with the EOB run)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # position of the LAST newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    br: list = []  # this block's pending correction bits
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(writer, ac_tab, st)
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _flush_eobrun(writer, ac_tab, st)
+        code, ln = ac_tab[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["bits"].extend(br)
+        if st["eobrun"] >= 0x7FFF or len(st["bits"]) > 900:
+            _flush_eobrun(writer, ac_tab, st)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0, scans=None,
+) -> bytes:
+    """Encode pixels as a PROGRESSIVE JPEG (SOF2) carrying the SAME
+    quantized coefficients as ``encode_jpeg`` would — spectral
+    selection + successive approximation split across ``scans``
+    (a list of ``(component_indices, Ss, Se, Ah, Al)``; a libjpeg-like
+    default script when None). Decoding both encodings of one image
+    must therefore be bit-identical — the conformance identity the
+    tests pin."""
+    h, w, hv, qts, tabs, comp_zz, mcux, mcuy = _frame_setup(
+        pixels, quality, subsampling
+    )
+    ncomp = len(hv)
+    prog_tabs = [(dc, _AC_PROG, th) for (dc, _ac, th) in tabs]
+    out, enc_tabs = _emit_headers(
+        h, w, hv, qts, prog_tabs, restart_interval, 0xC2
+    )
+    if scans is None:
+        if ncomp == 1:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 63, 0, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1),
+                ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+            ]
+    hmax = max(h_ for h_, _ in hv)
+    vmax = max(v_ for _, v_ in hv)
+    for comps_idx, ss, se, ah, al in scans:
+        dc_scan = ss == 0
+        if not dc_scan and len(comps_idx) != 1:
+            raise ValueError("progressive AC scan must select one component")
+        sos = bytes([len(comps_idx)])
+        for i in comps_idx:
+            th = tabs[i][2]
+            sos += bytes([i + 1, (th << 4) | th])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        st = {"eobrun": 0, "bits": []}
+        pred = {i: 0 for i in comps_idx}
+        rst = 0
+        unit = 0
+
+        def _restart_if_due():
+            nonlocal writer, rst
+            if restart_interval and unit and unit % restart_interval == 0:
+                _flush_eobrun(writer, enc_tabs[comps_idx[0]][1], st)
+                writer.flush()
+                out.extend(writer.out)
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                writer = _BitWriter()
+                for i in pred:
+                    pred[i] = 0
+
+        def _unit_block(i, idx):
+            blk = comp_zz[i][idx]
+            dc_tab, ac_tab = enc_tabs[i]
+            if dc_scan:
+                if ah == 0:
+                    pred[i] = _enc_dc_first(writer, blk, pred[i], dc_tab, al)
+                else:
+                    writer.write((int(blk[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first(writer, blk, ss, se, al, ac_tab, st)
+            else:
+                _enc_ac_refine(writer, blk, ss, se, al, ac_tab, st)
+
+        if dc_scan and len(comps_idx) > 1:
+            for m in range(mcux * mcuy):
+                _restart_if_due()
+                unit += 1
+                my, mx = divmod(m, mcux)
+                for i in comps_idx:
+                    ch_, cv_ = hv[i]
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            gy, gx = my * cv_ + by, mx * ch_ + bx
+                            _unit_block(i, gy * (mcux * ch_) + gx)
+        else:
+            i = comps_idx[0]
+            ch_, cv_ = hv[i]
+            cw = -(-w * ch_ // hmax)
+            chh = -(-h * cv_ // vmax)
+            cbw, cbh = -(-cw // 8), -(-chh // 8)
+            row = mcux * ch_
+            for u in range(cbw * cbh):
+                _restart_if_due()
+                unit += 1
+                by, bx = divmod(u, cbw)
+                _unit_block(i, by * row + bx)
+        _flush_eobrun(writer, enc_tabs[comps_idx[0]][1], st)
+        writer.flush()
+        out.extend(writer.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -18,10 +18,11 @@ Three formats decode for real, everything else raises NotImplementedError:
 - ``fake8`` — the deterministic byte-stream stand-in kept from round 1
   (payload bytes ARE the "pixels"), so plumbing tests stay codec-free.
 
-``jpeg`` (round 11) — real baseline ITU-T T.81 decode via the
-pure-numpy codec in ``operators/jpeg.py`` (SOF0, 4:4:4/4:2:2/4:2:0,
-restart markers; progressive/arithmetic raise loudly), plus a
-spec-conformant encoder so fixtures exist without an image library.
+``jpeg`` (round 11; SOF2 round 12) — real ITU-T T.81 decode via the
+pure-numpy codec in ``operators/jpeg.py`` (baseline SOF0 AND
+progressive SOF2, 4:4:4/4:2:2/4:2:0, restart markers; lossless/
+arithmetic raise loudly), plus spec-conformant sequential and
+progressive encoders so fixtures exist without an image library.
 Compressed audio/video still need codecs the container doesn't ship
 (verified: no PIL/ffmpeg); their path is the guarded NotImplementedError.
 The Spark plumbing — schema convention, Arrow-batched ``mapInPandas``,
@@ -238,9 +239,10 @@ def decode_image(payload: bytes, fmt: str) -> dict:
     """Decode one payload into pixel features.
 
     ``png`` runs the real stdlib decoder (pixel stats over DECODED bytes,
-    dimensions from IHDR); ``jpeg`` runs the real baseline T.81 decoder
-    (``operators/jpeg.py`` — SOF0, 4:4:4/4:2:2/4:2:0, restart markers;
-    progressive raises loudly); ``fake8`` treats the payload bytes as
+    dimensions from IHDR); ``jpeg`` runs the real T.81 decoder
+    (``operators/jpeg.py`` — baseline SOF0 and progressive SOF2,
+    4:4:4/4:2:2/4:2:0, restart markers; lossless/arithmetic raise
+    loudly); ``fake8`` treats the payload bytes as
     the pixels (vectorized ``np.frombuffer`` sum — the shape a real
     kernel uses, never a per-byte Python loop); every other format
     raises NotImplementedError (compressed audio/video still need codecs
@@ -362,21 +364,33 @@ def attach_payload_mixed(
                     chans.append(ch)
                     fmts.append(PNG_FORMAT)
                 elif jpeg_every and did % jpeg_every == 0:
-                    from .jpeg import encode_jpeg
+                    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
                     px = _png_pixels_for(did)
                     if px.ndim == 3 and px.shape[2] == 4:
                         px = px[..., :3]  # JPEG has no alpha channel
                     h, w = px.shape[:2]
                     ch = 1 if px.ndim == 2 else px.shape[2]
-                    payloads.append(
-                        encode_jpeg(
-                            px,
-                            quality=85 + did % 11,
-                            subsampling="420" if did % 2 else "444",
-                            restart_interval=2 if did % 3 == 0 else 0,
+                    # every third JPEG row is PROGRESSIVE (SOF2, round
+                    # 12) — same coefficients, multi-scan encoding —
+                    # so the mixed corpus exercises both decode paths
+                    if did % 3 == 1:
+                        payloads.append(
+                            encode_jpeg_progressive(
+                                px,
+                                quality=85 + did % 11,
+                                subsampling="420" if did % 2 else "444",
+                            )
                         )
-                    )
+                    else:
+                        payloads.append(
+                            encode_jpeg(
+                                px,
+                                quality=85 + did % 11,
+                                subsampling="420" if did % 2 else "444",
+                                restart_interval=2 if did % 3 == 0 else 0,
+                            )
+                        )
                     widths.append(w)
                     heights.append(h)
                     chans.append(ch)

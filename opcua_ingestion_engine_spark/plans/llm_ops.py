@@ -1478,10 +1478,12 @@ def q_e5_meta(spark, sf_dir):
     "E5 — image decode via Arrow-batched mapInPandas over a mixed corpus: "
     "every 7th doc carries a real PNG payload decoded by the pure-stdlib "
     "decoder (real pixel stats from IHDR/IDAT), every 5th remaining doc a "
-    "real baseline JPEG decoded by the pure-numpy T.81 codec (round 11 — "
-    "4:4:4/4:2:0 and restart intervals cycling through the corpus), the "
-    "rest the deterministic fake8 byte stream. Compressed audio/video "
-    "stay behind the documented NotImplementedError guard.",
+    "real JPEG decoded by the pure-numpy T.81 codec (round 11; round 12 "
+    "cycles every third JPEG row as PROGRESSIVE SOF2 — 4:4:4/4:2:0, "
+    "restart intervals, multi-scan successive approximation all rotate "
+    "through the corpus), the rest the deterministic fake8 byte stream. "
+    "Compressed audio/video stay behind the documented "
+    "NotImplementedError guard.",
 )
 def q_e5_decode(spark, sf_dir):
     return M.multimodal_features(_docs(spark, sf_dir), png_every=7, jpeg_every=5)

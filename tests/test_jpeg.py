@@ -80,9 +80,12 @@ def test_marker_structure():
 def test_refusals_are_loud_and_typed():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # progressive (SOF2) refuses as NotImplementedError, not garbage
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    # lossless (SOF3) / arithmetic (SOF9) refuse as NotImplementedError,
+    # not garbage (SOF2 progressive DECODES since round 12)
+    with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x00\x00")
+    with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
     # truncation mid-stream is a ValueError, never silent
     data = encode_jpeg(_smooth_rgb(16, 16))
     with pytest.raises((ValueError, IndexError)):
