@@ -35,13 +35,19 @@ Equality contract (pinned by pytest under arbitrary batch splits):
 both keep rules. The one-shot ``max_cell`` truncation is ORDER-
 dependent, so the maintained form refuses instead of truncating: a
 cell exceeding ``max_cell`` raises (the same "no silent caps"
-discipline — that big a cell means n_cells is undersized; rebuild with
-more cells).
+discipline — that big a cell means n_cells is undersized).
 
-Quantizer staleness is the documented trade (identical to the ANN
-sink): if the embedding distribution drifts far from the first batch,
-within-cell recall decays; the answer is an offline re-cluster plus
-pointer swap.
+**Quantizer rebuild (round 12)**: overflow and distribution drift are
+an OPERATION, not an outage — ``rebuild()`` re-trains n_cells from the
+accumulated codes, re-buckets in one scan, recomputes the within-cell
+pair graph, and publishes both as generation-stamped replace commits
+(codes last = the atomic switch; an interrupted rebuild leaves a
+detectable generation split every ingest/serve path refuses on until
+rebuild() is re-run — it is idempotent). ``auto_rebuild=True`` runs it
+automatically when a batch overflows a cell; the default keeps the
+explicit refusal so the operator chooses the maintenance window.
+Equality with the one-shot form under the NEW quantizer is pinned x3
+seeds in tests/test_semdedup_rebuild.py.
 """
 
 from __future__ import annotations
@@ -58,13 +64,28 @@ from ..operators import similarity as S
 from ..operators import tablefmt as TF
 
 
-def _centroid_path(root: str) -> str:
-    return os.path.join(root, "centroids.npz")
+def _centroid_path(root: str, gen: int = 0) -> str:
+    # gen 0 keeps the round-11 name so existing states load unchanged
+    if gen == 0:
+        return os.path.join(root, "centroids.npz")
+    return os.path.join(root, f"centroids.g{gen}.npz")
 
 
-def _load_centroids(root: str) -> "np.ndarray":
-    with np.load(_centroid_path(root)) as z:
+def _load_centroids(root: str, gen: int = 0) -> "np.ndarray":
+    with np.load(_centroid_path(root, gen)) as z:
         return z["cent"]
+
+
+def _quant_gen(root: str) -> int:
+    """The quantizer GENERATION a table's state was built under: the
+    ``quant_gen`` of the highest-version manifest carrying one (rebuild
+    commits stamp it), else 0 (the frozen first-batch quantizer era)."""
+    gen = 0
+    for man in TF.history(root):  # oldest first
+        g = man.get("app", {}).get("quant_gen")
+        if g is not None:
+            gen = g
+    return gen
 
 
 class IncrementalSemDeDupSink:
@@ -84,6 +105,7 @@ class IncrementalSemDeDupSink:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         auto_compact: "int | None" = 64,
+        auto_rebuild: bool = False,
     ):
         self.root = root
         self.codes_root = os.path.join(root, "codes")
@@ -96,12 +118,16 @@ class IncrementalSemDeDupSink:
         self.id_col = id_col
         self.vec_col = vec_col
         self.auto_compact = auto_compact
+        self.auto_rebuild = auto_rebuild
         self._cent = centroids
-        # restart recovery: adopt the persisted quantizer and the codes
-        # manifests' batch_id ledger, so a replayed batch after a
-        # restart is skipped exactly like an in-process redelivery
-        if os.path.exists(_centroid_path(root)):
-            self._cent = _load_centroids(root)
+        # restart recovery: adopt the persisted quantizer GENERATION
+        # (0 = the frozen first-batch quantizer; >0 = a rebuild) and
+        # the codes manifests' batch_id ledger, so a replayed batch
+        # after a restart is skipped exactly like an in-process
+        # redelivery
+        self._gen = _quant_gen(self.codes_root)
+        if os.path.exists(_centroid_path(root, self._gen)):
+            self._cent = _load_centroids(root, self._gen)
         self._committed_batch_ids: set = {
             man["app"]["batch_id"]
             for man in TF.history(self.codes_root)
@@ -133,10 +159,11 @@ class IncrementalSemDeDupSink:
         self._cent = cent
         self._persist_centroids()
 
-    def _persist_centroids(self) -> None:
-        final = _centroid_path(self.root)
+    def _persist_centroids(self, gen: "int | None" = None) -> None:
+        gen = self._gen if gen is None else gen
+        final = _centroid_path(self.root, gen)
         if os.path.exists(final):
-            self._cent = _load_centroids(self.root)
+            self._cent = _load_centroids(self.root, gen)
             return
         os.makedirs(self.root, exist_ok=True)
         tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
@@ -147,14 +174,30 @@ class IncrementalSemDeDupSink:
         try:
             os.link(tmp, final)  # CAS: exactly one trainer publishes
         except FileExistsError:
-            self._cent = _load_centroids(self.root)
+            self._cent = _load_centroids(self.root, gen)
         os.unlink(tmp)
+
+    def _check_rebuild_coherence(self) -> None:
+        """Codes and pairs must carry the SAME quantizer generation —
+        a crash between a rebuild's two replace commits leaves them
+        split, and serving or ingesting across that split would mix
+        cell spaces. Typed refusal; ``rebuild()`` is idempotent and
+        restores the invariant."""
+        pg = _quant_gen(self.pairs_root)
+        cg = _quant_gen(self.codes_root)
+        if pg != cg and TF.latest_version(self.pairs_root) is not None:
+            raise ValueError(
+                f"incremental SemDeDup at {self.root}: interrupted "
+                f"quantizer rebuild (pairs at generation {pg}, codes "
+                f"at {cg}) — re-run rebuild() to complete it"
+            )
 
     # -- ingest --------------------------------------------------------
 
     def process_batch(self, vectors: DataFrame, batch_id: int) -> None:
         if batch_id in self._committed_batch_ids:
             return  # foreachBatch redelivery of a committed batch
+        self._check_rebuild_coherence()
         spark = vectors.sparkSession
         vectors = vectors.dropDuplicates([self.id_col])
         self._ensure_centroids(vectors)
@@ -244,13 +287,127 @@ class IncrementalSemDeDupSink:
             (c, n) for c, n in self._cell_counts.items() if n > self.max_cell
         ]
         if big:
+            # the batch itself committed; serving stays exact either way
+            if self.auto_rebuild:
+                self.rebuild(spark)
+                return
             c, n = big[0]
             raise ValueError(
                 f"incremental SemDeDup cell {c} exceeds "
                 f"max_cell={self.max_cell} ({n} members) — n_cells is "
-                "undersized for the corpus; rebuild with more cells "
+                "undersized for the corpus; call rebuild() (or build "
+                "the sink with auto_rebuild=True) to re-train the "
+                "quantizer and re-bucket in one maintenance pass "
                 "(the batch itself committed; serving stays exact)"
             )
+
+    # -- quantizer rebuild (round 12) ---------------------------------
+
+    def rebuild(self, spark: SparkSession, n_cells: "int | None" = None) -> int:
+        """Re-train the coarse quantizer from the ACCUMULATED corpus
+        and re-bucket in one maintenance pass (the round-11 verdict's
+        overflow-escalation path — at 100 TB under distribution drift
+        a frozen undersized quantizer is an outage, not an operation):
+
+        1. train ``n_cells`` new centroids from the codes table
+           (default: double the current count, floored at the one-shot
+           auto-sizing ``corpus / SEMDEDUP_TARGET_CELL_SIZE``) and
+           publish them as generation ``gen+1`` via the same
+           create-exclusive CAS (a crashed predecessor's file is
+           adopted, so re-running is idempotent);
+        2. re-assign every vector (one scan, one Arrow matmul pass)
+           and RECOMPUTE the within-cell pair graph under the new
+           cells (one bounded shuffle — carrying the old graph would
+           keep edges that cross new cell boundaries and break the
+           incremental == one-shot equality);
+        3. replace pairs FIRST, codes LAST — both stamped with the new
+           generation. The codes commit is the atomic switch; a crash
+           in between leaves a detectable split that every
+           ingest/serve path refuses on (``_check_rebuild_coherence``)
+           until rebuild() is re-run.
+
+        The batch_id ledger survives (replace commits keep history).
+        Returns the new generation. Mid-batch overflow still REFUSES —
+        rebuild is a between-batches maintenance commit, never a
+        silent mid-ingest truncation."""
+        if TF.latest_version(self.codes_root) is None:
+            raise ValueError("nothing to rebuild: no codes committed yet")
+        codes = TF.read_version(spark, self.codes_root)
+        if n_cells is None:
+            n = codes.count()
+            # double, but never below the one-shot auto-sizing NOR below
+            # 4x the count the max_cell bound implies — k-means does not
+            # balance cells, so the bound needs headroom to hold
+            n_cells = max(
+                self.n_cells * 2,
+                n // S.SEMDEDUP_TARGET_CELL_SIZE + 1,
+                (4 * n) // max(self.max_cell, 1) + 1,
+            )
+        new_gen = self._gen + 1
+        if os.path.exists(_centroid_path(self.root, new_gen)):
+            # a crashed rebuild already published this generation's
+            # quantizer — adopt it (any frozen matrix is valid as long
+            # as codes+pairs are computed under it)
+            cent = _load_centroids(self.root, new_gen)
+        else:
+            cent = S._centroid_matrix(
+                codes, n_cells, self.lloyd_iters, "vid", "uvec",
+                train_sample=self.train_sample,
+            )
+            # publish via the CAS without touching self._cent until the
+            # switch commit lands (a failure below must leave the
+            # in-memory state at the OLD coherent generation)
+            prev = self._cent
+            self._cent = cent
+            self._persist_centroids(new_gen)
+            cent = self._cent  # CAS loser adopts the winner's matrix
+            self._cent = prev
+        new_codes = S._cell_assignment(
+            codes, cent, "vid", "uvec"
+        ).localCheckpoint(eager=True)
+        x = new_codes.select(
+            F.col("vid").alias("_xa"), F.col("uvec").alias("_ua"), "cell"
+        )
+        y = new_codes.select(
+            F.col("vid").alias("_xb"), F.col("uvec").alias("_ub"), "cell"
+        )
+        new_pairs = (
+            x.join(y, "cell")
+            .filter(F.col("_xb") > F.col("_xa"))
+            .filter(S._dot(F.col("_ua"), F.col("_ub")) >= F.lit(self.eps))
+            .select(
+                F.col("_xa").alias("vec_a"), F.col("_xb").alias("vec_b")
+            )
+        )
+        TF.commit_version(
+            new_pairs, self.pairs_root, app={"quant_gen": new_gen}
+        )
+        TF.commit_version(
+            new_codes, self.codes_root, app={"quant_gen": new_gen}
+        )
+        self._gen = new_gen
+        self._cent = cent
+        self.n_cells = int(cent.shape[0])
+        self._cell_counts = {
+            r["cell"]: int(r["n"])
+            for r in new_codes.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        still = [
+            (c, n_) for c, n_ in self._cell_counts.items()
+            if n_ > self.max_cell
+        ]
+        if still:
+            c, n_ = still[0]
+            raise ValueError(
+                f"rebuild left cell {c} with {n_} members > "
+                f"max_cell={self.max_cell} — the corpus concentrates "
+                "past what k-means separates at this n_cells; re-run "
+                "rebuild() with an explicit larger n_cells or raise "
+                "max_cell (state is coherent; serving stays exact)"
+            )
+        return new_gen
 
     def _commit_codes(self, spark, codes: DataFrame, batch_id: int) -> None:
         TF.commit_append(codes, self.codes_root, app={"batch_id": batch_id})
@@ -265,6 +422,7 @@ class IncrementalSemDeDupSink:
         centroids)."""
         if TF.latest_version(self.pairs_root) is None:
             return spark.createDataFrame([], "vec_a long, vec_b long")
+        self._check_rebuild_coherence()
         return TF.read_version(spark, self.pairs_root).distinct()
 
     def survivors(self, spark: SparkSession, keep: str = "min_id") -> DataFrame:
