@@ -305,6 +305,67 @@ def _baseline_table(sf: float, here: "str | None" = None) -> dict[str, float]:
     return best
 
 
+def _prior_artifact(
+    sf: float, here: "str | None" = None
+) -> "tuple[str, dict] | None":
+    """The artifact THIS run should be compared against, so the
+    round-over-round control rides inside the artifact itself (round-11
+    verdict item 6): the committed decade artifact for sf1/sf10, the
+    highest-round driver artifact for sf0.1. Handles both the flat and
+    the driver-nested ``parsed.*`` shapes, like ``_baseline_table``."""
+    import glob
+    import re
+
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+
+    def _load(path):
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if "queries" not in art and isinstance(art.get("parsed"), dict):
+            art = art["parsed"]
+        if art.get("sf") != sf or not art.get("queries"):
+            return None
+        return art["queries"]
+
+    if sf in (1.0, 10.0):
+        name = "BENCH_SF1.json" if sf == 1.0 else "BENCH_SF10.json"
+        q = _load(os.path.join(here, name))
+        return (name, q) if q else None
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        q = _load(path)
+        if q and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), os.path.basename(path), q)
+    return (best[1], best[2]) if best else None
+
+
+def _common_row_geomean(
+    timings: dict, prior: "tuple[str, dict] | None"
+) -> "dict | None":
+    if not prior:
+        return None
+    import math
+
+    name, pq = prior
+    common = [
+        n for n, sec in timings.items()
+        if sec > 0 and isinstance(pq.get(n), (int, float)) and pq[n] > 0
+    ]
+    if not common:
+        return {"prior": name, "rows": 0, "geomean": None}
+    geo = math.exp(
+        sum(math.log(timings[n] / pq[n]) for n in common) / len(common)
+    )
+    return {"prior": name, "rows": len(common), "geomean": round(geo, 3)}
+
+
 def main() -> None:
     from opcua_ingestion_engine_spark.session import get_spark
     from opcua_ingestion_engine_spark import plans
@@ -368,6 +429,7 @@ def main() -> None:
         }
         timings[name] = final
 
+    sf = _sf_of(SF_DIR)
     print(
         json.dumps(
             {
@@ -375,10 +437,16 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": _sf_of(SF_DIR),
+                "sf": sf,
                 "runs_per_query": runs,
                 "noise_retries": retries,
                 "load_avg": {"start": load_start, "end": _load_avg()},
+                # round-over-round control INSIDE the artifact: absolute
+                # totals on this box are load-dependent, common-row
+                # ratios are the comparison that means something
+                "common_vs_prior": _common_row_geomean(
+                    timings, _prior_artifact(sf)
+                ),
             }
         )
     )

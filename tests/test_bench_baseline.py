@@ -96,3 +96,51 @@ def test_scope_rebaselined_rows_get_a_floor():
             for k, v in (art.get("queries") or {}).items():
                 raw[k] = min(raw.get(k, float("inf")), float(v))
     assert best["q_flagship_modvalues"] == raw["q_flagship_modvalues"]
+
+
+def test_prior_artifact_and_common_row_geomean(tmp_path):
+    """Round-12: the in-artifact round-over-round control. sf1/sf10
+    compare against the committed decade artifacts, sf0.1 against the
+    HIGHEST-round driver artifact (nested parsed.* shape included);
+    the geomean runs over rows present in both with positive times."""
+    from bench import _common_row_geomean, _prior_artifact
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "BENCH_SF1.json"), "w") as f:
+        json.dump({"sf": 1.0, "unit": "sec",
+                   "queries": {"a": 2.0, "b": 4.0}}, f)
+    with open(os.path.join(d, "BENCH_r09.json"), "w") as f:
+        json.dump({"parsed": {"sf": 0.1, "unit": "sec",
+                              "queries": {"a": 1.0}}}, f)
+    with open(os.path.join(d, "BENCH_r10.json"), "w") as f:
+        json.dump({"parsed": {"sf": 0.1, "unit": "sec",
+                              "queries": {"a": 2.0, "c": 3.0}}}, f)
+    name, pq = _prior_artifact(1.0, here=d)
+    assert name == "BENCH_SF1.json" and pq == {"a": 2.0, "b": 4.0}
+    name01, pq01 = _prior_artifact(0.1, here=d)
+    assert name01 == "BENCH_r10.json"  # highest round, nested shape
+    assert pq01 == {"a": 2.0, "c": 3.0}
+    assert _prior_artifact(10.0, here=d) is None  # no SF10 artifact
+
+    # geomean over the common rows only: a=1.0 (ratio 0.5), b=8.0
+    # (ratio 2.0) -> geomean exactly 1.0; row d ignored (not in prior)
+    out = _common_row_geomean(
+        {"a": 1.0, "b": 8.0, "d": 9.0}, (name, pq)
+    )
+    assert out == {"prior": "BENCH_SF1.json", "rows": 2, "geomean": 1.0}
+    assert _common_row_geomean({"a": 1.0}, None) is None
+
+
+def test_prior_artifact_against_committed_tree():
+    """On the real tree: every SF resolves to the expected committed
+    artifact and the geomean is computable."""
+    from bench import _common_row_geomean, _prior_artifact
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for sf, expect in ((1.0, "BENCH_SF1.json"), (10.0, "BENCH_SF10.json")):
+        name, pq = _prior_artifact(sf, here=here)
+        assert name == expect and len(pq) > 20
+    name, pq = _prior_artifact(0.1, here=here)
+    assert name.startswith("BENCH_r") and len(pq) > 20
+    out = _common_row_geomean(dict(list(pq.items())[:5]), (name, pq))
+    assert out["rows"] == 5 and abs(out["geomean"] - 1.0) < 1e-9
