@@ -105,6 +105,11 @@ HEADLINE = [
     # and the oracle-checked serve-scoped maintained SemDeDup.
     "q_tf_stream_ratelimited",
     "q_e2_semdedup_serve",
+    # Late round 12: bin-packing compaction — merges ONLY the
+    # sub-threshold tail and carries large directories by reference, the
+    # O(small tail) maintenance path a 100 TB table needs (vs compact()'s
+    # O(table) rewrite).
+    "q_tf_compact_small",
 ]
 
 

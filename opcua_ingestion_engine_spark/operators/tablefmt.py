@@ -1479,12 +1479,172 @@ def compact(spark: SparkSession, root: str, app: dict | None = None) -> int:
     )
 
 
+#: compact_small sizes its merged output at ~128 MiB parquet files —
+#: Delta OPTIMIZE's small-file bin-packing target, large enough for
+#: whole-stage scan efficiency, small enough to parallelize.
+_COMPACT_TARGET_FILE_BYTES = 128 << 20
+
+
+def _dir_bytes(root: str, rel_dir: str) -> int:
+    """Total parquet bytes under one data directory (recursive — z-order
+    layouts nest), from driver-side ``os.stat`` only: the same metadata
+    cost class as planning, zero data reads."""
+    total = 0
+    for base, _dirs, names in os.walk(os.path.join(root, rel_dir)):
+        for n in names:
+            if n.endswith(".parquet"):
+                try:
+                    total += os.stat(os.path.join(base, n)).st_size
+                except OSError:
+                    pass
+    return total
+
+
+def compact_small(
+    spark: SparkSession,
+    root: str,
+    small_bytes: int = 128 << 20,
+    min_dirs: int = 2,
+    app: dict | None = None,
+    max_retries: int = 20,
+) -> "int | None":
+    """Bin-packing compaction — Delta OPTIMIZE's actual shape: merge
+    ONLY the data directories smaller than ``small_bytes`` into one
+    right-sized directory and carry every large directory BY REFERENCE,
+    untouched. ``compact()`` rewrites the whole table; on a 100 TB
+    table that is O(table) write amplification every ``max_dirs``
+    appends — this is the scale-correct maintenance path: write
+    amplification is O(small tail), the large directories' files are
+    never opened (their footer stats, bloom/sums sidecars, and deletion
+    vectors carry verbatim), and each row is rewritten O(log) times
+    over the table's life as it graduates from the small tail into a
+    large merged directory, the classic LSM/OPTIMIZE amortization.
+
+    The merged directory is written through the same read path a scan
+    uses: deletion vectors addressing the merged directories are
+    APPLIED (their map entries drop — the merged files no longer
+    contain those rows), retired physical slots are left behind, and
+    the rows land in the manifest's current PHYSICAL schema, so the
+    merge also normalizes the small tail's schema-evolution
+    heterogeneity. Visible rows are bit-for-bit unchanged, so the
+    commit is ``data_identical`` — change-feed ranges and the streaming
+    source pass it through exactly like ``compact()``. Bloom/sums
+    sidecars the table maintains (``_meta_cols``) are re-derived for
+    the merged directory in the commit's own O(merged bytes) pass.
+
+    Returns the new version, or None when fewer than ``min_dirs``
+    directories fall under ``small_bytes`` (nothing worth merging).
+    CAS losses rebase: sizes, reads, and the merged directory are
+    recomputed against the racer's manifest, so a concurrent DV delete
+    or append is never overwritten (semantic anchor: the reference's
+    maintenance jobs never block or drop writers,
+    ``Services/OpcSubscribeService.cs`` row-lock discipline)."""
+    if min_dirs < 2:
+        raise ValueError("min_dirs must be >= 2 (1 small dir is a no-op)")
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        if parent is None:
+            return None
+        try:
+            with open(_manifest_path(root, parent)) as f:
+                pm = json.load(f)
+        except FileNotFoundError:
+            continue  # parent vacuumed under us — rebase onto new latest
+        dirs = _data_list(pm)
+        small = [d for d in dirs if _dir_bytes(root, d) < small_bytes]
+        if len(small) < min_dirs:
+            return None
+        small_set = set(small)
+        merged_bytes = sum(_dir_bytes(root, d) for d in small)
+        # read ONLY the small tail, exactly as read_version would:
+        # explicit physical union schema (sound for homogeneous
+        # directories too, required for heterogeneous ones), deletion
+        # vectors subtracted before the files' rows are re-written
+        df = spark.read.schema(_evolved_read_schema(pm)).parquet(
+            *[os.path.join(root, d) for d in small]
+        )
+        df = _apply_dv(spark, root, pm, small, df)
+        version = parent + 1
+        token = uuid.uuid4().hex[:8]
+        data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
+        n_files = max(1, merged_bytes // _COMPACT_TARGET_FILE_BYTES + 1)
+        df.coalesce(int(n_files)).write.mode("overwrite").parquet(data_dir)
+        rel = os.path.relpath(data_dir, root)
+        entry = _dir_stats(root, rel)
+        bloom_cols, sums_cols = _meta_cols(pm)  # already physical names
+        if bloom_cols:
+            blooms = _write_dir_blooms(root, rel, bloom_cols)
+            if blooms:
+                entry[_STATS_BLOOMS] = blooms
+        if sums_cols:
+            col_sums = _dir_col_sums(root, rel, sums_cols)
+            if col_sums:
+                entry[_STATS_SUMS] = col_sums
+        stats = {
+            d: s
+            for d, s in (pm.get("stats") or {}).items()
+            if d not in small_set
+        }
+        stats[rel] = entry
+        manifest = {
+            "version": version,
+            "ts": _now(),
+            "parent": parent,
+            "data": [d for d in dirs if d not in small_set] + [rel],
+            "schema": pm["schema"],
+            "app": {
+                **_scrub_app(app),
+                "op": "compact_small",
+                "dirs_merged": len(small),
+                "bytes_merged": merged_bytes,
+                # layer-owned pass-through marker: same rows visible
+                "data_identical": True,
+            },
+            "stats": stats,
+        }
+        dv = {
+            d: e for d, e in _dv_map(pm).items() if d not in small_set
+        }
+        if dv:
+            manifest["dv"] = dv
+        # untouched directories may carry retired physical slots the
+        # merged directory (written in the CURRENT physical schema)
+        # does not — the union is heterogeneous, readers must resolve
+        # files by name from here on
+        if pm.get("evolved") or _retired(pm):
+            manifest["evolved"] = True
+        man_path = _manifest_path(root, version)
+        tmp = f"{man_path}.{token}.tmp"
+        with open(tmp, "w") as f:
+            _dump_manifest(manifest, f, root)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, man_path)  # the CAS: atomic, complete-or-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # lost — rebase onto the racer's manifest
+        os.unlink(tmp)
+        ptr_tmp = f"{_pointer_path(root)}.{token}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, _pointer_path(root))
+        return version
+    raise RuntimeError(
+        f"compact_small lost the manifest CAS {max_retries} times at "
+        f"{root} — writer contention is pathological; raise max_retries "
+        "or serialize maintenance upstream"
+    )
+
+
 def maybe_compact(
     spark: SparkSession, root: str, max_dirs: int | None = 64,
     app: dict | None = None,
     zorder: "tuple[str, str] | None" = None,
     zorder_dirs: int = 16,
     max_dv_sidecars: "int | None" = 16,
+    small_bytes: "int | None" = None,
 ) -> int | None:
     """The compaction CADENCE: compact only when the live manifest's
     data-directory list has reached ``max_dirs`` entries. Append-only
@@ -1514,9 +1674,25 @@ def maybe_compact(
     leaves ``zorder_dirs`` directories behind, so ``max_dirs <=
     zorder_dirs`` would re-trigger a full-table z-order rewrite on
     EVERY subsequent append (unbounded write amplification) — rejected
-    loudly here rather than discovered on the write bill."""
+    loudly here rather than discovered on the write bill.
+
+    ``small_bytes`` switches the cadence to ``compact_small`` — the
+    100-TB maintenance shape: only the sub-threshold tail is merged,
+    large directories are NEVER rewritten, so per-cadence work is
+    O(small tail) instead of O(table). Under it the directory count is
+    bounded by ~table_bytes/small_bytes plus the appends since the last
+    cadence (Delta's file-count bound under OPTIMIZE), not by
+    ``max_dirs`` exactly — the honest trade for never paying a full
+    rewrite. Mutually exclusive with ``zorder`` (a z-order rewrite is
+    inherently full-table; pick one maintenance style per sink)."""
     if max_dirs is None:
         return None
+    if small_bytes is not None and zorder is not None:
+        raise ValueError(
+            "maybe_compact: small_bytes and zorder are mutually exclusive "
+            "— bin-packing keeps large directories untouched, a z-order "
+            "rewrite is full-table by design"
+        )
     if zorder is not None and zorder_dirs >= max_dirs:
         raise ValueError(
             f"zorder_dirs ({zorder_dirs}) must be < max_dirs ({max_dirs}): "
@@ -1548,6 +1724,11 @@ def maybe_compact(
         return compact_zorder(
             spark, root, zorder[0], zorder[1], n_dirs=zorder_dirs, app=app
         )
+    if small_bytes is not None:
+        # may return None when <2 directories are under the threshold —
+        # the count then stays above max_dirs until the tail grows, by
+        # design (never a full rewrite on this path)
+        return compact_small(spark, root, small_bytes=small_bytes, app=app)
     return compact(spark, root, app=app)
 
 

@@ -34,6 +34,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # take slots first per the standing rule:
     "q_tf_stream_ratelimited",
     "q_e2_semdedup_serve",
+    "q_tf_compact_small",
     # ...then ALL 16 round-7 rows — the least-recently-checked cohort
     # (the round-11 verdict recounted the recorded 15 to 16):
     "q_tf_upsert_partial",
@@ -66,8 +67,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_range_join_purchase_errors",
     "q_w_sessionize",
     # ...then the head of the round-8 cohort (42 rows last checked in
-    # round 8; the first 22 in registry order fill the window — the
-    # rest, from q_join_three_way onward in
+    # round 8; the first 21 in registry order fill the window — the
+    # rest, from q_join_anti_customers_without_orders onward in
     # registry order, lead round 13's rotation):
     "q_f2_change_only",
     "q_f4_quality_split",
@@ -90,7 +91,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_join_inner_orders_customer",
     "q_join_left_customer_orders",
     "q_join_full_nation_supplier",
-    "q_join_anti_customers_without_orders",
 )
 
 

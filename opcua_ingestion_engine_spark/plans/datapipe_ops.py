@@ -2516,6 +2516,105 @@ def q_tf_consolidate_dv(spark, sf_dir):
 
 
 @register(
+    "q_tf_compact_small",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 11 <> 0
+    GROUP BY event_type
+    """,
+    "Bin-packing compaction (round 12) — Delta OPTIMIZE's actual shape "
+    "vs compact()'s full rewrite: one large directory (3/4 of the "
+    "table) plus a 3-commit small tail, a merge-on-read DV delete "
+    "scattered across both, then compact_small merges ONLY the "
+    "sub-threshold tail (in-query audit: op == compact_small, "
+    "data_identical stamped, the large directory's files byte-for-byte "
+    "untouched via stat snapshot, its stats entry carried verbatim, "
+    "tail DV entries APPLIED into the merged files while the large "
+    "directory's vectors carry). At 100 TB this is the maintenance "
+    "path that never pays O(table) write amplification — the large "
+    "span is carried by reference, only the O(small tail) is "
+    "rewritten. The visible rows are bit-identical throughout; the "
+    "oracle is the aggregate with the deleted cohort excluded.",
+)
+def q_tf_compact_small(spark, sf_dir):
+    import json as _json
+    import os as _os
+
+    from ..operators import tablefmt as TF
+    from .scratch import scratch_root
+
+    ev = C.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    cut = hi * 3 // 4
+    root = scratch_root("compact_small")
+    TF.commit_append(ev.filter(F.col("event_id") < cut), root)  # v0 big
+    step = (hi - cut) // 3 + 1
+    for i in range(3):  # v1..v3 — the small tail
+        TF.commit_append(
+            ev.filter(
+                (F.col("event_id") >= cut + i * step)
+                & (F.col("event_id") < cut + (i + 1) * step)
+            ),
+            root,
+        )
+    TF.delete_where_dv(spark, root, "user_id % 11 = 0")
+
+    pm = TF.history(root)[-1]
+    dirs = TF._data_list(pm)
+    big = dirs[0]
+    big_bytes = TF._dir_bytes(root, big)
+    assert all(TF._dir_bytes(root, d) < big_bytes for d in dirs[1:]), (
+        "tail directories must be strictly smaller than the big span"
+    )
+
+    def _snap(rel):
+        out = []
+        for base, _d, names in _os.walk(_os.path.join(root, rel)):
+            for n in sorted(names):
+                st = _os.stat(_os.path.join(base, n))
+                out.append((n, st.st_size, st.st_mtime_ns))
+        return out
+
+    big_before = _snap(big)
+    big_stats_before = pm["stats"][big]
+
+    v = TF.compact_small(spark, root, small_bytes=big_bytes)
+    assert v == TF.latest_version(root), v
+    with open(TF._manifest_path(root, v)) as f:
+        m = _json.load(f)
+    assert m["app"]["op"] == "compact_small", m["app"]
+    assert m["app"]["data_identical"] is True, m["app"]
+    assert m["app"]["dirs_merged"] == 3, m["app"]
+    data = TF._data_list(m)
+    assert data[0] == big and len(data) == 2, data
+    assert _snap(big) == big_before, (
+        "the large directory must be byte-for-byte untouched"
+    )
+    assert m["stats"][big] == big_stats_before, (
+        "the untouched directory's stats entry must carry verbatim"
+    )
+    assert set(TF._dv_map(m)) <= {big}, (
+        "tail DV entries must fold into the merged files; only the "
+        f"untouched span may keep vectors: {sorted(TF._dv_map(m))}"
+    )
+    return (
+        TF.read_version(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
     "q_tf_changefeed_mor",
     """
     WITH h AS (SELECT (max(event_id) + 1) // 2 AS half FROM events),
