@@ -90,10 +90,16 @@ def test_ratelimited_drain_vs_writers_rename_compact_chaos(
             barrier.wait()
             for _ in range(2):
                 _time.sleep(rng.random() * 0.08)
-                if rng.random() < 0.5:
+                pick = rng.random()
+                if pick < 0.34:
                     TF.consolidate_dv(spark, root)
-                else:
+                elif pick < 0.67:
                     TF.compact(spark, root)
+                else:
+                    # every dir is tiny here, so this merges the whole
+                    # tail through the bin-packing path (DV apply +
+                    # data_identical passthrough under the planner)
+                    TF.compact_small(spark, root)
         except Exception as e:  # pragma: no cover
             errors.append(e)
 
