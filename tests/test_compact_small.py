@@ -323,3 +323,35 @@ def test_compact_small_races_appender_without_losing_rows(spark, tmp_path):
                 m["version"], d,
             )
         json.dumps(m)  # round-trips
+
+
+def test_compact_small_fully_deleted_tail_merges_to_empty_dir(
+    spark, tmp_path
+):
+    """Degenerate tail: every row in the small directories is deleted by
+    DVs before the merge. The merged directory is then EMPTY (schema-only
+    parquet), the dv entries still fold away, reads stay bit-identical,
+    time travel to the pre-merge version still works, and a change feed
+    across the merge reports no row changes (data_identical)."""
+    root = str(tmp_path / "binpack_empty")
+    TF.commit_append(_payload(spark, 0, 40_000), root)        # v0 (big)
+    TF.commit_append(_tiny(spark, 40_000, 40_005), root)      # v1
+    TF.commit_append(_tiny(spark, 40_005, 40_012), root)      # v2
+    TF.delete_where_dv(spark, root, "k >= 40000")             # v3: all tail
+
+    pre = _rows(TF.read_version(spark, root))
+    assert len(pre) == 40_000
+
+    v = TF.compact_small(spark, root, small_bytes=SMALL)
+    assert v == 4
+    m = TF.history(root)[-1]
+    assert m["app"]["dirs_merged"] == 2
+    assert TF._dv_map(m) == {}  # tail vectors folded into... nothing
+    merged = TF._data_list(m)[-1]
+    raw = spark.read.parquet(os.path.join(root, merged))
+    assert raw.count() == 0 and set(raw.columns) == {"k", "v"}
+    assert _rows(TF.read_version(spark, root)) == pre
+    assert _rows(TF.read_version(spark, root, 3)) == pre
+    # the feed across the merge commit carries zero row changes
+    feed = TF.table_changes(spark, root, 3)
+    assert feed.count() == 0
