@@ -1704,22 +1704,24 @@ def maybe_compact(
         return None
     with open(_manifest_path(root, live)) as f:
         manifest = json.load(f)
-    if len(_data_list(manifest)) < max_dirs:
-        # below the rewrite threshold, still bound the merge-on-read
-        # read path: a hot table accumulates one DV sidecar per
-        # dv-commit and every scan unions all of them — fold them into
-        # one (data untouched) once they reach max_dv_sidecars. A full
-        # compaction subsumes this (it commits vector-free), so the
-        # check only runs when compaction does not.
-        if max_dv_sidecars is not None:
-            n_sidecars = len(
-                {p for e in _dv_map(manifest).values() for p in e["paths"]}
-            )
-            if n_sidecars >= max_dv_sidecars:
-                return consolidate_dv(
-                    spark, root, min_sidecars=2, app=app
-                )
+
+    def _consolidate_if_hot() -> "int | None":
+        # bound the merge-on-read read path: a hot table accumulates one
+        # DV sidecar per dv-commit and every scan unions all of them —
+        # fold them into one (data untouched) once they reach
+        # max_dv_sidecars. A full compaction subsumes this (it commits
+        # vector-free), so the check only runs when one does not.
+        if max_dv_sidecars is None:
+            return None
+        n_sidecars = len(
+            {p for e in _dv_map(manifest).values() for p in e["paths"]}
+        )
+        if n_sidecars >= max_dv_sidecars:
+            return consolidate_dv(spark, root, min_sidecars=2, app=app)
         return None
+
+    if len(_data_list(manifest)) < max_dirs:
+        return _consolidate_if_hot()
     if zorder is not None:
         return compact_zorder(
             spark, root, zorder[0], zorder[1], n_dirs=zorder_dirs, app=app
@@ -1728,7 +1730,16 @@ def maybe_compact(
         # may return None when <2 directories are under the threshold —
         # the count then stays above max_dirs until the tail grows, by
         # design (never a full rewrite on this path)
-        return compact_small(spark, root, small_bytes=small_bytes, app=app)
+        v = compact_small(spark, root, small_bytes=small_bytes, app=app)
+        if v is not None:
+            return v
+        # bin-packing leaves the untouched directories' deletion
+        # vectors in place (unlike compact(), which commits
+        # vector-free), so when the tail had nothing to merge the
+        # sidecar bound must still be enforced here — else an all-large
+        # layout pinned at >= max_dirs under live dv-deletes would
+        # grow its scan-time sidecar union without bound
+        return _consolidate_if_hot()
     return compact(spark, root, app=app)
 
 

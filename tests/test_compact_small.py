@@ -355,3 +355,49 @@ def test_compact_small_fully_deleted_tail_merges_to_empty_dir(
     # the feed across the merge commit carries zero row changes
     feed = TF.table_changes(spark, root, 3)
     assert feed.count() == 0
+
+
+def test_maybe_compact_small_bytes_still_bounds_dv_sidecars(
+    spark, tmp_path
+):
+    """An all-large layout pinned at >= max_dirs under live dv-deletes:
+    compact_small finds nothing to merge, but the cadence must STILL
+    enforce max_dv_sidecars (compact() subsumes consolidation by
+    committing vector-free; bin-packing never clears large-dir vectors,
+    so without this the scan-time sidecar union grows forever)."""
+    root = str(tmp_path / "allbig_hotdv")
+    for lo in (0, 40_000, 80_000):
+        TF.commit_append(_payload(spark, lo, lo + 40_000), root)
+    for k in (3, 40_003, 80_003):
+        TF.delete_where_dv(spark, root, f"k = {k}")
+    pm = TF.history(root)[-1]
+    n_sidecars = len(
+        {p for e in TF._dv_map(pm).values() for p in e["paths"]}
+    )
+    assert n_sidecars == 3
+    pre = _rows(TF.read_version(spark, root))
+
+    snaps = {
+        d: _dir_snapshot(root, d) for d in TF._data_list(pm)
+    }
+    v = TF.maybe_compact(
+        spark, root, 3, small_bytes=SMALL, max_dv_sidecars=3
+    )
+    assert v is not None
+    m = TF.history(root)[-1]
+    assert m["app"]["op"] != "compact"  # never a full rewrite
+    folded = len(
+        {p for e in TF._dv_map(m).values() for p in e["paths"]}
+    )
+    assert folded < 3  # the union a scan pays is bounded again
+    for d, snap in snaps.items():
+        assert _dir_snapshot(root, d) == snap  # data untouched
+    assert _rows(TF.read_version(spark, root)) == pre
+
+    # below the sidecar threshold the cadence stays a no-op
+    assert (
+        TF.maybe_compact(
+            spark, root, 3, small_bytes=SMALL, max_dv_sidecars=3
+        )
+        is None
+    )
