@@ -126,6 +126,31 @@ def _load_avg() -> list[float]:
         return []
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a FIXED single-threaded matmul workload — a clock
+    probe, not a benchmark. Round 12 measured the same fixed workload
+    swinging 12.1 s -> 29.7 s (2.4x) across back-to-back trials on this
+    box with idle ~0.6% and steal ~1%: the hypervisor throttles the
+    effective clock in ways the guest cannot see (busy-in-user the
+    whole time), so load_avg alone cannot exonerate a slow row.
+    Recording the probe at sweep start and end gives every artifact a
+    same-box throughput reference: compare rounds on per-query ratios
+    TIMES the calibration ratio, and a 'confirmed' retry that ran
+    inside a slow-clock window carries its own alibi."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked in
+        return 0.0
+    rng = np.random.default_rng(42)
+    a = rng.random((600, 600))
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(40):
+        s += float((a @ a).sum())
+    assert s != 0.0
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sf_of(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -167,6 +192,7 @@ def streaming_main() -> None:
     spark = get_spark("bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     load_start = _load_avg()
+    calib_start = _cpu_calibration()
 
     updates = C.opc_updates(spark, SF_DIR)
     devices = C.site_devices(spark, SF_DIR)
@@ -250,6 +276,10 @@ def streaming_main() -> None:
         "final_state_matches_batch_oracle": True,
         "passes": results,
         "load_avg": {"start": load_start, "end": _load_avg()},
+        "cpu_calibration": {
+            "start": calib_start,
+            "end": _cpu_calibration(),
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "STREAMBENCH.json"), "w") as f:
@@ -394,6 +424,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_SKIP", "").split(",")))
     names = [n for n in HEADLINE if n in plans.QUERIES and n not in skip]
     load_start = _load_avg()
+    calib_start = _cpu_calibration()
     # Warm-up: JVM JIT + codegen + parquet footer caches.
     _materialize(plans.QUERIES["q_flagship_modvalues"].fn(spark, SF_DIR))
 
@@ -446,6 +477,10 @@ def main() -> None:
                 "runs_per_query": runs,
                 "noise_retries": retries,
                 "load_avg": {"start": load_start, "end": _load_avg()},
+                "cpu_calibration": {
+                    "start": calib_start,
+                    "end": _cpu_calibration(),
+                },
                 # round-over-round control INSIDE the artifact: absolute
                 # totals on this box are load-dependent, common-row
                 # ratios are the comparison that means something

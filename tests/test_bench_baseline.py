@@ -144,3 +144,15 @@ def test_prior_artifact_against_committed_tree():
     assert name.startswith("BENCH_r") and len(pq) > 20
     out = _common_row_geomean(dict(list(pq.items())[:5]), (name, pq))
     assert out["rows"] == 5 and abs(out["geomean"] - 1.0) < 1e-9
+
+
+def test_cpu_calibration_probe_is_positive_and_bounded():
+    """The clock probe must be cheap (seconds, not minutes) and
+    non-zero — it rides at the start and end of every artifact so a
+    slow-clock window (round 12 measured 2.4x fixed-work swings with
+    idle ~0% and steal ~1% on this box) is visible inside the artifact
+    that suffered it."""
+    from bench import _cpu_calibration
+
+    t = _cpu_calibration()
+    assert 0.0 < t < 60.0
