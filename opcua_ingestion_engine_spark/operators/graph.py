@@ -50,18 +50,22 @@ def connected_components(
     round's lazily-checkpointed label frame, so each round is one job
     (same fusion trick as the browse BFS termination count).
     """
-    # Symmetric closed-neighborhood edge list, built once: (u,v), (v,u),
-    # and (u,u) self-loops so a node always sees its own label.
+    # Symmetric OPEN-neighborhood edge list, built once: (u,v) and
+    # (v,u). Self-loops are redundant (round 12 — they doubled the
+    # distinct/shuffle input): every endpoint has >= 1 real neighbor,
+    # so it survives the propagation join, and its OWN label is folded
+    # back in by the F.least in the init and in every merge below.
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .unionByName(fwd.select(F.col("u").alias("u"), F.col("u").alias("v")))
-        .unionByName(fwd.select(F.col("v").alias("u"), F.col("v").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
-        sym.groupBy("u").agg(F.min("v").alias("lbl"))  # round 1 for free
+        # round 1 for free: min over the closed neighborhood = least of
+        # the node's own id and its open-neighborhood min
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
     if max_iter < 1:

@@ -674,7 +674,14 @@ def _enforce_constraints(df: DataFrame, root: str, op: str) -> None:
     rows valid by induction). One violation-probe job per constraint,
     LIMIT 1 so the scan short-circuits — the Delta write-path
     enforcement shape. Raises BEFORE any file is written, so a refused
-    commit leaves neither data nor manifest."""
+    commit leaves neither data nor manifest.
+
+    This standalone form is the PRE-write probe (used where no write
+    follows, e.g. validating a batch before any file lands); the commit
+    write paths instead fold the probe into the data write itself via
+    ``_constraints_obs``/verify — one distributed pass instead of two
+    (round-12 optimization; guide §1.2: the valid-batch path previously
+    paid a full probe scan PLUS the write of the same rows)."""
     for name, expr in table_constraints(root).items():
         bad = (
             df.filter(
@@ -688,6 +695,138 @@ def _enforce_constraints(df: DataFrame, root: str, op: str) -> None:
                 f"CHECK constraint {name!r} ({expr}) violated by {op} "
                 f"at {root}: e.g. {tuple(bad[0])}"
             )
+
+
+def _constraints_obs(df: DataFrame, root: str, op: str):
+    """CHECK-constraint enforcement folded into the commit's own write
+    job (round 12): attach one count-of-violations metric per
+    constraint to ``df`` via ``Observation`` so the probe rides the
+    SAME distributed pass that writes the data — the valid-batch path
+    (the overwhelmingly common one) no longer pays a separate
+    full-batch probe scan per commit. Returns ``(df_observed,
+    verify)``; the caller writes ``df_observed`` and then calls
+    ``verify(*cleanup_dirs)``, which on a violation removes the
+    just-written (still uncommitted — no manifest references it)
+    directories and raises the SAME typed error as the standalone
+    probe, re-running the LIMIT-1 probe only on that cold path to
+    recover an example row. ``verify`` is None when the table has no
+    constraints (zero overhead)."""
+    cons = table_constraints(root)
+    if not cons:
+        return df, None
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    names = list(cons)
+    observed = df.observe(
+        obs,
+        *[
+            F.sum(
+                (
+                    F.coalesce(F.expr(cons[n]), F.lit(True))
+                    == F.lit(False)
+                ).cast("long")
+            ).alias(f"__viol_{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+
+    def verify(*cleanup_dirs: str) -> None:
+        got = obs.get
+        for i, name in enumerate(names):
+            if not int(got[f"__viol_{i}"] or 0):
+                continue
+            for d in cleanup_dirs:
+                if d:
+                    shutil.rmtree(d, ignore_errors=True)
+            expr = cons[name]
+            bad = (
+                df.filter(
+                    F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
+                )
+                .limit(1)
+                .collect()
+            )
+            example = f": e.g. {tuple(bad[0])}" if bad else ""
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by {op} "
+                f"at {root}{example}"
+            )
+
+    return observed, verify
+
+
+def _observed_write(
+    df_phys: DataFrame, data_dir: str, sums: "tuple | list" = ()
+) -> "tuple[dict | None, dict]":
+    """Write one data directory, folding the commit-time metadata
+    passes into the SAME Spark write job via ``Observation`` (round-12
+    optimization, guide §1.2/§5 — previously the driver re-read the
+    just-written directory with pyarrow once for the float NaN-absence
+    proof and once per sums column; at 100 TB those are serial
+    driver-side reads of every commit's data bytes):
+
+    - ``nan_counts``: per top-level float/double column, the number of
+      NaN values — the soundness proof ``_dir_stats`` needs before
+      trusting parquet footer [min,max] on float columns (footers
+      exclude NaN; Spark/DuckDB order NaN above everything).
+    - ``col_sums``: exact sums for the requested INTEGER columns,
+      accumulated as DECIMAL(38,0) (exact; a sum needs > 1e19 maximal
+      int64 rows to overflow it — on overflow Spark yields NULL and the
+      column falls back to the pyarrow bignum path).
+
+    Returns ``(nan_counts, col_sums)``; ``nan_counts`` covers EVERY
+    top-level float column of the frame (the only ones
+    ``_dir_stats``'s footer pass can see — nested leaves carry a
+    dotted path and are skipped there), so the caller can skip the
+    pyarrow NaN read entirely. ``col_sums`` may omit columns
+    (non-integer type, decimal overflow) — the caller resolves those
+    through ``_dir_col_sums`` as before."""
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+    )
+
+    fields = {f_.name: f_.dataType for f_ in df_phys.schema.fields}
+    floats = [
+        c for c, t in fields.items()
+        if isinstance(t, (FloatType, DoubleType))
+    ]
+    int_sums = [
+        c for c in sums
+        if isinstance(
+            fields.get(c), (ByteType, ShortType, IntegerType, LongType)
+        )
+    ]
+    if not floats and not int_sums:
+        df_phys.write.mode("overwrite").parquet(data_dir)
+        return {}, {}
+    from pyspark.sql import Observation
+
+    aggs = [
+        F.sum(F.isnan(df_phys[c]).cast("long")).alias(f"__nan_{i}")
+        for i, c in enumerate(floats)
+    ]
+    aggs += [
+        a
+        for i, c in enumerate(int_sums)
+        for a in (
+            F.sum(df_phys[c].cast("decimal(38,0)")).alias(f"__sum_{i}"),
+            F.count(df_phys[c]).alias(f"__cnt_{i}"),
+        )
+    ]
+    obs = Observation()
+    df_phys.observe(obs, *aggs).write.mode("overwrite").parquet(data_dir)
+    got = obs.get
+    nan_counts = {
+        c: int(got[f"__nan_{i}"] or 0) for i, c in enumerate(floats)
+    }
+    col_sums: dict = {}
+    for i, c in enumerate(int_sums):
+        s, n = got[f"__sum_{i}"], int(got[f"__cnt_{i}"])
+        if s is None and n > 0:
+            continue  # decimal(38,0) overflow — pyarrow bignum fallback
+        col_sums[c] = int(s) if s is not None else 0
+    return nan_counts, col_sums
 
 
 def _try_commit(
@@ -707,8 +846,9 @@ def _try_commit(
     # data-identical maintenance (compact/z-order/consolidation) lands
     # rows that are valid by induction — re-probing them would add a
     # full scan per constraint to every maintenance pass at 100 TB
+    verify_cons = None
     if not (app or {}).get("data_identical"):
-        _enforce_constraints(df, root, "commit")
+        df, verify_cons = _constraints_obs(df, root, "commit")
     version = 0 if parent is None else parent + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
@@ -737,19 +877,27 @@ def _try_commit(
                 **{l: p for l, p in cm.items() if l in set(df.columns)},
                 **remap,
             }
-    _physicalize(df, pmc).write.mode("overwrite").parquet(data_dir)
+    if sums:
+        sums = tuple(_physical_names(pmc, sums)) if pmc else tuple(sums)
+    nan_counts, obs_sums = _observed_write(
+        _physicalize(df, pmc), data_dir, sums
+    )
+    if verify_cons is not None:
+        verify_cons(data_dir)
 
     os.makedirs(_versions_dir(root), exist_ok=True)
     rel = os.path.relpath(data_dir, root)
-    entry = _dir_stats(root, rel)
+    entry = _dir_stats(root, rel, nan_counts=nan_counts)
     if bloom:
         bloom = tuple(_physical_names(pmc, bloom)) if pmc else tuple(bloom)
         blooms = _write_dir_blooms(root, rel, tuple(bloom))
         if blooms:
             entry[_STATS_BLOOMS] = blooms
     if sums:
-        sums = tuple(_physical_names(pmc, sums)) if pmc else tuple(sums)
-        col_sums = _dir_col_sums(root, rel, tuple(sums))
+        col_sums = dict(obs_sums)
+        left = tuple(c for c in sums if c not in col_sums)
+        if left:
+            col_sums.update(_dir_col_sums(root, rel, left))
         if col_sums:
             entry[_STATS_SUMS] = col_sums
     manifest = {
@@ -1109,14 +1257,23 @@ def _is_eq_bound(b) -> bool:
     return isinstance(b, tuple) and len(b) == 2 and b[0] == "="
 
 
-def _dir_stats(root: str, rel_dir: str) -> dict:
+def _dir_stats(
+    root: str, rel_dir: str, nan_counts: "dict | None" = None
+) -> dict:
     """Per-column [min, max] for one data directory plus the reserved
     row-level keys above, harvested from the parquet FOOTERS the write
     already produced — no second Spark job, the same add-file-stats
     discipline as Delta. Driver-side cost is O(files in this directory)
     metadata reads, i.e. O(batch) per commit, never O(table). Columns
     with missing/non-orderable statistics are simply absent (readers
-    must treat absence as keep)."""
+    must treat absence as keep).
+
+    ``nan_counts`` (round 12): per-float-column NaN counts the commit's
+    own write job already observed (``_observed_write``) — when it
+    covers every live float column, the NaN-absence proof needs NO data
+    read here at all (previously a serial driver-side pyarrow read of
+    every float column of every commit); any uncovered column falls
+    back to the pyarrow pass, so soundness never depends on coverage."""
     import pyarrow.parquet as pq
 
     full = os.path.join(root, rel_dir)
@@ -1181,7 +1338,10 @@ def _dir_stats(root: str, rel_dir: str) -> dict:
     # settles it; NaN-bearing columns lose both their pruning bounds and
     # their exact flag, demoting their consumers to the scan path.
     live_floats = sorted(c for c in float_cols if exact.get(c) or agg.get(c))
-    if live_floats:
+    if live_floats and not (
+        nan_counts is not None
+        and all(c in nan_counts for c in live_floats)
+    ):
         import pyarrow.compute as pc
 
         nan_counts = dict.fromkeys(live_floats, 0)
@@ -1197,8 +1357,9 @@ def _dir_stats(root: str, rel_dir: str) -> dict:
                 nan_counts[c] += pc.sum(
                     pc.is_nan(tbl[c]), min_count=0
                 ).as_py()
-        for c, n in nan_counts.items():
-            if n != 0:
+    if live_floats:
+        for c in live_floats:
+            if nan_counts[c] != 0:
                 exact[c] = False
                 agg[c] = None
     out: dict = {c: v for c, v in agg.items() if v not in (None, ...)}
@@ -1363,19 +1524,24 @@ def commit_append(
                 f_["name"] not in app_names
                 for f_ in pm["schema"]["fields"]
             )
-        _enforce_constraints(df, root, "commit_append")
+        obs_df, verify_cons = _constraints_obs(df, root, "commit_append")
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
         pm_eff = (
             dict(pm, colmap={**_colmap(pm), **remap}) if remap else pm
         )
-        _physicalize(df, pm_eff).write.mode("overwrite").parquet(data_dir)
+        phys_sums = tuple(_physical_names(pm, sums)) if sums else ()
+        nan_counts, obs_sums = _observed_write(
+            _physicalize(obs_df, pm_eff), data_dir, phys_sums
+        )
+        if verify_cons is not None:
+            verify_cons(data_dir)
         rel = os.path.relpath(data_dir, root)
         # parent stats carry forward verbatim (those dirs are immutable);
         # only the new tail's footers are read — O(batch) per commit
         stats = dict(pm.get("stats") or {})
-        stats[rel] = _dir_stats(root, rel)
+        stats[rel] = _dir_stats(root, rel, nan_counts=nan_counts)
         if bloom:
             # point-lookup skipping index for the new tail (opt-in,
             # Delta's bloom-filter-index discipline): O(batch) build,
@@ -1387,10 +1553,12 @@ def commit_append(
                 stats[rel][_STATS_BLOOMS] = blooms
         if sums:
             # metadata-only SUM support for the new tail (opt-in):
-            # stats_agg(sums=...) then answers SUM(col) manifest-only
-            col_sums = _dir_col_sums(
-                root, rel, tuple(_physical_names(pm, sums))
-            )
+            # stats_agg(sums=...) then answers SUM(col) manifest-only —
+            # folded into the write job; pyarrow only for the leftovers
+            col_sums = dict(obs_sums)
+            left = tuple(c for c in phys_sums if c not in col_sums)
+            if left:
+                col_sums.update(_dir_col_sums(root, rel, left))
             if col_sums:
                 stats[rel][_STATS_SUMS] = col_sums
         manifest = {
@@ -1568,16 +1736,21 @@ def compact_small(
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
         n_files = max(1, merged_bytes // _COMPACT_TARGET_FILE_BYTES + 1)
-        df.coalesce(int(n_files)).write.mode("overwrite").parquet(data_dir)
-        rel = os.path.relpath(data_dir, root)
-        entry = _dir_stats(root, rel)
         bloom_cols, sums_cols = _meta_cols(pm)  # already physical names
+        nan_counts, obs_sums = _observed_write(
+            df.coalesce(int(n_files)), data_dir, sums_cols
+        )
+        rel = os.path.relpath(data_dir, root)
+        entry = _dir_stats(root, rel, nan_counts=nan_counts)
         if bloom_cols:
             blooms = _write_dir_blooms(root, rel, bloom_cols)
             if blooms:
                 entry[_STATS_BLOOMS] = blooms
         if sums_cols:
-            col_sums = _dir_col_sums(root, rel, sums_cols)
+            col_sums = dict(obs_sums)
+            left = tuple(c for c in sums_cols if c not in col_sums)
+            if left:
+                col_sums.update(_dir_col_sums(root, rel, left))
             if col_sums:
                 entry[_STATS_SUMS] = col_sums
         stats = {
@@ -3137,9 +3310,11 @@ def _commit_rewrite_where(
                 f"{op} must preserve the committed schema; "
                 f"committed={committed} produced={produced}"
             )
-        _enforce_constraints(rewritten, root, op)
+        obs_rw, verify_cons = _constraints_obs(rewritten, root, op)
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        _physicalize(rewritten, pm).write.mode("overwrite").parquet(data_dir)
+        nan_counts, _ = _observed_write(_physicalize(obs_rw, pm), data_dir)
+        if verify_cons is not None:
+            verify_cons(data_dir)
         rel = os.path.relpath(data_dir, root)
         data_list = list(carried)
         try:
@@ -3161,7 +3336,7 @@ def _commit_rewrite_where(
             if p in set(carried)
         }
         if has_rows:
-            stats[rel] = _dir_stats(root, rel)
+            stats[rel] = _dir_stats(root, rel, nan_counts=nan_counts)
         manifest = {
             "version": version,
             "ts": _now(),
@@ -3454,15 +3629,18 @@ def delete_where_dv(
             .select("_dv_path", "_dv_pos")
             .localCheckpoint(eager=True)
         )
-        total = inc.count()
-        if total == 0:
-            return parent  # nothing matched — commit no no-op
+        # one action instead of two (round 12): the per-directory
+        # grouping also answers the total/emptiness the separate
+        # count() used to
         per_dir = {
             r["_d"]: int(r["n"])
             for r in inc.groupBy(
                 F.regexp_extract("_dv_path", "^(.*)/[^/]+$", 1).alias("_d")
             ).agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        total = sum(per_dir.values())
+        if total == 0:
+            return parent  # nothing matched — commit no no-op
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         dv_dir = os.path.join(root, "dv", f"v{version:05d}-{token}")
@@ -3591,7 +3769,17 @@ def _commit_mor(
                     prior_df, ["_dv_path", "_dv_pos"], "left_anti"
                 )
             matched = select_matched(keyed).localCheckpoint(eager=True)
-            n_matched = matched.count()
+            # one action instead of two (round 12): the per-directory
+            # grouping of tombstone addresses also answers n_matched
+            per_dir = {
+                r["_d"]: int(r["n"])
+                for r in matched.groupBy(
+                    F.regexp_extract(
+                        "_dv_path", "^(.*)/[^/]+$", 1
+                    ).alias("_d")
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            n_matched = sum(per_dir.values())
         else:
             # bounds excluded every directory: nothing can match — an
             # empty keyed frame keeps make_tail's contract uniform
@@ -3628,14 +3816,6 @@ def _commit_mor(
         dv_dir = None
         if n_matched:
             addrs = matched.select("_dv_path", "_dv_pos")
-            per_dir = {
-                r["_d"]: int(r["n"])
-                for r in addrs.groupBy(
-                    F.regexp_extract(
-                        "_dv_path", "^(.*)/[^/]+$", 1
-                    ).alias("_d")
-                ).agg(F.count(F.lit(1)).alias("n")).collect()
-            }
             dv_dir = os.path.join(root, "dv", f"v{version:05d}-{token}")
             out = (
                 addrs.repartition(1)
@@ -3653,14 +3833,18 @@ def _commit_mor(
         data_list = list(dirs)
         new_stats = dict(stats)
         if n_tail:
-            _enforce_constraints(tail, root, op)
+            obs_tail, verify_cons = _constraints_obs(tail, root, op)
             data_dir = os.path.join(
                 root, "data", f"v{version:05d}-{token}"
             )
-            _physicalize(tail, pm).write.mode("overwrite").parquet(data_dir)
+            nan_counts, _ = _observed_write(
+                _physicalize(obs_tail, pm), data_dir
+            )
+            if verify_cons is not None:
+                verify_cons(data_dir, dv_dir)
             rel = os.path.relpath(data_dir, root)
             data_list.append(rel)
-            new_stats[rel] = _dir_stats(root, rel)
+            new_stats[rel] = _dir_stats(root, rel, nan_counts=nan_counts)
         manifest = {
             "version": version,
             "ts": _now(),
@@ -4108,11 +4292,13 @@ def commit_upsert(
             ).unionByName(batch)
         else:
             tail = batch
-        _enforce_constraints(tail, root, "upsert")
+        obs_tail, verify_cons = _constraints_obs(tail, root, "upsert")
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        _physicalize(tail, pm).write.mode("overwrite").parquet(data_dir)
+        nan_counts, _ = _observed_write(_physicalize(obs_tail, pm), data_dir)
+        if verify_cons is not None:
+            verify_cons(data_dir)
         rel = os.path.relpath(data_dir, root)
         # empty-tail guard (same as _commit_rewrite_where): an empty
         # batch against match-free candidates can write zero parquet
@@ -4132,7 +4318,7 @@ def commit_upsert(
                 return parent
         new_stats = {p: s for p, s in stats.items() if p in set(carried)}
         if has_rows:
-            new_stats[rel] = _dir_stats(root, rel)
+            new_stats[rel] = _dir_stats(root, rel, nan_counts=nan_counts)
         manifest = {
             "version": version,
             "ts": _now(),
@@ -4355,11 +4541,13 @@ def commit_full_sync(
             )
         else:
             tail = tail_rows
-        _enforce_constraints(tail, root, "full_sync")
+        obs_tail, verify_cons = _constraints_obs(tail, root, "full_sync")
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(root, "data", f"v{version:05d}-{token}")
-        _physicalize(tail, pm).write.mode("overwrite").parquet(data_dir)
+        nan_counts, _ = _observed_write(_physicalize(obs_tail, pm), data_dir)
+        if verify_cons is not None:
+            verify_cons(data_dir)
         rel = os.path.relpath(data_dir, root)
         try:
             has_rows = any(
@@ -4371,7 +4559,7 @@ def commit_full_sync(
             shutil.rmtree(data_dir, ignore_errors=True)
         new_stats = {p: s for p, s in stats.items() if p in set(carried)}
         if has_rows:
-            new_stats[rel] = _dir_stats(root, rel)
+            new_stats[rel] = _dir_stats(root, rel, nan_counts=nan_counts)
         manifest = {
             "version": version,
             "ts": _now(),

@@ -216,7 +216,16 @@ class IncrementalSemDeDupSink:
                 "vid", "left_anti",
             )
         new = new.localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
+        # one action instead of two (round 12): the per-cell counts the
+        # max_cell audit needs below also answer the emptiness check
+        # the separate limit(1).count() used to
+        batch_cells = {
+            r["cell"]: int(r["n"])
+            for r in new.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not batch_cells:
             # nothing novel: still record the batch_id for exact-once
             self._commit_codes(spark, new, batch_id)
             return
@@ -269,20 +278,23 @@ class IncrementalSemDeDupSink:
         # this batch's (cell, count) rows (n_cells-sized state; restart
         # pays ONE rebuild scan, not one per batch).
         if self._cell_counts is None:
-            self._cell_counts = {
-                r["cell"]: int(r["n"])
-                for r in TF.read_version(spark, self.codes_root)
-                .groupBy("cell")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            if have_codes:
+                # restart over prior on-disk state: ONE rebuild scan
+                # (runs post-commit, so it already includes this batch)
+                self._cell_counts = {
+                    r["cell"]: int(r["n"])
+                    for r in TF.read_version(spark, self.codes_root)
+                    .groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                # fresh table: the committed codes ARE this batch — the
+                # counts collected above, no scan needed (round 12)
+                self._cell_counts = dict(batch_cells)
         else:
-            for r in new.groupBy("cell").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect():
-                self._cell_counts[r["cell"]] = (
-                    self._cell_counts.get(r["cell"], 0) + int(r["n"])
-                )
+            for c, n in batch_cells.items():
+                self._cell_counts[c] = self._cell_counts.get(c, 0) + n
         big = [
             (c, n) for c, n in self._cell_counts.items() if n > self.max_cell
         ]

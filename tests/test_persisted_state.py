@@ -5086,14 +5086,19 @@ def test_constraints_skip_data_identical_maintenance(spark, tmp_path, monkeypatc
     TF.add_constraint(spark, root, "v_nonneg", "v >= 0")
     TF.commit_append(mk([(3, 30)]), root)
 
+    # since round 12 the probe rides the commit's own write job
+    # (_constraints_obs / verify) instead of a separate pre-write scan —
+    # spy on the new choke point: a non-None verifier IS an armed probe
     probed: list = []
-    real = TF._enforce_constraints
+    real = TF._constraints_obs
 
     def spy(df, root_, op):
-        probed.append(op)
-        return real(df, root_, op)
+        out_df, verify = real(df, root_, op)
+        if verify is not None:
+            probed.append(op)
+        return out_df, verify
 
-    monkeypatch.setattr(TF, "_enforce_constraints", spy)
+    monkeypatch.setattr(TF, "_constraints_obs", spy)
     TF.compact(spark, root)
     assert probed == []  # identity rewrite: no probe
 
