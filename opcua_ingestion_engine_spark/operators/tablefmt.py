@@ -718,18 +718,17 @@ def _constraints_obs(df: DataFrame, root: str, op: str):
 
     obs = Observation()
     names = list(cons)
-    observed = df.observe(
-        obs,
-        *[
-            F.sum(
-                (
-                    F.coalesce(F.expr(cons[n]), F.lit(True))
-                    == F.lit(False)
-                ).cast("long")
-            ).alias(f"__viol_{i}")
-            for i, n in enumerate(names)
-        ],
-    )
+    row = F.struct(*[df[c] for c in df.columns])
+    aggs = []
+    for i, n in enumerate(names):
+        viol = F.coalesce(F.expr(cons[n]), F.lit(True)) == F.lit(False)
+        aggs.append(F.sum(viol.cast("long")).alias(f"__viol_{i}"))
+        # an example violating row rides the same metric — the refusal
+        # path needs no second probe job
+        aggs.append(
+            F.first(F.when(viol, row), ignorenulls=True).alias(f"__ex_{i}")
+        )
+    observed = df.observe(obs, *aggs)
 
     def verify(*cleanup_dirs: str) -> None:
         got = obs.get
@@ -739,18 +738,11 @@ def _constraints_obs(df: DataFrame, root: str, op: str):
             for d in cleanup_dirs:
                 if d:
                     shutil.rmtree(d, ignore_errors=True)
-            expr = cons[name]
-            bad = (
-                df.filter(
-                    F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
-                )
-                .limit(1)
-                .collect()
-            )
-            example = f": e.g. {tuple(bad[0])}" if bad else ""
+            ex = got.get(f"__ex_{i}")
+            example = f": e.g. {tuple(ex)}" if ex is not None else ""
             raise ValueError(
-                f"CHECK constraint {name!r} ({expr}) violated by {op} "
-                f"at {root}{example}"
+                f"CHECK constraint {name!r} ({cons[name]}) violated by "
+                f"{op} at {root}{example}"
             )
 
     return observed, verify
@@ -890,7 +882,7 @@ def _try_commit(
     entry = _dir_stats(root, rel, nan_counts=nan_counts)
     if bloom:
         bloom = tuple(_physical_names(pmc, bloom)) if pmc else tuple(bloom)
-        blooms = _write_dir_blooms(root, rel, tuple(bloom))
+        blooms = _write_dir_blooms(root, rel, tuple(bloom), df.sparkSession)
         if blooms:
             entry[_STATS_BLOOMS] = blooms
     if sums:
@@ -1121,14 +1113,17 @@ def _bloom_h12(value) -> "tuple[int, int] | None":
 _BLOOM_K = 7
 
 
-def _bloom_build(values) -> "tuple[bytes, int] | None":
+def _bloom_build(values, m: "int | None" = None) -> "tuple[bytes, int] | None":
     """Build the packed bitmap over the distinct values of one column
     (int64/int32 vectorized through SplitMix64; strings through
     blake2b). Returns (bitmap bytes, m bits), or None when the column's
-    type isn't indexable."""
+    type isn't indexable. ``m`` fixes the bitmap size (the distributed
+    build sizes once from the global distinct count and ORs
+    per-partition bitmaps — all partitions must agree on m)."""
     arr = np.asarray(values)
     n = max(1, len(arr))
-    m = 1 << max(13, (16 * n - 1).bit_length())  # >= 8192 bits, pow2
+    if m is None:
+        m = 1 << max(13, (16 * n - 1).bit_length())  # >= 8192 bits, pow2
     bits = np.zeros(m // 8, dtype=np.uint8)
     if arr.dtype.kind in ("i", "u"):
         h1 = _splitmix64(arr.astype(np.int64).view(np.uint64))
@@ -1168,13 +1163,21 @@ def _bloom_contains(bitmap: bytes, m: int, value) -> bool:
     return True
 
 
-def _write_dir_blooms(root: str, rel_dir: str, cols: tuple) -> dict:
+def _write_dir_blooms(
+    root: str, rel_dir: str, cols: tuple, spark: "SparkSession | None" = None
+) -> dict:
     """Commit-time bloom sidecars for one new data directory: one
     column-pruned pyarrow read of the requested columns (O(new
     directory), same amortization as the footer pass), one ``_bloom_<c>``
     file per indexable column, parameters returned for the manifest
     stats entry. Unreadable data or unindexable types record nothing —
-    absence of a filter always keeps."""
+    absence of a filter always keeps.
+
+    With ``spark`` given and the directory at least
+    ``_BLOOM_DISTRIBUTED_MIN_BYTES``, the build runs DISTRIBUTED
+    (``_bloom_build_distributed``) instead — batch-sized tails keep the
+    cheap driver path, compaction/z-order-scale rewrites stop reading
+    the whole span serially on the driver (round 12)."""
     import pyarrow.parquet as pq
 
     full = os.path.join(root, rel_dir)
@@ -1183,30 +1186,109 @@ def _write_dir_blooms(root: str, rel_dir: str, cols: tuple) -> dict:
     except OSError:
         return {}
     out: dict = {}
+    distributed = (
+        spark is not None
+        and _dir_bytes(root, rel_dir) >= _BLOOM_DISTRIBUTED_MIN_BYTES
+    )
     for c in cols:
-        chunks = []
-        ok = True
-        for name in names:
-            try:
-                tbl = pq.read_table(os.path.join(full, name), columns=[c])
-            except Exception:
-                ok = False
-                break
-            chunks.append(tbl[c].drop_null().to_numpy(zero_copy_only=False))
-        if not ok or not chunks:
-            continue
-        distinct = np.unique(np.concatenate(chunks))
-        built = _bloom_build(distinct)
-        if built is None:
-            continue
-        blob, m = built
+        if distributed:
+            built = _bloom_build_distributed(spark, full, c)
+            if built is None:
+                continue
+            blob, m, n_distinct = built
+        else:
+            chunks = []
+            ok = True
+            for name in names:
+                try:
+                    tbl = pq.read_table(
+                        os.path.join(full, name), columns=[c]
+                    )
+                except Exception:
+                    ok = False
+                    break
+                chunks.append(
+                    tbl[c].drop_null().to_numpy(zero_copy_only=False)
+                )
+            if not ok or not chunks:
+                continue
+            distinct = np.unique(np.concatenate(chunks))
+            built = _bloom_build(distinct)
+            if built is None:
+                continue
+            blob, m = built
+            n_distinct = int(len(distinct))
         fname = f"_bloom_{c}"
         tmp = os.path.join(full, f"{fname}.tmp")
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, os.path.join(full, fname))
-        out[c] = {"file": fname, "m": m, "k": _BLOOM_K, "n": int(len(distinct))}
+        out[c] = {"file": fname, "m": m, "k": _BLOOM_K, "n": n_distinct}
     return out
+
+
+#: Below this directory size the commit-time bloom build stays a
+#: driver-side pyarrow read (cheaper than any extra Spark job for a
+#: batch-sized tail); at or above it — compaction/z-order rewrites of
+#: large spans — the build runs distributed, because a serial driver
+#: read of the whole rewritten span is exactly the O(table) driver
+#: data-path the 100 TB design forbids (round 12; guide §5).
+_BLOOM_DISTRIBUTED_MIN_BYTES = 32 << 20
+
+
+def _bloom_build_distributed(
+    spark: SparkSession, full_dir: str, col: str
+) -> "tuple[bytes, int, int] | None":
+    """Distributed twin of the pyarrow bloom build for LARGE
+    directories: one column-pruned distinct (the exact n the sizing
+    needs), then per-partition bitmaps of the agreed size OR-folded on
+    the driver — the driver handles O(m) bitmap bytes, never the
+    column's data. Bit-identical output to ``_bloom_build`` (same
+    hash family, same m from the same exact distinct count)."""
+    try:
+        src = (
+            spark.read.parquet(full_dir)
+            .select(col)
+            .where(F.col(col).isNotNull())
+            .distinct()
+        )
+    except Exception:
+        return None  # column missing from the files — record no filter
+    n = src.count()
+    if n == 0:
+        return None
+    m = 1 << max(13, (16 * n - 1).bit_length())
+
+    def _part_bitmaps(batches):
+        import pyarrow as pa
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        any_vals = False
+        indexable = True
+        for b in batches:
+            vals = b.column(0).to_numpy(zero_copy_only=False)
+            if len(vals) == 0:
+                continue
+            built = _bloom_build(vals, m=m)
+            if built is None:
+                indexable = False
+                break
+            any_vals = True
+            bits |= np.frombuffer(built[0], dtype=np.uint8)
+        if indexable and any_vals:
+            yield pa.record_batch(
+                [pa.array([bits.tobytes()], pa.binary())], names=["b"]
+            )
+
+    blobs = [
+        r["b"] for r in src.mapInArrow(_part_bitmaps, "b binary").collect()
+    ]
+    if not blobs:
+        return None  # unindexable type — same skip as the pyarrow path
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for blob in blobs:
+        acc |= np.frombuffer(blob, dtype=np.uint8)
+    return acc.tobytes(), m, n
 
 
 def _prune_dirs(
@@ -1547,7 +1629,7 @@ def commit_append(
             # Delta's bloom-filter-index discipline): O(batch) build,
             # enables prune={col: ('=', v)} to drop this directory
             blooms = _write_dir_blooms(
-                root, rel, tuple(_physical_names(pm, bloom))
+                root, rel, tuple(_physical_names(pm, bloom)), df.sparkSession
             )
             if blooms:
                 stats[rel][_STATS_BLOOMS] = blooms
@@ -1743,7 +1825,7 @@ def compact_small(
         rel = os.path.relpath(data_dir, root)
         entry = _dir_stats(root, rel, nan_counts=nan_counts)
         if bloom_cols:
-            blooms = _write_dir_blooms(root, rel, bloom_cols)
+            blooms = _write_dir_blooms(root, rel, bloom_cols, spark)
             if blooms:
                 entry[_STATS_BLOOMS] = blooms
         if sums_cols:
@@ -4695,7 +4777,7 @@ def compact_zorder(
         zb_cols, zs_cols = _meta_cols(pm)
         for rel in rels:
             if zb_cols:
-                blooms = _write_dir_blooms(root, rel, zb_cols)
+                blooms = _write_dir_blooms(root, rel, zb_cols, spark)
                 if blooms:
                     stats[rel][_STATS_BLOOMS] = blooms
             if zs_cols:

@@ -202,12 +202,17 @@ class IncrementalAnnIndexSink:
         self._ensure_quantizers(vectors)
         if self._cent is None:
             return  # still no quantizers => batch was empty
-        # eager: commit_merge re-runs the merge on a CAS rebase, and the
-        # encode must not be re-derived (or re-randomized) there
+        # upsert mode stays EAGER: commit_merge re-runs the merge on a
+        # CAS rebase, and the encode must not be re-derived there.
+        # Append mode checkpoints LAZILY (round 12): the single consumer
+        # is the commit write, so materialization fuses into the write
+        # job (one Spark action per batch instead of three) while a CAS
+        # retry still reuses the cached partitions.
+        eager = self.mode != "append"
         codes = S.ivfpq_encode(
             vectors, self._cent, self._books, self.id_col, self.vec_col,
             self.carry_cols,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=eager)
         spark = vectors.sparkSession
 
         if self.mode == "append":
@@ -224,7 +229,7 @@ class IncrementalAnnIndexSink:
                 )
                 codes = codes.join(
                     current_ids, "neighbor_id", "left_anti"
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
             TF.commit_append(
                 codes, self.codes_root, app={"batch_id": batch_id}
             )

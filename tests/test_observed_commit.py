@@ -146,3 +146,43 @@ def test_observed_write_non_integer_sum_falls_back(spark, tmp_path):
     assert sums == {"x": 30}
     assert nan == {"v": 0}
     assert not math.isnan(nan["v"])
+
+
+def test_distributed_bloom_bit_identical(spark, tmp_path, monkeypatch):
+    """Above the size threshold the bloom build runs distributed; its
+    bitmap must be BIT-IDENTICAL to the driver-side pyarrow build (same
+    hash family, same exact-count sizing), for both int and string
+    columns — probes against either bitmap then agree by construction."""
+    import numpy as np
+
+    out = str(tmp_path / "blm")
+    df = spark.range(500).select(
+        (F.col("id") % 97).alias("ki"),
+        F.concat(F.lit("t"), (F.col("id") % 53).cast("string")).alias("ks"),
+    )
+    df.write.parquet(out)
+
+    root, rel = str(tmp_path), "blm"
+    # driver build first (threshold huge -> pyarrow path)
+    via_driver = TF._write_dir_blooms(root, rel, ("ki", "ks"), spark)
+    driver_blobs = {
+        c: open(os.path.join(out, m["file"]), "rb").read()
+        for c, m in via_driver.items()
+    }
+    # force the distributed path and rebuild
+    monkeypatch.setattr(TF, "_BLOOM_DISTRIBUTED_MIN_BYTES", 1)
+    via_dist = TF._write_dir_blooms(root, rel, ("ki", "ks"), spark)
+    assert via_dist.keys() == via_driver.keys() == {"ki", "ks"}
+    for c in ("ki", "ks"):
+        assert via_dist[c]["m"] == via_driver[c]["m"]
+        assert via_dist[c]["n"] == via_driver[c]["n"]
+        blob = open(os.path.join(out, via_dist[c]["file"]), "rb").read()
+        assert blob == driver_blobs[c], f"bitmap diverged for {c}"
+    # membership probes behave on the distributed bitmap
+    m = via_dist["ki"]["m"]
+    blob = open(os.path.join(out, via_dist["ki"]["file"]), "rb").read()
+    assert all(TF._bloom_contains(blob, m, v) for v in range(97))
+    misses = sum(
+        TF._bloom_contains(blob, m, v) for v in range(1000, 3000)
+    )
+    assert misses < 40  # ~0.5% fpp on 2000 probes, generous margin
