@@ -708,8 +708,9 @@ def _constraints_obs(df: DataFrame, root: str, op: str):
     ``verify(*cleanup_dirs)``, which on a violation removes the
     just-written (still uncommitted — no manifest references it)
     directories and raises the SAME typed error as the standalone
-    probe, re-running the LIMIT-1 probe only on that cold path to
-    recover an example row. ``verify`` is None when the table has no
+    probe. The example violating row rides the observation itself (the
+    ``__ex_i`` first() metric), so even the refusal path needs no
+    second probe job. ``verify`` is None when the table has no
     constraints (zero overhead)."""
     cons = table_constraints(root)
     if not cons:
@@ -1251,10 +1252,18 @@ def _bloom_build_distributed(
             .select(col)
             .where(F.col(col).isNotNull())
             .distinct()
+            # materialize the distinct ONCE: count() (the exact n that
+            # sizes m) and the bitmap pass below reuse the checkpointed
+            # rows instead of re-running the shuffle twice on exactly
+            # the large directories this path exists to speed up
+            .localCheckpoint(eager=True)
         )
+        n = src.count()
     except Exception:
-        return None  # column missing from the files — record no filter
-    n = src.count()
+        # column missing or unreadable data — record no filter, same
+        # skip-the-sidecar contract as the driver path (absence of a
+        # filter always keeps; the commit must not abort on this)
+        return None
     if n == 0:
         return None
     m = 1 << max(13, (16 * n - 1).bit_length())
@@ -1280,9 +1289,13 @@ def _bloom_build_distributed(
                 [pa.array([bits.tobytes()], pa.binary())], names=["b"]
             )
 
-    blobs = [
-        r["b"] for r in src.mapInArrow(_part_bitmaps, "b binary").collect()
-    ]
+    try:
+        blobs = [
+            r["b"]
+            for r in src.mapInArrow(_part_bitmaps, "b binary").collect()
+        ]
+    except Exception:
+        return None  # runtime read failure — skip the sidecar, commit
     if not blobs:
         return None  # unindexable type — same skip as the pyarrow path
     acc = np.zeros(m // 8, dtype=np.uint8)

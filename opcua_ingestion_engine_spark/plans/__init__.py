@@ -30,67 +30,66 @@ from . import datapipe_ops  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship first — unchanged since round 1.
     "q_flagship_modvalues",
-    # Round-12 rotation (round-11 verdict item 1). New oracle queries
-    # take slots first per the standing rule:
-    "q_tf_stream_ratelimited",
-    "q_e2_semdedup_serve",
-    "q_tf_compact_small",
-    # ...then ALL 16 round-7 rows — the least-recently-checked cohort
-    # (the round-11 verdict recounted the recorded 15 to 16):
-    "q_tf_upsert_partial",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q11_important_stock",
-    "q_tpch_q13_customer_distribution",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_cnt",
-    "q_tpch_q17_small_qty_revenue",
-    "q_tpch_q1_pricing_summary",
-    "q_tpch_q20_potential_promotion",
-    "q_tpch_q22_sales_opportunity",
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q4_order_priority",
-    "q_validate_orders",
-    "q_x1_slope_intercept",
-    "q_x_array_hof",
-    "q_x_unpivot",
+    # Round-13 rotation (round-12 verdict item 9). No new oracle queries
+    # this round (optimization-only), so the least-recently-checked
+    # cohort leads: ALL 19 remaining round-8 rows (last oracle-checked
+    # in round 8), in their round-8 window order:
+    "q_e8_sliding_chunks",
+    "q_e8_softdedup_weights",
+    "q_e8_token_budget",
+    "q_tf_zorder_pruned_read",
+    "q_tf_stats_agg",
+    "q_e8_dsir_weights",
+    "q_e8_dsir_sample",
+    "q_e8_dsir_bigram_weights",
+    "q_tf_snapshots",
+    "q_e4_incremental_model_quality",
+    "q_e4_bm25_topk",
+    "q_e3_hybrid_rrf",
+    "q_e2_jaccard_neardup",
+    "q_e4_fingerprint",
+    "q_tpch_q18_large_volume_customer",
+    "q_agg_count_distinct",
+    "q_agg_groupby_lineitem",
+    "q_join_anti_customers_without_orders",
+    "q_join_three_way",
     # Family canaries (least-recently-checked oracle member of each
     # family not already covered above; sole members stay by
     # necessity — q_w_sessionize covers both the sessionize and
     # window-function families):
     "q_e1_exact_dedup",
-    "q_e3_embedding_profile",  # r8 (oldest e3)
-    "q_e4_model_quality",  # r8 (oldest e4)
-    "q_e5_frame_sample",  # r10 (oldest e5)
+    "q_e5_multimodal_meta",  # r9 (oldest e5)
     "q_e6_timeseries_similarity",
-    "q_e7_curation_pipeline",  # r9 (oldest e7)
+    "q_e7_curation_quality_rep",  # r9 (oldest e7)
     "q_asof_join_purchase_view",
     "q_range_join_purchase_errors",
     "q_w_sessionize",
-    # ...then the head of the round-8 cohort (42 rows last checked in
-    # round 8; the first 21 in registry order fill the window — the
-    # rest, from q_join_anti_customers_without_orders onward in
-    # registry order, lead round 13's rotation):
-    "q_f2_change_only",
-    "q_f4_quality_split",
-    "q_f5_self_measure_exclusion",
-    "q_f6_browse_exclusion",
-    "q_f7_node_class",
-    "q_f8_online_probe",
-    "q_f9_row_existence",
-    "q_f10_projection",
-    "q_j1_device_points",
-    "q_j2_device_server_urls",
-    "q_j4_connection_exclusions",
-    "q_j5_venn_reconcile",
-    "q_j7_heartbeat_lockset",
-    "q_a1_distinct_devices",
-    "q_a3_device_liveness",
-    "q_a4_rowcount_effects",
-    "q_s10_insert_if_missing",
-    "q_s11_bulk_reset",
-    "q_join_inner_orders_customer",
-    "q_join_left_customer_orders",
-    "q_join_full_nation_supplier",
+    # ...then the head of the round-9 cohort (42 rows last checked in
+    # round 9; the first 23 in round-9 window order fill the window —
+    # the rest, from q_e4_lang_id onward, lead round 14's rotation):
+    "q_tf_deletion_vectors",
+    "q_tf_point_lookup",
+    "q_e4_incremental_bm25",
+    "q_tf_merge_full_sync",
+    "q_e3_ann_cosine_topk",
+    "q_agg_cube",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_join_right_orders_customer",
+    "q_join_semi_customers_with_orders",
+    "q_w_lag_lead",
+    "q_w_row_number_rank",
+    "q_w_running_sum",
+    "q_x10_json_parse",
+    "q_x11_url_parse",
+    "q_x12_null_coalesce",
+    "q_x13_trim",
+    "q_x4_try_cast_skip",
+    "q_x5_timestamp_text",
+    "q_x6_node_id_concat",
+    "q_x7_lowercase",
+    "q_x8_aes_roundtrip",
+    "q_x9_utf8_encode",
 )
 
 

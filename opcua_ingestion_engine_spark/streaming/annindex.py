@@ -207,12 +207,18 @@ class IncrementalAnnIndexSink:
         # Append mode checkpoints LAZILY (round 12): the single consumer
         # is the commit write, so materialization fuses into the write
         # job (one Spark action per batch instead of three) while a CAS
-        # retry still reuses the cached partitions.
-        eager = self.mode != "append"
+        # retry still reuses the cached partitions. Exactly ONE lazy
+        # checkpoint sits on the append path — when the seen-guard
+        # anti-join applies, the checkpoint wraps the anti-join output,
+        # not the pre-join encode (a stacked inner checkpoint would hold
+        # a dead copy of the un-deduped codes for the session's
+        # lifetime — round-12 ADVICE).
         codes = S.ivfpq_encode(
             vectors, self._cent, self._books, self.id_col, self.vec_col,
             self.carry_cols,
-        ).localCheckpoint(eager=eager)
+        )
+        if self.mode != "append":
+            codes = codes.localCheckpoint(eager=True)
         spark = vectors.sparkSession
 
         if self.mode == "append":
@@ -229,7 +235,8 @@ class IncrementalAnnIndexSink:
                 )
                 codes = codes.join(
                     current_ids, "neighbor_id", "left_anti"
-                ).localCheckpoint(eager=False)
+                )
+            codes = codes.localCheckpoint(eager=False)
             TF.commit_append(
                 codes, self.codes_root, app={"batch_id": batch_id}
             )
