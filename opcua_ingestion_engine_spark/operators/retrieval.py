@@ -89,7 +89,10 @@ def bm25_topk(
         .filter(F.col("term").isin(*terms))  # query-filtered BEFORE shuffle
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)  # consumed by df-counts AND scoring
+        # consumed by df-counts AND scoring; LAZY so the df-count
+        # collect materializes it and scoring reuses the cache (one
+        # job, not an extra eager materialization — guide §5)
+        .localCheckpoint(eager=False)
     )
     return _bm25_score(hits, lens, terms, n_docs, avg_len, k, k1, b, id_col)
 

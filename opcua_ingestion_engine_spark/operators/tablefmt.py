@@ -188,6 +188,26 @@ def _physical_schema_json(manifest: dict) -> dict:
     )
 
 
+def _read_data(spark: SparkSession, manifest: dict, paths: list) -> DataFrame:
+    """Direct parquet read of data directories under ``manifest``, with
+    the read schema ALWAYS passed explicitly (round 13, guide §6): the
+    manifest is the schema authority — evolved tables resolve files by
+    name against the union schema, non-evolved tables read the
+    committing frame's physical schema verbatim. Spark then skips the
+    footer-sampling schema-inference job it otherwise runs before every
+    scan — one fewer driver round-trip (and footer listing pass) per
+    table read, on every read path of the layer."""
+    from pyspark.sql.types import StructType
+
+    if manifest.get("evolved"):
+        return spark.read.schema(_evolved_read_schema(manifest)).parquet(
+            *paths
+        )
+    return spark.read.schema(
+        StructType.fromJson(_physical_schema_json(manifest))
+    ).parquet(*paths)
+
+
 def _physical_names(manifest: dict, cols) -> list:
     """Translate logical column names to physical for footer/stats/
     bloom/sums lookups. Unknown names pass through (callers validate
@@ -2161,18 +2181,13 @@ def read_version(
             [], StructType.fromJson(manifest["schema"])
         )
     paths = [os.path.join(root, p) for p in dirs]
-    if manifest.get("evolved"):
-        # schema-evolved table: data directories have heterogeneous file
-        # schemas, so resolve every file by NAME against the manifest's
-        # union schema — columns a directory predates read as NULL
-        # (forced nullable so the read schema never over-promises).
-        # Resolution runs in PHYSICAL name space (the names the files
-        # carry — renames never rewrite them).
-        df = spark.read.schema(_evolved_read_schema(manifest)).parquet(
-            *paths
-        )
-    else:
-        df = spark.read.parquet(*paths)
+    # schema always explicit from the manifest (``_read_data``): evolved
+    # tables resolve files by name against the union schema (columns a
+    # directory predates read as NULL); non-evolved tables read the
+    # committing frame's physical schema verbatim — either way Spark
+    # skips the per-read schema-inference job. Retired slots still
+    # present in old files are simply never read.
+    df = _read_data(spark, manifest, paths)
     # merge-on-read: subtract any deletion vectors recorded for the
     # directories this read kept (pruned-out dirs never pay the join);
     # DV addressing is positional, so it runs before the rename to the
@@ -2546,12 +2561,7 @@ def stats_agg(
 
     if scan_dirs:
         paths = [os.path.join(root, p) for p in scan_dirs]
-        if manifest.get("evolved"):
-            df = spark.read.schema(_evolved_read_schema(manifest)).parquet(
-                *paths
-            )
-        else:
-            df = spark.read.parquet(*paths)
+        df = _read_data(spark, manifest, paths)
         df = _apply_dv(spark, root, manifest, scan_dirs, df)
         cond = F.lit(True)
         for c, (lo, hi) in prune.items():
@@ -2917,7 +2927,9 @@ def table_changes(
             m_to = json.load(f)
         parts = [
             _logicalize(
-                spark.read.parquet(*[os.path.join(root, p) for p in dirs]),
+                _read_data(
+                    spark, m_to, [os.path.join(root, p) for p in dirs]
+                ),
                 m_to,
             )
             .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
@@ -2930,7 +2942,7 @@ def table_changes(
             # address to recover the deleted rows' images (immutable
             # files, so the image is exact at every later version).
             # Sidecars are O(that commit's deleted rows): broadcast.
-            addrs = spark.read.parquet(
+            addrs = spark.read.schema(_DV_ADDR_SCHEMA).parquet(
                 *[os.path.join(root, p) for p in paths]
             ).select("_dv_path", "_dv_pos")
             tdirs = sorted(
@@ -2940,12 +2952,10 @@ def table_changes(
                 }
             )
             tpaths = [os.path.join(root, d) for d in tdirs]
-            if ev_manifest is not None:
-                src = spark.read.schema(
-                    _evolved_read_schema(ev_manifest)
-                ).parquet(*tpaths)
-            else:
-                src = spark.read.parquet(*tpaths)
+            # evolved steps ride their own manifest (union-schema
+            # resolution); plain steps read under m_to's physical
+            # schema — the touched dirs are immutable and still listed
+            src = _read_data(spark, ev_manifest or m_to, tpaths)
             cols = src.columns
             deleted = (
                 _logicalize(
@@ -3317,12 +3327,7 @@ def _dirs_with_matches(
     from urllib.parse import unquote, urlparse
 
     paths = [os.path.join(root, p) for p in candidates]
-    if manifest.get("evolved"):
-        src = spark.read.schema(_evolved_read_schema(manifest)).parquet(
-            *paths
-        )
-    else:
-        src = spark.read.parquet(*paths)
+    src = _read_data(spark, manifest, paths)
     # capture the file name in a projection DIRECTLY over the scan:
     # input_file_name() evaluated after match_fn would return '' whenever
     # the join shuffles this side (sort-merge on a diff too big to
@@ -3382,12 +3387,7 @@ def _commit_rewrite_where(
         version = parent + 1
         token = uuid.uuid4().hex[:8]
         touched_paths = [os.path.join(root, p) for p in touched]
-        if pm.get("evolved"):
-            source = spark.read.schema(_evolved_read_schema(pm)).parquet(
-                *touched_paths
-            )
-        else:
-            source = spark.read.parquet(*touched_paths)
+        source = _read_data(spark, pm, touched_paths)
         # merge-on-read: a touched directory's deletion vectors apply
         # BEFORE the rewrite (the rewrite must not resurrect deleted
         # rows) and are folded away by it — the new tail is vector-free
@@ -3585,6 +3585,25 @@ def update_where(
 _DV_BROADCAST_MAX_ROWS = 1_000_000
 
 
+def _dv_addr_schema():
+    """The fixed two-column schema every DV sidecar carries — passed
+    explicitly to each sidecar read so Spark never runs a schema-
+    inference job over tombstone files."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    return StructType(
+        [
+            StructField("_dv_path", StringType(), True),
+            StructField("_dv_pos", LongType(), True),
+        ]
+    )
+
+
+_DV_ADDR_SCHEMA = _dv_addr_schema()
+
+
 def _dv_map(manifest: dict) -> dict:
     """The manifest's deletion-vector map: ``{data_dir_rel: {"paths":
     [dv_dir_rel, ...], "rows": n}}``. Absent on tables that never took
@@ -3626,7 +3645,7 @@ def _apply_dv(
     if not hit:
         return df
     paths = sorted({p for d in hit for p in dv[d]["paths"]})
-    dv_df = spark.read.parquet(
+    dv_df = spark.read.schema(_DV_ADDR_SCHEMA).parquet(
         *[os.path.join(root, p) for p in paths]
     ).select("_dv_path", "_dv_pos")
     total = sum(int(dv[d].get("rows", 0)) for d in hit)
@@ -3696,12 +3715,7 @@ def delete_where_dv(
         if not candidates:
             return parent  # no directory can contain a match
         paths = [os.path.join(root, p) for p in candidates]
-        if pm.get("evolved"):
-            src = spark.read.schema(_evolved_read_schema(pm)).parquet(
-                *paths
-            )
-        else:
-            src = spark.read.parquet(*paths)
+        src = _read_data(spark, pm, paths)
         # address every candidate row, drop the already-deleted, keep
         # the predicate's matches: the new DV increment. The predicate
         # is written over LOGICAL names; the scan is physical, so the
@@ -3711,7 +3725,7 @@ def delete_where_dv(
         prior = [d for d in candidates if d in dv]
         if prior:
             prior_paths = sorted({p for d in prior for p in dv[d]["paths"]})
-            prior_df = spark.read.parquet(
+            prior_df = spark.read.schema(_DV_ADDR_SCHEMA).parquet(
                 *[os.path.join(root, p) for p in prior_paths]
             ).select("_dv_path", "_dv_pos")
             if sum(int(dv[d]["rows"]) for d in prior) <= _DV_BROADCAST_MAX_ROWS:
@@ -3838,12 +3852,7 @@ def _commit_mor(
         ]
         if candidates:
             paths = [os.path.join(root, p) for p in candidates]
-            if pm.get("evolved"):
-                src = spark.read.schema(
-                    _evolved_read_schema(pm)
-                ).parquet(*paths)
-            else:
-                src = spark.read.parquet(*paths)
+            src = _read_data(spark, pm, paths)
             # callbacks (predicates, SET exprs, key joins) speak the
             # LOGICAL schema; the scan is physical — rename first
             keyed = _logicalize(src.select("*", *_dv_key_cols(root)), pm)
@@ -3852,7 +3861,7 @@ def _commit_mor(
                 prior_paths = sorted(
                     {p for d in prior for p in dv[d]["paths"]}
                 )
-                prior_df = spark.read.parquet(
+                prior_df = spark.read.schema(_DV_ADDR_SCHEMA).parquet(
                     *[os.path.join(root, p) for p in prior_paths]
                 ).select("_dv_path", "_dv_pos")
                 if (
@@ -4071,7 +4080,7 @@ def consolidate_dv(
         all_paths = sorted({p for e in dv.values() for p in e["paths"]})
         if len(all_paths) < min_sidecars:
             return None
-        dv_df = spark.read.parquet(
+        dv_df = spark.read.schema(_DV_ADDR_SCHEMA).parquet(
             *[os.path.join(root, p) for p in all_paths]
         ).select("_dv_path", "_dv_pos")
         # keep only addresses into directories still dv-mapped: a
@@ -4371,14 +4380,9 @@ def commit_upsert(
         else:
             touched = candidates
         if touched:
-            if pm.get("evolved"):
-                old = spark.read.schema(_evolved_read_schema(pm)).parquet(
-                    *[os.path.join(root, p) for p in touched]
-                )
-            else:
-                old = spark.read.parquet(
-                    *[os.path.join(root, p) for p in touched]
-                )
+            old = _read_data(
+                spark, pm, [os.path.join(root, p) for p in touched]
+            )
             # touched dirs' deletion vectors apply before the merge and
             # fold into the rewritten tail
             old = _logicalize(_apply_dv(spark, root, pm, touched, old), pm)
@@ -4624,12 +4628,7 @@ def commit_full_sync(
             touched = []
         if touched:
             touched_paths = [os.path.join(root, p) for p in touched]
-            if pm.get("evolved"):
-                old = spark.read.schema(_evolved_read_schema(pm)).parquet(
-                    *touched_paths
-                )
-            else:
-                old = spark.read.parquet(*touched_paths)
+            old = _read_data(spark, pm, touched_paths)
             old = _logicalize(_apply_dv(spark, root, pm, touched, old), pm)
             tail = old.join(bad_keys, keys, "left_anti").unionByName(
                 tail_rows

@@ -144,7 +144,12 @@ class IncrementalBm25IndexSink:
             # the doclens table is the id registry
             seen = TF.read_version(spark, dl_root).select(self.id_col)
             docs = docs.join(seen, self.id_col, "left_anti")
-        docs = docs.localCheckpoint(eager=True)
+        # LAZY checkpoint (round 13, guide §5): the first consumer — the
+        # doclens commit write (or the postings write on the crash-replay
+        # path) — materializes the dedup/anti-join ONCE inside its own
+        # write job and the second commit reuses the cached partitions;
+        # the separate eager materialization action per batch is gone.
+        docs = docs.localCheckpoint(eager=False)
         postings, doclens = _tokenize(docs, self.id_col, self.text_col)
         if batch_id not in self._doclens_batches:
             TF.commit_append(
@@ -241,21 +246,31 @@ def bm25_topk_from_index(
 
         man = json.load(f)
     all_dirs = TF._data_list(man)
-    keep: list[str] = []
-    for d in all_dirs:
-        if any(
-            d in set(TF._prune_dirs(po_root, man, [d], {"term": ("=", t)}))
-            for t in terms
-        ):
-            keep.append(d)
+    # one prune pass per TERM over the whole directory list (not one
+    # per (dir, term) pair): each pass opens every sidecar once, and a
+    # directory survives if ANY query term might live in it
+    might: set = set()
+    for t in terms:
+        might.update(
+            TF._prune_dirs(po_root, man, all_dirs, {"term": ("=", t)})
+        )
+    keep = [d for d in all_dirs if d in might]
     if not keep:
         hits = TF.read_version(spark, po_root).filter(F.lit(False))
     else:
+        from pyspark.sql.types import StructType
+
         paths = [os.path.join(po_root, p) for p in keep]
-        hits = spark.read.parquet(*paths)
+        # manifest schema passed explicitly: no schema-inference job
+        hits = spark.read.schema(
+            StructType.fromJson(TF._physical_schema_json(man))
+        ).parquet(*paths)
         hits = TF._apply_dv(spark, po_root, man, keep, hits)
+    # LAZY: _bm25_score's df-count collect materializes the term scan
+    # once; the scoring pass reuses the cached partitions (two
+    # consumers, one job — guide §5)
     hits = hits.filter(F.col("term").isin(*terms)).localCheckpoint(
-        eager=True
+        eager=False
     )
     if "doc_len" in hits.columns:
         # postings carry their doc_len (denormalized at commit time):
