@@ -318,33 +318,38 @@ def banded_buckets(
     to avoid. Signature length is checked per row; the mismatch fails
     the job loudly instead.
     """
-    guarded = F.when(
-        F.size("signature") >= bands * rows_per_band, F.col("signature")
-    ).otherwise(
-        F.raise_error(F.concat(
+    # Guard as a short-circuiting FILTER, not a CASE WHEN wrapping the
+    # array: the projection-collapse rule substitutes a wrapped `_sig`
+    # into every one of the bands*rows getItem references, duplicating
+    # the whole when/raise_error tree ~100x in the optimized plan —
+    # measured as multi-second driver planning time per run (guide
+    # §7.3). As a filter the guard is ONE expression and the band
+    # projection reads the raw array column.
+    checked = signatures.filter(
+        (F.size("signature") >= bands * rows_per_band)
+        | F.raise_error(F.concat(
             F.lit(f"signature too short for {bands}x{rows_per_band} banding: "),
             F.size("signature").cast("string"),
             F.lit(" hashes"),
-        ))
+        )).cast("boolean")
     )
-    return signatures.select(
+    # Band via explode(sequence) + ONE dynamic-index hash, instead of an
+    # array of `bands` structs each hashing literal-index getItems. The
+    # values are bit-identical (`hash` is the same Murmur3(seed 42) as
+    # F.hash, `signature[band*rows+r]` the same elements) but the
+    # generated code carries a single hash call instead of ~bands
+    # copies — the old form's Janino compile was a measured multi-second
+    # driver cost PER RUN at 32x3 (guide §7.3: planning time is part of
+    # the job), and the py4j Column construction another ~1.4 s.
+    idx = ", ".join(
+        f"signature[band * {rows_per_band} + {r}]"
+        for r in range(rows_per_band)
+    )
+    return checked.select(
         "doc_id",
-        guarded.alias("_sig"),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.hash(*[
-                        F.col("_sig").getItem(b * rows_per_band + r)
-                        for r in range(rows_per_band)
-                    ]).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        "signature",
+        F.expr(f"explode(sequence(0, {bands - 1}))").alias("band"),
+    ).select("doc_id", "band", F.expr(f"hash({idx})").alias("bucket"))
 
 
 def lsh_candidate_pairs(
@@ -380,14 +385,12 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x: F.transform(
-                F.filter(F.col("ids"), lambda y: y > x),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    # one SQL expression, not nested Python-lambda HOF construction —
+    # same operator tree, a fraction of the py4j round-trips (§7.3)
+    pairs = F.expr(
+        "flatten(transform(ids, x -> transform("
+        "filter(ids, y -> y > x), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))

@@ -55,36 +55,44 @@ def connected_components(
     # distinct/shuffle input): every endpoint has >= 1 real neighbor,
     # so it survives the propagation join, and its OWN label is folded
     # back in by the F.least in the init and in every merge below.
+    # Both init checkpoints are LAZY (round 13, guide §5): round 1's
+    # convergence count materializes labels (and, through the propagate
+    # join, sym) inside its own job — the loop always runs at least one
+    # round, so nothing pays a separate materialization action; later
+    # rounds hit the cached partitions.
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         # round 1 for free: min over the closed neighborhood = least of
         # the node's own id and its open-neighborhood min
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     for _ in range(max_iter):
-        # propagate: node u's new label = min over neighbors v of lbl(v)
-        nxt = (
-            sym.join(
-                labels.select(F.col("u").alias("v"), F.col("lbl")), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("lbl").alias("new_lbl"))
-        )
+        # propagate: node u's new label = min over its closed
+        # neighborhood's labels. The node's OWN label rides the same
+        # groupBy as a tagged self-row (exactly one per node), so the
+        # round needs ONE join + ONE shuffle — the old separate
+        # labels-vs-new merge join per round is folded away (round 13,
+        # guide §2.4); the change flag falls out of the same aggregate
+        # (old label = the self-row's, new = the min).
+        prop = sym.join(
+            labels.select(F.col("u").alias("v"), F.col("lbl")), "v"
+        ).select("u", "lbl", F.lit(None).cast("long").alias("_self"))
+        own = labels.select("u", "lbl", F.col("lbl").alias("_self"))
         merged = (
-            labels.join(nxt, "u")
-            .select(
-                "u",
-                F.least("lbl", "new_lbl").alias("lbl"),
-                (F.col("new_lbl") < F.col("lbl")).cast("long").alias("_chg"),
+            prop.unionByName(own)
+            .groupBy("u")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                (F.min("lbl") < F.max("_self")).cast("long").alias("_chg"),
             )
             .localCheckpoint(eager=False)
         )

@@ -2798,9 +2798,19 @@ def q_tf_stream_ratelimited(spark, sf_dir):
     audit = {"batches": 0, "max_versions": 0}
 
     def sink(df, _batch_id):
-        # distributed append; the version-span audit is a 2-row agg
-        df.write.mode("append").parquet(out_dir)
-        n = df.select(F.countDistinct("_commit_version")).first()[0]
+        # distributed append with the version-span audit riding the
+        # SAME write job as an Observation metric (round 13, guide §5):
+        # the separate countDistinct action re-read the micro-batch
+        # from the source once per trigger
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        # collect_set, not countDistinct: observed metrics reject
+        # DISTINCT aggregates; the span is <= a few versions by design
+        df.observe(
+            obs, F.collect_set("_commit_version").alias("vs")
+        ).write.mode("append").parquet(out_dir)
+        n = len(obs.get["vs"] or [])
         if n:
             audit["batches"] += 1
             audit["max_versions"] = max(audit["max_versions"], n)

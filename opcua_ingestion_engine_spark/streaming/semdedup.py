@@ -215,7 +215,12 @@ class IncrementalSemDeDupSink:
                 TF.read_version(spark, self.codes_root).select("vid"),
                 "vid", "left_anti",
             )
-        new = new.localCheckpoint(eager=True)
+        # LAZY checkpoint (round 13): the per-cell count collect right
+        # below materializes the assignment + anti-join inside its own
+        # job; every later consumer (pair join sides, the codes commit)
+        # reuses the cached partitions — the separate eager
+        # materialization action per batch is gone (guide §5).
+        new = new.localCheckpoint(eager=False)
         # one action instead of two (round 12): the per-cell counts the
         # max_cell audit needs below also answer the emptiness check
         # the separate limit(1).count() used to
@@ -260,12 +265,16 @@ class IncrementalSemDeDupSink:
                 F.least("_xa", "_xb").alias("vec_a"),
                 F.greatest("_xa", "_xb").alias("vec_b"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY + full count (round 13): ONE action materializes the
+            # cell join into the checkpoint cache AND answers the
+            # emptiness gate — the eager checkpoint + limit(1).count()
+            # pair it replaces cost two
+            .localCheckpoint(eager=False)
         )
         # pairs FIRST, codes last (codes carry the batch_id ledger): a
         # crash in between re-appends the same deterministic pairs on
         # redelivery — duplicate edges are deduped at serve time
-        if new_pairs.limit(1).count() > 0:
+        if new_pairs.count() > 0:
             TF.commit_append(
                 new_pairs, self.pairs_root, app={"batch_id": batch_id}
             )

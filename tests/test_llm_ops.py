@@ -514,6 +514,48 @@ def test_lsh_candidates_match_selfjoin_reference(spark, mutated_corpus):
     assert got == want and want
 
 
+def test_banded_buckets_bit_identical_to_column_form(spark):
+    """The single-SQL-string banding expression (round-13 driver-latency
+    fix) must emit byte-identical (doc_id, band, bucket) rows to the
+    per-band Column construction it replaced — committed streaming index
+    state depends on the bucket values never drifting — and the
+    signature-length guard must still fail loudly, not emit the
+    constant-seed all-NULL bucket."""
+    from pyspark.sql import functions as F
+
+    from opcua_ingestion_engine_spark.operators import dedup as D
+
+    rows = [(i, [(i * 2654435761 + j * 97) % ((1 << 31) - 1) for j in range(96)])
+            for i in range(200)]
+    sig = spark.createDataFrame(rows, "doc_id int, signature array<bigint>")
+    bands, rpb = 32, 3
+    new = D.banded_buckets(sig, bands, rpb)
+    old = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[
+                        F.col("signature").getItem(b * rpb + r)
+                        for r in range(rpb)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+    short = spark.createDataFrame(
+        [(1, [1, 2, 3])], "doc_id int, signature array<bigint>"
+    )
+    with pytest.raises(Exception, match="signature too short"):
+        D.banded_buckets(short, bands, rpb).collect()
+
+
 def test_simhash_banded_search_is_exact(spark, mutated_corpus):
     """The 4x16-bit banded hamming search must return EXACTLY the pairs a
     brute-force hamming <= 3 scan finds (pigeonhole guarantee), with the
